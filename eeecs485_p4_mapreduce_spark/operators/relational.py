@@ -1,0 +1,811 @@
+"""Core relational operator surface: scans, filters, projections, joins
+(shuffle/broadcast/semi/anti), aggregations (hash, rollup/cube, distinct,
+conditional), windows (rank, running totals), set operations, top-k,
+scalar function pipelines, and time-window aggregation.
+
+The reference framework has none of these built in (SURVEY.md §2.8) — its
+only "queries" are external wc/grep executables — so this module IS the
+generalized engine surface, expressed 100% in Catalyst-optimizable
+DataFrame ops (no Python UDFs anywhere: every expression is JVM-side and
+whole-stage-codegen eligible).
+
+Scale notes are attached per query; the common themes:
+
+- dimension joins (`region`, `nation`, query vectors) are explicitly
+  broadcast — no shuffle of the fact table for them;
+- fact-fact joins shuffle on their join key only after filters have been
+  pushed to the parquet scan;
+- aggregations are partial (map-side combine) by construction since we use
+  `groupBy().agg()` — Spark plans HashAggregate(partial) → Exchange →
+  HashAggregate(final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.registry import query
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# q01: full-scan aggregation (TPC-H Q1 pattern): filter → groupBy → many aggs.
+# Scale: partial aggregation map-side; only 4 groups cross the wire. The
+# shipdate filter and 7-column projection are pushed into the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02: selective filter + arithmetic projection folded into one scan
+# (TPC-H Q6 pattern). Scale: everything happens inside the scan stage; the
+# answer is a single row, so shuffle traffic is one partial-agg row per task.
+# ---------------------------------------------------------------------------
+@query(
+    "q02_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q02_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03: 3-way fact join + agg + deterministic top-k (TPC-H Q3 pattern).
+# Scale: customer is filtered before the join (segment predicate pushed to
+# its scan) and is small relative to orders/lineitem → Spark broadcasts it
+# under AQE; orders⋈lineitem shuffles on orderkey. Top-k is a TakeOrdered —
+# only k rows per partition reach the driver side of the sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04: EXISTS semi-join + agg (TPC-H Q4 pattern, adapted to our schema).
+# Scale: left-semi join shuffles only (orderkey) pairs, never duplicates
+# orders rows; the probe side is pre-aggregated by AQE if skewed.
+# ---------------------------------------------------------------------------
+@query(
+    "q04_priority_with_late_ship",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q05: star join across 6 tables (TPC-H Q5 pattern). Scale: region+nation
+# (+supplier) are broadcast — the lineitem fact never shuffles for them;
+# only the orders⋈lineitem and customer⋈orders edges exchange data, both on
+# their natural keys so AQE can coalesce/skew-split.
+# ---------------------------------------------------------------------------
+@query(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06: deterministic top-k over an aggregation. Scale: agg first (15k → 1.5k
+# rows), then TakeOrdered(k) — no global sort materialization.
+# ---------------------------------------------------------------------------
+@query(
+    "q06_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07: ranking window function (top-3 orders per customer). Scale: one
+# shuffle on the partition key, sort within partitions only; no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q07_top_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q07_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08: running-total + lag window frame. Scale: same single-shuffle shape as
+# q07; frame is ROWS UNBOUNDED PRECEDING (streaming accumulation, no
+# re-scan per row).
+# ---------------------------------------------------------------------------
+@query(
+    "q08_customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend,
+           round(coalesce(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 0.0), 2) AS prev_price
+    FROM orders
+    """,
+)
+def q08_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(order_w), F.lit(0.0)), 2).alias(
+            "prev_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09: exact distinct aggregation. Scale: count(DISTINCT) expands to a
+# two-phase partial-distinct plan; Spark de-dups map-side per group first.
+# ---------------------------------------------------------------------------
+@query(
+    "q09_distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q09_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: set operations (INTERSECT / EXCEPT). Scale: both compile to
+# hash-based distinct joins on the full row — single shuffle each.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_customer_set_ops",
+    oracle="""
+    WITH c1995 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                     AND o_orderdate <  TIMESTAMP '1996-01-01'),
+         c1996 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM c1995 INTERSECT SELECT * FROM c1996)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM c1995 EXCEPT SELECT * FROM c1996)
+    """,
+)
+def q10_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c1995, c1996 = cohort(1995), cohort(1996)
+    both = c1995.intersect(c1996).withColumn("cohort", F.lit("both"))
+    only_1995 = c1995.exceptAll(c1996).withColumn("cohort", F.lit("only_1995"))
+    return both.unionAll(only_1995)
+
+
+# ---------------------------------------------------------------------------
+# q11: ROLLUP multi-level aggregation. Scale: Spark expands rollup to a
+# single Expand + hash-agg — one pass over the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_rollup_qty",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12: CUBE over two dimensions of orders.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: scalar function pipeline (string/date/math), pure per-row — entirely
+# whole-stage-codegen, no shuffle at all.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS order_year,
+           month(o_orderdate) AS order_month,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           length(o_orderpriority) AS prio_len,
+           round(sqrt(o_totalprice), 4) AS price_sqrt,
+           round(ln(o_totalprice + 1), 4) AS price_ln,
+           abs(o_custkey - 750) AS key_dist,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000 THEN 'mid'
+                ELSE 'small' END AS price_band
+    FROM orders
+    """,
+)
+def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("price_ln"),
+        F.abs(F.col("o_custkey") - 750).alias("key_dist"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: join + conditional aggregation (TPC-H Q14 pattern). Scale: part side
+# is broadcast (2k rows at sf0.01, dimension-sized at any SF).
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: conditional aggregation pivot (status columns). Scale: single pass,
+# partial agg; a real `pivot()` needs the value set up front — we pin it so
+# the plan stays one stage.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_status_pivot",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS price_f
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q15_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cnt(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            cnt("F").alias("n_f"),
+            cnt("O").alias("n_o"),
+            cnt("P").alias("n_p"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+            ).alias("price_f"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: anti join (customers with no URGENT order). Scale: left-anti
+# broadcast/shuffle join — never duplicates the left side.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_customers_without_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q16_customers_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q17: per-group average comparison (TPC-H Q17 pattern) via a window —
+# avoids a second scan+self-join of the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_above_brand_average",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           round(sum_cents / (100.0 * n_parts), 4) AS brand_avg
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS p_cents,
+             sum(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+               OVER (PARTITION BY p_brand) AS sum_cents,
+             count(*) OVER (PARTITION BY p_brand) AS n_parts
+      FROM part
+    )
+    WHERE 100 * p_cents * n_parts > 105 * sum_cents
+    """,
+)
+def q17_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices are 2-decimal values; comparing against 1.05x the brand
+    average in floating point is a knife-edge (averages can land exactly on
+    a rounding boundary, and Spark/DuckDB accumulate in different orders).
+    Computing in integer cents makes both the filter and the reported
+    average exact and engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "p_cents", F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("sum_cents", F.sum("p_cents").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(100 * F.col("p_cents") * F.col("n_parts") > 105 * F.col("sum_cents"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.round(F.col("sum_cents") / (100.0 * F.col("n_parts")), 4).alias(
+                "brand_avg"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: tumbling time-window aggregation over the events stream table —
+# the batch twin of the Structured Streaming job in streaming/jobs.py.
+# Scale: window(ts) is a scalar bucketing expression; the agg is an
+# ordinary partial hash-agg on (bucket, type).
+# ---------------------------------------------------------------------------
+@query(
+    "q18_events_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: sessionization via gaps-and-islands windows (30-minute inactivity
+# gap). Scale: one shuffle on user_id; both window passes share the same
+# partitioning so Spark plans a single Exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_sessionize",
+    oracle="""
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800.0
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(order_w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: broadcast dimension chain + grouped count (region rollup of
+# customers). Scale: region/nation broadcast; single shuffle for the agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_customers_per_region",
+    oracle="""
+    SELECT r_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q20_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: JSON extraction from the events.props column + agg — semi-structured
+# scalar pipeline (get_json_object stays JVM-side).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q21_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,40 @@
+"""Oracle-parity tests for the relational operator surface.
+
+Mirrors the driver's t2 gate: every registered relational query must
+hash-match its DuckDB oracle on the same parquet tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_query_matches_oracle
+
+
+def _relational_names():
+    from eeecs485_p4_mapreduce_spark.registry import ORACLES, load_all
+
+    load_all()
+    return sorted(n for n in ORACLES if n.startswith("q"))
+
+
+@pytest.mark.parametrize("name", _relational_names())
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    assert_query_matches_oracle(spark, duck, sf_dir, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_registry_consistency():
+    from eeecs485_p4_mapreduce_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 21

@@ -1,0 +1,59 @@
+"""CLI for mrlite — the reference's ``mapreduce-submit`` surface
+(reference: mapreduce/submit.py CLI options, including its 2/2 defaults
+and the wc job as the default workload), minus the TCP hop: there is no
+daemon to talk to, the job runs in-process on Spark and blocks until done.
+
+Usage:
+    python -m eeecs485_p4_mapreduce_spark.mrlite \
+        -i INPUT_DIR -o OUTPUT_DIR [-m MAPPER] [-r REDUCER] \
+        [--nmappers N] [--nreducers N]
+
+MAPPER/REDUCER are external executable paths; omit both to run the
+built-in pure-Python word count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="mrlite", description=__doc__)
+    parser.add_argument("-i", "--input", required=True, dest="input_directory")
+    parser.add_argument("-o", "--output", required=True, dest="output_directory")
+    parser.add_argument("-m", "--mapper", default=None)
+    parser.add_argument("-r", "--reducer", default=None)
+    parser.add_argument("--nmappers", type=int, default=2)
+    parser.add_argument("--nreducers", type=int, default=2)
+    args = parser.parse_args(argv)
+
+    from eeecs485_p4_mapreduce_spark import get_spark
+    from eeecs485_p4_mapreduce_spark.mrlite import MREngine
+    from eeecs485_p4_mapreduce_spark.mrlite import builtins as b
+
+    mapper = args.mapper if args.mapper else b.wc_map
+    reducer = args.reducer if args.reducer else b.wc_reduce
+
+    spark = get_spark("mrlite-submit")
+    engine = MREngine(spark)
+    try:
+        result = engine.submit_job(
+            input_directory=args.input_directory,
+            output_directory=args.output_directory,
+            mapper_executable=mapper,
+            reducer_executable=reducer,
+            num_mappers=args.nmappers,
+            num_reducers=args.nreducers,
+        )
+    except (FileNotFoundError, ValueError) as exc:
+        print(f"mrlite: error: {exc}", file=sys.stderr)
+        return 1
+    print(f"job {result.job_id} done: {len(result.output_paths)} output files")
+    for p in result.output_paths:
+        print(f"  {p}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""Golden-parity tests for the mrlite engine against the reference's own
+test corpus, executables, and golden outputs (read at runtime from the
+read-only reference checkout — nothing is copied).
+
+Mirrors the reference's integration-test strategy (SURVEY.md §5):
+- grep  → byte-exact compare vs grep_correct.txt  (test_integration_01)
+- wc    → order-insensitive set compare vs word_count_correct.txt
+          (test_integration_02/03, union of parts)
+- per-partition md5 routing asserted like test_worker_08.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference/tests/testdata")
+
+pytestmark = pytest.mark.skipif(
+    not REF.is_dir(), reason="reference testdata not available"
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from eeecs485_p4_mapreduce_spark.mrlite import MREngine
+
+    return MREngine(spark)
+
+
+def golden_wordcount() -> list[str]:
+    return (REF / "correct/word_count_correct.txt").read_text().splitlines()
+
+
+def golden_grep() -> bytes:
+    return (REF / "correct/grep_correct.txt").read_bytes()
+
+
+def test_md5_partition_matches_reference_routing():
+    """The key→partition split pinned by reference tests/test_worker_08
+    (2 partitions): {"", bye, hello} → 0, {world, hadoop, goodbye} → 1."""
+    from eeecs485_p4_mapreduce_spark.mrlite import md5_partition
+
+    assert [md5_partition(k, 2) for k in ("", "bye", "hello")] == [0, 0, 0]
+    assert [md5_partition(k, 2) for k in ("world", "hadoop", "goodbye")] == [1, 1, 1]
+
+
+def test_wordcount_external_executables(engine, tmp_path):
+    """Reference wc_map.sh/wc_reduce.sh through RDD.pipe, 2x2 job;
+    union of parts must equal the golden multiset exactly."""
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=str(REF / "exec/wc_map.sh"),
+        reducer_executable=str(REF / "exec/wc_reduce.sh"),
+        num_mappers=2,
+        num_reducers=2,
+    )
+    assert len(res.output_paths) == 2
+    assert sorted(res.read_lines()) == sorted(golden_wordcount())
+
+
+def test_wordcount_builtin_python(engine, tmp_path):
+    """Pure-Python built-ins must reproduce the same golden output with a
+    different topology (4 mappers, 1 reducer; sorted single partition)."""
+    from eeecs485_p4_mapreduce_spark.mrlite import builtins as b
+
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=b.wc_map,
+        reducer_executable=b.wc_reduce,
+        num_mappers=4,
+        num_reducers=1,
+    )
+    assert len(res.output_paths) == 1
+    # single sorted partition → byte-level line order is the golden's order
+    assert res.read_lines() == sorted(golden_wordcount())
+
+
+def test_grep_external_executables(engine, tmp_path):
+    """Reference grep_map.py/grep_reduce.py, 2 mappers / 1 reducer —
+    byte-exact against grep_correct.txt like reference test_integration_01."""
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=str(REF / "exec/grep_map.py"),
+        reducer_executable=str(REF / "exec/grep_reduce.py"),
+        num_mappers=2,
+        num_reducers=1,
+    )
+    assert Path(res.output_paths[0]).read_bytes() == golden_grep()
+
+
+def test_grep_builtin_python(engine, tmp_path):
+    from eeecs485_p4_mapreduce_spark.mrlite import builtins as b
+
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=b.make_grep_map("product"),
+        reducer_executable=b.grep_reduce,
+        num_mappers=2,
+        num_reducers=1,
+    )
+    assert "\n".join(res.read_lines()) + "\n" == golden_grep().decode()
+
+
+def test_multireducer_partition_layout(engine, tmp_path):
+    """With 2 reducers, each part file must contain exactly the keys the
+    md5 partitioner routes to it, in sorted order (reference
+    test_worker_08 analog)."""
+    from eeecs485_p4_mapreduce_spark.mrlite import builtins as b, md5_partition
+
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=b.wc_map,
+        reducer_executable=b.wc_reduce,
+        num_mappers=2,
+        num_reducers=2,
+    )
+    for part_idx, path in enumerate(res.output_paths):
+        lines = Path(path).read_text().splitlines()
+        keys = [ln.split("\t", 1)[0] for ln in lines]
+        assert keys == sorted(keys)
+        assert all(md5_partition(k, 2) == part_idx for k in keys)
+
+
+def test_fifo_job_ids(engine, tmp_path):
+    from eeecs485_p4_mapreduce_spark.mrlite import builtins as b
+
+    first = engine.submit_job(
+        input_directory=str(REF / "input_small"),
+        output_directory=str(tmp_path / "a"),
+        mapper_executable=b.wc_map,
+        reducer_executable=b.wc_reduce,
+        num_mappers=1,
+        num_reducers=1,
+    )
+    second = engine.submit_job(
+        input_directory=str(REF / "input_small"),
+        output_directory=str(tmp_path / "b"),
+        mapper_executable=b.wc_map,
+        reducer_executable=b.wc_reduce,
+        num_mappers=1,
+        num_reducers=1,
+    )
+    assert second.job_id == first.job_id + 1
+    assert first.read_lines() == second.read_lines()
+
+
+def test_streaming_large_input(engine, tmp_path):
+    """Reference test_worker_11 analog: the 3.7 MB corpus must map+reduce
+    through external pipes without error (O(1) streaming path)."""
+    res = engine.submit_job(
+        input_directory=str(REF / "input_large"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=str(REF / "exec/wc_map.sh"),
+        reducer_executable=str(REF / "exec/wc_reduce.sh"),
+        num_mappers=2,
+        num_reducers=2,
+    )
+    total = sum(
+        int(ln.split("\t")[1]) for ln in res.read_lines() if "\t" in ln
+    )
+    assert total > 100_000  # ~640k tokens in the Tolstoy corpus

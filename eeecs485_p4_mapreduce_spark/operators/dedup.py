@@ -1,1 +1,368 @@
-"""Filled in by later milestone."""
+"""Deduplication operators over `documents` / `embeddings`: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — the standard LLM-training-data dedup toolkit.
+
+Scale design (the whole point of these being in Spark):
+
+- Exact dedup is a hash aggregation on md5(text) — one shuffle of
+  (128-bit fp, doc_id), never the document bodies.
+- MinHash+LSH: signatures are computed map-side (shingle explode → md5
+  hash → min per (doc, seed) is a partial agg); candidate generation
+  shuffles only (band_id, band_signature, doc_id) tuples, so the pairwise
+  comparison that is O(n²) brute-force becomes O(candidates). At 100 TB
+  the bucket join is the only n-to-n edge and it's keyed on band
+  signatures, which are high-entropy → no skew.
+- SimHash: 32-bit signatures map-side; near-dup candidates via identical
+  16-bit prefix buckets (a 2-table Hamming LSH), then exact Hamming check.
+- All hashes are md5-derived integers, so every operator here is
+  bit-reproducible in ANSI SQL (DuckDB oracles below) and independent of
+  partitioning / row order.
+
+Reference note: the reference engine has no dedup at all (SURVEY.md §2.8);
+these are the north-star extensions required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.functions.text import word_shingles
+from eeecs485_p4_mapreduce_spark.registry import query
+
+_SPARK_TOKS = "split(lower(text), '[ \t]')"
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+# DuckDB 3-word shingles of a token list (1-based indexing), distinct.
+_DUCK_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(len(toks) - 2), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) "
+    "ELSE [] END)"
+)
+
+N_HASHES = 16  # MinHash signature length
+BAND_ROWS = 4  # rows per LSH band → 4 bands
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS fp FROM documents)
+    GROUP BY fp
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group documents by content hash, keep the smallest
+    doc_id. One shuffle of (fp, doc_id) pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.2.
+
+    The candidate join is keyed on shingles (an inverted index), so only
+    docs sharing at least one shingle are compared — never all pairs.
+    Jaccard is exact int/int arithmetic (engine-portable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks").selectExpr(
+        "doc_id", f"{word_shingles('toks', 3)} AS shingles"
+    )
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return pairs.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# Portable 32-bit hash of (seed, shingle): first 8 hex digits of md5.
+def _spark_minhash_expr() -> str:
+    return (
+        "cast(conv(substring(md5(concat(cast(seed as string), ':', s)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+
+
+_DUCK_MINHASH = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 8))"
+    " AS UBIGINT) AS BIGINT)"
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+    hashes AS (
+      SELECT doc_id, seed, min({_DUCK_MINHASH}) AS minh
+      FROM ex, (SELECT unnest(range({N_HASHES})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band_id,
+             string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
+      FROM hashes
+      GROUP BY doc_id, seed // {BAND_ROWS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH banding (4 bands x 4 rows): candidate
+    near-dup pairs are docs agreeing on at least one full band.
+
+    Plan shape: shingle explode → seed explode (x16) → partial min-agg →
+    band signature agg → self-join on (band_id, band_sig). The only
+    data crossing the wire after the map side is (doc, seed, min) and then
+    (band_id, sig, doc) — both tiny relative to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks").selectExpr(
+        "doc_id", f"{word_shingles('toks', 3)} AS shingles"
+    )
+    ex = (
+        sh.filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select(
+            "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+        )
+    )
+    hashes = (
+        ex.selectExpr("doc_id", "seed", f"{_spark_minhash_expr()} AS h")
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        hashes.withColumn("band_id", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.expr("transform(array_sort(collect_list(struct(seed, minh))),"
+                       " x -> cast(x.minh as string))"),
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                            AS BIGINT) >> b.b) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS w
+      FROM tok, (SELECT unnest(range(32)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures: per-token md5-derived hash, bitwise
+    weighted vote by token frequency. Signature computation is two partial
+    aggs (token counts, then bit votes) — fully map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    bits = (
+        tok.select(
+            "doc_id",
+            "cnt",
+            F.expr(h).alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .withColumn(
+            "w",
+            F.when(F.expr("(h >> b) & 1 = 1"), F.col("cnt")).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        bits.withColumn(
+            "bitval", F.when(F.col("w") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                            AS BIGINT) >> b.b) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS w
+      FROM tok, (SELECT unnest(range(32)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates bucketed by the high 16 bits
+    (one table of a Hamming-LSH scheme), verified by exact Hamming
+    distance <= 6. The bucket join avoids the O(n²) signature compare."""
+    sigs = dedup_simhash(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash >> 16") == F.expr("b.simhash >> 16"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by cosine >= 0.4, brute-force O(n²) —
+    the small-corpus baseline. The scale path is sim_ann_lsh (bucketed);
+    this exact variant is the oracle for its recall.
+
+    Norms are precomputed per row (not inside the join), halving the
+    flops; the dot product is a JVM higher-order aggregate over doubles
+    in array order, bit-identical to DuckDB's sequential list_dot_product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    emb = emb.withColumn(
+        "norm",
+        F.sqrt(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)")),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)")
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )

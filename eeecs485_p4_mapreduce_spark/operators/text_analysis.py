@@ -1,1 +1,250 @@
-"""Filled in by later milestone."""
+"""Text-analysis operators over the `documents` table: token statistics,
+quality scoring, language ID, fingerprinting, n-gram frequencies, BPE-ish
+token counting. These are the per-document scoring passes of a training-data
+pipeline — at 100 TB they run as pure map-side column expressions (no
+shuffle except the final aggregations), so throughput is scan-bound.
+
+All ratios are exact int/int divisions and all hashes are md5-derived, so
+every query here has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.functions.text import (
+    STOPWORDS,
+    count_in_list,
+    hash32,
+    tokens,
+)
+from eeecs485_p4_mapreduce_spark.registry import query
+
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+
+@query(
+    "ta_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+                 * 1.0 / len(toks), 4) AS avg_token_len,
+           n_chars
+    FROM (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(tokens())).alias("n_distinct"),
+        F.round(
+            F.expr(
+                "aggregate(transform(split(lower(text), '[ \t]'), t -> length(t)),"
+                " 0L, (acc, x) -> acc + x)"
+            )
+            * F.lit(1.0)
+            / F.size(tokens()),
+            4,
+        ).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "ta_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_filter(toks, t -> t IN ({_EN}))) * 1.0 / len(toks), 4)
+             AS stopword_ratio,
+           round(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+                 * 1.0 / len(toks), 4) AS alpha_ratio,
+           round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+             AS repetition_ratio,
+           CASE WHEN len(toks) BETWEEN 20 AND 2000
+                     AND len(list_filter(toks, t -> t IN ({_EN}))) * 1.0
+                         / len(toks) < 0.5
+                     AND 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) < 0.9
+                THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gates: stopword density, alphabetic
+    fraction, repetition, and a hard keep/drop verdict. Exact integer
+    ratios (no float accumulation) so the verdict is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), '[ \t]')"
+    stop_cnt = count_in_list(toks, STOPWORDS["en"])
+    alpha_cnt = f"size(filter({toks}, t -> t rlike '^[a-z]+$'))"
+    n = f"size({toks})"
+    dist = f"size(array_distinct({toks}))"
+    return docs.selectExpr(
+        "doc_id",
+        f"round(cast({stop_cnt} as double) / {n}, 4) AS stopword_ratio",
+        f"round(cast({alpha_cnt} as double) / {n}, 4) AS alpha_ratio",
+        f"round(1.0e0 - cast({dist} as double) / {n}, 4) AS repetition_ratio",
+        f"CASE WHEN {n} BETWEEN 20 AND 2000"
+        f" AND cast({stop_cnt} as double) / {n} < 0.5"
+        f" AND 1.0e0 - cast({dist} as double) / {n} < 0.9"
+        f" THEN 1 ELSE 0 END AS keep",
+    )
+
+
+def _lang_hits_sql(duck: bool) -> dict[str, str]:
+    out = {}
+    for lang, words in STOPWORDS.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        if duck:
+            out[lang] = f"len(list_filter(toks, t -> t IN ({quoted})))"
+        else:
+            out[lang] = f"size(filter(toks, t -> t in ({quoted})))"
+    return out
+
+
+_DH = _lang_hits_sql(duck=True)
+_SH = _lang_hits_sql(duck=False)
+
+
+@query(
+    "ta_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_DH['en']} >= {_DH['de']} AND {_DH['en']} >= {_DH['fr']}
+                     AND {_DH['en']} >= {_DH['es']} THEN 'en'
+                WHEN {_DH['de']} >= {_DH['fr']} AND {_DH['de']} >= {_DH['es']}
+                     THEN 'de'
+                WHEN {_DH['fr']} >= {_DH['es']} THEN 'fr'
+                ELSE 'es' END AS predicted_lang,
+           {_DH['en']} AS hits_en, {_DH['de']} AS hits_de,
+           {_DH['fr']} AS hits_fr, {_DH['es']} AS hits_es
+    FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic family). Deterministic
+    argmax with a fixed tiebreak order; the true `lang` column rides along
+    so accuracy is measurable downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", tokens())
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"CASE WHEN {_SH['en']} >= {_SH['de']} AND {_SH['en']} >= {_SH['fr']}"
+            f" AND {_SH['en']} >= {_SH['es']} THEN 'en'"
+            f" WHEN {_SH['de']} >= {_SH['fr']} AND {_SH['de']} >= {_SH['es']} THEN 'de'"
+            f" WHEN {_SH['fr']} >= {_SH['es']} THEN 'fr'"
+            f" ELSE 'es' END AS predicted_lang",
+            f"{_SH['en']} AS hits_en",
+            f"{_SH['de']} AS hits_de",
+            f"{_SH['fr']} AS hits_fr",
+            f"{_SH['es']} AS hits_es",
+        )
+    )
+
+
+@query(
+    "ta_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           CASE WHEN len(text) >= 8 THEN
+             list_min(list_transform(range(len(text) - 7),
+               i -> CAST(CAST(concat('0x', substr(md5(substr(text, i + 1, 8)), 1, 8))
+                         AS UBIGINT) AS BIGINT)))
+           ELSE CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) AS BIGINT)
+           END AS fp_winnow,
+           string_split_regex(lower(text), '[ \t]')[1] AS first_token,
+           string_split_regex(lower(text), '[ \t]')[-1] AS last_token
+    FROM documents
+    """,
+)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5) + winnowing-style rolling hash
+    (min 32-bit hash over all 8-char windows — order-free, so it's stable
+    under any partitioning; the winnowing family is public Rabin-Karp /
+    MOSS-style fingerprinting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    win_hash = hash32("substring(text, i, 8)")
+    return docs.selectExpr(
+        "doc_id",
+        "md5(text) AS fp_md5",
+        f"CASE WHEN length(text) >= 8 THEN "
+        f"array_min(transform(sequence(1, length(text) - 7), i -> {win_hash})) "
+        f"ELSE {hash32('text')} END AS fp_winnow",
+        "element_at(split(lower(text), '[ \t]'), 1) AS first_token",
+        "element_at(split(lower(text), '[ \t]'), -1) AS last_token",
+    )
+
+
+@query(
+    "ta_top_bigrams",
+    oracle="""
+    SELECT bigram, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(len(toks) - 1),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+      FROM (SELECT string_split_regex(lower(text), '[ \t]') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+    """,
+)
+def ta_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (top 50, deterministic tiebreak).
+    Scale: bigram explosion is map-side; the agg is partial, and only the
+    top-k crosses to the driver via TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", tokens())
+        .filter(F.size("toks") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+            " AS bigram"
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "ta_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+           n_chars,
+           round(n_chars * 1.0
+                 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex segmentation (words + isolated
+    punctuation), the standard cheap proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[a-z0-9]+|[^a-z0-9 ]"
+    return docs.selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(text, '{pat}', 0)) AS n_bpe_tokens",
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_word_tokens",
+        "n_chars",
+        f"round(cast(n_chars as double) / size(regexp_extract_all(text, '{pat}', 0)), 4)"
+        " AS chars_per_token",
+    )

@@ -1,0 +1,48 @@
+"""Unit tests for the multimodal binary-column pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_fake_feature_extract_deterministic():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import fake_feature_extract
+
+    payload = bytes(range(256)) * 2
+    hist = fake_feature_extract(payload)
+    assert len(hist) == 8
+    assert sum(hist) == 512
+    assert hist == fake_feature_extract(payload)
+
+
+def test_decode_stubs_raise():
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF")
+
+
+def test_extract_features_roundtrip(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(spark, sf_dir).limit(20)
+    feats = extract_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bytes == sum(r.byte_histogram)
+        assert len(r.head_hex) == 8  # 4 bytes hex-encoded
+
+
+def test_media_schema_binary(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import documents_as_media
+
+    media = documents_as_media(spark, sf_dir)
+    assert dict(media.dtypes)["payload"] == "binary"

@@ -12,10 +12,11 @@ from tests.conftest import assert_query_matches_oracle
 
 
 def _relational_names():
+    """Every registered query that has an oracle — the driver's t2 gate."""
     from eeecs485_p4_mapreduce_spark.registry import ORACLES, load_all
 
     load_all()
-    return sorted(n for n in ORACLES if n.startswith("q"))
+    return sorted(ORACLES)
 
 
 @pytest.mark.parametrize("name", _relational_names())

@@ -1,0 +1,202 @@
+"""Structured Streaming jobs: windowed aggregation with watermarks,
+streaming dedup, and custom stateful sessionization via
+``applyInPandasWithState``.
+
+Design: every job is a pure function ``stream_df -> stream_df`` so the
+same transformation graph runs against any source (file spool, Kafka,
+rate). Tests drive them with ``trigger(availableNow=True)`` over a parquet
+spool directory and compare against the batch twins in
+operators/relational.py (q18/q19) — the batch/stream consistency the
+Dataflow model promises.
+
+Scale notes: watermarks bound state (late events beyond 2h are dropped);
+the windowed agg state is per (window, event_type) — small; sessionization
+state is per user_id and evicted on timeout, so state size tracks active
+users, not history. All aggregations here are the streaming forms of
+partial-agg shuffles — nothing accumulates on the driver.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_SECONDS = 1800
+
+
+def spool_events(spark: SparkSession, sf_dir: str, spool_dir: str) -> str:
+    """Stage events.parquet into a spool directory (the file-source layout
+    a collector would write). Returns the spool path."""
+    spool = Path(spool_dir)
+    spool.mkdir(parents=True, exist_ok=True)
+    shutil.copy(Path(sf_dir) / "events.parquet", spool / "events-000.parquet")
+    return str(spool)
+
+
+def read_event_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """File-source event stream with the nanos→timestamp conversion the
+    batch catalog applies (catalog.load_table)."""
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(spool_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q18_events_hourly: tumbling 1h windows per
+    event_type, watermarked so state is bounded and windows finalize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming form of dedup_exact (state = seen ids inside horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: 30-minute-gap sessionization with
+    applyInPandasWithState (update mode).
+
+    Emits closed sessions as soon as a later event proves the gap, and
+    uses event-time timeout to flush a user's dangling session once the
+    watermark passes it. State per user is one 4-field tuple.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, end_us, n, val = state.get
+                closed.append((user_id, start_us, end_us, n, val))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+            vals = rows["value"].tolist()
+            if state.exists:
+                start_us, end_us, n, val = state.get
+            else:
+                start_us, end_us, n, val = ts_us[0], ts_us[0], 0, 0.0
+            for t, v in zip(ts_us, vals):
+                if n > 0 and t - end_us > gap_us:
+                    closed.append((user_id, start_us, end_us, n, val))
+                    start_us, end_us, n, val = t, t, 0, 0.0
+                end_us = max(end_us, t)
+                n += 1
+                val += v
+            state.update((start_us, end_us, n, val))
+            # flush the open session once the watermark passes gap after it
+            state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SECONDS * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "session_value": [c[4] for c in closed],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "session_start": pd.Series(dtype="datetime64[ns]"),
+                    "session_end": pd.Series(dtype="datetime64[ns]"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "session_value": pd.Series(dtype="float64"),
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "update"
+) -> None:
+    """Drive a streaming DataFrame to completion (availableNow) into an
+    in-memory sink table — the test/bench harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,127 @@
+"""Connector round-trips and physical-plan quality gates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        from eeecs485_p4_mapreduce_spark.sources.readers import read_csv
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        )
+        path = str(tmp_path / "csv")
+        df.write.option("header", "true").csv(path)
+        back = read_csv(spark, path, schema="id LONG, grp LONG")
+        assert back.count() == 100
+        assert dict(back.dtypes) == {"id": "bigint", "grp": "bigint"}
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        from eeecs485_p4_mapreduce_spark.sources.readers import read_json
+
+        df = spark.range(50).select(F.col("id"), F.lit("x").alias("s"))
+        path = str(tmp_path / "json")
+        df.write.json(path)
+        back = read_json(spark, path, schema="id LONG, s STRING")
+        assert back.count() == 50
+
+    def test_text_dir_whole_file(self, spark, tmp_path):
+        from eeecs485_p4_mapreduce_spark.sources.readers import read_text_dir
+
+        d = tmp_path / "texts"
+        d.mkdir()
+        (d / "a.txt").write_text("line1\nline2\n")
+        (d / "b.txt").write_text("line3\n")
+        assert read_text_dir(spark, str(d)).count() == 3
+        assert read_text_dir(spark, str(d), whole_file=True).count() == 2
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+        from eeecs485_p4_mapreduce_spark.sources.readers import (
+            read_parquet,
+            write_partitioned,
+        )
+
+        df = spark.range(200).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("part")
+        )
+        path = str(tmp_path / "parted")
+        write_partitioned(df, path, ["part"])
+        back = read_parquet(spark, path).filter(F.col("part") == "2")
+        assert back.count() == 50
+        plan = formatted_plan(back)
+        assert "PartitionFilters" in plan and "part" in plan
+
+
+class TestPlanQuality:
+    """The scale claims in operator docstrings, verified on real plans."""
+
+    def test_q01_filter_pushed_and_pruned(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q01_pricing_summary,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_pushed_filter,
+            assert_read_schema_only,
+            count_exchanges,
+        )
+
+        df = q01_pricing_summary(spark, sf_dir)
+        assert_pushed_filter(df, "l_shipdate")
+        assert_read_schema_only(
+            df,
+            {
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            },
+        )
+        assert count_exchanges(df) == 1  # single agg shuffle
+
+    def test_q05_broadcasts_dimensions(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q05_local_supplier_volume,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import assert_broadcast_join
+
+        assert_broadcast_join(q05_local_supplier_volume(spark, sf_dir))
+
+    def test_q20_no_fact_shuffle_before_agg(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q20_customers_per_region,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+            count_exchanges,
+        )
+
+        df = q20_customers_per_region(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert count_exchanges(df) == 1  # only the final agg exchange
+
+    def test_q13_whole_stage_codegen(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q13_scalar_functions,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_whole_stage_codegen,
+            count_exchanges,
+        )
+
+        df = q13_scalar_functions(spark, sf_dir)
+        assert_whole_stage_codegen(df)
+        assert count_exchanges(df) == 0  # pure map-side pipeline
+
+    def test_sim_topk_broadcasts_queries(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.similarity import (
+            sim_topk_bruteforce,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import assert_broadcast_join
+
+        assert_broadcast_join(sim_topk_bruteforce(spark, sf_dir))

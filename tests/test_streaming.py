@@ -1,0 +1,113 @@
+"""Structured Streaming tests: each streaming job run to completion with
+availableNow and checked against its batch twin (Dataflow-model
+batch/stream consistency)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spool(spark, sf_dir, tmp_path_factory):
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import spool_events
+
+    return spool_events(
+        spark, sf_dir, str(tmp_path_factory.mktemp("events-spool"))
+    )
+
+
+def test_hourly_counts_matches_batch(spark, sf_dir, spool):
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(jobs.hourly_counts(stream), "t_hourly", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_hourly").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_drops_duplicates(spark, spool, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    # spool the same file twice → every event is duplicated
+    dup_spool = tmp_path / "dup-spool"
+    dup_spool.mkdir()
+    src = next(Path(spool).glob("*.parquet"))
+    shutil.copy(src, dup_spool / "a.parquet")
+    shutil.copy(src, dup_spool / "b.parquet")
+
+    stream = jobs.read_event_stream(spark, str(dup_spool))
+    jobs.run_to_memory(jobs.dedup_stream(stream), "t_dedup", "append")
+    n_unique = spark.table("t_dedup").select("event_id").distinct().count()
+    n_total = spark.table("t_dedup").count()
+    assert n_total == n_unique  # no duplicate survived
+
+
+def test_sessionize_stream_closed_sessions(spark, sf_dir, spool):
+    """Closed sessions emitted by the stateful operator must be a subset of
+    the batch sessionization (q19) with identical boundaries/aggregates."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    load_all()
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(jobs.sessionize_stream(stream), "t_sessions", "update")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.session_value, 2))
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got, "expected at least one closed session"
+
+    batch = QUERIES["q19_sessionize"](spark, sf_dir)
+    # q19 formats timestamps as strings; compare on the same representation
+    want = {
+        (
+            r.user_id,
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            round(r.session_value, 2),
+        )
+        for r in batch.collect()
+    }
+    got_fmt = {
+        (
+            u,
+            s.strftime("%Y-%m-%d %H:%M:%S"),
+            e.strftime("%Y-%m-%d %H:%M:%S"),
+            n,
+            v,
+        )
+        for (u, s, e, n, v) in got
+    }
+    assert got_fmt <= want
+    # in a single availableNow batch all gap-proven sessions close:
+    # every batch session except each user's last open one must appear
+    assert len(got_fmt) >= len(want) - spark.table("t_sessions").select("user_id").distinct().count() * 2

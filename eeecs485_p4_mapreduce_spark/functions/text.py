@@ -47,14 +47,23 @@ def count_in_list(arr: str, words: tuple[str, ...]) -> str:
 
 
 def word_shingles(arr: str, k: int = 3) -> str:
-    """SQL fragment: distinct k-word shingles of token array `arr`.
+    """SQL fragment: distinct k-word shingles of token-array expression
+    `arr` (pass the tokenizer expression itself, not a pre-projected
+    column name).
+
+    `arr` is evaluated exactly once per row via a lambda let-binding —
+    ``transform(array(arr), __t -> ...)[0]``. Without it, Catalyst's
+    CollapseProject inlines the tokenizer into every `element_at`
+    reference inside the shingle lambda, re-running the regex split
+    O(k x n_shingles) times per row (measured 31x slower at sf0.1).
 
     Guarded for short docs: Spark's sequence(1, n) with n < 1 would count
     DOWN (descending sequence), so the when() guard is load-bearing.
     """
-    joined = ", ' ', ".join(f"element_at({arr}, i + {j})" for j in range(k))
+    joined = ", ' ', ".join(f"element_at(__t, i + {j})" for j in range(k))
     return (
-        f"array_distinct(CASE WHEN size({arr}) >= {k} THEN "
-        f"transform(sequence(1, size({arr}) - {k - 1}), i -> concat({joined})) "
-        f"ELSE array() END)"
+        f"transform(array({arr}), __t -> "
+        f"array_distinct(CASE WHEN size(__t) >= {k} THEN "
+        f"transform(sequence(1, size(__t) - {k - 1}), i -> concat({joined})) "
+        f"ELSE array() END))[0]"
     )

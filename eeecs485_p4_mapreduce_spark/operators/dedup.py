@@ -98,9 +98,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is exact int/int arithmetic (engine-portable).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks").selectExpr(
-        "doc_id", f"{word_shingles('toks', 3)} AS shingles"
-    )
+    sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
     )
@@ -199,9 +197,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-entropy so the join has no skew at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks").selectExpr(
-        "doc_id", f"{word_shingles('toks', 3)} AS shingles"
-    )
+    sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = (
         sh.filter(F.size("shingles") > 0)
         .select("doc_id", F.explode("shingles").alias("s"))

@@ -43,9 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
         # microseconds exactly like DuckDB does when it reads the same file.
+        # Integer division is load-bearing: `/` is double division, and
+        # doubles can't represent 1.7e18 nanos exactly (off-by-1-microsecond
+        # errors that second-granularity outputs hide but micros expose).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -809,3 +809,208 @@ def q21_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q22: AS-OF join — for each click, the most recent purchase by the same
+# user at-or-before the click time. Spark has no ASOF operator, so this is
+# the union-marker composition: tag both sides, union, and take
+# last(ignorenulls) over a (user, time)-ordered running window. One shuffle
+# on user_id, no join explosion; state per row is O(1), so it scales to
+# arbitrarily long histories (vs. a range self-join, which is quadratic in
+# events-per-user). DuckDB states the same query natively with ASOF JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_asof_last_purchase",
+    oracle="""
+    SELECT e.event_id AS click_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value,
+           epoch_us(e.ts) - epoch_us(p.ts) AS micros_since_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q22_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_val"),
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("c_id"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("double").alias("p_val"),
+        F.lit(0).alias("is_p"),
+        F.col("event_id").alias("c_id"),
+    )
+    # At equal ts the purchase must sort before the click (ASOF is >=);
+    # p_id breaks any same-ts purchase tie deterministically.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p").desc(), F.col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = p.unionByName(c)
+    return (
+        u.withColumn("purchase_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("pv", F.last("p_val", ignorenulls=True).over(w))
+        .withColumn(
+            "p_ts",
+            F.last(F.when(F.col("is_p") == 1, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_p") == 0)
+        .select(
+            F.col("c_id").alias("click_id"),
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+            "purchase_id",
+            F.round("pv", 2).alias("purchase_value"),
+            (F.unix_micros("ts") - F.unix_micros("p_ts")).alias(
+                "micros_since_purchase"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23: range (band) join — classify lineitems into quantity bands defined
+# by an inline dimension with [lo, hi] intervals. The band table is tiny
+# and explicitly broadcast, so Spark plans a BroadcastNestedLoopJoin: the
+# fact side streams through in place, no shuffle at all before the final
+# partial agg. This is the scale-correct plan for any small-interval-table
+# range join (calendar bins, SLA tiers, price bands).
+# ---------------------------------------------------------------------------
+_QTY_BANDS = [("low", 1, 10), ("mid", 11, 25), ("high", 26, 40), ("bulk", 41, 50)]
+
+
+@query(
+    "q23_quantity_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 1, 10), ('mid', 11, 25), ('high', 26, 40), ('bulk', 41, 50)
+    )
+    SELECT band,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+    GROUP BY band
+    """,
+)
+def q23_quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo int, hi int")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24: exact interpolated percentiles per group (ordered-set aggregate).
+# Scale: Spark's percentile is a one-pass typed aggregate (sorted digest
+# per group, merged map-side); only (group, 4 doubles) cross the wire.
+# Determinism: interpolation runs over exact integer CENTS at dyadic
+# quantiles (k/2^m) only, so lo + frac*(hi-lo) is exact in doubles and the
+# two engines agree bit-for-bit — at non-dyadic quantiles (e.g. 0.95) the
+# engines' interpolation formulas differ in the last ulp, which flips a
+# 2-decimal round on real data (observed at sf0.001). Output stays in cents.
+# ---------------------------------------------------------------------------
+_PCTS = [("p25_cents", 0.25), ("p50_cents", 0.5), ("p75_cents", 0.75), ("p875_cents", 0.875)]
+
+
+@query(
+    "q24_group_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {", ".join(f"quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), {q}) AS {name}" for name, q in _PCTS)},
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q24_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    )
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(cents, {q})").alias(name)
+            for name, q in _PCTS
+        ],
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25: arg-min/arg-max aggregates (min_by/max_by). events.value is always
+# 2-decimal and event_id is unique, so ordering by the exact integer pack
+# cents*10^12 + event_id makes the winner deterministic in both engines
+# (bare min_by/max_by on value would be tie-ambiguous — 872 duplicate
+# (type, value) pairs exist at sf0.01).
+# ---------------------------------------------------------------------------
+_PACK_SPARK = "cast(round(value * 100, 0) as bigint) * 1000000000000 + event_id"
+_PACK_DUCK = "CAST(round(value * 100, 0) AS BIGINT) * 1000000000000 + event_id"
+
+
+@query(
+    "q25_event_extremes",
+    oracle=f"""
+    SELECT event_type,
+           max_by(event_id, {_PACK_DUCK}) AS top_event_id,
+           round(max(value), 2) AS max_value,
+           min_by(event_id, {_PACK_DUCK}) AS bottom_event_id,
+           round(min(value), 2) AS min_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q25_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pack = F.expr(_PACK_SPARK)
+    return events.groupBy("event_type").agg(
+        F.max_by("event_id", pack).alias("top_event_id"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.min_by("event_id", pack).alias("bottom_event_id"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26: sketch aggregates — HyperLogLog distinct counts and quantile-digest
+# percentiles. These are THE 100 TB cardinality/quantile tools (fixed-size
+# sketch per group, merged map-side, no exact sort). Approximate by nature,
+# so there is no hash-exact DuckDB oracle: the driver records the weaker
+# rows-only check, and tests bound the estimates against exact counts.
+# ---------------------------------------------------------------------------
+@query("q26_approx_sketches", oracle=None)
+def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
+            "value_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

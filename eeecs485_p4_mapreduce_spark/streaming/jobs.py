@@ -60,9 +60,8 @@ def read_event_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     """File-source event stream with the nanos→timestamp conversion the
     batch catalog applies (catalog.load_table)."""
     raw = spark.readStream.schema(EVENT_SCHEMA).parquet(spool_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # div (integer division) — double `/` loses microseconds at 1.7e18 nanos.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -39,3 +39,20 @@ def test_registry_consistency():
     load_all()
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 21
+
+
+def test_approx_sketches_bounds(spark, sf_dir):
+    """q26 has no hash oracle (sketches are approximate by design); instead
+    assert the HLL estimate is within its configured rsd of the exact
+    distinct count, and the percentile digest brackets the value range."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.1 * r["exact_users"]
+        )
+        p50, p95 = r["value_p50_p95"]
+        assert 0 < p50 <= p95

@@ -1014,3 +1014,150 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q27: pivot-then-unpivot (wide/long reshaping). The conditional agg is one
+# partial-agg shuffle; unpivot is a pure map-side generator (no shuffle),
+# so the reshape costs nothing extra at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "q27_status_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS status, f_cnt AS n_orders FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'O' AS status, o_cnt AS n_orders FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'P' AS status, p_cnt AS n_orders FROM agg
+    """,
+)
+def q27_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).alias(s)
+            for s in ("F", "O", "P")
+        ]
+    )
+    return wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# q28: the analytic-window family — rank, dense_rank, ntile, percent_rank,
+# cume_dist, lag/lead — over one (priority, price desc, key) ordering, so
+# all six windows share a single shuffle+sort. percent_rank/cume_dist are
+# exact integer ratios evaluated identically in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q28_window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q28_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29: date/time scalar function family (trunc, extract, diff, last_day).
+# Pure map-side projection — stays in whole-stage codegen, no shuffle.
+# Engine notes: Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday, so
+# the Spark side subtracts 1; both week-of-year functions are ISO.
+# ---------------------------------------------------------------------------
+@query(
+    "q29_date_features",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           date_part('year', o_orderdate)    AS yr,
+           date_part('quarter', o_orderdate) AS qtr,
+           date_part('month', o_orderdate)   AS mon,
+           date_part('dow', o_orderdate)     AS dow,
+           date_part('week', o_orderdate)    AS iso_week,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def q29_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, TS_FMT_SPARK).alias("orderdate"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mon"),
+        (F.dayofweek(d) - 1).cast("bigint").alias("dow"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30: GROUPING SETS with grouping() markers — the general form of
+# q11's rollup / q12's cube. One shuffle; Spark expands the sets in a
+# single Expand+HashAggregate, not one pass per set.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)  AS g_flag,
+           grouping(l_linestatus)  AS g_status,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -91,6 +91,25 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: attach the customer dimension row to each event.
+
+    The static side is broadcast, so every micro-batch joins map-side with
+    no state and no shuffle of the stream — the standard scale pattern for
+    dimension enrichment (the dim is re-resolved per batch, so slowly
+    changing dimensions pick up updates between batches).
+    """
+    dim = F.broadcast(
+        customers.select("c_custkey", "c_name", "c_mktsegment")
+    )
+    return events.join(
+        dim, events.user_id == dim.c_custkey, "left"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "c_name", "c_mktsegment",
+    )
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -118,6 +118,31 @@ class TestPlanQuality:
         assert_whole_stage_codegen(df)
         assert count_exchanges(df) == 0  # pure map-side pipeline
 
+    def test_q22_asof_single_shuffle(self, spark, sf_dir):
+        """The as-of composition must cost exactly one exchange (the
+        user_id window shuffle) — no join, no explosion."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q22_asof_last_purchase,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import count_exchanges
+
+        assert count_exchanges(q22_asof_last_purchase(spark, sf_dir)) == 1
+
+    def test_q23_band_join_broadcasts(self, spark, sf_dir):
+        """The interval dimension must broadcast (BroadcastNestedLoopJoin):
+        the fact table never shuffles for the range join itself."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q23_quantity_band_join,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+            count_exchanges,
+        )
+
+        df = q23_quantity_band_join(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert count_exchanges(df) == 1  # only the final agg
+
     def test_sim_topk_broadcasts_queries(self, spark, sf_dir):
         from eeecs485_p4_mapreduce_spark.operators.similarity import (
             sim_topk_bruteforce,

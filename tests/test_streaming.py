@@ -70,6 +70,29 @@ def test_dedup_stream_drops_duplicates(spark, spool, tmp_path):
     assert n_total == n_unique  # no duplicate survived
 
 
+def test_enrich_stream_matches_batch_join(spark, sf_dir, spool):
+    """Stream-static dimension enrichment must equal the batch join."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(
+        jobs.enrich_stream(stream, customers), "t_enriched", "append"
+    )
+    got = {
+        (r.event_id, r.c_name, r.c_mktsegment)
+        for r in spark.table("t_enriched").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_id, r.c_name, r.c_mktsegment)
+        for r in jobs.enrich_stream(events, customers).collect()
+    }
+    assert got == want
+    assert len(got) == events.count()
+
+
 def test_sessionize_stream_closed_sessions(spark, sf_dir, spool):
     """Closed sessions emitted by the stateful operator must be a subset of
     the batch sessionization (q19) with identical boundaries/aggregates."""

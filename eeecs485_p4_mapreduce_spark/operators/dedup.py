@@ -93,19 +93,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.2.
 
-    The candidate join is keyed on shingles (an inverted index), so only
-    docs sharing at least one shingle are compared — never all pairs.
-    Jaccard is exact int/int arithmetic (engine-portable).
+    Candidates come from an inverted index on shingles, so only docs
+    sharing at least one shingle are compared — never all pairs. Each
+    shingle's posting list is aggregated once and pairs explode in-bucket
+    (a self-join would scan + shingle the corpus twice; Spark plans no
+    ReusedExchange for it). Jaccard is exact int/int arithmetic
+    (engine-portable).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    postings = ex.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    ).filter(F.size("ds") > 1)
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select("a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -191,10 +196,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: shingle explode → one md5 per shingle → 16 min() partial
     aggs (map-side combine; exactly one shuffled row per doc) → band
-    signatures as plain column concats → self-join on (band_id, band_sig).
-    After the map side, only (doc, 16 ints) then (band_id, sig, doc) cross
-    the wire — both tiny relative to the corpus, and band signatures are
-    high-entropy so the join has no skew at 100 TB.
+    signatures as plain column concats → bucket agg on (band_id, band_sig)
+    → in-bucket pair explode. Candidate pairs come from exploding each
+    bucket's sorted doc list instead of a self-join, so the corpus is
+    scanned and the signature pipeline runs exactly ONCE (a self-join
+    would recompute both sides — Spark plans no ReusedExchange here).
+    After the map side only (doc, 16 ints) then (sig, [docs]) cross the
+    wire; band signatures are high-entropy so buckets stay tiny (a bucket
+    = one near-dup cluster), which bounds the quadratic in-bucket explode.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
@@ -219,16 +228,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hashes.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
     ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_sig").alias("band_sig"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("ds").alias("i", "doc_a"), "ds"
+    ).select(
+        "doc_a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b")
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
     )
 
 
@@ -319,16 +330,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates bucketed by the high 16 bits
     (one table of a Hamming-LSH scheme), verified by exact Hamming
-    distance <= 6. The bucket join avoids the O(n²) signature compare."""
+    distance <= 6. Buckets are aggregated once and pairs explode
+    in-bucket — a self-join would run the whole signature pipeline twice
+    — and the prefix bucketing avoids the O(n²) signature compare."""
     sigs = dedup_simhash(spark, sf_dir)
-    a, b = sigs.alias("a"), sigs.alias("b")
+    buckets = (
+        sigs.groupBy(F.expr("simhash >> 16").alias("prefix"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(
-            b,
-            (F.expr("a.simhash >> 16") == F.expr("b.simhash >> 16"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select("a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"))
         .filter(ham <= 6)
         .select(
             F.col("a.doc_id").alias("doc_a"),

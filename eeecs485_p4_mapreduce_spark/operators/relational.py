@@ -1161,3 +1161,149 @@ def q30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q31: left-outer join + two-level aggregation (TPC-H Q13 pattern): how
+# many customers have 0, 1, 2, ... non-urgent orders. Scale: the outer
+# join shuffles on custkey once; both aggs are partial. Customers with no
+# orders survive via the outer side (count(o_orderkey) ignores nulls).
+# ---------------------------------------------------------------------------
+@query(
+    "q31_order_count_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q31_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# q32: scalar-subquery max (TPC-H Q15 pattern): supplier(s) achieving the
+# maximum quarterly revenue. Revenue is summed in integer cents (per-row
+# round, then exact integer sum) so the max and the equality filter are
+# bit-deterministic in both engines regardless of accumulation order.
+# Scale: the scalar max is a 1-row broadcast joined against the
+# aggregated (not raw) revenue table.
+# ---------------------------------------------------------------------------
+_REV_CENTS_DUCK = (
+    "sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))"
+)
+
+
+@query(
+    "q32_top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey, {_REV_CENTS_DUCK} AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_cents / 100.0, 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def q32_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            ).alias("total_cents")
+        )
+    )
+    top = rev.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        rev.join(F.broadcast(top), rev.total_cents == F.col("max_cents"))
+        .join(F.broadcast(sup), rev.suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33: scalar-subquery average + NOT EXISTS anti-join + substring grouping
+# (TPC-H Q22 pattern): above-average-balance customers with no recent
+# (2001+) order, grouped by a name prefix. The average is exact integer
+# cents / exact count, so the threshold is bit-identical across engines;
+# the anti-join is a left-anti shuffle on custkey with its date filter
+# pushed to the orders scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q33_rich_inactive_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 1.0
+             / (count(*) * 100.0) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 18, 1) AS name_suffix,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY 1
+    """,
+)
+def q33_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+            / (F.count(F.lit(1)) * 100.0)
+        ).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 18, 1).alias("name_suffix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

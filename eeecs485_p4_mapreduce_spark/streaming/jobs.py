@@ -91,6 +91,53 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def click_to_purchase_stream(events: DataFrame, horizon_minutes: int = 30) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a click by the
+    same user within `horizon_minutes` after the click.
+
+    Both sides carry watermarks and the join condition bounds purchase.ts
+    to [click.ts, click.ts + horizon], so Spark can expire join state once
+    the watermark passes the horizon — state is O(events inside the
+    window), not O(history). This is the canonical funnel/attribution
+    join shape.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: attach the customer dimension row to each event.
 

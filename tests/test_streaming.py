@@ -93,6 +93,29 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir, spool):
     assert len(got) == events.count()
 
 
+def test_click_purchase_stream_matches_batch(spark, sf_dir, spool):
+    """Stream-stream interval join must equal the same join run in batch
+    (watermarks only bound state, they drop nothing in availableNow)."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(
+        jobs.click_to_purchase_stream(stream), "t_funnel", "append"
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_funnel").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in jobs.click_to_purchase_stream(events).collect()
+    }
+    assert got == want
+    assert got, "expected at least one attributed purchase"
+
+
 def test_sessionize_stream_closed_sessions(spark, sf_dir, spool):
     """Closed sessions emitted by the stateful operator must be a subset of
     the batch sessionization (q19) with identical boundaries/aggregates."""

@@ -70,6 +70,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS keeper FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keeper
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step of exact dedup: emit the surviving
+    documents themselves (smallest doc_id per content hash), i.e. the
+    deduplicated corpus a training pipeline would write back out. One
+    agg shuffle on the 128-bit fingerprint + a semi-join on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+    )
+    return docs.join(
+        keepers, docs.doc_id == keepers.keeper, "left_semi"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (

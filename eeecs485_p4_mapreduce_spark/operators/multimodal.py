@@ -144,3 +144,148 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(byte_histogram, 0L, (a, x) -> a + x)").alias("hist_sum"),
         F.expr("size(byte_histogram)").alias("n_bins"),
     )
+
+
+THUMB_STRIDE = 16  # keep every 16th byte — the "resize" decimation factor
+FRAME_BYTES = 32  # fake fixed-size frame for the video path
+FRAME_STRIDE = 4  # sample every 4th frame
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("thumb", BinaryType(), True),
+        StructField("thumb_hex", StringType(), True),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an encoded image. STUB (no imaging library here); the
+    deterministic decimation below stands in for tests/queries."""
+    raise NotImplementedError("image resizing requires an imaging library")
+
+
+def fake_thumbnail(payload: bytes, stride: int = THUMB_STRIDE) -> bytes:
+    """Deterministic 'resize': keep every stride-th byte. Binary in,
+    (smaller) binary out — the exact dataflow shape of a real resize."""
+    return payload[::stride]
+
+
+def make_thumbnails(df: DataFrame) -> DataFrame:
+    """mapInPandas binary→binary transform (the resize slot)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(fake_thumbnail)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "thumb": thumbs,
+                    "thumb_hex": thumbs.map(lambda b: b.hex().upper()),
+                }
+            )
+
+    return df.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+@query(
+    "mm_thumbnail",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) // {THUMB_STRIDE}
+             + CASE WHEN octet_length(encode(text)) % {THUMB_STRIDE} > 0
+                    THEN 1 ELSE 0 END AS thumb_bytes,
+           upper(string_agg(substr(hex(encode(text)), 2 * i * {THUMB_STRIDE} + 1, 2),
+                            '' ORDER BY i)) AS thumb_hex
+    FROM documents,
+         (SELECT unnest(range(0, 1024)) AS i)
+    WHERE i * {THUMB_STRIDE} < octet_length(encode(text))
+    GROUP BY doc_id, text
+    """,
+)
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize slot, end to end: binary payload → mapInPandas
+    decimation → smaller binary + its hex, oracle-recomputed in SQL from
+    the source text. (Docs are < 16 KB so the oracle's 1024-sample bound
+    is exact.)"""
+    media = documents_as_media(spark, sf_dir)
+    return make_thumbnails(media).select(
+        "media_id",
+        "n_bytes",
+        F.expr("octet_length(thumb)").cast("bigint").alias("thumb_bytes"),
+        "thumb_hex",
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_sampled", LongType(), False),
+        StructField("frame_hashes", ArrayType(StringType()), True),
+    ]
+)
+
+
+def sample_frames(payload: bytes, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE) -> list[bytes]:
+    """Deterministic frame sampler: treat the payload as fixed-size
+    frames, keep every stride-th (a real video path would decode, then
+    sample by timestamp — same batch shape)."""
+    frames = [
+        payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)
+    ]
+    return frames[::stride]
+
+
+def extract_frame_samples(df: DataFrame) -> DataFrame:
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sampled = pdf["payload"].map(sample_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pdf["payload"].map(
+                        lambda b: (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                    ),
+                    "n_sampled": sampled.map(len),
+                    "frame_hashes": sampled.map(
+                        lambda fs: [hashlib.md5(f).hexdigest() for f in fs]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           (octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES}
+             AS n_frames,
+           count(*) AS n_sampled,
+           string_agg(md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})),
+                      ',' ORDER BY i) AS hashes_csv
+    FROM documents,
+         (SELECT unnest(range(0, 1024)) AS i)
+    WHERE i % {FRAME_STRIDE} = 0 AND i * {FRAME_BYTES} < octet_length(encode(text))
+    GROUP BY doc_id, text
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sample slot: payload → fixed-size fake frames →
+    stride sampling → per-frame md5, oracle-recomputed from the source
+    text (ASCII corpus: byte offsets == char offsets)."""
+    media = documents_as_media(spark, sf_dir)
+    return extract_frame_samples(media).select(
+        "media_id",
+        "n_frames",
+        "n_sampled",
+        F.array_join("frame_hashes", ",").alias("hashes_csv"),
+    )

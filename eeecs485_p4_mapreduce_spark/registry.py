@@ -49,6 +49,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         text_analysis,
     )
     from eeecs485_p4_mapreduce_spark import mr_queries  # noqa: F401

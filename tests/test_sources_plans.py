@@ -2,7 +2,15 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
+
+
+def _count_scans(df) -> int:
+    from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", formatted_plan(df), flags=re.M))
 
 
 class TestSources:
@@ -150,3 +158,58 @@ class TestPlanQuality:
         from eeecs485_p4_mapreduce_spark.plans.explain import assert_broadcast_join
 
         assert_broadcast_join(sim_topk_bruteforce(spark, sf_dir))
+
+    def test_dedup_candidate_stages_scan_once(self, spark, sf_dir):
+        """The bucket-explode pair generation must scan the corpus exactly
+        once — a regression to a self-join doubles the scans."""
+        from eeecs485_p4_mapreduce_spark.operators import dedup
+
+        assert _count_scans(dedup.dedup_minhash_lsh(spark, sf_dir)) == 1
+        assert _count_scans(dedup.dedup_ngram_jaccard(spark, sf_dir)) == 1
+        assert _count_scans(dedup.dedup_simhash_pairs(spark, sf_dir)) == 1
+
+    def test_q33_anti_join_filter_pushed(self, spark, sf_dir):
+        """The NOT EXISTS date restriction must reach the orders scan."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q33_rich_inactive_customers,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import assert_pushed_filter
+
+        assert_pushed_filter(q33_rich_inactive_customers(spark, sf_dir), "o_orderdate")
+
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        """Tables bucketed on the join key must sort-merge join with zero
+        shuffle exchanges — the co-located join the writers exist for."""
+        import uuid
+
+        from eeecs485_p4_mapreduce_spark.plans.explain import count_exchanges
+        from eeecs485_p4_mapreduce_spark.sources.readers import write_bucketed
+
+        suffix = uuid.uuid4().hex[:8]
+        left_name, right_name = f"bk_left_{suffix}", f"bk_right_{suffix}"
+        left = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, left_name, ["k"], 4, sort_by=["k"])
+        write_bucketed(right, right_name, ["k"], 4, sort_by=["k"])
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the shuffle-join path: a broadcast join would also show
+            # zero exchanges, proving nothing about bucketing
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table(left_name).join(
+                spark.table(right_name).withColumnRenamed("k", "k2"),
+                F.col("k") == F.col("k2"),
+            )
+            assert joined.count() == 1000
+            from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+            assert "SortMergeJoin" in formatted_plan(joined)
+            assert count_exchanges(joined) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.sql(f"DROP TABLE IF EXISTS {left_name}")
+            spark.sql(f"DROP TABLE IF EXISTS {right_name}")

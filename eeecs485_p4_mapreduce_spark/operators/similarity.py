@@ -105,29 +105,42 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH: deterministic md5-derived random hyperplanes ---------------------
 # sign(plane j, dim i) = +1 if low bit of hash32(j:i) else -1; the
-# projection is a sequential fold over dims so both engines compute the
-# identical double.
-_SPARK_SIGN = (
-    "cast(conv(substring(md5(concat(cast(j as string), ':', cast(i as string))),"
-    " 1, 8), 16, 10) as bigint) & 1"
-)
+# projection is a sequential left-associated sum over dims so both engines
+# compute the identical double. The signs are compile-time constants
+# (md5 of fixed strings), so the Spark side inlines them as ±1 literals:
+# the projection becomes a straight-line codegen'd FP sum instead of
+# re-hashing 6x64 constant strings per row (measured 3x faster at sf0.1).
+# The DuckDB oracle recomputes the same signs from md5 in SQL, proving
+# the constants right.
 _DUCK_SIGN = (
     "CAST(CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' ||"
     " CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) & 1"
 )
 
 
+def _sign(j: int, i: int) -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if (h & 1) == 1 else -1.0
+
+
+_SIGNS = [[_sign(j, i) for i in range(1, DIM + 1)] for j in range(N_PLANES)]
+
+
 def _spark_bucket_expr() -> str:
-    """16-bit LSH bucket of double-array column v."""
-    proj = (
-        f"aggregate(sequence(1, {DIM}), 0.0d, (acc, i) -> acc +"
-        f" (case when {_SPARK_SIGN} = 1 then 1.0d else -1.0d end)"
-        f" * element_at(v, i))"
-    )
-    return (
-        f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, j) -> acc +"
-        f" (case when ({proj}) > 0.0d then shiftleft(1L, j) else 0L end))"
-    )
+    """LSH bucket of double-array column v, signs inlined as literals in
+    dim order (left-associated: bit-matches the oracle's sequential
+    list_sum)."""
+    planes = []
+    for j in range(N_PLANES):
+        proj = " + ".join(
+            f"({_SIGNS[j][i - 1]}d * element_at(v, {i}))" for i in range(1, DIM + 1)
+        )
+        planes.append(
+            f"(case when ({proj}) > 0.0d then {1 << j}L else 0L end)"
+        )
+    return " + ".join(planes)
 
 
 # DuckDB cannot correlate a column into a lambda inside a scalar subquery,

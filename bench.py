@@ -41,10 +41,18 @@ HEADLINE = [
     "q14_promo_revenue",
     "q17_above_brand_average",
     "q18_events_hourly",
+    "q22_asof_last_purchase",
+    "q24_group_percentiles",
+    "q28_window_rank_family",
+    "q34_click_attribution",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
     "ta_token_stats",
+    "mm_thumbnail",
+    "skew_salted_enrich",
     "mr_wordcount",
 ]
 

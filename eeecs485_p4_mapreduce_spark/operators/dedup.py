@@ -293,36 +293,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures: per-token md5-derived hash, bitwise
-    weighted vote by token frequency. Signature computation is two partial
-    aggs (token counts, then bit votes) — fully map-side combinable."""
+    weighted vote by token frequency. The 32 bit votes are 32 conditional
+    sum() columns in ONE aggregation (map-side combinable, one shuffled
+    row per doc) — a per-bit row explosion would push 32x the rows
+    through an extra shuffle for the same answer."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    h = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
-    bits = (
-        tok.select(
+        .select(
             "doc_id",
             "cnt",
-            F.expr(h).alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+            F.expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)").alias("h"),
         )
-        .withColumn(
-            "w",
-            F.when(F.expr("(h >> b) & 1 = 1"), F.col("cnt")).otherwise(-F.col("cnt")),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("w"))
     )
-    return (
-        bits.withColumn(
-            "bitval", F.when(F.col("w") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1 = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"w{b}")
+            for b in range(32)
+        ]
     )
+    sig = " + ".join(
+        f"(case when w{b} > 0 then {1 << b}L else 0L end)" for b in range(32)
+    )
+    return votes.selectExpr("doc_id", f"({sig}) AS simhash")
 
 
 @query(

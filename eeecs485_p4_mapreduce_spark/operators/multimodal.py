@@ -69,12 +69,13 @@ def decode_audio(payload: bytes) -> "object":
 
 def fake_feature_extract(payload: bytes, n_bins: int = 8) -> list[int]:
     """Deterministic stand-in for a real feature extractor: a byte-value
-    histogram with ``n_bins`` buckets. Exercises the exact same data path
+    histogram with ``n_bins`` buckets, vectorized (a per-byte Python loop
+    dominates the batch otherwise). Exercises the exact same data path
     (bytes in, fixed-length vector out) a real decoder would."""
-    hist = [0] * n_bins
-    for byte in payload:
-        hist[byte * n_bins // 256] += 1
-    return hist
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(b.astype(np.int64) * n_bins // 256, minlength=n_bins).tolist()
 
 
 def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:

@@ -1455,3 +1455,265 @@ def q35_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q36: nation-pair shipping volume (TPC-H Q7 pattern): two independent
+# dimension lineages (supplier->nation, customer->nation) meeting at the
+# lineitem/orders fact join, with a symmetric pair predicate.
+# Scale: nation broadcasts into customer and supplier; the filtered
+# supplier side (2/25 nations) broadcasts into lineitem, so the only
+# shuffles are orders<->customer (on custkey) and that result<->lineitem
+# (on orderkey). Year extraction and the pair filter are codegen'd.
+# ---------------------------------------------------------------------------
+@query(
+    "q36_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q36_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37: product-type profit by supplier nation and order year (TPC-H Q9
+# pattern, adapted: no partsupp table, so cost = 60% of retail price).
+# Scale: the part filter (`p_name LIKE '%widget%'`) applies BEFORE the
+# broadcast, so only the qualifying slice of part ships to executors;
+# supplier+nation broadcast too. The single shuffle join is
+# lineitem<->orders on orderkey, and the profit arithmetic happens
+# map-side before the tiny (nation x year) aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q37_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q37_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38: disjunctive multi-clause predicate join (TPC-H Q19 pattern) — an
+# OR of three (brand, size-range, quantity-range) conjunctions.
+# Scale: the part-only disjunction pre-filters the part side BEFORE the
+# broadcast (the OR of part predicates is the union of what any clause
+# can accept), then the full residual predicate — which needs columns
+# from both sides — runs after the join. The lineitem side pushes
+# l_quantity bounds (the OR's convex hull, 1..30) into the scan.
+# ---------------------------------------------------------------------------
+_Q38_CLAUSES = [
+    ("Brand#1", 1, 5, 1.0, 11.0),
+    ("Brand#2", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+]
+
+
+@query(
+    "q38_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q38_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_pred = None
+    full_pred = None
+    for brand, slo, shi, qlo, qhi in _Q38_CLAUSES:
+        pp = (F.col("p_brand") == brand) & F.col("p_size").between(slo, shi)
+        fp = pp & F.col("l_quantity").between(qlo, qhi)
+        part_pred = pp if part_pred is None else (part_pred | pp)
+        full_pred = fp if full_pred is None else (full_pred | fp)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(part_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qlo = min(c[3] for c in _Q38_CLAUSES)
+    qhi = max(c[4] for c in _Q38_CLAUSES)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qlo, qhi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full_pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39: lone-returner suppliers (TPC-H Q21 pattern): suppliers who are the
+# ONLY supplier with a returned item in a multi-supplier order. The
+# textbook form is EXISTS + NOT EXISTS correlated self-joins (that is the
+# oracle SQL); Spark-first it collapses into two aggregations over ONE
+# shuffle lineage — per (order, supplier) returned-flag, then per order
+# count suppliers / count returners / pick the lone returner — so
+# lineitem is scanned and shuffled exactly once, with no self-join.
+# Scale: the heavy agg keys on l_orderkey (high cardinality, no skew);
+# the supplier-name join is a broadcast; top-10 is a tiny final sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q39_lone_return_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS n_orders
+    FROM supplier s
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem WHERE l_returnflag = 'R') l1
+      ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY n_orders DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q39_lone_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_supp"),
+    )
+    lone = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone.groupBy("r_supp")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(sup), F.col("r_supp") == F.col("s_suppkey"))
+        .select("s_name", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40: the SQL text surface — the IDENTICAL ANSI SQL string runs through
+# spark.sql() over registered views and through the DuckDB oracle,
+# proving the engine speaks SQL directly (CTE + window + qualify-style
+# rank filter), not just the DataFrame DSL. Scale: rank-per-segment is
+# one shuffle on the partition key; the rank filter cuts before output.
+# ---------------------------------------------------------------------------
+_Q40_SQL = """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS seg_rank
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, seg_rank
+    FROM ranked
+    WHERE seg_rank <= 3
+"""
+
+
+@query("q40_sql_surface", oracle=_Q40_SQL)
+def q40_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q40_SQL)

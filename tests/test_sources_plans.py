@@ -213,3 +213,45 @@ class TestPlanQuality:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
             spark.sql(f"DROP TABLE IF EXISTS {left_name}")
             spark.sql(f"DROP TABLE IF EXISTS {right_name}")
+
+    def test_q37_part_filter_precedes_broadcast(self, spark, sf_dir):
+        """Q9-pattern: the p_name LIKE filter must be pushed to the part
+        scan (only the qualifying slice broadcasts), and lineitem<->orders
+        must be the only shuffle joins — dimensions all broadcast."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q37_product_profit,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+            assert_pushed_filter,
+        )
+
+        df = q37_product_profit(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert_pushed_filter(df, "p_name")
+
+    def test_q38_disjunction_prefilters_both_scans(self, spark, sf_dir):
+        """Q19-pattern: the part-only OR reaches the part scan and the
+        quantity hull [1, 30] reaches the lineitem scan."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q38_disjunctive_revenue,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+            assert_pushed_filter,
+        )
+
+        df = q38_disjunctive_revenue(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert_pushed_filter(df, "l_quantity")
+
+    def test_q39_single_lineitem_scan_no_self_join(self, spark, sf_dir):
+        """Q21-pattern without the textbook EXISTS/NOT-EXISTS self-joins:
+        lineitem appears in the plan exactly once."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q39_lone_return_suppliers,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+        plan = formatted_plan(q39_lone_return_suppliers(spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1

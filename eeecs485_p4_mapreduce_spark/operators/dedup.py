@@ -189,10 +189,10 @@ _DUCK_BAND_SIG = " ".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS (
+# The shingle→signature→band→bucket→pair pipeline, shared verbatim (CTE
+# text and DataFrame lineage) by dedup_minhash_lsh and the clustering /
+# survivor queries built on top of its candidate pairs.
+_DUCK_MINHASH_CTES = f"""sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles
       FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     ),
@@ -207,30 +207,20 @@ _DUCK_BAND_SIG = " ".join(
       SELECT doc_id, bb.b AS band_id,
              CASE bb.b {_DUCK_BAND_SIG} END AS band_sig
       FROM hashes, (SELECT unnest(range({_N_BANDS})) AS b) bb
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-     AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 hashes, (a*x+b) mod p family) + LSH banding (4 bands x
-    4 rows): candidate near-dup pairs are docs agreeing on >= 1 full band.
+    ),
+    mh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
 
-    Plan shape: shingle explode → one md5 per shingle → 16 min() partial
-    aggs (map-side combine; exactly one shuffled row per doc) → band
-    signatures as plain column concats → bucket agg on (band_id, band_sig)
-    → in-bucket pair explode. Candidate pairs come from exploding each
-    bucket's sorted doc list instead of a self-join, so the corpus is
-    scanned and the signature pipeline runs exactly ONCE (a self-join
-    would recompute both sides — Spark plans no ReusedExchange here).
-    After the map side only (doc, 16 ints) then (sig, [docs]) cross the
-    wire; band signatures are high-entropy so buckets stay tiny (a bucket
-    = one near-dup cluster), which bounds the quadratic in-bucket explode.
-    """
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) from
+    MinHash+LSH banding — the shared front end of the dedup family."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = (
@@ -266,6 +256,151 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_shared_bands")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_CTES}
+    SELECT doc_a, doc_b, n_shared_bands FROM mh_pairs
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes, (a*x+b) mod p family) + LSH banding (4 bands x
+    4 rows): candidate near-dup pairs are docs agreeing on >= 1 full band.
+
+    Plan shape: shingle explode → one md5 per shingle → 16 min() partial
+    aggs (map-side combine; exactly one shuffled row per doc) → band
+    signatures as plain column concats → bucket agg on (band_id, band_sig)
+    → in-bucket pair explode. Candidate pairs come from exploding each
+    bucket's sorted doc list instead of a self-join, so the corpus is
+    scanned and the signature pipeline runs exactly ONCE (a self-join
+    would recompute both sides — Spark plans no ReusedExchange here).
+    After the map side only (doc, 16 ints) then (sig, [docs]) cross the
+    wire; band signatures are high-entropy so buckets stay tiny (a bucket
+    = one near-dup cluster), which bounds the quadratic in-bucket explode.
+    """
+    return minhash_candidate_pairs(spark, sf_dir)
+
+
+# Transitive closure over the candidate-pair graph, as a recursive CTE:
+# DuckDB's UNION-dedup recursion terminates on cycles, and min-over-
+# reachable-set is exactly the label the Spark propagation loop converges
+# to. `lbl` has one row per doc that appears in any candidate pair.
+_DUCK_CLUSTER_CTES = f"""{_DUCK_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lbl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )"""
+
+
+def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each round every node takes the min label over itself and its
+    neighbors; convergence needs O(component diameter) rounds, and
+    near-dup components are dense near-cliques (diameter 2-3), so this
+    beats the O(log n)-round large-star/small-star scheme in practice
+    while staying a pure DataFrame loop. Lineage is cut per round with
+    localCheckpoint so the plan stays O(1) deep; the convergence check
+    is an aggregated count, never a collect of data rows.
+    """
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "lbl"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTER_CTES}
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lbl l
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM lbl GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph (cluster_id = min doc_id in the component).
+
+    This is the step that turns pairwise candidates into dedup decisions
+    — pairs alone can't tell you which docs to drop when A~B and B~C but
+    not A~C. Iterative distributed algorithm (see _propagate_min_labels);
+    the oracle is the same closure as a recursive CTE. Scale: each round
+    shuffles (node, label) tuples only — never documents — and the edge
+    list is LSH-sparse, not O(n²)."""
+    pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    labels = _propagate_min_labels(edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id", F.col("lbl").alias("cluster_id"), "cluster_size"
+    )
+
+
+@query(
+    "dedup_near_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTER_CTES}
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM lbl
+                      WHERE lbl.doc_id = d.doc_id
+                        AND lbl.cluster_id <> d.doc_id)
+    """,
+)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup removal: keep the min-doc_id
+    representative of every near-dup cluster plus all unclustered docs —
+    i.e. what a training pipeline writes back out. One anti-join of
+    documents against the non-representative cluster members."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    losers = _propagate_min_labels(edges).filter(
+        F.col("lbl") != F.col("doc_id")
+    ).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
     )
 
 

@@ -56,3 +56,29 @@ def test_approx_sketches_bounds(spark, sf_dir):
         )
         p50, p95 = r["value_p50_p95"]
         assert 0 < p50 <= p95
+
+
+def test_cc_cluster_invariants(spark, sf_dir):
+    """Connected-components output invariants: the representative is a
+    member of its own cluster, every cluster has >= 2 docs (singletons
+    never enter the pair graph), and survivors == all docs minus the
+    non-representative members."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        dedup_cc_clusters,
+        dedup_near_survivors,
+    )
+
+    clusters = dedup_cc_clusters(spark, sf_dir).collect()
+    members = {r.doc_id: r.cluster_id for r in clusters}
+    sizes = {}
+    for r in clusters:
+        assert r.cluster_id <= r.doc_id  # label = min of component
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    for r in clusters:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert members[r.cluster_id] == r.cluster_id  # rep is in cluster
+        assert r.cluster_size >= 2
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_losers = sum(1 for d, c in members.items() if d != c)
+    assert dedup_near_survivors(spark, sf_dir).count() == n_docs - n_losers

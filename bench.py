@@ -47,12 +47,14 @@ HEADLINE = [
     "q34_click_attribution",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cc_clusters",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "ta_token_stats",
     "mm_thumbnail",
     "skew_salted_enrich",
+    "pipeline_curate",
     "mr_wordcount",
 ]
 

@@ -47,6 +47,7 @@ def load_all() -> None:
     from eeecs485_p4_mapreduce_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         skew,

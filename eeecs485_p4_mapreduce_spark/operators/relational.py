@@ -1717,3 +1717,37 @@ _Q40_SQL = """
 def q40_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q40_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q41: statistical aggregates (stddev/variance/correlation/covariance)
+# per group — the moments family. Scale: all four are one-pass mergeable
+# aggregates (partial moment sums map-side, tiny merge); the answer is
+# rounded on both engines because the merge ORDER perturbs the last ulp.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_stats_summary",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q41_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

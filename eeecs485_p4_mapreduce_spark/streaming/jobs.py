@@ -252,6 +252,69 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def upsert_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+):
+    """foreachBatch MERGE/upsert sink onto a plain partitioned-parquet
+    table: per micro-batch, keep the latest row per key (by ``order_col``)
+    and last-writer-wins against the existing table — rewriting ONLY the
+    hive partitions the batch touches (dynamic partition overwrite), never
+    the whole table. This is the scalable pre-Delta upsert pattern: at
+    100 TB a batch touches a handful of partitions, and each rewrite is
+    bounded by partition size, not table size.
+
+    Idempotency: replaying a batch after a crash overwrites the same
+    partitions with the same merged content (checkpointed source offsets
+    make batch contents deterministic), so the sink is effectively
+    exactly-once. The only driver-side collect is the batch's distinct
+    partition values — bounded by the partition count, not row count.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from pyspark.sql.window import Window
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if Path(out_dir).exists():
+            parts = [
+                r[0]
+                for r in latest.select(partition_col).distinct().collect()
+            ]
+            existing = spark.read.parquet(out_dir).filter(
+                F.col(partition_col).isin(parts)
+            )
+            merged = existing.join(
+                latest.select(*keys), keys, "left_anti"
+            ).unionByName(latest)
+        else:
+            merged = latest
+        # localCheckpoint cuts the lineage back to materialized blocks so
+        # the write doesn't reference out_dir as both source and target
+        # (Spark rejects overwrite-while-reading plans otherwise).
+        merged.localCheckpoint().write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(out_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(do_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "update"
 ) -> None:

@@ -255,3 +255,14 @@ class TestPlanQuality:
 
         plan = formatted_plan(q39_lone_return_suppliers(spark, sf_dir))
         assert plan.count("lineitem.parquet") == 1
+
+    def test_orc_roundtrip(self, spark, sf_dir, tmp_path):
+        from eeecs485_p4_mapreduce_spark.catalog import load_table
+        from eeecs485_p4_mapreduce_spark.sources.readers import read_orc, write_orc
+
+        nation = load_table(spark, sf_dir, "nation")
+        write_orc(nation, str(tmp_path / "nation.orc"))
+        back = read_orc(spark, str(tmp_path / "nation.orc"))
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, nation.collect())
+        )

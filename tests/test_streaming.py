@@ -157,3 +157,57 @@ def test_sessionize_stream_closed_sessions(spark, sf_dir, spool):
     # in a single availableNow batch all gap-proven sessions close:
     # every batch session except each user's last open one must appear
     assert len(got_fmt) >= len(want) - spark.table("t_sessions").select("user_id").distinct().count() * 2
+
+
+def test_upsert_sink_matches_batch_and_is_idempotent(spark, sf_dir, spool, tmp_path):
+    """foreachBatch dynamic-partition upsert: streaming latest-event-per-
+    (user, type) must equal the batch answer, and re-running the stream
+    over the same checkpoint must be a no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    out = str(tmp_path / "latest-events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(jobs.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # force multi-batch upserts
+            .parquet(spool)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        q = jobs.upsert_stream_to_parquet(
+            stream, out, ckpt,
+            keys=["user_id", "event_type"],
+            order_col="event_id",
+            partition_col="event_type",
+        )
+        q.awaitTermination()
+
+    run()
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.read.parquet(out).collect()
+    }
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").desc()
+    )
+    want = {
+        (r.user_id, r.event_type): r.event_id
+        for r in events.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert got == want
+
+    run()  # same checkpoint, no new files -> no-op
+    again = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want

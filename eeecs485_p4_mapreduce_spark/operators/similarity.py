@@ -277,3 +277,95 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 4).alias("cosine"),
         )
     )
+
+
+@query(
+    "sim_ivf_build",
+    oracle="""
+    WITH ex AS (
+      SELECT label, ii.i AS i, v[ii.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    cen AS (
+      SELECT label AS c_label, list(m ORDER BY i) AS cv
+      FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.c_label) AS rnk
+      FROM embeddings e CROSS JOIN cen c
+    )
+    SELECT vec_id, label, c_label AS assigned_label,
+           round(cos, 4) AS cosine,
+           CASE WHEN c_label = label THEN 1 ELSE 0 END AS is_match
+    FROM scored WHERE rnk = 1
+    """,
+)
+def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD: per-label centroids (element-wise mean via
+    posexplode + (label, dim) partial agg) and nearest-centroid
+    assignment for every vector — the quantization step that turns the
+    label partitioning of sim_ivf_label into a real learned inverted
+    file (one k-means iteration seeded from labels).
+
+    Scale: centroid build shuffles (label, dim, partial-sum) — n_vectors
+    x dim rows map-side-combined down to k x dim — and the assignment
+    broadcasts k centroids, so the embedding table itself never
+    shuffles. is_match rides along as the recall-vs-truth measure."""
+    emb = _emb_with_norm(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
+    cen = (
+        ex.groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+            ).alias("cv")
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+                    " 0.0d, (acc, x) -> acc + x)"
+                )
+            ),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_raw").desc(), F.col("c_label")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (dot / (F.col("norm") * F.col("cnorm"))).alias("cos_raw"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("cos_raw", 4).alias("cosine"),
+            F.when(F.col("c_label") == F.col("label"), 1)
+            .otherwise(0)
+            .alias("is_match"),
+        )
+    )

@@ -1751,3 +1751,69 @@ def q41_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q42: time-series resample + gap fill (telemetry/feature-engineering
+# pattern): per-user hourly grid from first to last activity, missing
+# hours materialized with explode(sequence(...)), metric forward-filled
+# with last(..., ignorenulls) over an ordered window. Scale: the grid is
+# generated distributed (one sequence per user — never a driver loop),
+# the join keys on (user, hour), and the fill is one window pass; state
+# per user is O(1). Users are cut to a deterministic subset so the
+# output stays bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "q42_gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+             round(avg(value), 4) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           coalesce(hy.n, 0) AS n_events,
+           last_value(hy.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+    """,
+)
+def q42_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

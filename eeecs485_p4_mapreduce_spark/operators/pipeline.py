@@ -29,6 +29,7 @@ from eeecs485_p4_mapreduce_spark.catalog import load_table
 from eeecs485_p4_mapreduce_spark.functions.text import STOPWORDS, count_in_list
 from eeecs485_p4_mapreduce_spark.operators.dedup import (
     _DUCK_CLUSTER_CTES,
+    _DUCK_SHINGLES,
     _propagate_min_labels,
     minhash_candidate_pairs,
 )
@@ -118,4 +119,142 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("stop_cnt").cast("double") / F.sum("n"), 4
             ).alias("stopword_ratio"),
         )
+    )
+
+
+# --- corpus curation primitives -------------------------------------------
+# Deterministic hash sampling, token budgeting, and eval-set contamination
+# screening: the selection passes that run between dedup and training.
+
+# per-language keep rates in basis points (en downsampled: it dominates
+# the corpus; everything else kept whole).
+_SAMPLE_BP = {"en": 5000, "de": 10000, "fr": 10000, "es": 10000, "zh": 10000}
+
+_SPARK_U = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    " % 10000"
+)
+_DUCK_U = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) AS BIGINT) % 10000"
+)
+_RATE_CASE = " ".join(
+    f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(_SAMPLE_BP.items())
+)
+
+
+@query(
+    "curate_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           sum(CASE WHEN {_DUCK_U} < CASE lang {_RATE_CASE} ELSE 10000 END
+               THEN 1 ELSE 0 END) AS n_kept,
+           min(CASE WHEN {_DUCK_U} < CASE lang {_RATE_CASE} ELSE 10000 END
+               THEN doc_id END) AS first_kept_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff
+    md5(doc_id) mod 10000 falls under its language's keep-rate (en is
+    halved, the rest kept). Hash-based so the sample is reproducible
+    across runs, partitionings, and engines — `df.sample()` is not.
+    Pure map-side; the per-language audit agg is the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.expr(
+        f"({_SPARK_U}) < (CASE lang {_RATE_CASE} ELSE 10000 END)"
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("first_kept_doc"),
+    )
+
+
+@query(
+    "curate_token_budget",
+    oracle="""
+    SELECT doc_id, lang, n, cum
+    FROM (
+      SELECT doc_id, lang, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM (SELECT doc_id, lang,
+                   len(string_split_regex(lower(text), '[ \t]')) AS n
+            FROM documents)
+    )
+    WHERE cum - n < 5000
+    """,
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token budgeting: take documents in doc_id
+    order until 5000 whitespace-tokens are filled (the last doc may
+    overflow). One window cumsum per language — integer arithmetic, so
+    the cut is deterministic. At scale the window shuffles (lang, doc)
+    tuples with token counts, never text."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.selectExpr(
+            "doc_id", "lang", "size(split(lower(text), '[ \t]')) AS n"
+        )
+        .withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") - F.col("n") < 5000)
+    )
+
+
+@query(
+    "curate_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source = 'src0'
+    ),
+    train AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_shingles
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+)
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: training docs (source <> src0)
+    sharing any 3-word shingle with the benchmark slice (source = src0),
+    with the shared-shingle count as the contamination score. The
+    benchmark's distinct shingle set is the BROADCAST side of the join
+    (eval sets are small; the corpus is not), so the corpus-side
+    shingle stream never shuffles for the probe — only the per-doc
+    count agg does."""
+    from eeecs485_p4_mapreduce_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), '[ \t]')"
+    sh = docs.selectExpr(
+        "doc_id", "source", f"{word_shingles(toks, 3)} AS shingles"
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_shingles"))
     )

@@ -1817,3 +1817,86 @@ def q42_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q43: sliding-window aggregation — 2-hour windows advancing every 30
+# minutes, so each event lands in 4 overlapping windows. Spark's window()
+# generates the per-event window set JVM-side; the oracle replicates it
+# with time_bucket + a 4-offset unnest. Scale: the explode is map-side
+# (x4 rows before the partial agg, combined before the shuffle); state
+# is per (window, type), bounded in streaming by the same watermark
+# mechanics as q18's tumbling twin.
+# ---------------------------------------------------------------------------
+@query(
+    "q43_sliding_window_trend",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k.k * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events, (SELECT unnest(range(4)) AS k) k
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def q43_sliding_window_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44: table profiling — per-column null counts, distinct counts, and
+# min/max in ONE wide aggregation pass (the data-quality primitive every
+# ingest pipeline runs before trusting a feed). Scale: single scan, all
+# counters partial-agg map-side; count(DISTINCT) over multiple columns
+# is planned via expand, which multiplies rows BEFORE the combine — at
+# 100 TB swap exact distinct for approx_count_distinct (one pass, no
+# expand); kept exact here for the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q44_profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS d_custkey,
+           count(DISTINCT o_orderstatus) AS d_status,
+           count(DISTINCT o_orderpriority) AS d_priority,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders
+    """,
+)
+def q44_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("d_custkey"),
+        F.count_distinct("o_orderstatus").alias("d_status"),
+        F.count_distinct("o_orderpriority").alias("d_priority"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).alias("null_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), TS_FMT_SPARK).alias("min_date"),
+        F.date_format(F.max("o_orderdate"), TS_FMT_SPARK).alias("max_date"),
+    )

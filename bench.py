@@ -45,12 +45,17 @@ HEADLINE = [
     "q24_group_percentiles",
     "q28_window_rank_family",
     "q34_click_attribution",
+    "q36_volume_shipping",
+    "q37_product_profit",
+    "q42_gap_fill_hourly",
+    "q43_sliding_window_trend",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cc_clusters",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
+    "sim_ivf_build",
     "ta_token_stats",
     "mm_thumbnail",
     "skew_salted_enrich",

@@ -1900,3 +1900,63 @@ def q44_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), TS_FMT_SPARK).alias("min_date"),
         F.date_format(F.max("o_orderdate"), TS_FMT_SPARK).alias("max_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q45: market share (TPC-H Q8 pattern) — a ratio of conditional sums per
+# order year: NATION_3 suppliers' share of total revenue. The share is
+# sum(case)/sum as ONE aggregation pass (no self-join of two aggregates).
+# Scale: supplier+nation broadcast; lineitem<->orders is the only
+# shuffle join; integer-cent sums make the ratio accumulation-order-
+# proof before the final division.
+# ---------------------------------------------------------------------------
+@query(
+    "q45_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           round(sum(CASE WHEN n.n_name = 'NATION_3'
+                          THEN CAST(round(l.l_extendedprice
+                                          * (1 - l.l_discount) * 10000) AS BIGINT)
+                          ELSE 0 END)
+                 * 1.0
+                 / sum(CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 10000) AS BIGINT)), 6)
+             AS mkt_share,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q45_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_e4 = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev_e4).otherwise(0))
+                * 1.0
+                / F.sum(rev_e4),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -266,3 +266,38 @@ class TestPlanQuality:
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, nation.collect())
         )
+
+    def test_q36_only_fact_joins_shuffle(self, spark, sf_dir):
+        """Q7-pattern: dimensions broadcast; at most the orders/customer
+        and lineitem/orders joins plus the final agg exchange shuffle."""
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q36_volume_shipping,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+            count_exchanges,
+        )
+
+        df = q36_volume_shipping(spark, sf_dir)
+        assert_broadcast_join(df)
+        assert count_exchanges(df) <= 3
+
+    def test_contamination_broadcasts_benchmark(self, spark, sf_dir):
+        """The eval-set shingle probe must broadcast (the corpus-side
+        shingle stream never shuffles for the join)."""
+        from eeecs485_p4_mapreduce_spark.operators.pipeline import (
+            curate_contamination,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_broadcast_join,
+        )
+
+        assert_broadcast_join(curate_contamination(spark, sf_dir))
+
+    def test_q43_single_agg_exchange(self, spark, sf_dir):
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            q43_sliding_window_trend,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import count_exchanges
+
+        assert count_exchanges(q43_sliding_window_trend(spark, sf_dir)) == 1

@@ -1960,3 +1960,29 @@ def q45_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q46: Morton (Z-order) clustering key — the layout primitive behind
+# 2-D data skipping (sources/layout.py). Registered so the bit math is
+# oracle-proven: the identical expression text runs on both engines.
+# ---------------------------------------------------------------------------
+def _q46_zexpr() -> str:
+    from eeecs485_p4_mapreduce_spark.sources.layout import zvalue_expr
+
+    return zvalue_expr("l_partkey", "l_suppkey", bits=16)
+
+
+@query(
+    "q46_zvalue_interleave",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q46_zexpr()} AS zval
+    FROM lineitem
+    """,
+)
+def q46_zvalue_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber", f"{_q46_zexpr()} AS zval"
+    )

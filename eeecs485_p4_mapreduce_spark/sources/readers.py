@@ -97,3 +97,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+) -> DataFrame:
+    """Fault-tolerant CSV ingest: rows that don't parse against the
+    schema land intact in ``_corrupt_record`` instead of failing the job
+    (or being silently dropped) — the quarantine pattern for untrusted
+    feeds. Callers split on ``_corrupt_record IS NULL`` and route the
+    rejects to a dead-letter sink."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    from pyspark.sql.types import StringType, StructField
+
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+    )

@@ -301,3 +301,54 @@ class TestPlanQuality:
         from eeecs485_p4_mapreduce_spark.plans.explain import count_exchanges
 
         assert count_exchanges(q43_sliding_window_trend(spark, sf_dir)) == 1
+
+    def test_csv_permissive_quarantines_bad_rows(self, spark, tmp_path):
+        from eeecs485_p4_mapreduce_spark.sources.readers import read_csv_permissive
+
+        p = tmp_path / "feed.csv"
+        p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+        df = read_csv_permissive(
+            spark, str(p), "id INT, qty INT"
+        ).cache()
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (3, 30)]
+        assert [r._corrupt_record for r in bad.collect()] == ["2,notanumber"]
+
+    def test_zorder_bounds_both_dimensions(self, spark, sf_dir):
+        """Data-skipping property: single-key range partitioning leaves
+        the second key spanning ~its whole domain in every partition
+        (predicates on it skip nothing); z-order clustering bounds BOTH
+        keys' average per-partition span under half their domains."""
+        from pyspark.sql import functions as F
+
+        from eeecs485_p4_mapreduce_spark.catalog import load_table
+        from eeecs485_p4_mapreduce_spark.sources.layout import zorder_by
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_orderkey"
+        )
+        full = li.agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("fp"),
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("fo"),
+        ).first()
+
+        def avg_span_ratios(df):
+            parts = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .agg(
+                    (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+                    (F.max("l_orderkey") - F.min("l_orderkey")).alias("do"),
+                )
+            )
+            r = parts.agg(F.avg("dp"), F.avg("do")).first()
+            return r[0] / full.fp, r[1] / full.fo
+
+        naive_p, naive_o = avg_span_ratios(
+            li.repartitionByRange(16, "l_partkey")
+        )
+        z_p, z_o = avg_span_ratios(zorder_by(li, "l_partkey", "l_orderkey", 16))
+        assert naive_o > 0.9  # second key unbounded under single-key range
+        assert z_p < 0.5 and z_o < 0.5  # both keys bounded under z-order
+        assert z_o < naive_o / 2

@@ -78,3 +78,67 @@ def skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs_partial: list,
+    aggs_final: list,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 aggregates on
+    (group, salt) — splitting each hot group across ``n_salts`` shuffle
+    partitions — phase 2 merges the per-salt partials. Spark's own
+    partial aggregation already gives this for algebraic aggs; the salted
+    form matters when the per-group STATE is big (collect_list,
+    count_distinct backed by expand, percentile buffers): phase 1 bounds
+    any single task's state to 1/n_salts of the hot group."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(*aggs_partial)
+    return partial.groupBy(*group_cols).agg(*aggs_final)
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase distinct-count + sum over 3 giant groups
+    (l_returnflag) — the degenerate-cardinality agg shape where a plain
+    groupBy would funnel a third of the table through one task's distinct
+    set. Phase 1 holds per-(flag, salt) distinct partkeys; phase 2 merges
+    counts. The oracle is the plain one-phase SQL: salting is
+    correctness-neutral.
+
+    Phase-1 distinct rides on (flag, salt, partkey) grouping so no task
+    ever materializes a full group's distinct set; revenue is exact
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+    # distinct-by-salt needs the salt to derive from the DISTINCT column
+    # so equal partkeys land in the same salt (no double count).
+    pre = (
+        li.withColumn("__salt", F.pmod(F.xxhash64(F.col("l_partkey")), F.lit(16)))
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.count_distinct("l_partkey").alias("d_parts"),
+            F.sum(cents).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pre.groupBy("l_returnflag").agg(
+        F.sum("d_parts").alias("n_parts"),
+        F.sum("rev").alias("revenue_cents"),
+        F.sum("n").alias("n_items"),
+    )

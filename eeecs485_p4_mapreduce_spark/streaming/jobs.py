@@ -83,6 +83,27 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_trend(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of q43_sliding_window_trend: 2h windows sliding
+    every 30min — each event feeds 4 overlapping windows. Watermarked:
+    a window's state finalizes once the watermark passes its end, so
+    open state is at most (duration/slide)=4 windows per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     the streaming form of dedup_exact (state = seen ids inside horizon)."""

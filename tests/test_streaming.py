@@ -211,3 +211,30 @@ def test_upsert_sink_matches_batch_and_is_idempotent(spark, sf_dir, spool, tmp_p
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_sliding_trend_matches_batch(spark, sf_dir, spool):
+    """Streaming sliding windows (complete mode over the spool) must
+    equal the batch sliding-window query's answer."""
+    from pyspark.sql import functions as F
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q43_sliding_window_trend,
+    )
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(jobs.sliding_trend(stream), "t_sliding", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_sliding").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in q43_sliding_window_trend(spark, sf_dir)
+        .withColumn(
+            "window_start", F.to_timestamp("window_start")
+        )
+        .collect()
+    }
+    assert got == want

@@ -290,3 +290,67 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         F.array_join("frame_hashes", ",").alias("hashes_csv"),
     )
+
+
+# --- audio-style windowed frame energy -------------------------------------
+ENERGY_FRAME_BYTES = 256
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("total_energy", LongType(), False),
+        StructField("max_frame_energy", LongType(), False),
+    ]
+)
+
+
+def frame_energy(payload: bytes, frame_bytes: int = ENERGY_FRAME_BYTES):
+    """Per-frame energy of a payload read as unsigned 8-bit PCM centered
+    at 128: sum((sample-128)^2) per frame. Integer math — deterministic
+    and engine-portable. Vectorized; the tail frame keeps its short
+    length (same convention as sample_frames)."""
+    import numpy as np
+
+    if not payload:
+        return []
+    s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+    sq = s * s
+    return [
+        int(sq[i : i + frame_bytes].sum())
+        for i in range(0, len(sq), frame_bytes)
+    ]
+
+
+def extract_frame_energy(df: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Arrow-batched windowed energy over binary payloads — the audio
+    analytics shape (VAD thresholds, loudness normalization) with the
+    decoder stubbed to raw bytes. No shuffle; blobs never leave their
+    partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            energies = pdf["payload"].map(
+                lambda p: frame_energy(p) if p is not None else []
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": energies.map(len),
+                    "total_energy": energies.map(sum),
+                    "max_frame_energy": energies.map(
+                        lambda e: max(e) if e else 0
+                    ),
+                }
+            )
+
+    cols = df.select("media_id", "payload")
+    return cols.mapInPandas(run, schema=ENERGY_SCHEMA)
+
+
+@query("mm_audio_energy", oracle=None)  # per-byte squares not SQL-cheap
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed frame-energy stats per media payload (audio-pipeline
+    shape). Rows-only driver check; exactness is pinned by a pytest
+    reference implementation instead of SQL."""
+    return extract_frame_energy(documents_as_media(spark, sf_dir))

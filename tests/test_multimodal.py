@@ -46,3 +46,28 @@ def test_media_schema_binary(spark, sf_dir):
 
     media = documents_as_media(spark, sf_dir)
     assert dict(media.dtypes)["payload"] == "binary"
+
+
+def test_frame_energy_matches_reference(spark, sf_dir):
+    """mapInPandas energy must equal a pure-Python recompute from the
+    source text bytes, including tail-frame and empty-payload handling."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        ENERGY_FRAME_BYTES,
+        mm_audio_energy,
+    )
+
+    got = {
+        r.media_id: (r.n_frames, r.total_energy, r.max_frame_energy)
+        for r in mm_audio_energy(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for row in docs[:50]:
+        b = row.text.encode("utf-8")
+        frames = [
+            sum((x - 128) ** 2 for x in b[i : i + ENERGY_FRAME_BYTES])
+            for i in range(0, len(b), ENERGY_FRAME_BYTES)
+        ]
+        want = (len(frames), sum(frames), max(frames) if frames else 0)
+        assert got[row.doc_id] == want

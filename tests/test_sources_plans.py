@@ -352,3 +352,29 @@ class TestPlanQuality:
         assert naive_o > 0.9  # second key unbounded under single-key range
         assert z_p < 0.5 and z_o < 0.5  # both keys bounded under z-order
         assert z_o < naive_o / 2
+
+
+def test_no_python_udfs_outside_multimodal(spark, sf_dir):
+    """Systemic 100 TB gate: every registered query's physical plan must
+    stay JVM-side — no row-at-a-time BatchEvalPython anywhere, and
+    Arrow-batched Python only in the multimodal family (whose whole
+    point is hosting the decode UDFs)."""
+    from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+    # Justified Arrow-batched Python outside multimodal: dense all-pairs
+    # cosine is BLAS-shaped math (vectorized numpy kernel, 27x faster
+    # than per-pair JVM array folds — see its docstring).
+    allowed = {"dedup_embedding_cosine"}
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("mm_") or name in allowed:
+            continue  # multimodal: ArrowEvalPython/mapInPandas by design
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or (
+            "MapInPandas" in plan
+        ):
+            offenders.append(name)
+    assert not offenders, f"Python in hot path: {offenders}"

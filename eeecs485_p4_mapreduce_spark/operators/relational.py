@@ -1986,3 +1986,54 @@ def q46_zvalue_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.selectExpr(
         "l_orderkey", "l_linenumber", f"{_q46_zexpr()} AS zval"
     )
+
+
+# ---------------------------------------------------------------------------
+# q47: ratio-to-report — each customer's share of segment and grand
+# totals. The SQL-natural form is sum() OVER (PARTITION BY seg) and
+# sum() OVER () — but an empty-partition window funnels the whole table
+# through ONE task. The Spark plan instead aggregates the (tiny) totals
+# and broadcast-joins them back: two scans of a pruned 3-column input,
+# zero wide shuffles, identical answers (integer-cent totals, one
+# division at the end).
+# ---------------------------------------------------------------------------
+@query(
+    "q47_share_of_total",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, bal_cents,
+           round(bal_cents * 1.0
+                 / sum(bal_cents) OVER (PARTITION BY c_mktsegment), 6)
+             AS share_segment,
+           round(bal_cents * 1.0 / sum(bal_cents) OVER (), 6) AS share_total
+    FROM (SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer)
+    """,
+)
+def q47_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("bal_cents"),
+    )
+    seg_tot = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.sum("bal_cents").alias("seg_cents")
+    )
+    grand = seg_tot.agg(F.sum("seg_cents").alias("all_cents"))
+    return (
+        cust.join(
+            F.broadcast(seg_tot), F.col("c_mktsegment") == F.col("seg")
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "bal_cents",
+            F.round(
+                F.col("bal_cents") * 1.0 / F.col("seg_cents"), 6
+            ).alias("share_segment"),
+            F.round(
+                F.col("bal_cents") * 1.0 / F.col("all_cents"), 6
+            ).alias("share_total"),
+        )
+    )

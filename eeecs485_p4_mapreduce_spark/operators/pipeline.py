@@ -258,3 +258,61 @@ def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("s").alias("n_shared_shingles"))
     )
+
+
+# 5-word shingles, DuckDB form (distinct per doc, 1-based indexing).
+_DUCK_SHINGLES5 = (
+    "list_distinct(CASE WHEN len(toks) >= 5 THEN "
+    "list_transform(range(len(toks) - 4), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]"
+    " || ' ' || toks[i + 4] || ' ' || toks[i + 5]) "
+    "ELSE [] END)"
+)
+
+
+@query(
+    "curate_boilerplate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS s
+      FROM (SELECT doc_id, {_DUCK_SHINGLES5} AS shingles
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+    ),
+    wnd AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_boilerplate,
+           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS boilerplate_ratio
+    FROM wnd
+    GROUP BY doc_id
+    """,
+)
+def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (C4/RefinedWeb-style): a document's
+    boilerplate ratio is the fraction of its distinct 5-word phrases
+    that recur in other documents. Single corpus scan: the phrase
+    doc-frequency comes from a count window over the phrase key (one
+    shuffle on the phrase — a join against a frequency table would
+    rescan the shingle pipeline), then one per-doc aggregation. At
+    100 TB both shuffles carry (doc_id, hash-sized phrase) pairs, never
+    documents; exact int/int ratio."""
+    from eeecs485_p4_mapreduce_spark.functions.text import word_shingles
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), '[ \t]')"
+    sh = docs.selectExpr(
+        "doc_id", f"{word_shingles(toks, 5)} AS shingles"
+    ).select("doc_id", F.explode("shingles").alias("s"))
+    wnd = sh.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    boiler = (F.col("nd") >= 2).cast("long")
+    return wnd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(boiler).alias("n_boilerplate"),
+        F.round(F.sum(boiler) * 1.0 / F.count(F.lit(1)), 4).alias(
+            "boilerplate_ratio"
+        ),
+    )

@@ -2037,3 +2037,76 @@ def q47_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q48: funnel analysis — ordered sequence matching view → click →
+# purchase per user, each stage strictly after the previous one. Spark
+# plan: ONE shuffle on user_id, then the stage timestamps derive from a
+# single sorted array per user (aggregate once, then array_min over
+# filtered events) — no per-stage re-join of the fact table, which is
+# the naive formulation's cost (the oracle uses it to prove
+# equivalence). State per user is its event list; for unbounded streams
+# the session_window/applyInPandasWithState forms bound it instead.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def q48_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evts")
+    )
+    # stage timestamps from the in-memory event list: tv = first view,
+    # tc = first click after tv, tp = first purchase after tc. Chained
+    # selects stay one map-side projection — no re-join, no extra shuffle.
+    staged = (
+        per_user.selectExpr(
+            "user_id",
+            "evts",
+            "array_min(transform(filter(evts, e -> e.event_type = 'view'),"
+            " e -> e.ts)) AS tv",
+        )
+        .selectExpr(
+            "user_id",
+            "evts",
+            "tv",
+            "array_min(transform(filter(evts,"
+            " e -> e.event_type = 'click' AND tv IS NOT NULL AND e.ts > tv),"
+            " e -> e.ts)) AS tc",
+        )
+        .selectExpr(
+            "user_id",
+            "tv",
+            "tc",
+            "array_min(transform(filter(evts,"
+            " e -> e.event_type = 'purchase' AND tc IS NOT NULL AND e.ts > tc),"
+            " e -> e.ts)) AS tp",
+        )
+    )
+    return staged.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_view_click"),
+        F.count("tp").alias("n_full_funnel"),
+    )

@@ -52,8 +52,14 @@ def zvalue_expr(
         )
     terms = []
     for i in range(bits):
-        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+        # BIGINT casts are load-bearing: INT32 inputs overflow at shift
+        # position 31 in both engines' strict modes.
+        terms.append(
+            f"(cast((({c1} >> {i}) & 1) as bigint) << {2 * i})"
+        )
+        terms.append(
+            f"(cast((({c2} >> {i}) & 1) as bigint) << {2 * i + 1})"
+        )
     return " + ".join(terms)
 
 

@@ -65,3 +65,62 @@ def test_wc_map_builtin_matches_shell_semantics(lines):
 
         want = [(t.lower(), "1") for t in re.split("[ \t]", line)]
         assert got == want
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_zvalue_expr_matches_python_reference(a, b):
+    """The SQL Morton interleave (as DuckDB evaluates it — same text the
+    Spark side runs) must equal a bit-for-bit Python reference."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.sources.layout import zvalue_expr
+
+    want = 0
+    for i in range(16):
+        want |= ((a >> i) & 1) << (2 * i)
+        want |= ((b >> i) & 1) << (2 * i + 1)
+    got = duckdb.execute(
+        f"SELECT {zvalue_expr('a', 'b', 16)} FROM (SELECT {a} AS a, {b} AS b)"
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_zvalue_normalized_preserves_quadrants(pairs):
+    """Normalized z-values must respect quadrant order: any point in the
+    low-low quadrant of the (normalized) key plane sorts before any
+    point in the high-high quadrant."""
+    from eeecs485_p4_mapreduce_spark.sources.layout import zvalue_expr
+
+    import duckdb
+
+    los = [p for p in pairs]
+    lo1 = min(a for a, _ in pairs); hi1 = max(a for a, _ in pairs)
+    lo2 = min(b for _, b in pairs); hi2 = max(b for _, b in pairs)
+    if hi1 == lo1 or hi2 == lo2:
+        return  # degenerate domain: nothing to order
+    expr = zvalue_expr("a", "b", 8, (lo1, hi1, lo2, hi2))
+    rows = ", ".join(f"({a}, {b})" for a, b in pairs)
+    got = duckdb.execute(
+        f"SELECT a, b, {expr} AS z FROM (VALUES {rows}) t(a, b)"
+    ).fetchall()
+    mid1, mid2 = (lo1 + hi1) / 2, (lo2 + hi2) / 2
+    low_z = [z for a, b, z in got if a < mid1 and b < mid2]
+    high_z = [z for a, b, z in got if a > mid1 and b > mid2]
+    for lz in low_z:
+        for hz in high_z:
+            assert lz < hz

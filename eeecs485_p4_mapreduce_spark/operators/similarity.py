@@ -369,3 +369,77 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_match"),
         )
     )
+
+
+_PROBE_FLIPS = [0] + [1 << j for j in range(N_PLANES)]
+
+
+@query(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH bucketed AS (
+      {_DUCK_BUCKETED}
+    ),
+    probes AS (
+      SELECT vec_id, embedding, xor(bucket, f.f) AS probe
+      FROM bucketed, (SELECT unnest({_PROBE_FLIPS}) AS f) f
+      WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rank
+      FROM probes a JOIN bucketed b
+        ON b.bucket = a.probe AND b.vec_id <> a.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket PLUS the
+    {N_PLANES} buckets at Hamming distance 1 (one hyperplane flip) —
+    the standard recall repair for vectors near a boundary, at 7x probe
+    cost instead of 2x index size (vs adding hash tables). Every vector
+    lives in exactly one bucket and probes are distinct, so no pair
+    dedup is needed. The probe set explodes on the broadcast (query)
+    side — the corpus side still shuffles nothing."""
+    emb = _emb_with_norm(spark, sf_dir).withColumn(
+        "bucket", F.expr(_spark_bucket_expr())
+    )
+    flips = ", ".join(f"cast({f} as bigint)" for f in _PROBE_FLIPS)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(
+                F.expr(f"transform(array({flips}), f -> bucket ^ f)")
+            ).alias("probe"),
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    cos = (dot / (F.col("qnorm") * F.col("norm"))).alias("cosine_raw")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("vec_id")
+    )
+    return (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos, "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

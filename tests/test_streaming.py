@@ -238,3 +238,69 @@ def test_sliding_trend_matches_batch(spark, sf_dir, spool):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics across micro-batches: an event
+    arriving after the watermark has passed its window must be dropped,
+    not merged — the bounded-state guarantee the streaming jobs rely on."""
+    from pyspark.sql import Row, functions as F
+
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    spool = tmp_path / "late-spool"
+    spool.mkdir()
+
+    def write_batch(name, events):
+        rows = [
+            Row(
+                event_id=i,
+                ts=int(ts * 1_000_000_000),  # TIMESTAMP(NANOS) convention
+                user_id=1,
+                event_type="click",
+                value=1.0,
+                props="{}",
+            )
+            for i, ts in events
+        ]
+        spark.createDataFrame(rows, jobs.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(spool / name))
+
+    base = 1_700_000_000  # any fixed epoch second, hour-aligned enough
+    base -= base % 3600
+    ckpt = str(tmp_path / "late-ckpt")
+    out = str(tmp_path / "late-out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(jobs.EVENT_SCHEMA)
+            .parquet(str(spool) + "/*.parquet")
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        q = (
+            jobs.hourly_counts(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: one event at H0, one at H0+4h -> watermark persists at H0+2h
+    write_batch("b0.parquet", [(0, base), (1, base + 4 * 3600)])
+    run_once()
+    # run 2 (same checkpoint): a late event back in H0 (below the saved
+    # watermark: dropped) and a fresh one at H0+5h
+    write_batch("b1.parquet", [(2, base + 60), (3, base + 5 * 3600)])
+    run_once()
+
+    got = {
+        r.window_start.timestamp(): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # H0's window finalized with ONLY the on-time event; the late
+    # arrival (event_id=2) was discarded by the watermark.
+    assert got.get(float(base)) == 1

@@ -600,3 +600,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(run, schema=out_schema).select(
         "vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) dedup: hash every 32-token window-aligned chunk
+# and surface chunks shared by more than one document. This is the
+# training-pipeline pass that catches copied passages inside otherwise
+# distinct documents (exact dedup misses them; MinHash dilutes them).
+# Scale: chunking is a map-side array transform — the shuffle carries only
+# (md5, doc_id) pairs keyed on a high-entropy hash, so there is exactly one
+# skew-free exchange regardless of document size.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+
+
+@query(
+    "dedup_chunk_shared",
+    oracle=f"""
+    SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT) - 1),
+               i -> md5(array_to_string(
+                      toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}], ' '))
+             )) AS chunk_hash
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    )
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks of CHUNK_TOKENS tokens, md5-hashed map-side; chunks appearing
+    in >1 document are flagged. The final partial chunk of a document is
+    hashed as-is (both engines clamp the slice), so short documents form a
+    single chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = CHUNK_TOKENS
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(ceil(size({_SPARK_TOKS}) / {k}.0)"
+                f" as int), 1) - 1),"
+                f" i -> md5(concat_ws(' ', slice({_SPARK_TOKS}, i * {k} + 1, {k}))))"
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -2110,3 +2110,80 @@ def q48_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tc").alias("n_view_click"),
         F.count("tp").alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q49: TPC-H Q2-pattern "min-cost supplier" — for every part, the
+# supplier(s) offering the lowest observed unit price. The classic
+# correlated-subquery (WHERE cost = (SELECT min(cost) ...)) is expressed as
+# a window min over the part key, which Spark executes as one exchange on
+# l_partkey shared by the aggregation AND the window — no second shuffle,
+# no re-scan of lineitem the way a self-join subquery would.
+# Exactness: prices are 2-decimal values, so unit cost is computed as
+# bigint cents / bigint quantity — a single double division of two exact
+# integers is IEEE-deterministic in both engines, making the min-equality
+# filter knife-edge-free (same trick as q17); the reported unit cost is an
+# integer floor-division so no decimal rounding is involved at all.
+# Scale: supplier and part are dimension tables → broadcast joins after the
+# fact-side reduction, which shrinks lineitem to one row per (part, supp).
+# ---------------------------------------------------------------------------
+@query(
+    "q49_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents,
+             sum(CAST(round(l_quantity, 0) AS BIGINT)) AS qty
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT *,
+             cost_cents * 1.0 / qty AS unit_cents,
+             min(cost_cents * 1.0 / qty) OVER (PARTITION BY l_partkey)
+               AS min_unit_cents
+      FROM supply
+    )
+    SELECT l_partkey, p_name, l_suppkey, s_name, s_acctbal,
+           (cost_cents * 100 // qty) / 10000.0 AS unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE unit_cents = min_unit_cents
+    """,
+)
+def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (correlated min) over the available tables: lineitem
+    plays partsupp, unit price plays ps_supplycost. All min-ties are kept,
+    matching Q2's subquery semantics."""
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    supply = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "cost_cents"
+        ),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+    )
+    ranked = supply.withColumn(
+        "unit_cents", F.col("cost_cents") * F.lit(1.0) / F.col("qty")
+    ).withColumn(
+        "min_unit_cents",
+        F.min(F.col("cost_cents") * F.lit(1.0) / F.col("qty")).over(
+            Window.partitionBy("l_partkey")
+        ),
+    )
+    return (
+        ranked.filter(F.col("unit_cents") == F.col("min_unit_cents"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_partkey",
+            "p_name",
+            "l_suppkey",
+            "s_name",
+            "s_acctbal",
+            (F.expr("(cost_cents * 100) div qty") / F.lit(10000.0)).alias("unit_cost"),
+        )
+    )

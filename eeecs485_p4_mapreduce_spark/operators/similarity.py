@@ -279,6 +279,31 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroids: element-wise mean via posexplode + (label, dim)
+    partial agg, reassembled in dim order. Output: (c_label, cv, cnorm)."""
+    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
+    return (
+        ex.groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+            ).alias("cv")
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
+                    " 0.0d, (acc, x) -> acc + x)"
+                )
+            ),
+        )
+    )
+
+
 @query(
     "sim_ivf_build",
     oracle="""
@@ -323,26 +348,7 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts k centroids, so the embedding table itself never
     shuffles. is_match rides along as the recall-vs-truth measure."""
     emb = _emb_with_norm(spark, sf_dir)
-    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
-    cen = (
-        ex.groupBy("label", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy(F.col("label").alias("c_label"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
-            ).alias("cv")
-        )
-        .withColumn(
-            "cnorm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
-                    " 0.0d, (acc, x) -> acc + x)"
-                )
-            ),
-        )
-    )
+    cen = _centroids(emb)
     dot = F.expr(
         "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
     )
@@ -442,4 +448,131 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.round("cosine_raw", 4).alias("cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF SEARCH with the learned index: assign every vector to its nearest
+# learned centroid (the cells built by sim_ivf_build), then answer each
+# query by probing its NPROBE nearest cells and brute-forcing only the
+# candidates inside them. This closes the IVF story: build (centroids) →
+# label (single-cell probe on the given labels) → search (multi-cell probe
+# on the LEARNED cells, the production read path).
+# Scale: centroids and the (query, probe-cell) list are broadcast; the big
+# side flows scan → assignment → candidate filter with its only shuffles
+# being the per-vector argmin window (same cost as the build itself) and
+# the final per-query top-k — never an all-pairs join. The centroid build
+# appears twice in this self-contained plan (once under cells, once under
+# probes — Catalyst rightly pushes the query-id filter below the probe
+# window, which forks the subtrees); in production the search path reads
+# the centroids and cell assignments persisted by sim_ivf_build instead of
+# recomputing them inline, leaving one scan + one broadcast + one top-k.
+# ---------------------------------------------------------------------------
+NPROBE = 2
+
+_DUCK_IVF_CELLS = """
+    ex AS (
+      SELECT label, ii.i AS i, v[ii.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    cen AS (
+      SELECT label AS c_label, list(m ORDER BY i) AS cv
+      FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.c_label,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.c_label) AS rnk
+      FROM embeddings e CROSS JOIN cen c
+    )
+"""
+
+
+@query(
+    "sim_ivf_search",
+    oracle=f"""
+    WITH {_DUCK_IVF_CELLS},
+    cells AS (
+      SELECT vec_id, embedding, c_label AS cell FROM scored WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, c_label AS cell
+      FROM scored WHERE vec_id < {N_QUERIES} AND rnk <= {NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.qemb::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(p.qemb::DOUBLE[], p.qemb::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos
+      FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe-cell IVF search over the learned centroid cells (see module
+    banner; reference has no similarity ops — SURVEY.md §2.8 north-star)."""
+    emb = _emb_with_norm(spark, sf_dir)
+    cen = _centroids(emb)
+    dotc = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("c_label")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cen))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            "c_label",
+            (dotc / (F.col("norm") * F.col("cnorm"))).alias("cos_c"),
+        )
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= NPROBE)
+        .select("vec_id", "v", "norm", "c_label", "rnk")
+    )
+    cells = scored.filter(F.col("rnk") == 1).select(
+        "vec_id", "v", "norm", F.col("c_label").alias("cell")
+    )
+    probes = scored.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("c_label").alias("cell"),
+    )
+    dotq = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cells.join(
+            F.broadcast(probes),
+            (cells["cell"] == probes["cell"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dotq / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_topk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )

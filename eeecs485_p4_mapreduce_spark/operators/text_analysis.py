@@ -248,3 +248,105 @@ def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(cast(n_chars as double) / size(regexp_extract_all(text, '{pat}', 0)), 4)"
         " AS chars_per_token",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level inverted-index statistics: per-token document frequency and
+# IDF. Scale: the per-doc distinct is map-side (array_distinct inside the
+# row), so the only shuffle is the partial-aggregated exchange on token —
+# vocabulary cardinality, not corpus cardinality. The corpus size N is a
+# one-row broadcast, not a window over the whole table.
+# ---------------------------------------------------------------------------
+@query(
+    "ta_doc_frequency",
+    oracle=f"""
+    SELECT token,
+           count(*) AS df,
+           round((SELECT count(*) FROM documents) * 1.0 / count(*), 6)
+             AS inv_doc_ratio,
+           round(ln((SELECT count(*) FROM documents) * 1.0 / count(*)), 6)
+             AS idf
+    FROM (SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def ta_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + IDF per token — the statistics half of an
+    inverted index (reference analog: word count's `groupBy(key)` shuffle,
+    /root/reference/tests/testdata/exec/wc_reduce.sh:14, keyed on distinct
+    docs instead of occurrences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens())).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.round(F.col("n_docs") / F.col("df"), 6).alias("inv_doc_ratio"),
+        F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+    )
+
+
+@query(
+    "ta_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), idf AS (
+      SELECT token,
+             round(ln((SELECT count(*) FROM documents) * 1.0 / count(DISTINCT doc_id)), 6)
+               AS idf
+      FROM toks GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, idf.idf,
+             round(tf.tf * idf.idf, 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.token)
+               AS rnk
+      FROM tf JOIN idf USING (token)
+    )
+    SELECT doc_id, token, tf, idf, tfidf, rnk FROM scored WHERE rnk <= 5
+    """,
+)
+def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Scale notes: the IDF table is
+    vocabulary-sized (orders of magnitude smaller than the corpus), so it is
+    broadcast to the term-frequency side; the only big-data shuffles are the
+    (doc, token) partial agg and the per-doc window. Ranking ties break on
+    the rounded score then token text, so the result is deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df per token = number of tf rows for that token; Catalyst prunes this
+    # branch down to a distinct on (doc_id, token), so the shuffle carries
+    # distinct pairs, not raw token occurrences.
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("token", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), F.col("token")
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("rnk") <= 5).select(
+        "doc_id", "token", "tf", "idf", "tfidf", "rnk"
+    )

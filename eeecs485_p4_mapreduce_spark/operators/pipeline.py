@@ -316,3 +316,69 @@ def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language rebalancing for the training mixture: per-language token shares
+# and temperature-sampled mixture weights (share^alpha renormalized,
+# alpha=0.3 — the multilingual up/down-sampling rule from the XLM-R /
+# mC4 lineage). `boost` is the resulting up-sampling factor per language.
+# Scale: one partial-agg shuffle keyed on language (bounded cardinality);
+# the two normalization totals are unpartitioned windows over the already
+# language-sized aggregate — a deliberate exception to this repo's
+# no-empty-windows rule, correct here because the window input is the
+# bounded language table (the corpus-sized side never sees a window), and
+# it avoids the triple recompute of the aggregate that chained
+# agg+crossJoin normalization would plan.
+# ---------------------------------------------------------------------------
+ALPHA = 0.3
+
+
+@query(
+    "curate_lang_balance",
+    oracle=f"""
+    WITH lang_stats AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    shared AS (
+      SELECT *,
+             n_tokens * 1.0 / (SELECT sum(n_tokens) FROM lang_stats) AS share,
+             pow(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM lang_stats), {ALPHA})
+               AS w_raw
+      FROM lang_stats
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(w_raw / (SELECT sum(w_raw) FROM shared), 6) AS mixture_weight,
+           round(w_raw / (SELECT sum(w_raw) FROM shared) / share, 4) AS boost
+    FROM shared
+    """,
+)
+def curate_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), "[ \t]")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    shared = (
+        lang_stats.withColumn(
+            "share", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+        )
+        .withColumn("w_raw", F.pow("share", F.lit(ALPHA)))
+        .withColumn("w_sum", F.sum("w_raw").over(w_all))
+    )
+    return shared.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("mixture_weight"),
+        F.round(F.col("w_raw") / F.col("w_sum") / F.col("share"), 4).alias("boost"),
+    )

@@ -2187,3 +2187,62 @@ def q49_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(cost_cents * 100) div qty") / F.lit(10000.0)).alias("unit_cost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q50: LEFT OUTER event-time interval join — q34's attribution funnel
+# including the clicks that converted to nothing (null purchase columns),
+# i.e. the abandonment report. Batch twin of
+# streaming/jobs.click_to_purchase_outer_stream. Scale: identical to q34
+# (one shuffle of each side on user_id, horizon-bounded per-user cross
+# product); the outer side adds no state in batch.
+# ---------------------------------------------------------------------------
+@query(
+    "q50_click_attribution_outer",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q50_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left",
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "micros_to_purchase"
+            ),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )

@@ -350,3 +350,47 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("rnk") <= 5).select(
         "doc_id", "token", "tf", "idf", "tfidf", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (the cheap stand-in for CCNet's LM perplexity
+# filter): score every document by the average log-probability of its
+# tokens under the corpus's own unigram distribution; ppl_proxy = exp(-avg)
+# is the per-token perplexity. Scale: the unigram table is vocabulary-sized
+# and broadcast; the corpus-side flow is explode → broadcast join →
+# per-doc agg, i.e. one shuffle keyed on doc_id. Floating point: each token
+# log-prob is a deterministic single-value ln(); the per-doc sum spans at
+# most the doc's token count, so round(4) absorbs order-of-addition noise.
+# ---------------------------------------------------------------------------
+@query(
+    "ta_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS t FROM toks)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(c * 1.0 / t)) / count(*), 4) AS avg_logprob,
+           round(exp(-sum(ln(c * 1.0 / t)) / count(*)), 4) AS ppl_proxy
+    FROM toks JOIN freq USING (token), tot
+    GROUP BY doc_id
+    """,
+)
+def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    logp = F.log(F.col("c") / F.col("t"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+            F.round(F.exp(-F.sum(logp) / F.count(F.lit(1))), 4).alias("ppl_proxy"),
+        )
+    )

@@ -349,3 +349,53 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def click_to_purchase_outer_stream(
+    events: DataFrame, horizon_minutes: int = 30
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like click_to_purchase_stream
+    but clicks with NO purchase inside the horizon are also emitted (null
+    purchase columns) — the "abandoned funnel" feed.
+
+    Outer results cannot be emitted eagerly: Spark holds the click until the
+    purchase-side watermark passes click_ts + horizon (only then is "no
+    match" provable), so null rows trail the data by the watermark delay.
+    State stays bounded exactly as in the inner variant.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -304,3 +304,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # H0's window finalized with ONLY the on-time event; the late
     # arrival (event_id=2) was discarded by the watermark.
     assert got.get(float(base)) == 1
+
+
+def test_click_purchase_outer_stream_matches_batch(spark, sf_dir, spool):
+    """LEFT OUTER stream-stream interval join: matched pairs must equal the
+    batch join exactly; null (abandoned-click) rows may lag the watermark,
+    so the streamed null set must be a subset of the batch null set and
+    every streamed click_id must appear with the same match set."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(
+        jobs.click_to_purchase_outer_stream(stream), "t_funnel_outer", "append"
+    )
+    got = [
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_funnel_outer").collect()
+    ]
+    events = load_table(spark, sf_dir, "events")
+    want = [
+        (r.click_id, r.purchase_id)
+        for r in jobs.click_to_purchase_outer_stream(events).collect()
+    ]
+    got_matched = {p for p in got if p[1] is not None}
+    want_matched = {p for p in want if p[1] is not None}
+    assert got_matched == want_matched
+    got_null = {c for c, p in got if p is None}
+    want_null = {c for c, p in want if p is None}
+    assert got_null <= want_null
+    # no click may appear both matched and null in the streamed output
+    assert not (got_null & {c for c, _ in got_matched})
+    assert want_null, "expected at least one abandoned click in batch"

@@ -52,11 +52,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cc_clusters",
+    "dedup_chunk_shared",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_ivf_build",
+    "sim_ivf_search",
     "ta_token_stats",
+    "ta_tfidf_top_terms",
     "mm_thumbnail",
     "skew_salted_enrich",
     "pipeline_curate",

@@ -2246,3 +2246,107 @@ def q50_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("purchase_value", 2).alias("purchase_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q51: TPC-H Q20-pattern "dominant supplier" semi-join chain — suppliers
+# who shipped more than 20% of some part's total shipped quantity (the
+# excess-stock/concentration audit; the TPC-H original uses 50%, which the
+# uniform synthetic data never reaches — 20% keeps the path exercised at
+# every test scale). The correlated subquery
+# (WHERE sq > 0.2 * (SELECT sum ...)) is a window sum over l_partkey on
+# the already-reduced (part, supplier) aggregate; quantities are exact
+# integers so the dominance test has no float edge at all.
+# Scale: lineitem reduces to one row per (part, supplier) in the first
+# shuffle; the window re-keys that reduced table on partkey only; the
+# supplier name join is a broadcast. The fact table never shuffles twice.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    dom AS (
+      SELECT l_suppkey, count(*) AS n_dominated,
+             sum(sq) AS dominated_qty
+      FROM (SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS pt FROM ps)
+      WHERE 5 * sq > pt
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_dominated, dominated_qty
+    FROM dom JOIN supplier ON s_suppkey = l_suppkey
+    """,
+)
+def q51_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("sq")
+    )
+    dom = (
+        ps.withColumn("pt", F.sum("sq").over(Window.partitionBy("l_partkey")))
+        .filter(5 * F.col("sq") > F.col("pt"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated"),
+            F.sum("sq").alias("dominated_qty"),
+        )
+    )
+    return dom.join(
+        F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "n_dominated", "dominated_qty")
+
+
+# ---------------------------------------------------------------------------
+# q52: TPC-H Q11-pattern "important share" — suppliers whose shipped value
+# exceeds 0.1% of the global shipped value (HAVING against a scalar
+# subquery). The global total is a one-row broadcast and both sides of the
+# threshold are exact integer cents, so the cut is engine-portable.
+# Scale: one shuffle to (suppkey); the global total is an unpartitioned
+# window over the supplier-cardinality aggregate — one narrow
+# single-partition pass, strictly cheaper than the second full fact-table
+# scan+shuffle an agg+crossJoin scalar would plan. The corpus-sized side
+# never sees a window.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_important_value_share",
+    oracle="""
+    WITH sv AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(value_cents / 100.0, 2) AS supplier_value,
+           round(value_cents * 1.0 / (SELECT sum(value_cents) FROM sv), 6)
+             AS value_share
+    FROM sv JOIN supplier ON s_suppkey = l_suppkey
+    WHERE 1000 * value_cents > (SELECT sum(value_cents) FROM sv)
+    """,
+)
+def q52_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    sv = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "value_cents"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    return (
+        sv.withColumn("t_cents", F.sum("value_cents").over(Window.partitionBy()))
+        .filter(1000 * F.col("value_cents") > F.col("t_cents"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("value_cents") / 100.0, 2).alias("supplier_value"),
+            F.round(F.col("value_cents") / F.col("t_cents"), 6).alias("value_share"),
+        )
+    )

@@ -2350,3 +2350,75 @@ def q52_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value_cents") / F.col("t_cents"), 6).alias("value_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q53: retention cohort analysis — users grouped by first-activity week
+# (their cohort), tracked by distinct activity in each subsequent week;
+# retention is the exact integer ratio retained/cohort_size. The classic
+# product-analytics triangle table.
+# Scale: ONE shuffle of (user_id, week) pairs builds each user's distinct
+# week set via collect_set (state per user = distinct calendar weeks, a
+# bounded set, never raw events); cohort = array_min and the offsets
+# explode map-side from it. The (cohort, offset) aggregate and the
+# cohort-size window both act on triangle-sized data. No self-join of the
+# activity grid, no second scan, no driver-side loops.
+# ---------------------------------------------------------------------------
+@query(
+    "q53_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+    ),
+    retained AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+               AS weeks_since,
+             count(*) AS n_retained
+      FROM firsts f JOIN activity a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+           r.weeks_since, c.cohort_size, r.n_retained,
+           round(r.n_retained * 1.0 / c.cohort_size, 4) AS retention
+    FROM retained r JOIN cohort_sizes c USING (cohort_week)
+    """,
+)
+def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .groupBy("user_id")
+        .agg(F.collect_set("w").alias("weeks"))
+    )
+    exploded = per_user.select(
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("act_week"),
+    )
+    retained = exploded.groupBy(
+        "cohort_week",
+        (F.datediff("act_week", "cohort_week") / 7)
+        .cast("bigint")
+        .alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).alias("n_retained"))
+    w_cohort = Window.partitionBy("cohort_week")
+    return retained.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("weeks_since") == 0, F.col("n_retained"))).over(w_cohort),
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "weeks_since",
+        "cohort_size",
+        "n_retained",
+        F.round(F.col("n_retained") / F.col("cohort_size"), 4).alias("retention"),
+    )

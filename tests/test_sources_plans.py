@@ -378,3 +378,24 @@ def test_no_python_udfs_outside_multimodal(spark, sf_dir):
         ):
             offenders.append(name)
     assert not offenders, f"Python in hot path: {offenders}"
+
+
+def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
+    """Observation metrics must match a separately-computed count/null scan
+    while costing zero extra jobs (they ride the main action)."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.plans.observe import observe_quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    inst, obs = observe_quality(
+        orders.filter("o_totalprice > 1000"), "t_obs", ("o_orderpriority",)
+    )
+    n = inst.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    want_nulls = (
+        orders.filter("o_totalprice > 1000")
+        .filter("o_orderpriority IS NULL")
+        .count()
+    )
+    assert got["nulls_o_orderpriority"] == want_nulls

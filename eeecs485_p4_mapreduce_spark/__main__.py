@@ -1,0 +1,97 @@
+"""Query-runner CLI — the analytics-engine counterpart to mrlite's
+``mapreduce-submit`` surface (reference: mapreduce/submit.py is the only
+user-facing entry point of the reference; this is ours for the DataFrame
+engine).
+
+Usage:
+    python -m eeecs485_p4_mapreduce_spark list
+    python -m eeecs485_p4_mapreduce_spark run QUERY [QUERY ...] \
+        [--sf-dir DIR] [--limit N] [--explain] [--oracle]
+
+``run --oracle`` executes the query on Spark AND its DuckDB oracle SQL and
+reports the driver-style match verdict; ``--explain`` prints the formatted
+physical plan instead of rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="p4spark", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered queries")
+    run = sub.add_parser("run", help="run one or more queries")
+    run.add_argument("queries", nargs="+")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument("--explain", action="store_true")
+    run.add_argument("--oracle", action="store_true")
+    args = parser.parse_args(argv)
+
+    from eeecs485_p4_mapreduce_spark.registry import ORACLES, QUERIES, load_all
+
+    load_all()
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            marker = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name:32s} [{marker}]")
+        return 0
+
+    unknown = [q for q in args.queries if q not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
+
+    from eeecs485_p4_mapreduce_spark import get_spark
+
+    spark = get_spark("p4spark-cli")
+    rc = 0
+    for name in args.queries:
+        df = QUERIES[name](spark, args.sf_dir)
+        if args.explain:
+            from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+            print(f"== {name} ==")
+            print(formatted_plan(df))
+            continue
+        if args.oracle:
+            if name not in ORACLES:
+                print(f"{name}: NO-ORACLE (rows={df.count()})")
+                continue
+            import duckdb
+
+            from eeecs485_p4_mapreduce_spark.catalog import TABLES, table_path
+
+            sys.path.insert(0, "tools")
+            from oracle_check import table_hash
+
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{table_path(args.sf_dir, t)}')"
+                )
+            s_rows = [tuple(r) for r in df.collect()]
+            rel = con.sql(ORACLES[name])
+            d_rows = rel.fetchall()
+            ok = (
+                len(s_rows) == len(d_rows)
+                and sorted(df.columns) == sorted(rel.columns)
+                and table_hash(s_rows, df.columns) == table_hash(d_rows, rel.columns)
+            )
+            con.close()
+            print(f"{name}: {'PASS' if ok else 'FAIL'} ({len(s_rows)} rows)")
+            rc = rc if ok else 1
+            continue
+        print(f"== {name} ==")
+        df.show(args.limit, truncate=False)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

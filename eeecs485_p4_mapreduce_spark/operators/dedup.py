@@ -656,3 +656,69 @@ def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching via q-gram blocking: candidate pairs share at least
+# one character bigram (the blocking join), then the exact Levenshtein
+# distance filters. This is the entity-resolution sibling of MinHash —
+# blocking turns the O(n²) all-pairs edit-distance scan into per-bucket
+# joins keyed on bigrams. At scale the one refinement needed is dropping
+# stop-grams (grams hit by a large fraction of all strings create the only
+# big buckets); the shape below is otherwise production-sized: the join
+# carries (gram, name) pairs, names are deduplicated first, and the
+# Levenshtein check runs once per candidate pair, not per gram hit.
+# ---------------------------------------------------------------------------
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "dedup_fuzzy_names",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    grams AS (
+      SELECT name, unnest(list_distinct(list_transform(
+               range(len(name) - 1), i -> substr(name, i + 1, 2)))) AS g
+      FROM names
+    ),
+    cand AS (
+      SELECT a.name AS name_a, b.name AS name_b, count(*) AS shared_grams
+      FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+      GROUP BY 1, 2
+    )
+    SELECT name_a, name_b, shared_grams,
+           levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(name) - 1),"
+                    " i -> substring(name, i, 2))"
+                )
+            )
+        ).alias("g"),
+    )
+    a = grams.select(F.col("name").alias("name_a"), "g")
+    b = grams.select(F.col("name").alias("name_b"), "g")
+    cand = (
+        a.join(b, ["g"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return cand.filter(
+        F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+    ).select(
+        "name_a",
+        "name_b",
+        "shared_grams",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    )

@@ -399,3 +399,21 @@ def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
         .count()
     )
     assert got["nulls_o_orderpriority"] == want_nulls
+
+
+def test_cli_list_and_oracle_run(spark, sf_dir, capsys):
+    """The query-runner CLI must list every registered query and pass an
+    --oracle run in-process (it reuses the active session)."""
+    from eeecs485_p4_mapreduce_spark.__main__ import main
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in QUERIES:
+        assert name in out
+
+    rc = main(["run", "q01_pricing_summary", "--sf-dir", sf_dir, "--oracle"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q01_pricing_summary: PASS" in out

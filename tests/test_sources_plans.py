@@ -417,3 +417,52 @@ def test_cli_list_and_oracle_run(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "q01_pricing_summary: PASS" in out
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE's runtime skew-join handling must actually fire on a pathological
+    key distribution: one key holding ~95% of the left side. This is the
+    engine's no-code-change answer to skew (the salted operators in
+    operators/skew.py are the explicit-control alternative); the executed
+    plan must show the sort-merge join marked skew=true with the hot
+    partition split into multiple reader tasks."""
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    spark.range(300_000).selectExpr(
+        "CASE WHEN id % 20 != 0 THEN 0 ELSE id % 100 END AS k", "id AS v"
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(100).selectExpr("id AS k", "id * 10 AS w").write.mode(
+        "overwrite"
+    ).parquet(right_path)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew_factor = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    old_skew_bytes = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    old_advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try:
+        # force a sort-merge join and thresholds small enough that the test
+        # dataset's hot partition counts as skewed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        joined = spark.read.parquet(left_path).join(
+            spark.read.parquet(right_path), "k"
+        )
+        # execute THIS DataFrame's own plan (count() would compile a
+        # separate query and leave joined's AQE plan unfinalized)
+        n = len(joined.collect())
+        assert n == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew join did not trigger:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", old_skew_factor)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old_skew_bytes
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advisory)

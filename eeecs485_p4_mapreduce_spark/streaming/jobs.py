@@ -399,3 +399,71 @@ def click_to_purchase_outer_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+RUNNING_SPEND_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_spend", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+
+
+class _RunningSpendProcessor(_StatefulProcessor):
+    """StatefulProcessor: per-user lifetime spend + event count.
+
+    Implemented against Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState (used by sessionize_stream):
+    typed per-key ValueState, Arrow-batched input, update-mode emission of
+    the new running totals each micro-batch. State is one (double, long)
+    pair per user — O(users), never O(events).
+    """
+
+    def init(self, handle) -> None:  # noqa: D401 - Spark callback names
+        self._state = handle.getValueState(
+            "totals", "total DOUBLE, n BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        total, n = (0.0, 0)
+        if self._state.exists():
+            prev = self._state.get()
+            total, n = float(prev[0]), int(prev[1])
+        for pdf in rows:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        self._state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_spend": [total], "n_events": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_spend_stream(events: DataFrame) -> DataFrame:
+    """Per-user running spend via transformWithStateInPandas (update mode,
+    processing-time; no timers — totals are lifetime, not windowed).
+
+    Runtime requirement: Spark's transformWithState state server speaks
+    protobuf ("google.protobuf"), which this container does not ship — the
+    operator is fully wired and its test auto-skips where protobuf is
+    absent. applyInPandasWithState (sessionize_stream) is the stateful
+    path exercised end-to-end here.
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningSpendProcessor(),
+            outputStructType=RUNNING_SPEND_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -336,3 +336,39 @@ def test_click_purchase_outer_stream_matches_batch(spark, sf_dir, spool):
     # no click may appear both matched and null in the streamed output
     assert not (got_null & {c for c, _ in got_matched})
     assert want_null, "expected at least one abandoned click in batch"
+
+
+def test_running_spend_transform_with_state_matches_batch(spark, sf_dir, spool):
+    """transformWithStateInPandas running totals: the LAST update emitted
+    per user must equal the batch per-user sum/count exactly."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming import jobs
+
+    stream = jobs.read_event_stream(spark, spool)
+    jobs.run_to_memory(
+        jobs.running_spend_stream(stream), "t_running_spend", "update"
+    )
+    rows = spark.table("t_running_spend").collect()
+    assert rows, "expected stateful output"
+    last_by_user = {}
+    for r in rows:  # memory sink appends updates in batch order
+        last_by_user[r.user_id] = (r.total_spend, r.n_events)
+
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.total, r.n)
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(last_by_user) == set(want)
+    for u, (total, n) in want.items():
+        got_total, got_n = last_by_user[u]
+        assert got_n == n
+        assert abs(got_total - total) < 1e-6

@@ -382,3 +382,46 @@ def curate_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("mixture_weight"),
         F.round(F.col("w_raw") / F.col("w_sum") / F.col("share"), 4).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: assign each document to a split by
+# md5(doc_id) mod 10000 — 90/5/5. Hash-based (not random) so the split is
+# reproducible across runs, engines, partitionings, and cluster sizes, and
+# any late-arriving shard of the corpus lands in the same split it would
+# have originally. Scale: pure map-side expression + one bounded agg.
+# ---------------------------------------------------------------------------
+@query(
+    "curate_train_val_test",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_DUCK_U} < 9000 THEN 'train'
+                  WHEN {_DUCK_U} < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def curate_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "n_chars",
+            f"CASE WHEN {_SPARK_U} < 9000 THEN 'train'"
+            f" WHEN {_SPARK_U} < 9500 THEN 'val'"
+            f" ELSE 'test' END AS split",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -2422,3 +2422,50 @@ def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_retained",
         F.round(F.col("n_retained") / F.col("cohort_size"), 4).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q54: event debounce — collapse each rapid-fire burst of the same
+# (user, event_type) to its first event: an event survives iff it arrives
+# more than 5 minutes after the previous raw event of its key (i.e. it
+# starts a burst). This is gap-based burst suppression, the same
+# gaps-and-islands shape as sessionization but keyed per event type.
+# Scale: one shuffle on (user_id, event_type); the lag() is a single
+# window pass over that partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_event_debounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM ordered
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+    """,
+)
+def q54_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    horizon_us = 300_000_000
+    debounced = (
+        events.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > horizon_us)
+        )
+    )
+    return debounced.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )

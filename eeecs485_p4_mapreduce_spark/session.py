@@ -30,9 +30,13 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
-    On a real cluster, pass ``master=None`` and let spark-submit supply it.
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER`` if set, else
+    ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``). Under spark-submit,
+    set ``SPARK_GRAFT_MASTER=""`` (empty) so the builder never calls
+    ``.master()`` and the cluster manager supplied by spark-submit wins.
     """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -41,10 +45,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:  # empty string = defer to spark-submit's cluster manager
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -354,3 +354,77 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). Rows-only driver check; exactness is pinned by a pytest
     reference implementation instead of SQL."""
     return extract_frame_energy(documents_as_media(spark, sf_dir))
+
+
+# --- video-style scene-cut detection ---------------------------------------
+SCENE_FRAME_BYTES = 128
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_cuts", LongType(), False),
+        StructField("max_diff_energy", LongType(), False),
+        StructField("cut_positions", ArrayType(LongType()), False),
+    ]
+)
+
+
+def scene_cuts(payload: bytes, frame_bytes: int = SCENE_FRAME_BYTES):
+    """Scene-cut detection on fake frames: diff energy between consecutive
+    frames (sum of squared byte deltas over their common prefix); a cut is
+    a boundary whose diff energy exceeds 1.5x the mean diff energy. Integer
+    math throughout — deterministic and partition-order-free. Returns
+    (n_frames, cut_positions, max_diff)."""
+    import numpy as np
+
+    if not payload:
+        return 0, [], 0
+    frames = [
+        np.frombuffer(payload[i : i + frame_bytes], dtype=np.uint8).astype(np.int64)
+        for i in range(0, len(payload), frame_bytes)
+    ]
+    if len(frames) < 2:
+        return len(frames), [], 0
+    diffs = []
+    for j in range(len(frames) - 1):
+        a, b = frames[j], frames[j + 1]
+        m = min(len(a), len(b))
+        d = a[:m] - b[:m]
+        diffs.append(int((d * d).sum()))
+    # 1.5x-mean threshold in exact integer form: 2 * diff * n > 3 * sum
+    total = sum(diffs)
+    n = len(diffs)
+    cuts = [j + 1 for j, d in enumerate(diffs) if 2 * d * n > 3 * total]
+    return len(frames), cuts, max(diffs)
+
+
+def extract_scene_cuts(df: DataFrame) -> DataFrame:
+    """mapInPandas scene-cut pass — same no-shuffle, Arrow-batched shape
+    as the other media extractors; a real video path swaps the byte-frame
+    stub for decoded luma planes, the Spark side is unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf["payload"].map(
+                lambda p: scene_cuts(p) if p is not None else (0, [], 0)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": res.map(lambda r: r[0]),
+                    "n_cuts": res.map(lambda r: len(r[1])),
+                    "max_diff_energy": res.map(lambda r: r[2]),
+                    "cut_positions": res.map(lambda r: r[1]),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=SCENE_SCHEMA)
+
+
+@query("mm_scene_cuts", oracle=None)  # per-byte frame diffs not SQL-cheap
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut boundaries per media payload (video-pipeline shape:
+    keyframe selection for caption/embedding extraction). Rows-only driver
+    check; exactness pinned by the pytest reference implementation."""
+    return extract_scene_cuts(documents_as_media(spark, sf_dir))

@@ -57,8 +57,14 @@ def read_json(
     return reader.options(**options).json(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """merge_schema=True unions the schemas of all footers (schema
+    evolution: files written before a column was added read as null) at
+    the cost of reading every footer — keep it off for fixed-schema
+    tables; at 100 TB footer-merging a million files is its own job."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
 
 
 def write_partitioned(

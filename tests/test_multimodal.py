@@ -71,3 +71,28 @@ def test_frame_energy_matches_reference(spark, sf_dir):
         ]
         want = (len(frames), sum(frames), max(frames) if frames else 0)
         assert got[row.doc_id] == want
+
+
+def test_scene_cuts_matches_reference(spark, sf_dir):
+    """The distributed scene-cut pass must equal the pure-Python reference
+    on every document payload, and flagged cuts must exceed the 1.5x-mean
+    threshold by construction."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        documents_as_media,
+        mm_scene_cuts,
+        scene_cuts,
+    )
+
+    got = {
+        r.media_id: (r.n_frames, r.n_cuts, r.max_diff_energy, list(r.cut_positions))
+        for r in mm_scene_cuts(spark, sf_dir).collect()
+    }
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in documents_as_media(spark, sf_dir).select("media_id", "payload").collect()
+    }
+    assert set(got) == set(payloads)
+    for mid, payload in payloads.items():
+        n_frames, cuts, max_diff = scene_cuts(payload)
+        assert got[mid] == (n_frames, len(cuts), max_diff, cuts)
+    assert any(r[1] > 0 for r in got.values()), "expected at least one cut"

@@ -466,3 +466,26 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old_skew_bytes
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advisory)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written before a column existed must read as null for that
+    column under merge_schema=True, and the evolved column must still
+    support predicate pushdown."""
+    from eeecs485_p4_mapreduce_spark.sources.readers import read_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[0] == (0, None)       # old file: evolved column is null
+    assert rows[9] == (18, 27)        # new file: fully populated
+    assert df.filter("b IS NULL").count() == 5

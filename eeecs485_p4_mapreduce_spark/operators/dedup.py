@@ -313,8 +313,10 @@ def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     near-dup components are dense near-cliques (diameter 2-3), so this
     beats the O(log n)-round large-star/small-star scheme in practice
     while staying a pure DataFrame loop. Lineage is cut per round with
-    localCheckpoint so the plan stays O(1) deep; the convergence check
-    is an aggregated count, never a collect of data rows.
+    localCheckpoint so the plan stays O(1) deep; convergence is detected
+    by the label-sum invariant — min-propagation only ever lowers labels,
+    so sum(lbl) is strictly decreasing until the fixpoint — which costs
+    one scalar aggregate per round instead of a labels-to-labels join.
     """
     edges = edges.localCheckpoint()
     labels = (
@@ -323,24 +325,21 @@ def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "lbl"
         )
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -24,7 +24,7 @@ exact DuckDB oracle (q46).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -83,3 +83,66 @@ def zorder_by(
         .sortWithinPartitions("_zval")
         .drop("_zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction: the standing maintenance job of any long-lived
+# 100 TB table. Streaming sinks, dynamic-partition upserts, and hourly
+# ingest each leave thousands of KB-sized parquet files behind; every
+# downstream scan then pays one footer read + one task per file, and the
+# NameNode/object-store listing itself becomes the bottleneck. Compaction
+# rewrites a directory into ceil(total_bytes / target_file_bytes) files —
+# sized from the REAL on-disk bytes (post-encoding, post-compression), not
+# row counts, so the output hits the target regardless of schema width.
+# ---------------------------------------------------------------------------
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path``, recursively, via
+    the Hadoop FileSystem API — works unchanged on local, HDFS, and S3A.
+    Metadata-only; nothing is read."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):  # skip _SUCCESS, hidden, CRCs
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite the parquet directory at ``in_path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files at ``out_path``.
+
+    With ``sort_by``, output files are range-partitioned and sorted on
+    those keys, so compaction doubles as a clustering pass (row-group
+    min/max stats become selective — the 1-D cousin of zorder_by); range
+    bounds come from sampling, which also breaks up any pathological
+    file-to-key correlation in the input. Without it, a round-robin
+    repartition gives uniformly sized files with no shuffle skew risk.
+    Returns an audit dict (files/bytes in, files out). The rewrite is a
+    single Spark job: scan → one exchange → write; never merges through
+    the driver."""
+    files = list_data_files(spark, in_path)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, -(-total // max(1, target_file_bytes)))
+    df = spark.read.parquet(in_path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return {
+        "files_in": len(files),
+        "bytes_in": total,
+        "files_out": len(list_data_files(spark, out_path)),
+        "target_file_bytes": target_file_bytes,
+    }

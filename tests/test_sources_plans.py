@@ -489,3 +489,50 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[0] == (0, None)       # old file: evolved column is null
     assert rows[9] == (18, 27)        # new file: fully populated
     assert df.filter("b IS NULL").count() == 5
+
+
+def test_compaction_hits_target_file_count(spark, tmp_path):
+    """Compaction must rewrite a many-small-files directory into
+    ceil(total_bytes / target) files with identical contents; the sorted
+    variant must additionally leave files covering disjoint key ranges
+    (the data-skipping property the rewrite exists for)."""
+    from eeecs485_p4_mapreduce_spark.sources.layout import (
+        compact_parquet,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files; round-robin repartition scatters ids across all of them
+    spark.range(20_000).selectExpr("id", "id * 2 AS v").repartition(
+        64
+    ).write.parquet(src)
+    files = list_data_files(spark, src)
+    assert len(files) == 64
+    total = sum(sz for _, sz in files)
+    target = total // 4  # aim for ~4 output files
+
+    out = str(tmp_path / "compacted")
+    audit = compact_parquet(spark, src, out, target_file_bytes=target)
+    expected = -(-total // target)
+    assert audit["files_in"] == 64
+    assert audit["files_out"] == expected <= 5
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).first()[0] == spark.read.parquet(src).agg(
+        F.sum("v")
+    ).first()[0]
+
+    # sorted compaction: per-file id ranges must not overlap
+    out_sorted = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, out_sorted, target_file_bytes=target, sort_by=["id"])
+    ranges = (
+        spark.read.parquet(out_sorted)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi < cur.lo

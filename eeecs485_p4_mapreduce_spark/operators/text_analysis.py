@@ -362,6 +362,121 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log-prob is a deterministic single-value ln(); the per-doc sum spans at
 # most the doc's token count, so round(4) absorbs order-of-addition noise.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Gopher-style within-document repetition signals: the share of token mass
+# captured by the single most frequent unigram / bigram, and the fraction
+# of trigram occurrences that are repeats of an earlier trigram. These are
+# the "repetitious document" gates from the Gopher / MassiveText filtering
+# rules (public: Rae et al. 2021, table A1), complementing the cross-doc
+# boilerplate detector (curate_boilerplate) with purely row-local math.
+# Scale: zero shuffles — every metric is a higher-order-function fold over
+# the token array inside the row, so the pass is scan-bound. The whole
+# computation sits in ONE lambda let-binding (`transform(array(toks), ...)`)
+# so the tokenizer regex runs exactly once per row (see functions/text.py
+# on CollapseProject inlining).
+# ---------------------------------------------------------------------------
+def _rep_struct(duck: bool) -> str:
+    """The per-doc repetition metrics as one engine-portable struct expr:
+    n tokens, top-unigram count, n/ distinct trigram counts, top-bigram
+    count — integer fields only; ratios are derived (and rounded) outside."""
+    if duck:
+        toks = "string_split_regex(lower(text), '[ \t]')"
+        top = "list_max(list_transform(list_distinct({a}), u -> len(list_filter({a}, x -> x = u))))"
+        bigrams = (
+            "CASE WHEN len(__t) >= 2 THEN list_transform(range(len(__t) - 1),"
+            " i -> __t[i + 1] || ' ' || __t[i + 2]) ELSE [] END"
+        )
+        trigrams = (
+            "CASE WHEN len(__t) >= 3 THEN list_transform(range(len(__t) - 2),"
+            " i -> __t[i + 1] || ' ' || __t[i + 2] || ' ' || __t[i + 3])"
+            " ELSE [] END"
+        )
+        return (
+            "list_transform([{toks}], __t -> {{"
+            "'n': len(__t), "
+            "'top_uni': {top_t}, "
+            "'top_bi': list_transform([{bigrams}], __b ->"
+            " CASE WHEN len(__b) > 0 THEN {top_b} ELSE 0 END)[1], "
+            "'n_tri': len(__t) - 2, "
+            "'n_tri_distinct': list_transform([{trigrams}], __g ->"
+            " len(list_distinct(__g)))[1]"
+            "}})[1]"
+        ).format(
+            toks=toks,
+            top_t=top.format(a="__t"),
+            top_b=top.format(a="__b"),
+            bigrams=bigrams,
+            trigrams=trigrams,
+        )
+    toks = "split(lower(text), '[ \t]')"
+    top = "array_max(transform(array_distinct({a}), u -> size(filter({a}, x -> x = u))))"
+    bigrams = (
+        "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1),"
+        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+        " ELSE array() END"
+    )
+    trigrams = (
+        "CASE WHEN size(__t) >= 3 THEN transform(sequence(1, size(__t) - 2),"
+        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1), ' ',"
+        " element_at(__t, i + 2))) ELSE array() END"
+    )
+    return (
+        "transform(array({toks}), __t -> named_struct("
+        "'n', size(__t), "
+        "'top_uni', {top_t}, "
+        "'top_bi', transform(array({bigrams}), __b ->"
+        " CASE WHEN size(__b) > 0 THEN {top_b} ELSE 0 END)[0], "
+        "'n_tri', size(__t) - 2, "
+        "'n_tri_distinct', transform(array({trigrams}), __g ->"
+        " size(array_distinct(__g)))[0]"
+        "))[0]"
+    ).format(
+        toks=toks,
+        top_t=top.format(a="__t"),
+        top_b=top.format(a="__b"),
+        bigrams=bigrams,
+        trigrams=trigrams,
+    )
+
+
+@query(
+    "ta_gopher_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           r.n AS n_tokens,
+           round(r.top_uni * 1.0 / r.n, 4) AS top_unigram_share,
+           round(CASE WHEN r.n >= 2 THEN r.top_bi * 1.0 / (r.n - 1) ELSE 0 END, 4)
+             AS top_bigram_share,
+           round(CASE WHEN r.n >= 3
+                      THEN (r.n_tri - r.n_tri_distinct) * 1.0 / r.n_tri
+                      ELSE 0 END, 4) AS dup_trigram_frac,
+           CASE WHEN r.top_uni * 1.0 / r.n <= 0.2
+                     AND (r.n < 2 OR r.top_bi * 1.0 / (r.n - 1) <= 0.18)
+                     AND (r.n < 3 OR (r.n_tri - r.n_tri_distinct) * 1.0
+                                     / r.n_tri <= 0.3)
+                THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id, {_rep_struct(duck=True)} AS r FROM documents)
+    """,
+)
+def ta_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id", f"{_rep_struct(duck=False)} AS r"
+    ).selectExpr(
+        "doc_id",
+        "r.n AS n_tokens",
+        "round(cast(r.top_uni as double) / r.n, 4) AS top_unigram_share",
+        "round(CASE WHEN r.n >= 2 THEN cast(r.top_bi as double) / (r.n - 1)"
+        " ELSE 0.0e0 END, 4) AS top_bigram_share",
+        "round(CASE WHEN r.n >= 3 THEN cast(r.n_tri - r.n_tri_distinct as double)"
+        " / r.n_tri ELSE 0.0e0 END, 4) AS dup_trigram_frac",
+        "CASE WHEN cast(r.top_uni as double) / r.n <= 0.2"
+        " AND (r.n < 2 OR cast(r.top_bi as double) / (r.n - 1) <= 0.18)"
+        " AND (r.n < 3 OR cast(r.n_tri - r.n_tri_distinct as double) / r.n_tri <= 0.3)"
+        " THEN 1 ELSE 0 END AS keep",
+    )
+
+
 @query(
     "ta_unigram_logprob",
     oracle=f"""

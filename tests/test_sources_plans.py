@@ -126,6 +126,22 @@ class TestPlanQuality:
         assert_whole_stage_codegen(df)
         assert count_exchanges(df) == 0  # pure map-side pipeline
 
+    def test_gopher_repetition_map_side_only(self, spark, sf_dir):
+        """Row-local repetition metrics must plan as a pure scan pipeline:
+        zero exchanges, no Python nodes, tokenizer bound once (the plan
+        shows a single regex split per row via the lambda let-binding)."""
+        from eeecs485_p4_mapreduce_spark.operators.text_analysis import (
+            ta_gopher_repetition,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import (
+            assert_whole_stage_codegen,
+            count_exchanges,
+        )
+
+        df = ta_gopher_repetition(spark, sf_dir)
+        assert_whole_stage_codegen(df)
+        assert count_exchanges(df) == 0
+
     def test_q22_asof_single_shuffle(self, spark, sf_dir):
         """The as-of composition must cost exactly one exchange (the
         user_id window shuffle) — no join, no explosion."""

@@ -304,6 +304,36 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _centroids_packed(emb: DataFrame) -> DataFrame:
+    """All centroids folded into ONE row: array<struct<c_label, cv, cnorm>>.
+    The centroid table is index metadata (k rows), so packing it lets the
+    nearest-centroid assignment run as a row-local array_sort instead of a
+    crossJoin + per-vector window — the window's shuffle is k x corpus at
+    scale, while this costs nothing beyond the broadcast."""
+    return _centroids(emb).agg(
+        F.collect_list(F.struct("c_label", "cv", "cnorm")).alias("cens")
+    )
+
+
+# Row-local nearest-centroid ranking: score every centroid against the
+# row's vector (same sequential fold as the oracle's list_dot_product) and
+# sort by (cosine desc, c_label asc) — bit-identical tie-breaking to the
+# row_number() window it replaces. collect_list order is immaterial: the
+# comparator imposes the total order.
+_ASSIGN_SORTED = """
+array_sort(
+  transform(cens, c -> named_struct(
+    'cos_c', aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0.0d,
+                       (acc, x) -> acc + x) / (norm * c.cnorm),
+    'c_label', c.c_label)),
+  (a, b) -> CASE WHEN a.cos_c > b.cos_c THEN -1
+                 WHEN a.cos_c < b.cos_c THEN 1
+                 WHEN a.c_label < b.c_label THEN -1
+                 WHEN a.c_label > b.c_label THEN 1
+                 ELSE 0 END)
+"""
+
+
 @query(
     "sim_ivf_build",
     oracle="""
@@ -345,32 +375,22 @@ def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: centroid build shuffles (label, dim, partial-sum) — n_vectors
     x dim rows map-side-combined down to k x dim — and the assignment
-    broadcasts k centroids, so the embedding table itself never
-    shuffles. is_match rides along as the recall-vs-truth measure."""
+    broadcasts the packed centroid row and ranks centroids INSIDE each
+    vector's row (array_sort over k scores), so the embedding table
+    never shuffles and there is no per-vector window. is_match rides
+    along as the recall-vs-truth measure."""
     emb = _emb_with_norm(spark, sf_dir)
-    cen = _centroids(emb)
-    dot = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_raw").desc(), F.col("c_label")
-    )
     return (
-        emb.crossJoin(F.broadcast(cen))
-        .select(
-            "vec_id",
-            "label",
-            "c_label",
-            (dot / (F.col("norm") * F.col("cnorm"))).alias("cos_raw"),
+        emb.crossJoin(F.broadcast(_centroids_packed(emb)))
+        .selectExpr(
+            "vec_id", "label", f"element_at({_ASSIGN_SORTED}, 1) AS best"
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
         .select(
             "vec_id",
             "label",
-            F.col("c_label").alias("assigned_label"),
-            F.round("cos_raw", 4).alias("cosine"),
-            F.when(F.col("c_label") == F.col("label"), 1)
+            F.col("best.c_label").alias("assigned_label"),
+            F.round("best.cos_c", 4).alias("cosine"),
+            F.when(F.col("best.c_label") == F.col("label"), 1)
             .otherwise(0)
             .alias("is_match"),
         )
@@ -524,36 +544,30 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe-cell IVF search over the learned centroid cells (see module
     banner; reference has no similarity ops — SURVEY.md §2.8 north-star)."""
     emb = _emb_with_norm(spark, sf_dir)
-    cen = _centroids(emb)
-    dotc = F.expr(
-        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    # Row-local nprobe assignment: rank the k broadcast centroids inside
+    # each row, keep the top NPROBE — zero shuffles where the old plan
+    # paid a k x corpus crossJoin + per-vector window. The packed
+    # centroid row is materialized once (it's index metadata, one row)
+    # so the cells/probes branches don't each rebuild the centroid agg.
+    packed = _centroids_packed(emb).localCheckpoint()
+    scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
+        "vec_id",
+        "v",
+        "norm",
+        f"slice({_ASSIGN_SORTED}, 1, {NPROBE}) AS top_cells",
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("c_label")
+    cells = scored.selectExpr(
+        "vec_id", "v", "norm", "element_at(top_cells, 1).c_label AS cell"
     )
-    scored = (
-        emb.crossJoin(F.broadcast(cen))
-        .select(
-            "vec_id",
-            "v",
-            "norm",
-            "c_label",
-            (dotc / (F.col("norm") * F.col("cnorm"))).alias("cos_c"),
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            "v AS qv",
+            "norm AS qnorm",
+            "explode(top_cells) AS tc",
         )
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") <= NPROBE)
-        .select("vec_id", "v", "norm", "c_label", "rnk")
-    )
-    cells = scored.filter(F.col("rnk") == 1).select(
-        "vec_id", "v", "norm", F.col("c_label").alias("cell")
-    )
-    probes = scored.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rnk") <= NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("c_label").alias("cell"),
+        .select("query_id", "qv", "qnorm", F.col("tc.c_label").alias("cell"))
     )
     dotq = F.expr(
         "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"

@@ -363,6 +363,92 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # most the doc's token count, so round(4) absorbs order-of-addition noise.
 # ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
+# PII detection + redaction: the scrub pass every training corpus runs
+# before the tokenizer. Emails, phone numbers, and IPv4 literals are
+# matched with patterns valid in BOTH regex dialects in play (Java for
+# Spark, RE2 for the DuckDB oracle) — no lookarounds, no \b — and
+# replaced with typed placeholder tags. The synthetic corpus contains no
+# PII, so the query first augments each document with contact strings
+# derived deterministically from doc_id; both engines apply the identical
+# augmentation, which makes the oracle a real end-to-end check of the
+# match+replace semantics (counts AND the md5 of the scrubbed text), not
+# a vacuous all-zeros pass. Scale: pure map-side regex over the scan —
+# zero shuffles, whole-stage codegen.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "ta_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(
+             regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}'))
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+                 aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS scrub_md5,
+           len(aug) - len(regexp_replace(regexp_replace(regexp_replace(
+                 aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS chars_removed
+    FROM (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               AS aug
+      FROM documents
+    )
+    """,
+)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("aug"),
+    )
+    # IP counting runs AFTER email redaction on both sides: the mail
+    # domain would otherwise never match, but ordering is still pinned
+    # so the engines agree by construction, not by accident.
+    no_email = F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(no_email, _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>"
+    )
+    return aug.select(
+        "doc_id",
+        # Python-API calls only: a pattern routed through a Spark SQL
+        # string literal would have its backslashes eaten by the parser.
+        F.size(
+            F.regexp_extract_all(F.col("aug"), F.lit(_PII_EMAIL), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("aug"), F.lit(_PII_PHONE), F.lit(0))
+        ).alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.md5(scrubbed).alias("scrub_md5"),
+        (F.length("aug") - F.length(scrubbed)).alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style within-document repetition signals: the share of token mass
 # captured by the single most frequent unigram / bigram, and the fraction
 # of trigram occurrences that are repeats of an earlier trigram. These are

@@ -142,6 +142,28 @@ class TestPlanQuality:
         assert_whole_stage_codegen(df)
         assert count_exchanges(df) == 0
 
+    def test_pii_scrub_map_side_and_total(self, spark, sf_dir):
+        """The PII scrub must be a zero-exchange scan pipeline, and the
+        deterministic augmentation guarantees every doc yields exactly one
+        redaction of each kind — an all-zero pass would mean the regexes
+        silently stopped matching (e.g. a literal-escaping regression)."""
+        from eeecs485_p4_mapreduce_spark.operators.text_analysis import (
+            ta_pii_scrub,
+        )
+        from eeecs485_p4_mapreduce_spark.plans.explain import count_exchanges
+
+        df = ta_pii_scrub(spark, sf_dir)
+        assert count_exchanges(df) == 0
+        n = df.count()
+        assert (
+            df.filter(
+                "n_emails = 1 AND n_phones = 1 AND n_ips = 1"
+                " AND chars_removed > 0"
+            ).count()
+            == n
+            > 0
+        )
+
     def test_q22_asof_single_shuffle(self, spark, sf_dir):
         """The as-of composition must cost exactly one exchange (the
         user_id window shuffle) — no join, no explosion."""

@@ -54,3 +54,4 @@ def load_all() -> None:
         text_analysis,
     )
     from eeecs485_p4_mapreduce_spark import mr_queries  # noqa: F401
+    from eeecs485_p4_mapreduce_spark.streaming import queries  # noqa: F401

@@ -60,6 +60,8 @@ HEADLINE = [
     "sim_ivf_search",
     "ta_token_stats",
     "ta_tfidf_top_terms",
+    "ta_gopher_repetition",
+    "ta_pii_scrub",
     "mm_thumbnail",
     "skew_salted_enrich",
     "pipeline_curate",

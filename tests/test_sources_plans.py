@@ -506,6 +506,34 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advisory)
 
 
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A fact table hive-partitioned on the join key must get a runtime
+    dynamicpruning filter from the dim side's predicate — the mechanism
+    that turns a 100 TB full scan into a few-partition scan when the dim
+    filter only resolves at run time (no static literal to push down)."""
+    from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+    from eeecs485_p4_mapreduce_spark.sources.readers import write_partitioned
+
+    fact = spark.range(10_000).selectExpr(
+        "id", "id % 50 AS dim_id", "cast(id % 10 AS string) AS region"
+    )
+    path = str(tmp_path / "fact_parted")
+    write_partitioned(fact, path, ["region"])
+
+    dim = spark.range(10).selectExpr(
+        "cast(id AS string) AS region", "id AS pop"
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("pop") >= 8), "region")
+        .groupBy("region")
+        .count()
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 2  # regions 8 and 9 only
+
+
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Files written before a column existed must read as null for that
     column under merge_schema=True, and the evolved column must still

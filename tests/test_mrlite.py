@@ -153,7 +153,13 @@ def test_fifo_job_ids(engine, tmp_path):
 
 def test_streaming_large_input(engine, tmp_path):
     """Reference test_worker_11 analog: the 3.7 MB corpus must map+reduce
-    through external pipes without error (O(1) streaming path)."""
+    through external pipes without error (O(1) streaming path), inside the
+    reference's wall-clock envelope (<10 s map stage at
+    /root/reference/tests/test_worker_11.py:122; we bound the WHOLE job at
+    3x that, the same multiplier its autograder applies to timeouts)."""
+    import time
+
+    t0 = time.perf_counter()
     res = engine.submit_job(
         input_directory=str(REF / "input_large"),
         output_directory=str(tmp_path / "out"),
@@ -162,7 +168,9 @@ def test_streaming_large_input(engine, tmp_path):
         num_mappers=2,
         num_reducers=2,
     )
+    elapsed = time.perf_counter() - t0
     total = sum(
         int(ln.split("\t")[1]) for ln in res.read_lines() if "\t" in ln
     )
     assert total > 100_000  # ~640k tokens in the Tolstoy corpus
+    assert elapsed < 30.0, f"3.7 MB map+reduce took {elapsed:.1f}s"

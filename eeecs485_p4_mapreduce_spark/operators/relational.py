@@ -933,6 +933,14 @@ def q23_quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row-at-a-time ObjectAggregate that buffers every raw value per group
 # (measured 3.5s vs ~1s at sf0.1; unbounded memory in the raw-value
 # count at scale), while the histogram shuffles only distinct values.
+# The per-group window looks like a single-task bottleneck but is
+# DOMAIN-bounded, not corpus-bounded: its input is one row per distinct
+# cent value (~1e7 max for this price domain ≈ 100 MB/task), which
+# holds at any corpus size. A two-level bucket-prefix decomposition
+# (parallel within-bucket windows + broadcast bucket offsets) was
+# measured 2x slower at sf0.1 — its extra agg, materialization, and
+# broadcast barrier outweigh the parallelism until the value domain
+# itself is huge.
 # Determinism: interpolation runs over exact integer CENTS at dyadic
 # quantiles (k/2^m) only, so lo + frac*(hi-lo) is exact in doubles and
 # the two engines agree bit-for-bit — at non-dyadic quantiles (e.g.

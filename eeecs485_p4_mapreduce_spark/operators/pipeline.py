@@ -192,23 +192,51 @@ def curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-language token budgeting: take documents in doc_id
     order until 5000 whitespace-tokens are filled (the last doc may
-    overflow). One window cumsum per language — integer arithmetic, so
-    the cut is deterministic. At scale the window shuffles (lang, doc)
-    tuples with token counts, never text."""
+    overflow). Integer arithmetic, so the cut is deterministic.
+
+    A naive Window.partitionBy(lang) cumsum drags EVERY (lang, doc)
+    tuple through one task per language, at any corpus size — the
+    corpus-bounded window bottleneck. Instead: bucket doc_id ranges,
+    window the tiny bucket-totals table for each bucket's preceding
+    sum, and PRUNE — a bucket whose preceding sum already meets the
+    budget cannot contribute (every doc has >= 1 token), so the
+    per-doc cumsum window runs over the broadcast-joined survivors
+    only: a handful of buckets per language regardless of corpus
+    size. Same output, provably: for any doc in a dropped bucket,
+    cum - n >= bucket_before >= budget."""
     from pyspark.sql.window import Window
 
+    budget, bucket_w = 5000, 4096
     docs = load_table(spark, sf_dir, "documents")
-    w = (
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "size(split(lower(text), '[ \t]')) AS n",
+        f"doc_id div {bucket_w} AS bkt",
+    )
+    w_bkt = (
         Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_prefix = (
+        base.groupBy("lang", "bkt")
+        .agg(F.sum("n").alias("btot"))
+        .select(
+            "lang", "bkt", (F.sum("btot").over(w_bkt) - F.col("btot")).alias("before")
+        )
+        .filter(F.col("before") < budget)
+    )
+    w_doc = (
+        Window.partitionBy("lang", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.selectExpr(
-            "doc_id", "lang", "size(split(lower(text), '[ \t]')) AS n"
-        )
-        .withColumn("cum", F.sum("n").over(w))
-        .filter(F.col("cum") - F.col("n") < 5000)
+        base.join(F.broadcast(kept_prefix), ["lang", "bkt"])
+        .withColumn("cum", F.col("before") + F.sum("n").over(w_doc))
+        .filter(F.col("cum") - F.col("n") < budget)
+        .select("doc_id", "lang", "n", "cum")
     )
 
 

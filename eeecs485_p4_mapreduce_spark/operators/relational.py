@@ -639,16 +639,22 @@ def q17_above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     a rounding boundary, and Spark/DuckDB accumulate in different orders).
     Computing in integer cents makes both the filter and the reported
     average exact and engine-independent.
-    """
-    from pyspark.sql.window import Window
 
+    Plan shape: brand totals come from a partial-agg into a brand-sized
+    table broadcast back onto the scan — not a PARTITION BY p_brand
+    window, which would drag every part row through one task per brand
+    (the ratio-to-report pattern used across this repo; ~25 brands
+    means ~25 window tasks at ANY table size).
+    """
     part = load_table(spark, sf_dir, "part").withColumn(
         "p_cents", F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
     )
-    w = Window.partitionBy("p_brand")
+    brand_stats = part.groupBy("p_brand").agg(
+        F.sum("p_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        part.withColumn("sum_cents", F.sum("p_cents").over(w))
-        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        part.join(F.broadcast(brand_stats), "p_brand")
         .filter(100 * F.col("p_cents") * F.col("n_parts") > 105 * F.col("sum_cents"))
         .select(
             "p_partkey",

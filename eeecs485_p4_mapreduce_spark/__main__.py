@@ -7,10 +7,15 @@ Usage:
     python -m eeecs485_p4_mapreduce_spark list
     python -m eeecs485_p4_mapreduce_spark run QUERY [QUERY ...] \
         [--sf-dir DIR] [--limit N] [--explain] [--oracle]
+    python -m eeecs485_p4_mapreduce_spark sql "SELECT ..." \
+        [--sf-dir DIR] [--limit N] [--explain]
 
 ``run --oracle`` executes the query on Spark AND its DuckDB oracle SQL and
 reports the driver-style match verdict; ``--explain`` prints the formatted
-physical plan instead of rows.
+physical plan instead of rows. ``sql`` registers every catalog table
+(region nation customer supplier part orders lineitem events documents
+embeddings) as a temp view and runs arbitrary Spark SQL against them —
+the ad-hoc surface on top of the same scan layer the named queries use.
 """
 
 from __future__ import annotations
@@ -31,7 +36,27 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--limit", type=int, default=20)
     run.add_argument("--explain", action="store_true")
     run.add_argument("--oracle", action="store_true")
+    sql = sub.add_parser("sql", help="run ad-hoc Spark SQL over the catalog")
+    sql.add_argument("statement")
+    sql.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sql.add_argument("--limit", type=int, default=20)
+    sql.add_argument("--explain", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.cmd == "sql":
+        from eeecs485_p4_mapreduce_spark import get_spark
+        from eeecs485_p4_mapreduce_spark.catalog import register_views
+
+        spark = get_spark("p4spark-sql")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.explain:
+            from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+            print(formatted_plan(df))
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     from eeecs485_p4_mapreduce_spark.registry import ORACLES, QUERIES, load_all
 

@@ -456,6 +456,18 @@ def test_cli_list_and_oracle_run(spark, sf_dir, capsys):
     assert rc == 0
     assert "q01_pricing_summary: PASS" in out
 
+    rc = main(
+        [
+            "sql",
+            "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "o_orderstatus" in out
+
 
 def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     """AQE's runtime skew-join handling must actually fire on a pathological

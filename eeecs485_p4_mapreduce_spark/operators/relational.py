@@ -2483,3 +2483,46 @@ def q54_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q55: RANGE-frame window — a true time-interval moving aggregate (each
+# row's frame is "all of this user's events in the preceding hour", peers
+# included by VALUE, not by row position — the semantics ROWS frames can't
+# express when timestamps repeat or gap). Scale: one shuffle on user_id;
+# the frame is bounded by event density per hour, so window state is
+# O(events-in-horizon), the batch twin of a streaming sliding window.
+# Determinism: the frame is keyed on exact integer microseconds and the
+# average is exact integer cents / count — no float accumulation.
+# ---------------------------------------------------------------------------
+@query(
+    "q55_range_frame_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                 / (100.0 * count(*) OVER w), 4) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q55_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    ).withColumn("cents", F.round(F.col("value") * 100, 0).cast("bigint"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum("cents").over(w) / (100.0 * F.count(F.lit(1)).over(w)), 4
+        ).alias("avg_1h"),
+    )

@@ -49,6 +49,8 @@ HEADLINE = [
     "q37_product_profit",
     "q42_gap_fill_hourly",
     "q43_sliding_window_trend",
+    "q56_rolling_distinct_users",
+    "q57_peak_concurrency",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cc_clusters",

@@ -2526,3 +2526,121 @@ def q55_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(w) / (100.0 * F.count(F.lit(1)).over(w)), 4
         ).alias("avg_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56: rolling 7-day distinct users (trailing DAU/WAU-style window). A
+# windowed COUNT(DISTINCT) has no Spark window form, and the textbook
+# range self-join (days x events ON day BETWEEN d-6 AND d) is a
+# near-cross-product at scale. Instead, explode-to-horizon: each distinct
+# (user, day) contributes to exactly the 7 as-of days it can be seen
+# from, so the whole query is shuffle-only — dedupe, a 7x fanout of the
+# *deduped* pairs (bounded: 7 rows per user-day, not per event), and one
+# distinct-count; the day-domain restriction is a broadcast semi join.
+# ---------------------------------------------------------------------------
+@query(
+    "q56_rolling_distinct_users",
+    oracle="""
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           count(DISTINCT e.user_id) AS users_7d
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    JOIN (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) e
+      ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q56_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days_present = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(days_present),
+            contrib["as_of"] == days_present["day"],
+            "left_semi",
+        )
+        .groupBy("as_of")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("as_of", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57: peak concurrency per day, sweep-line style: each event opens a
+# 5-minute active interval; +1/-1 deltas at interval ends, a global
+# running sum, and a per-day max. The global cumsum does NOT use a
+# global-order window over the deltas (single-task bottleneck at scale):
+# deltas collapse per distinct timestamp, hour buckets carry a prefix
+# computed on the tiny hour-totals table (one row per hour — the only
+# single-partition window, bounded by the time domain, not the data),
+# and the per-timestamp cumsum runs partitioned by hour after a
+# broadcast join of the prefixes. Same two-level-prefix pattern as
+# curate_token_budget.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 300000000 AS t, -1 AS d FROM events
+    ),
+    pts AS (SELECT t, sum(d) AS d FROM deltas GROUP BY t),
+    cum AS (SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM pts)
+    SELECT CAST(CAST(make_timestamp(t) AS DATE) AS VARCHAR) AS day,
+           max(conc) AS peak_concurrency
+    FROM cum GROUP BY 1
+    """,
+)
+def q57_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    horizon_us = 300_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.unix_micros("ts")
+    )
+    deltas = ev.select("t", F.lit(1).alias("d")).unionByName(
+        ev.select((F.col("t") + horizon_us).alias("t"), F.lit(-1).alias("d"))
+    )
+    pts = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("hr", F.expr("t div 3600000000"))
+    )
+    w_hr = Window.orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Hour totals come straight from the raw deltas (sum is the same
+    # whether or not per-timestamp collapsing happened first) — one
+    # aggregation, not two, on the second scan.
+    hr_prefix = (
+        deltas.groupBy(F.expr("t div 3600000000").alias("hr"))
+        .agg(F.sum("d").alias("htot"))
+        .select(
+            "hr", (F.sum("htot").over(w_hr) - F.col("htot")).alias("before")
+        )
+    )
+    w_t = (
+        Window.partitionBy("hr")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.join(F.broadcast(hr_prefix), "hr")
+        .withColumn("conc", F.col("before") + F.sum("d").over(w_t))
+        .withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrency",
+        )
+    )

@@ -2644,3 +2644,100 @@ def q57_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrency",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q58: TPC-H Q18 pattern (large-volume orders): HAVING over a fact
+# aggregate, then join the survivors back to orders and customers.
+# Scale: the only fact-sized shuffle is the lineitem groupBy on its
+# natural key. The HAVING survivors are rare by construction (<1% of
+# orders), so BOTH enrichment joins broadcast the reduced side — orders
+# and customer are scanned but never shuffled. (Contrast q03, which
+# broadcasts a filtered dimension: here the broadcast side is a
+# *derived* aggregate, the shape AQE would discover at runtime; we
+# declare it because the threshold guarantees rarity.)
+# ---------------------------------------------------------------------------
+@query(
+    "q58_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q58_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    big_orders = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    )
+    return cust.join(
+        F.broadcast(big_orders), cust["c_custkey"] == big_orders["o_custkey"]
+    ).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "sum_qty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59: sketch-merge rolling distinct — the scalable twin of q56. Build
+# ONE DataSketches HLL sketch per day (a single pass over events, one
+# shuffle whose output is ~31 rows), then answer the trailing-7-day
+# question entirely on the sketch table: explode each day's sketch to
+# the 7 as-of days it serves and hll_union_agg the buckets. At 100 TB
+# the events scan happens once regardless of how many window lengths
+# (7d, 28d, 90d) are asked — each is another cheap merge over the same
+# daily sketches, which is exactly why mergeable sketches beat exact
+# recount pipelines for rolling-distinct dashboards. Accuracy vs the
+# exact q56 is pinned by test (lgConfigK=12 → ~1.6% rse).
+# No SQL oracle: DuckDB has no mergeable-HLL SQL surface; exactness is
+# checked in pytest against q56 instead.
+# ---------------------------------------------------------------------------
+@query("q59_rolling_distinct_sketch", oracle=None)
+def q59_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("as_of"),
+        "sk",
+    )
+    days_present = daily.select("day")
+    return (
+        contrib.join(
+            F.broadcast(days_present),
+            contrib["as_of"] == days_present["day"],
+            "left_semi",
+        )
+        .groupBy("as_of")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users_7d"
+            )
+        )
+        .select(
+            F.date_format("as_of", "yyyy-MM-dd").alias("day"),
+            "approx_users_7d",
+        )
+    )

@@ -82,3 +82,23 @@ def test_cc_cluster_invariants(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     n_losers = sum(1 for d, c in members.items() if d != c)
     assert dedup_near_survivors(spark, sf_dir).count() == n_docs - n_losers
+
+
+def test_sketch_rolling_matches_exact(spark, sf_dir):
+    """q59 (daily HLL sketches, 7-day union-merge) must agree with the
+    exact explode-to-horizon q56 on every day within sketch error
+    (lgConfigK=12 -> ~1.6% rse; allow 5% or 3 absolute)."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["day"]: r["users_7d"]
+        for r in QUERIES["q56_rolling_distinct_users"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["day"]: r["approx_users_7d"]
+        for r in QUERIES["q59_rolling_distinct_sketch"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, approx[day], n)

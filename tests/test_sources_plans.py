@@ -518,6 +518,49 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advisory)
 
 
+def test_runtime_bloom_filter_on_selective_join(spark, tmp_path):
+    """A selective dim-side filter must inject a runtime bloom filter into
+    the fact-side scan of a shuffle join — the row-level sibling of DPP
+    that prunes shuffle input when the fact table isn't partitioned on the
+    join key. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows whose key might match the filtered
+    dim. Thresholds are lowered so the test-sized fact side qualifies as
+    'large'; the engine leaves them at defaults."""
+    fact_path = str(tmp_path / "bloom_fact")
+    dim_path = str(tmp_path / "bloom_dim")
+    spark.range(500_000).selectExpr("id AS k", "id * 2 AS v").write.mode(
+        "overwrite"
+    ).parquet(fact_path)
+    spark.range(1000).selectExpr("id * 500 AS k", "id AS w").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        # force the shuffle-join path (a broadcast join needs no bloom
+        # filter) and let the test-sized fact side count as scan-heavy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        joined = spark.read.parquet(fact_path).join(
+            spark.read.parquet(dim_path).filter(F.col("w") < 100), "k"
+        )
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized.lower(), optimized[:2000]
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+
+
 def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
     """A fact table hive-partitioned on the join key must get a runtime
     dynamicpruning filter from the dim side's predicate — the mechanism

@@ -721,3 +721,55 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_grams",
         F.levenshtein("name_a", "name_b").alias("dist"),
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_CLUSTER_CTES},
+    cl AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster,
+             d.lang, d.n_chars
+      FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+          FROM cl)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup materialization: per near-dup cluster keep
+    the BEST document (longest, doc_id as the deterministic tie-break)
+    instead of keep-first's smallest-id representative — the policy real
+    curation pipelines want, since near-dup clusters usually hold one
+    full document plus truncated/boilerplate-wrapped copies.
+
+    Scale shape mirrors dedup_near_survivors: only the clustered docs
+    (a small fraction of the corpus) are arbitrated — per-cluster
+    arg-max via max_by over a struct, then everyone else survives by an
+    anti-join on the loser set. Document bodies never shuffle; the
+    arbitration tables carry (doc_id, cluster, n_chars) only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("src", "dst")
+    labels = _propagate_min_labels(edges)
+    members = docs.select("doc_id", "n_chars").join(labels, "doc_id")
+    keepers = members.groupBy("lbl").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+        ).alias("keeper")
+    )
+    losers = (
+        members.join(keepers, "lbl")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -453,3 +453,56 @@ def curate_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "curate_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE source = 'src0'),
+         new AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE source <> 'src0')
+    SELECT CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                ELSE 'retained' END AS status,
+           count(*) AS n_texts
+    FROM old o FULL OUTER JOIN new n ON o.h = n.h
+    GROUP BY 1
+    """,
+)
+def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh audit: diff two snapshot slices by content hash
+    (src0 as the old crawl, everything else as the new) into
+    added / removed / retained counts — the report a pipeline emits
+    before swapping a training corpus version.
+
+    The full outer join runs on the 128-bit hashes alone: text bodies
+    are reduced to md5 at the scan and never shuffle, and each side is
+    hash-distinct first, so join input is bounded by distinct-content
+    count, not corpus size. (When both snapshots live in ONE table, a
+    single groupBy(hash) with per-side presence flags does this in one
+    shuffle; the join form shown here is the general one — snapshots
+    usually arrive as separate tables.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.md5("text").alias("h_old"))
+        .distinct()
+    )
+    new = (
+        docs.filter(F.col("source") != "src0")
+        .select(F.md5("text").alias("h_new"))
+        .distinct()
+    )
+    return (
+        old.join(new, old["h_old"] == new["h_new"], "full_outer")
+        .select(
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("retained"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_texts"))
+    )

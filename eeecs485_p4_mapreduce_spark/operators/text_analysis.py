@@ -595,3 +595,52 @@ def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum(logp) / F.count(F.lit(1))), 4).alias("ppl_proxy"),
         )
     )
+
+
+@query(
+    "ta_bpe_merge_candidates",
+    oracle="""
+    WITH ch AS (
+      SELECT unnest([substr(t, i, 2) for i in range(1, length(t))]) AS pair
+      FROM (SELECT lower(text) AS t FROM documents)
+    )
+    SELECT pair, count(*) AS n_occurrences FROM ch
+    WHERE NOT regexp_matches(pair, '[ \t]')
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 50
+    """,
+)
+def ta_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction, step one of BPE training: count every
+    adjacent character pair in the corpus (word-internal only — pairs
+    touching whitespace are not merge candidates) and rank the top 50
+    merge candidates with a deterministic tie-break.
+
+    Scale: the generate fans out to ~n_chars rows per document, but the
+    pair domain is bounded by alphabet² — partial (map-side) aggregation
+    collapses the fanout before the exchange, so the shuffle carries at
+    most a few thousand rows per task regardless of corpus size, and the
+    top-50 is a TakeOrdered over the tiny aggregated table. This is the
+    whole reason BPE counting distributes well: the hot loop is a
+    generate feeding a hash-agg inside one codegen stage, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # length >= 2 guard is load-bearing: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (DuckDB's range(1, 0) is empty), so a 0/1-char
+    # document would fabricate pairs without it.
+    pairs = docs.filter(F.length("text") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 1),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.filter(~F.col("pair").rlike("[ \t]"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )

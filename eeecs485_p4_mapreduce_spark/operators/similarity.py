@@ -590,3 +590,54 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+@query(
+    "sim_embedding_covariance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 5) AS cov
+    FROM ex a JOIN ex b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass covariance matrix of the embedding table (the input to
+    PCA / whitening / dimensionality audits): upper triangle of
+    E[x_i x_j] - E[x_i]E[x_j] as (i, j, cov) rows, 1-based indices.
+
+    Scale: each vector generates its d(d+1)/2 upper-triangle products in
+    a single JVM flatten/transform (no self-join of the exploded table —
+    that would shuffle d rows per vector twice), and the partial
+    aggregate collapses the fanout map-side, so the one exchange carries
+    at most d(d+1)/2 rows per task regardless of corpus size. The oracle
+    states the same math relationally (self-join on vec_id) — fine at
+    oracle scale, wrong at 100 TB; the generate form is the scale path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    tri = emb.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(1, size(embedding)), i ->
+                  transform(sequence(i, size(embedding)), j -> struct(
+                    i AS i, j AS j,
+                    CAST(element_at(embedding, i) AS DOUBLE) AS xi,
+                    CAST(element_at(embedding, j) AS DOUBLE) AS xj))))
+                """
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.xi", "t.xj")
+    return tri.groupBy("i", "j").agg(
+        F.round(
+            F.avg(F.col("xi") * F.col("xj"))
+            - F.avg("xi") * F.avg("xj"),
+            5,
+        ).alias("cov")
+    )

@@ -641,3 +641,83 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("cov")
     )
+
+
+RP_OUT_DIM = 16
+RP_IN_DIM = 64
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic +-1 Rademacher projection matrix, seeded by md5 so
+    both engines can embed the identical literal (a JL projection is
+    shipped as a fixed seed matrix in practice — regenerating it per row
+    would cost d*k hashes per vector for no benefit)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp{k}_{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(1, RP_IN_DIM + 1)
+        ]
+        for k in range(1, RP_OUT_DIM + 1)
+    ]
+
+
+_RP_SPARK = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{v}D" for v in row) + ")"
+        for row in _rp_signs()
+    )
+    + ")"
+)
+# Oracle form: one UNION ALL branch per output dim, each a native
+# list_dot_product against that dim's literal sign row — a per-row list
+# comprehension over the full 16x64 literal is ~100x slower in DuckDB.
+_RP_DUCK_BRANCHES = "\n    UNION ALL\n".join(
+    f"""
+    SELECT vec_id, {k + 1} AS k,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 [{", ".join(str(v) for v in row)}]) / 8, 5) AS v
+    FROM embeddings"""
+    for k, row in enumerate(_rp_signs())
+)
+
+
+@query("sim_random_projection", oracle=_RP_DUCK_BRANCHES)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    64-d embedding to 16 dims with a fixed Rademacher (+-1) matrix,
+    scaled by 1/sqrt(d) — the standard cheap preprocessing before ANN
+    indexing or clustering when the native dimension is wasteful.
+
+    Scale: completely row-local — zero shuffles, zero joins; the
+    projection matrix is a compile-time literal folded into the
+    whole-stage-codegen expression, and the per-row cost is exactly
+    d*k fused multiply-adds. The fold runs in array-index order on
+    both engines, so floating-point results hash-match exactly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(1, {RP_OUT_DIM})")).alias("k"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "k",
+            F.expr(
+                f"""
+                round(aggregate(sequence(1, {RP_IN_DIM}), 0D,
+                  (acc, i) -> acc
+                    + CAST(element_at(embedding, i) AS DOUBLE)
+                      * element_at(element_at({_RP_SPARK}, k), i)) / 8,
+                  5) AS v
+                """
+            ),
+        )
+    )

@@ -506,3 +506,77 @@ def curate_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_texts"))
     )
+
+
+@query(
+    "curate_sequence_packing",
+    oracle="""
+    SELECT doc_id, lang, n,
+           CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, lang, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM (SELECT doc_id, lang,
+                   len(string_split_regex(lower(text), '[ \t]')) AS n
+            FROM documents)
+    )
+    """,
+)
+def curate_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign every document (in doc_id order,
+    per language) to the 2048-token training bin its start offset lands
+    in — the step that turns a curated corpus into fixed-size training
+    examples. bin_id = floor(preceding_tokens / 2048), so a document
+    spanning a boundary stays in the bin it started in (greedy packing,
+    deterministic, no fragmentation decisions).
+
+    Unlike curate_token_budget this needs the cumsum for EVERY doc, so
+    nothing can be pruned — but the same two-level decomposition holds:
+    per-bucket totals windowed on the tiny (lang, bucket) table give
+    each bucket's preceding sum, broadcast back, and the per-doc window
+    runs partitioned by (lang, bucket) — task state is bucket-bounded
+    at any corpus size, never corpus-bounded.
+    """
+    from pyspark.sql.window import Window
+
+    bucket_w = 4096
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "size(split(lower(text), '[ \t]')) AS n",
+        f"doc_id div {bucket_w} AS bkt",
+    )
+    w_bkt = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        base.groupBy("lang", "bkt")
+        .agg(F.sum("n").alias("btot"))
+        .select(
+            "lang",
+            "bkt",
+            (F.sum("btot").over(w_bkt) - F.col("btot")).alias("before"),
+        )
+    )
+    w_doc = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(prefix), ["lang", "bkt"])
+        .withColumn("cum", F.col("before") + F.sum("n").over(w_doc))
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.floor((F.col("cum") - F.col("n")) / 2048.0)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )

@@ -28,6 +28,7 @@ from eeecs485_p4_mapreduce_spark.streaming.jobs import (
     hourly_counts,
     read_event_stream,
     run_to_memory,
+    sliding_trend,
     spool_events,
 )
 
@@ -114,4 +115,47 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_id").alias("n_distinct_ids"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+@query(
+    "stream_sliding_finalized",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k.k * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events, (SELECT unnest(range(4)) AS k) k
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked sliding-window aggregation (2h windows every
+    30min; streaming/jobs.py sliding_trend) driven to completion. The
+    oracle states the overlap explicitly — each event lands in exactly
+    duration/slide = 4 aligned windows — so a hash match proves the
+    streaming window assignment, not just totals. Watermark bounds open
+    state to 4 windows per event_type at any stream length."""
+    spool = _spool(spark, sf_dir)
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory(
+            sliding_trend(read_event_stream(spark, spool)),
+            name,
+            output_mode="complete",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
     )

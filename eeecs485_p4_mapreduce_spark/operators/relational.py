@@ -2741,3 +2741,53 @@ def q59_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users_7d",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q60: equi-width histogram with densified grid — the standard numeric
+# profiling op (dashboards, drift detection). One bounded-domain shuffle:
+# rows collapse to their bin map-side (partial agg), and everything after
+# the exchange — extent, grid generation, zero-fill left join — runs on
+# the tiny bin table. The empty bins are materialized (sequence explode
+# over [min_bin, max_bin]) so a drift monitor sees gaps, not absences.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_value_histogram",
+    oracle="""
+    WITH b AS (SELECT CAST(floor(value / 25) AS BIGINT) AS bin, value
+               FROM events),
+    agg AS (SELECT bin, count(*) AS n, round(sum(value), 2) AS s
+            FROM b GROUP BY bin),
+    ext AS (SELECT min(bin) AS lo, max(bin) AS hi FROM agg),
+    grid AS (SELECT unnest(range((SELECT lo FROM ext),
+                                 (SELECT hi FROM ext) + 1)) AS bin)
+    SELECT g.bin AS bin,
+           CAST(g.bin * 25.0 AS DOUBLE) AS bin_lo,
+           CAST((g.bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.s, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a USING (bin)
+    """,
+)
+def q60_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = (
+        events.select(
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin"), "value"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+    )
+    grid = agg.agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("bin"))
+    return grid.join(agg, "bin", "left").select(
+        "bin",
+        (F.col("bin") * 25.0).alias("bin_lo"),
+        ((F.col("bin") + 1) * 25.0).alias("bin_hi"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("s", F.lit(0.0)).alias("sum_value"),
+    )

@@ -580,3 +580,58 @@ def curate_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_id"),
         )
     )
+
+
+CHUNK_WIN, CHUNK_STRIDE = 64, 48  # 16-token overlap between neighbors
+
+
+@query(
+    "curate_chunk_split",
+    oracle=f"""
+    SELECT doc_id, c.i AS chunk_idx, c.i * {CHUNK_STRIDE} + 1 AS start_tok,
+           len(toks[c.i * {CHUNK_STRIDE} + 1 :
+                    c.i * {CHUNK_STRIDE} + {CHUNK_WIN}]) AS n_tokens,
+           array_to_string(toks[c.i * {CHUNK_STRIDE} + 1 :
+                                c.i * {CHUNK_STRIDE} + {CHUNK_WIN}], ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t]') AS toks
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(ceil(len(toks) / {CHUNK_STRIDE}.0) AS INT) - 1))
+                  AS i) c
+    """,
+)
+def curate_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized document chunking — the RAG/pretraining stage that
+    turns documents into overlapping token windows (64 tokens, stride
+    48) with provenance (doc_id, chunk index, 1-based token offset).
+    The reconstruction is exact on both engines (identical tokenizer,
+    slice, and join), so the oracle pins chunk *text*, not just counts.
+
+    Scale: pure map-side — tokenize, window, and re-join happen in one
+    generate per document with zero shuffles; output size is corpus
+    size times ~win/stride, the irreducible overlap cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0,
+                    CAST(ceil(size(split(lower(text), '[ \t]'))
+                              / {CHUNK_STRIDE}.0) AS INT) - 1),
+                  i -> struct(
+                    i AS chunk_idx,
+                    i * {CHUNK_STRIDE} + 1 AS start_tok,
+                    size(slice(split(lower(text), '[ \t]'),
+                               i * {CHUNK_STRIDE} + 1, {CHUNK_WIN}))
+                      AS n_tokens,
+                    array_join(slice(split(lower(text), '[ \t]'),
+                                     i * {CHUNK_STRIDE} + 1, {CHUNK_WIN}),
+                               ' ') AS chunk_text))
+                """
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_text")

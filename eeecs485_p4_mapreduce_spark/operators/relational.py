@@ -2791,3 +2791,52 @@ def q60_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("s", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q61: market-basket affinity (frequent-itemset step 1): part pairs
+# co-ordered in at least 2 orders. Scale: the naive form self-joins the
+# fact table on orderkey — shuffling lineitem twice and letting the join
+# fan out. Instead, collapse each order to its sorted distinct part
+# basket (ONE shuffle, map-side combine), then generate pairs from the
+# basket array row-locally: baskets are bounded by order size (7 here),
+# so the pair fanout is basket-squared per ORDER, not per comparison,
+# and the pair count shuffle is again map-side-combined. The oracle
+# states the same thing as the naive self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q61_part_affinity",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q61_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ps, (x, i) ->
+                  transform(slice(ps, i + 2, size(ps)), y ->
+                    struct(x AS part_a, y AS part_b))))
+                """
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -2840,3 +2840,51 @@ def q61_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q62: event transition matrix (Markov step 1 / path mining): for each
+# ordered pair of consecutive event types within a user's timeline, the
+# transition count and conditional probability. Scale: one shuffle on
+# user_id for the lag window (per-user state only), then the transition
+# matrix is type-domain-sized — the probability normalization windows
+# over that tiny table, never the events.
+# ---------------------------------------------------------------------------
+@query(
+    "q62_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    m AS (SELECT prev_type, next_type, count(*) AS n_transitions
+          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_transitions,
+           round(n_transitions * 1.0 /
+                 sum(n_transitions) OVER (PARTITION BY prev_type), 4) AS p
+    FROM m
+    """,
+)
+def q62_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return m.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_prev),
+            4,
+        ).alias("p"),
+    )

@@ -2888,3 +2888,45 @@ def q62_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q63: z-score outlier detection per event type — the broadcast-totals
+# pattern applied to anomaly detection: per-type mean/stddev reduce to a
+# type-domain-sized table that broadcasts back over the fact scan; no
+# second shuffle, no window. The 3-sigma cut compares raw doubles; both
+# engines compute mu/sd from the same values so only an event sitting
+# within float-noise of the exact boundary could diverge (verified
+# hash-stable at sf0.001/0.01/0.1; same caveat class as q17's
+# price-average boundary, documented there).
+# ---------------------------------------------------------------------------
+@query(
+    "q63_value_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type, avg(value) AS mu,
+                      stddev_samp(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sd, 3) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(e.value - s.mu) > 3 * s.sd
+    """,
+)
+def q63_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3).alias(
+                "z"
+            ),
+        )
+    )

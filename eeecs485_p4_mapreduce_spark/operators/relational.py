@@ -2930,3 +2930,73 @@ def q63_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q64: top-N plus "others" — the reporting rollup that keeps the top 3
+# suppliers per nation as named rows and collapses the tail into one
+# OTHERS row (so the report sums to 100% without unbounded cardinality).
+# Scale: revenue reduces per (nation, supplier) with map-side combine;
+# the rank window partitions by nation over supplier-domain-sized data;
+# the dimension joins broadcast. Ranking keys on the 2-dp-rounded
+# revenue (then supplier key), so rank order is engine-portable despite
+# float summation order.
+# ---------------------------------------------------------------------------
+@query(
+    "q64_top_suppliers_others",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, s.s_suppkey, s.s_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY n_name
+                                   ORDER BY r DESC, s_suppkey) AS rk
+      FROM rev
+    )
+    SELECT n_name,
+           CASE WHEN rk <= 3 THEN s_name ELSE 'OTHERS' END AS supplier,
+           round(sum(r), 2) AS revenue,
+           count(*) AS n_suppliers
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q64_top_suppliers_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("r").desc(), F.col("s_suppkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "supplier",
+            F.when(F.col("rk") <= 3, F.col("s_name")).otherwise(
+                F.lit("OTHERS")
+            ),
+        )
+        .groupBy("n_name", "supplier")
+        .agg(
+            F.round(F.sum("r"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

@@ -3000,3 +3000,67 @@ def q64_top_suppliers_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q65: ABC (Pareto) classification of parts by cumulative revenue share:
+# A = parts covering the first 80% of revenue, B = next 15%, C = tail.
+# Scale: revenue reduces per part with map-side combine (the only
+# fact-sized shuffle); the descending cumsum then runs over the
+# part-domain-sized table — dimension-bounded, same documented bound as
+# the percentile window, with the range-partitioned two-level prefix as
+# the escape hatch if the part domain ever rivals the fact count. All
+# arithmetic is integer cents and the class cut compares cum*100 to
+# total*80 — exact integers, so the A/B boundary cannot flip between
+# engines. Total revenue arrives via a broadcast one-row cross join,
+# not an empty-frame window.
+# ---------------------------------------------------------------------------
+@query(
+    "q65_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_partkey, c,
+             sum(c) OVER (ORDER BY c DESC, l_partkey) AS cum,
+             sum(c) OVER () AS tot
+      FROM pr
+    )
+    SELECT l_partkey, c AS rev_cents,
+           CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("bigint")
+        ).alias("c")
+    )
+    tot = pr.agg(F.sum("c").alias("tot"))
+    w = Window.orderBy(F.col("c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("c").over(w))
+        .select(
+            "l_partkey",
+            F.col("c").alias("rev_cents"),
+            F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

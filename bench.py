@@ -120,16 +120,26 @@ def main() -> int:
             cold[name] = timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Cold-run details go to a side file: the driver's stdout capture is
+    # tail-truncated, so the one parsed line must stay small (<~1 KB).
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump({"queries_cold": cold, "queries_warm": timings}, f, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

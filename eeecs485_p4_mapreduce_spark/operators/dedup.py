@@ -420,7 +420,8 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
     """,
@@ -511,6 +512,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard bound for the brute-force path: above this, the driver-side matrix
+# materialization stops being an acceptable oracle and the caller must use
+# the bucketed ANN operators instead.
+MAX_BRUTEFORCE_VECS = 100_000
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -544,6 +551,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_vecs = emb.count()
+    if n_vecs > MAX_BRUTEFORCE_VECS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the O(n^2) small-corpus recall "
+            f"oracle: {n_vecs} vectors exceed the {MAX_BRUTEFORCE_VECS} "
+            f"driver-side bound. Use sim_ann_lsh / sim_ann_multiprobe "
+            f"(operators/similarity.py) — the bucketed scale path."
+        )
     side = emb.toPandas()
     all_ids = side["vec_id"].to_numpy()
     all_m = np.array([np.asarray(v, dtype=np.float64) for v in side["embedding"]])

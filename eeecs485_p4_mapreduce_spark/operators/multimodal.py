@@ -133,17 +133,50 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "head_hex")
 
 
-@query("mm_byte_histogram", oracle=None)  # histogram not SQL-expressible cheaply
+# DuckDB positional byte scan over the ASCII corpus (byte == code point),
+# the same LATERAL range+substr pattern mm_frame_sample's oracle uses.
+_DUCK_BYTE_POS = """
+      FROM documents,
+           LATERAL (SELECT unnest(range(octet_length(encode(text)))) AS i) i
+"""
+_HIST_BINS = ",\n               ".join(
+    f"CAST(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+    for b in range(8)
+)
+
+
+@query(
+    "mm_byte_histogram",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, ascii(substr(text, CAST(i.i + 1 AS INT), 1)) * 8 // 256 AS bin
+      {_DUCK_BYTE_POS}
+    ),
+    h AS (
+      SELECT doc_id,
+             concat_ws(',',
+               {_HIST_BINS}) AS hist_csv
+      FROM pos GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           coalesce(h.hist_csv, '0,0,0,0,0,0,0,0') AS hist_csv
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """,
+)
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fake-feature path including the fixed-length vector output —
-    the shape a real image/audio embedding would have (rows-only check)."""
+    the shape a real image/audio embedding would have. The 8-bin histogram
+    is serialized to CSV so the driver's pandas canonicalizer (which can't
+    sort list cells) and the DuckDB oracle both see a plain string."""
     media = documents_as_media(spark, sf_dir)
     feats = extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
-        F.expr("aggregate(byte_histogram, 0L, (a, x) -> a + x)").alias("hist_sum"),
-        F.expr("size(byte_histogram)").alias("n_bins"),
+        F.expr(
+            "array_join(transform(byte_histogram, x -> cast(x as string)), ',')"
+        ).alias("hist_csv"),
     )
 
 
@@ -348,11 +381,33 @@ def extract_frame_energy(df: DataFrame, batch_size: int = 1024) -> DataFrame:
     return cols.mapInPandas(run, schema=ENERGY_SCHEMA)
 
 
-@query("mm_audio_energy", oracle=None)  # per-byte squares not SQL-cheap
+@query(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i.i // {ENERGY_FRAME_BYTES} AS frame,
+             ascii(substr(text, CAST(i.i + 1 AS INT), 1)) - 128 AS v
+      {_DUCK_BYTE_POS}
+    ),
+    fr AS (
+      SELECT doc_id, frame, CAST(sum(v * v) AS BIGINT) AS fe
+      FROM pos GROUP BY doc_id, frame
+    ),
+    a AS (
+      SELECT doc_id, count(*) AS nf, sum(fe) AS tot, max(fe) AS mx
+      FROM fr GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(coalesce(a.nf, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(a.tot, 0) AS BIGINT) AS total_energy,
+           CAST(coalesce(a.mx, 0) AS BIGINT) AS max_frame_energy
+    FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    """,
+)
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed frame-energy stats per media payload (audio-pipeline
-    shape). Rows-only driver check; exactness is pinned by a pytest
-    reference implementation instead of SQL."""
+    shape): integer (byte-128)^2 sums per 256-byte frame,
+    recomputed positionally in the DuckDB oracle over the ASCII corpus."""
     return extract_frame_energy(documents_as_media(spark, sf_dir))
 
 
@@ -422,9 +477,61 @@ def extract_scene_cuts(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema=SCENE_SCHEMA)
 
 
-@query("mm_scene_cuts", oracle=None)  # per-byte frame diffs not SQL-cheap
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i.i AS i,
+             ascii(substr(text, CAST(i.i + 1 AS INT), 1)) AS v
+      {_DUCK_BYTE_POS}
+    ),
+    dif AS (
+      -- squared byte deltas between frame j and j+1 over their common
+      -- prefix: position i in frame j pairs with i + frame_bytes, and the
+      -- join keeps exactly the positions both frames have.
+      SELECT a.doc_id, a.i // {SCENE_FRAME_BYTES} AS j,
+             CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.i = a.i + {SCENE_FRAME_BYTES}
+      GROUP BY a.doc_id, a.i // {SCENE_FRAME_BYTES}
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n, sum(d) AS total, max(d) AS maxd
+      FROM dif GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT dif.doc_id,
+             count(*) AS n_cuts,
+             string_agg(CAST(dif.j + 1 AS VARCHAR), ',' ORDER BY dif.j) AS csv
+      FROM dif JOIN agg ON dif.doc_id = agg.doc_id
+      WHERE 2 * dif.d * agg.n > 3 * agg.total
+      GROUP BY dif.doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(CASE WHEN octet_length(encode(d.text)) = 0 THEN 0
+                ELSE (octet_length(encode(d.text)) + {SCENE_FRAME_BYTES - 1})
+                     // {SCENE_FRAME_BYTES} END AS BIGINT) AS n_frames,
+           CAST(coalesce(cut.n_cuts, 0) AS BIGINT) AS n_cuts,
+           CAST(coalesce(agg.maxd, 0) AS BIGINT) AS max_diff_energy,
+           coalesce(cut.csv, '') AS cuts_csv
+    FROM documents d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    LEFT JOIN cut ON d.doc_id = cut.doc_id
+    """,
+)
 def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut boundaries per media payload (video-pipeline shape:
-    keyframe selection for caption/embedding extraction). Rows-only driver
-    check; exactness pinned by the pytest reference implementation."""
-    return extract_scene_cuts(documents_as_media(spark, sf_dir))
+    keyframe selection for caption/embedding extraction). The cut list is
+    serialized to CSV — the driver's pandas canonicalizer can't sort list
+    cells — and the whole integer computation (frame diffs over common
+    prefixes, exact 1.5x-mean threshold) is mirrored in the DuckDB oracle
+    as a positional self-join offset by the frame width."""
+    return extract_scene_cuts(documents_as_media(spark, sf_dir)).select(
+        "media_id",
+        "n_frames",
+        "n_cuts",
+        "max_diff_energy",
+        F.expr(
+            "array_join(transform(cut_positions, x -> cast(x as string)), ',')"
+        ).alias("cuts_csv"),
+    )

@@ -63,8 +63,9 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     )
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n) AS n_tokens,
-           round(sum(stop_cnt) * 1.0 / sum(n), 4) AS stopword_ratio
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(CAST(sum(stop_cnt) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4)
+             AS stopword_ratio
     FROM scored
     WHERE n BETWEEN 20 AND 2000
       AND stop_cnt * 1.0 / n < 0.5
@@ -148,8 +149,8 @@ _RATE_CASE = " ".join(
     oracle=f"""
     SELECT lang,
            count(*) AS n_total,
-           sum(CASE WHEN {_DUCK_U} < CASE lang {_RATE_CASE} ELSE 10000 END
-               THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN {_DUCK_U} < CASE lang {_RATE_CASE} ELSE 10000 END
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            min(CASE WHEN {_DUCK_U} < CASE lang {_RATE_CASE} ELSE 10000 END
                THEN doc_id END) AS first_kept_doc
     FROM documents
@@ -176,7 +177,7 @@ def curate_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curate_token_budget",
     oracle="""
-    SELECT doc_id, lang, n, cum
+    SELECT doc_id, lang, n, CAST(cum AS BIGINT) AS cum
     FROM (
       SELECT doc_id, lang, n,
              sum(n) OVER (PARTITION BY lang ORDER BY doc_id
@@ -311,8 +312,10 @@ _DUCK_SHINGLES5 = (
     )
     SELECT doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_boilerplate,
-           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4)
              AS boilerplate_ratio
     FROM wnd
     GROUP BY doc_id

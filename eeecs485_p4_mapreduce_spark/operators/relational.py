@@ -715,7 +715,7 @@ def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_sessionize",
     oracle="""
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
@@ -1060,9 +1060,10 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
-            "value_p50_p95"
-        ),
+        # scalar columns, not the raw array: the driver's canonicalizer
+        # can't sort list cells.
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("value_p50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -1082,11 +1083,14 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
       FROM orders GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority, 'F' AS status, f_cnt AS n_orders FROM agg
+    SELECT o_orderpriority, 'F' AS status, CAST(f_cnt AS BIGINT) AS n_orders
+    FROM agg
     UNION ALL
-    SELECT o_orderpriority, 'O' AS status, o_cnt AS n_orders FROM agg
+    SELECT o_orderpriority, 'O' AS status, CAST(o_cnt AS BIGINT) AS n_orders
+    FROM agg
     UNION ALL
-    SELECT o_orderpriority, 'P' AS status, p_cnt AS n_orders FROM agg
+    SELECT o_orderpriority, 'P' AS status, CAST(p_cnt AS BIGINT) AS n_orders
+    FROM agg
     """,
 )
 def q27_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1893,7 +1897,8 @@ def q43_sliding_window_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS d_custkey,
            count(DISTINCT o_orderstatus) AS d_status,
            count(DISTINCT o_orderpriority) AS d_priority,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_price,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price,
            strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,

@@ -42,6 +42,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The correctness driver checks the first N registered queries in dict
+# order (round 1 stopped at 50 of 124, leaving whole families unchecked).
+# This list pins the front of the window each round: families with no
+# driver signal yet first, then queries whose oracles changed and need
+# re-validation, then the never-checked events-based relational set.
+# Names not present are skipped; everything else keeps registration order.
+DRIVER_PRIORITY = [
+    # SURVEY §2 workloads — never driver-checked in round 1
+    "mr_wordcount",
+    "mr_wordcount_pipeline",
+    "mr_grep",
+    "mr_grep_sorted",
+    # similarity family — never checked
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_ann_lsh",
+    "sim_ivf_label",
+    "sim_ivf_build",
+    "sim_ann_multiprobe",
+    "sim_ivf_search",
+    "sim_embedding_covariance",
+    "sim_random_projection",
+    "sim_topk_projected",
+    # text analysis — never checked
+    "ta_token_stats",
+    "ta_quality_score",
+    "ta_langid",
+    "ta_fingerprint",
+    "ta_top_bigrams",
+    "ta_bpe_token_count",
+    "ta_doc_frequency",
+    "ta_tfidf_top_terms",
+    "ta_pii_scrub",
+    "ta_gopher_repetition",
+    "ta_unigram_logprob",
+    "ta_bpe_merge_candidates",
+    # skew + streaming — never checked
+    "skew_salted_enrich",
+    "skew_salted_agg",
+    "stream_hourly_finalized",
+    "stream_dedup_replay",
+    "stream_sliding_finalized",
+    # round-2 fixes needing driver re-validation (oracle typing / nanos)
+    "dedup_simhash",
+    "pipeline_curate",
+    "curate_sample_stratified",
+    "curate_token_budget",
+    "curate_boilerplate",
+    "mm_byte_histogram",
+    "mm_audio_energy",
+    "mm_scene_cuts",
+    "q18_events_hourly",
+    "q19_sessionize",
+    "q21_json_props",
+    "q22_asof_last_purchase",
+    # never-checked events-based relational (fills the 50-slot window)
+    "q25_event_extremes",
+    "q34_click_attribution",
+    "q35_session_window",
+    "q42_gap_fill_hourly",
+    "q43_sliding_window_trend",
+    "q48_funnel",
+    "q53_retention_cohorts",
+]
+
+
+def _prioritize() -> None:
+    ordered = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    seen = set(ordered)
+    ordered += [n for n in QUERIES if n not in seen]
+    for n in ordered:
+        QUERIES[n] = QUERIES.pop(n)
+
+
 def load_all() -> None:
     """Import every operator module so their @query decorators run."""
     from eeecs485_p4_mapreduce_spark.operators import (  # noqa: F401
@@ -55,3 +129,5 @@ def load_all() -> None:
     )
     from eeecs485_p4_mapreduce_spark import mr_queries  # noqa: F401
     from eeecs485_p4_mapreduce_spark.streaming import queries  # noqa: F401
+
+    _prioritize()

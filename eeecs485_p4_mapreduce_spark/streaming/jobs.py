@@ -309,10 +309,24 @@ def upsert_stream_to_parquet(
             .drop("_rn")
         )
         if Path(out_dir).exists():
+            # Cardinality guard: this collect is bounded by the number of
+            # DISTINCT partition values in the batch, which must stay
+            # driver-sized. A batch touching >10k partitions means the
+            # partition column was mis-chosen (e.g. an id, not a date).
+            max_parts = 10_000
             parts = [
                 r[0]
-                for r in latest.select(partition_col).distinct().collect()
+                for r in latest.select(partition_col)
+                .distinct()
+                .limit(max_parts + 1)
+                .collect()
             ]
+            if len(parts) > max_parts:
+                raise ValueError(
+                    f"snapshot merge saw >{max_parts} distinct "
+                    f"{partition_col!r} values in one batch; pick a "
+                    f"bounded-cardinality partition column"
+                )
             existing = spark.read.parquet(out_dir).filter(
                 F.col(partition_col).isin(parts)
             )

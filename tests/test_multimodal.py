@@ -84,7 +84,12 @@ def test_scene_cuts_matches_reference(spark, sf_dir):
     )
 
     got = {
-        r.media_id: (r.n_frames, r.n_cuts, r.max_diff_energy, list(r.cut_positions))
+        r.media_id: (
+            r.n_frames,
+            r.n_cuts,
+            r.max_diff_energy,
+            [int(x) for x in r.cuts_csv.split(",")] if r.cuts_csv else [],
+        )
         for r in mm_scene_cuts(spark, sf_dir).collect()
     }
     payloads = {

@@ -2,8 +2,18 @@
 
 Runs every registered query on Spark AND its DuckDB oracle over the same
 parquet tables, then compares row count, schema arity, and an
-order-insensitive value hash (columns sorted by name, rows sorted by their
-stringified form). Use this BEFORE the driver does.
+order-insensitive value hash. Use this BEFORE the driver does.
+
+Byte-faithfulness (round-2 fix): the driver canonicalizes through PANDAS
+(`sdf.toPandas()` / `rel.df()`, sort columns by name, `df.sort_values`,
+stringify, hash). That path preserves dtype differences the old
+fetchall-based normalizer masked — DuckDB HUGEINT (sum of BIGINT) lands in
+pandas as float64/object, DECIMAL as decimal.Decimal — so `96` vs `96.0`
+or `0.123` vs `Decimal('0.1230')` hash-mismatch even when values are
+"equal". This replica reproduces that: no float->int collapse, no
+rounding, and `sort_values` is called so list-typed output columns raise
+the same TypeError the driver hits. Local green should predict driver
+green.
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -16,34 +26,60 @@ import sys
 sys.path.insert(0, ".")
 
 
-def normalize_cell(v) -> str:
+def canon_cell(v) -> str:
+    """Stringify one pandas cell with NO cross-type normalization."""
     import datetime
     import math
+
+    import numpy as np
 
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 6))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat(sep=" ")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer,)):
         return str(int(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(v)
+    # decimal.Decimal, str, bytes, pd.Timestamp all go through str() and
+    # keep their type-specific rendering (trailing zeros included).
     return str(v)
 
 
-def table_hash(rows: list[tuple], colnames: list[str]) -> str:
+def canon_lines(pdf) -> list[str]:
+    """Driver-shaped canonicalization of a pandas DataFrame.
+
+    Columns sorted by name; `sort_values` over all columns (raises
+    TypeError for unhashable cells exactly like the driver); each row
+    stringified; the line list re-sorted so the hash is order-insensitive
+    even when sort_values tie-breaks differently across engines.
+    """
+    import pandas as pd  # noqa: F401
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    lines = [
+        "\x1f".join(canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(lines)
+
+
+def lines_hash(lines: list[str]) -> str:
     import hashlib
 
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x1f".join(normalize_cell(r[i]) for i in order) for r in rows
-    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -77,9 +113,8 @@ def main() -> int:
         entry: dict = {}
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-            entry["spark_rows"] = len(s_rows)
+            s_pd = sdf.toPandas()
+            entry["spark_rows"] = len(s_pd)
         except Exception as e:  # noqa: BLE001
             entry["spark_error"] = f"{type(e).__name__}: {str(e)[:300]}"
             results[name] = entry
@@ -87,52 +122,56 @@ def main() -> int:
             print(f"FAIL {name}: spark error {entry['spark_error']}")
             continue
         if name not in ORACLES:
-            entry["status"] = "rows_only"
+            # rows-only queries still go through canonicalization so a
+            # list-typed column fails HERE, not in the driver.
+            try:
+                canon_lines(s_pd)
+                entry["status"] = "rows_only"
+                print(f"ok?  {name}: rows-only ({len(s_pd)} rows)")
+            except Exception as e:  # noqa: BLE001
+                entry["status"] = f"canon_error: {type(e).__name__}: {str(e)[:200]}"
+                failed.append(name)
+                print(f"FAIL {name}: {entry['status']}")
             results[name] = entry
-            print(f"ok?  {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
             rel = con.sql(ORACLES[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            d_pd = rel.df()
         except Exception as e:  # noqa: BLE001
             entry["oracle_error"] = f"{type(e).__name__}: {str(e)[:300]}"
             results[name] = entry
             failed.append(name)
             print(f"FAIL {name}: oracle error {entry['oracle_error']}")
             continue
-        entry["oracle_rows"] = len(d_rows)
+        entry["oracle_rows"] = len(d_pd)
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount {len(s_rows)} != {len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"columns {sorted(s_cols)} != {sorted(d_cols)}")
+        if len(s_pd) != len(d_pd):
+            problems.append(f"rowcount {len(s_pd)} != {len(d_pd)}")
+        if sorted(s_pd.columns) != sorted(d_pd.columns):
+            problems.append(
+                f"columns {sorted(s_pd.columns)} != {sorted(d_pd.columns)}"
+            )
         else:
-            sh, dh = table_hash(s_rows, s_cols), table_hash(d_rows, d_cols)
-            if sh != dh:
-                problems.append(f"value hash {sh} != {dh}")
+            try:
+                s_lines, d_lines = canon_lines(s_pd), canon_lines(d_pd)
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"canon_error {type(e).__name__}: {str(e)[:200]}")
+            else:
+                if lines_hash(s_lines) != lines_hash(d_lines):
+                    problems.append("value hash mismatch")
+                    d_set = set(d_lines)
+                    s_set = set(s_lines)
+                    for x in [x for x in s_lines if x not in d_set][:3]:
+                        print(f"    spark-only: {x[:160]}")
+                    for x in [x for x in d_lines if x not in s_set][:3]:
+                        print(f"    duck-only:  {x[:160]}")
         if problems:
             entry["status"] = "MISMATCH: " + "; ".join(problems)
             failed.append(name)
             print(f"FAIL {name}: {entry['status']}")
-            if "hash" in entry["status"]:
-                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                s_set = sorted(
-                    "\x1f".join(normalize_cell(r[i]) for i in order) for r in s_rows
-                )
-                dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                d_set = sorted(
-                    "\x1f".join(normalize_cell(r[i]) for i in dorder) for r in d_rows
-                )
-                s_only = [x for x in s_set if x not in set(d_set)][:3]
-                d_only = [x for x in d_set if x not in set(s_set)][:3]
-                for x in s_only:
-                    print(f"    spark-only: {x[:160]}")
-                for x in d_only:
-                    print(f"    duck-only:  {x[:160]}")
         else:
             entry["status"] = "match"
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_pd)} rows)")
         results[name] = entry
 
     print(json.dumps({"failed": failed, "n": len(results)}))

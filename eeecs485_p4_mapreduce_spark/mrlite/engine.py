@@ -95,6 +95,58 @@ class MREngine:
         self.spark = spark
         self._next_job_id = 0
 
+    def _file_shuffle(self, mapped, intermediate_dir: str, job_id: int, num_reducers: int):
+        """K2 debug shuffle: materialize map output as the reference's
+        ``job-{j}/intermediate/maptask%05d-part%05d`` files, then build the
+        reduce input by reading them back.
+
+        Map task id == partition index of ``mapped`` (parity_tasks pins one
+        partition per map task). Each map task streams its pairs into
+        ``num_reducers`` open files routed by md5(key) — O(1) memory like
+        the reference worker's per-partition file handles; file content is
+        unsorted map-output order (§2.2 M3). The reduce side then sorts its
+        merged input by (key, value) (§2.4 R1), reproducing the reference's
+        read-intermediates-then-sort flow byte for byte.
+        """
+        inter = Path(intermediate_dir) / f"job-{job_id}" / "intermediate"
+        inter.mkdir(parents=True, exist_ok=True)
+        base = str(inter)
+
+        def dump(idx: int, pairs: Iterator[tuple[str, str]]) -> Iterator[int]:
+            handles = [
+                (Path(base) / f"maptask{idx:05d}-part{p:05d}").open(
+                    "w", encoding="utf-8"
+                )
+                for p in range(num_reducers)
+            ]
+            try:
+                for k, v in pairs:
+                    handles[md5_partition(k, num_reducers)].write(f"{k}\t{v}\n")
+            finally:
+                for h in handles:
+                    h.close()
+            yield idx
+
+        # Action = the reference's map→reduce barrier (§2.3 X2): every
+        # intermediate file is on disk before any reduce task reads.
+        mapped.mapPartitionsWithIndex(dump).count()
+
+        def read_partition(idx: int, _elems) -> Iterator[tuple[str, str]]:
+            rows: list[tuple[str, str]] = []
+            for mp in sorted(Path(base).glob(f"maptask*-part{idx:05d}")):
+                with mp.open(encoding="utf-8") as f:
+                    for line in f:
+                        rows.append(_parse_kv(line.rstrip("\n")))
+            rows.sort()
+            return iter(rows)
+
+        sc = self.spark.sparkContext
+        # parallelize(range(n), n) puts element i in partition i, so the
+        # mapPartitionsWithIndex index is the reduce partition id.
+        return sc.parallelize(range(num_reducers), num_reducers).mapPartitionsWithIndex(
+            read_partition
+        )
+
     def submit_job(
         self,
         input_directory: str,
@@ -104,6 +156,7 @@ class MREngine:
         num_mappers: int = 2,
         num_reducers: int = 2,
         parity_tasks: bool = True,
+        intermediate_dir: str | None = None,
     ) -> MRJobResult:
         """Run one MapReduce job; mirrors the reference's new_manager_job
         message fields and CLI defaults (2 mappers / 2 reducers —
@@ -113,6 +166,17 @@ class MREngine:
         to an external executable (reference behavior: subprocess over
         stdin/stdout via RDD.pipe) or a Python callable (built-in fast
         path, see builtins.py for the protocol).
+
+        ``intermediate_dir`` enables the reference's debug materialization
+        (K2): map output is written to
+        ``{intermediate_dir}/job-{job_id}/intermediate/maptask%05d-part%05d``
+        (reference naming: tests/test_worker_08.py:160-175,
+        tests/test_manager_03.py:169-171) and the reduce stage reads those
+        files back — the data plane flows through inspectable files exactly
+        like the reference's shared-tmp layout. Default (None) uses Spark's
+        in-memory shuffle; the debug path trades speed for byte-level
+        inspectability and assumes a filesystem shared by all executors
+        (true in local mode and on any NFS/DBFS-style cluster tmp).
         """
         if mapper_executable is None or reducer_executable is None:
             raise ValueError("mapper and reducer are required")
@@ -151,14 +215,19 @@ class MREngine:
         # Shuffle (§2.2 M2 + §2.4 R1): md5(key) partitioning, then sort
         # within each partition by (key, value) — the whole-line
         # lexicographic order the reference's merge-sort produces.
-        shuffled = (
-            mapped.map(lambda kv: (kv, None))
-            .repartitionAndSortWithinPartitions(
-                numPartitions=num_reducers,
-                partitionFunc=lambda kv: md5_partition(kv[0], num_reducers),
+        if intermediate_dir is not None:
+            shuffled = self._file_shuffle(
+                mapped, intermediate_dir, job_id, num_reducers
             )
-            .map(lambda kvn: kvn[0])
-        )
+        else:
+            shuffled = (
+                mapped.map(lambda kv: (kv, None))
+                .repartitionAndSortWithinPartitions(
+                    numPartitions=num_reducers,
+                    partitionFunc=lambda kv: md5_partition(kv[0], num_reducers),
+                )
+                .map(lambda kvn: kvn[0])
+            )
 
         # Reduce stage (§2.4 R2).
         if callable(reducer_executable):

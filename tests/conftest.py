@@ -44,20 +44,30 @@ def duck(sf_dir):
 
 
 def assert_query_matches_oracle(spark, duck, sf_dir: str, name: str) -> None:
-    """Driver-style compare: rowcount + column names + order-insensitive hash."""
+    """Driver-style compare: rowcount + column names + order-insensitive hash.
+
+    Uses the same pandas-shaped canonicalization as tools/oracle_check.py
+    (the round-2 byte-faithful replica of the driver's normalizer), so a
+    test-suite pass predicts a driver pass.
+    """
     sys.path.insert(0, str(REPO_ROOT / "tools"))
-    from oracle_check import table_hash
+    from oracle_check import canon_lines, lines_hash
 
     from eeecs485_p4_mapreduce_spark.registry import ORACLES, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pd = QUERIES[name](spark, sf_dir).toPandas()
     rel = duck.sql(ORACLES[name])
-    d_rows = rel.fetchall()
-    assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} != {len(d_rows)}"
-    assert sorted(sdf.columns) == sorted(rel.columns), (
-        f"{name}: columns {sorted(sdf.columns)} != {sorted(rel.columns)}"
+    d_pd = rel.df()
+    assert len(s_pd) == len(d_pd), f"{name}: rowcount {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns), (
+        f"{name}: columns {sorted(s_pd.columns)} != {sorted(d_pd.columns)}"
     )
-    assert table_hash(s_rows, sdf.columns) == table_hash(d_rows, rel.columns), (
-        f"{name}: value hash mismatch"
-    )
+    s_lines, d_lines = canon_lines(s_pd), canon_lines(d_pd)
+    if lines_hash(s_lines) != lines_hash(d_lines):
+        d_set, s_set = set(d_lines), set(s_lines)
+        spark_only = [x for x in s_lines if x not in d_set][:3]
+        duck_only = [x for x in d_lines if x not in s_set][:3]
+        raise AssertionError(
+            f"{name}: value hash mismatch\n  spark-only: {spark_only}\n"
+            f"  duck-only:  {duck_only}"
+        )

@@ -174,3 +174,56 @@ def test_streaming_large_input(engine, tmp_path):
     )
     assert total > 100_000  # ~640k tokens in the Tolstoy corpus
     assert elapsed < 30.0, f"3.7 MB map+reduce took {elapsed:.1f}s"
+
+
+def test_intermediate_debug_materialization(engine, tmp_path):
+    """K2 debug mode: the 2x2 wc job with intermediate_dir set must write
+    the reference's exact scratch layout —
+    job-{j}/intermediate/maptask%05d-part%05d
+    (reference: tests/test_worker_08.py:160-175,
+    tests/test_manager_03.py:169-171) — with BYTE-identical content to an
+    independent oracle that pipes each round-robin file group through the
+    reference's wc_map.sh and routes lines by md5(key), and the final
+    output must still match the golden word count."""
+    import subprocess
+
+    from eeecs485_p4_mapreduce_spark.mrlite import md5_partition
+
+    scratch = tmp_path / "scratch"
+    res = engine.submit_job(
+        input_directory=str(REF / "input"),
+        output_directory=str(tmp_path / "out"),
+        mapper_executable=str(REF / "exec/wc_map.sh"),
+        reducer_executable=str(REF / "exec/wc_reduce.sh"),
+        num_mappers=2,
+        num_reducers=2,
+        intermediate_dir=str(scratch),
+    )
+    inter = scratch / f"job-{res.job_id}" / "intermediate"
+    names = sorted(p.name for p in inter.iterdir())
+    assert names == [
+        "maptask00000-part00000",
+        "maptask00000-part00001",
+        "maptask00001-part00000",
+        "maptask00001-part00001",
+    ]
+
+    # Independent oracle: same round-robin split (sorted files, i::2),
+    # same executable, same md5 routing — computed without the engine.
+    files = sorted(p for p in (REF / "input").iterdir() if p.is_file())
+    for m in range(2):
+        group = files[m::2]
+        blob = b"".join(p.read_bytes() for p in group)
+        out = subprocess.run(
+            [str(REF / "exec/wc_map.sh")], input=blob, capture_output=True,
+            check=True,
+        ).stdout.decode()
+        expected = {0: [], 1: []}
+        for line in out.splitlines():
+            key = line.split("\t", 1)[0]
+            expected[md5_partition(key, 2)].append(line + "\n")
+        for p in range(2):
+            got = (inter / f"maptask{m:05d}-part{p:05d}").read_text()
+            assert got == "".join(expected[p]), f"maptask{m}-part{p} differs"
+
+    assert sorted(res.read_lines()) == sorted(golden_wordcount())

@@ -93,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             from eeecs485_p4_mapreduce_spark.catalog import TABLES, table_path
 
             sys.path.insert(0, "tools")
-            from oracle_check import table_hash
+            from oracle_check import canon_lines, lines_hash
 
             con = duckdb.connect()
             for t in TABLES:
@@ -101,16 +101,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"CREATE VIEW {t} AS SELECT * FROM"
                     f" read_parquet('{table_path(args.sf_dir, t)}')"
                 )
-            s_rows = [tuple(r) for r in df.collect()]
+            s_pd = df.toPandas()
             rel = con.sql(ORACLES[name])
-            d_rows = rel.fetchall()
+            d_pd = rel.df()
             ok = (
-                len(s_rows) == len(d_rows)
-                and sorted(df.columns) == sorted(rel.columns)
-                and table_hash(s_rows, df.columns) == table_hash(d_rows, rel.columns)
+                len(s_pd) == len(d_pd)
+                and sorted(s_pd.columns) == sorted(d_pd.columns)
+                and lines_hash(canon_lines(s_pd)) == lines_hash(canon_lines(d_pd))
             )
             con.close()
-            print(f"{name}: {'PASS' if ok else 'FAIL'} ({len(s_rows)} rows)")
+            print(f"{name}: {'PASS' if ok else 'FAIL'} ({len(s_pd)} rows)")
             rc = rc if ok else 1
             continue
         print(f"== {name} ==")

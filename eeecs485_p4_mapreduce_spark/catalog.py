@@ -40,21 +40,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which vanilla Spark 4
-        # refuses to read. This conf is runtime-settable, so flip it here
-        # rather than at session-build time: the correctness driver hands us
-        # its own vanilla SparkSession, which our session factory never saw.
+        # Some generations of events.parquet store TIMESTAMP(NANOS), which
+        # vanilla Spark 4 refuses to read. This conf is runtime-settable, so
+        # flip it here rather than at session-build time: the correctness
+        # driver hands us its own vanilla SparkSession, which our session
+        # factory never saw.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to
-        # microseconds exactly like DuckDB does when it reads the same file.
-        # Integer division is load-bearing: `/` is double division, and
-        # doubles can't represent 1.7e18 nanos exactly (off-by-1-microsecond
-        # errors that second-granularity outputs hide but micros expose).
+    if name == "events":
+        # Normalize ts to TIMESTAMP (LTZ) at micros precision regardless of
+        # how this generation of the file stores it:
+        #  - TIMESTAMP(NANOS) → bigint via nanosAsLong → timestamp_micros.
+        #    Integer division is load-bearing: `/` is double division, and
+        #    doubles can't represent 1.7e18 nanos exactly.
+        #  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ → cast.
+        #    Same wall-clock under the UTC session; LTZ is what
+        #    unix_micros()/window() downstream require.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -2019,11 +2019,18 @@ def q46_zvalue_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q47_share_of_total",
     oracle="""
+    -- CAST AS DOUBLE before dividing: DuckDB's BIGINT*DECIMAL path keeps
+    -- exact decimal arithmetic whose round(,6) can land one ulp away from
+    -- Spark's double division at half-way points; double-on-same-ints is
+    -- bit-identical on both engines.
     SELECT c_custkey, c_mktsegment, bal_cents,
-           round(bal_cents * 1.0
-                 / sum(bal_cents) OVER (PARTITION BY c_mktsegment), 6)
+           round(CAST(bal_cents AS DOUBLE)
+                 / CAST(sum(bal_cents) OVER (PARTITION BY c_mktsegment)
+                        AS DOUBLE), 6) + 0.0
              AS share_segment,
-           round(bal_cents * 1.0 / sum(bal_cents) OVER (), 6) AS share_total
+           round(CAST(bal_cents AS DOUBLE)
+                 / CAST(sum(bal_cents) OVER () AS DOUBLE), 6) + 0.0
+             AS share_total
     FROM (SELECT c_custkey, c_mktsegment,
                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
           FROM customer)
@@ -2048,11 +2055,13 @@ def q47_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             "bal_cents",
-            F.round(
-                F.col("bal_cents") * 1.0 / F.col("seg_cents"), 6
+            (
+                F.round(F.col("bal_cents") * 1.0 / F.col("seg_cents"), 6)
+                + F.lit(0.0)  # collapse IEEE -0.0, mirroring the oracle
             ).alias("share_segment"),
-            F.round(
-                F.col("bal_cents") * 1.0 / F.col("all_cents"), 6
+            (
+                F.round(F.col("bal_cents") * 1.0 / F.col("all_cents"), 6)
+                + F.lit(0.0)
             ).alias("share_total"),
         )
     )
@@ -2290,7 +2299,7 @@ def q50_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dom AS (
       SELECT l_suppkey, count(*) AS n_dominated,
-             sum(sq) AS dominated_qty
+             CAST(sum(sq) AS BIGINT) AS dominated_qty
       FROM (SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS pt FROM ps)
       WHERE 5 * sq > pt
       GROUP BY l_suppkey
@@ -2601,7 +2610,7 @@ def q56_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts AS (SELECT t, sum(d) AS d FROM deltas GROUP BY t),
     cum AS (SELECT t, sum(d) OVER (ORDER BY t) AS conc FROM pts)
     SELECT CAST(CAST(make_timestamp(t) AS DATE) AS VARCHAR) AS day,
-           max(conc) AS peak_concurrency
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
     FROM cum GROUP BY 1
     """,
 )
@@ -3025,8 +3034,8 @@ def q64_top_suppliers_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pr AS (
       SELECT l_partkey,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                 AS BIGINT)) AS c
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS c
       FROM lineitem GROUP BY 1
     ),
     cum AS (

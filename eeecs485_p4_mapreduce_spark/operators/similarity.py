@@ -149,11 +149,12 @@ _DUCK_BUCKETED = f"""
       SELECT e.vec_id,
              any_value(e.label) AS label,
              any_value(e.embedding) AS embedding,
-             sum(CASE WHEN
+             CAST(sum(CASE WHEN
                    list_sum(list_transform(range(1, {DIM + 1}),
                      i -> (CASE WHEN {_DUCK_SIGN} = 1 THEN 1.0 ELSE -1.0 END)
                           * (e.embedding::DOUBLE[])[i])) > 0.0
-                 THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END) AS bucket
+                 THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END) AS BIGINT)
+               AS bucket
       FROM embeddings e, (SELECT unnest(range({N_PLANES})) AS j) j
       GROUP BY e.vec_id
 """
@@ -601,7 +602,9 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.i AS i, b.i AS j,
-           round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 5) AS cov
+           -- + 0.0 collapses IEEE negative zero (round(-1e-9, 5) is -0.0 in
+           -- DuckDB but 0.0 in Spark; they stringify differently)
+           round(avg(a.x * b.x) - avg(a.x) * avg(b.x), 5) + 0.0 AS cov
     FROM ex a JOIN ex b USING (vec_id)
     WHERE a.i <= b.i
     GROUP BY 1, 2
@@ -635,10 +638,12 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     ).select("t.i", "t.j", "t.xi", "t.xj")
     return tri.groupBy("i", "j").agg(
-        F.round(
-            F.avg(F.col("xi") * F.col("xj"))
-            - F.avg("xi") * F.avg("xj"),
-            5,
+        (
+            F.round(
+                F.avg(F.col("xi") * F.col("xj")) - F.avg("xi") * F.avg("xj"),
+                5,
+            )
+            + F.lit(0.0)  # collapse IEEE -0.0, mirroring the oracle
         ).alias("cov")
     )
 

@@ -107,7 +107,8 @@ def salted_agg(
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
            count(*) AS n_items
     FROM lineitem
     GROUP BY l_returnflag

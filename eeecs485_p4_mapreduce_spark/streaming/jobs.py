@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("ts", TimestampType()),  # parquet timestamp[us]
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -57,11 +57,12 @@ def spool_events(spark: SparkSession, sf_dir: str, spool_dir: str) -> str:
 
 
 def read_event_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
-    """File-source event stream with the nanos→timestamp conversion the
-    batch catalog applies (catalog.load_table)."""
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(spool_dir)
-    # div (integer division) — double `/` loses microseconds at 1.7e18 nanos.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """File-source event stream over the spool, ts typed like the batch
+    catalog's events table (catalog.load_table): TIMESTAMP, micros
+    precision. The explicit schema forces LTZ on the parquet's
+    isAdjustedToUTC=false micros — identical wall-clock under the UTC
+    session this engine pins."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(spool_dir)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -1,0 +1,113 @@
+"""TCP submit-endpoint parity tests: the reference's OWN client script
+(/root/reference/mapreduce/submit.py, run as a subprocess at test time —
+never copied) must be able to submit a job to MRManagerServer and get the
+golden word-count output, proving C1's network hop works unchanged for
+existing user scripts."""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference")
+REF_DATA = REF / "tests/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not REF_DATA.is_dir(), reason="reference testdata not available"
+)
+
+
+@pytest.fixture()
+def server(spark):
+    from eeecs485_p4_mapreduce_spark.mrlite import MREngine, MRManagerServer
+
+    srv = MRManagerServer(MREngine(spark), port=0).start()
+    yield srv
+    srv.stop()
+    srv.join(timeout=10)
+
+
+def _send(port: int, message: dict) -> None:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.connect(("localhost", port))
+        sock.sendall(json.dumps(message).encode())
+
+
+def _wait_jobs(server, n: int, timeout: float = 120.0) -> None:
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if len(server.jobs) >= n and all(
+            rec.done.is_set() for rec in server.jobs[:n]
+        ):
+            return
+        time.sleep(0.2)
+    raise TimeoutError(f"jobs not finished: {[(r.error, r.result) for r in server.jobs]}")
+
+
+def test_reference_submit_client_runs_wc_job(server, tmp_path):
+    """Drive the endpoint with the reference's actual mapreduce-submit
+    client: its fire-and-forget TCP JSON message must produce the golden
+    2x2 word count."""
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REF / "mapreduce/submit.py"),
+            "--port", str(server.port),
+            "--input", str(REF_DATA / "input"),
+            "--output", str(out_dir),
+            "--mapper", str(REF_DATA / "exec/wc_map.sh"),
+            "--reducer", str(REF_DATA / "exec/wc_reduce.sh"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "Submitted job" in proc.stdout
+
+    _wait_jobs(server, 1)
+    rec = server.jobs[0]
+    assert rec.error is None
+    assert rec.result is not None and len(rec.result.output_paths) == 2
+    golden = (REF_DATA / "correct/word_count_correct.txt").read_text().splitlines()
+    assert sorted(rec.result.read_lines()) == sorted(golden)
+
+
+def test_fifo_queueing_and_malformed_messages(server, tmp_path):
+    """Two jobs submitted back-to-back run FIFO with increasing job ids
+    (reference tests/test_manager_05/06 queue behavior); malformed JSON
+    is discarded without killing the server."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.connect(("localhost", server.port))
+        sock.sendall(b"this is not json {")
+    base = {
+        "message_type": "new_manager_job",
+        "input_directory": str(REF_DATA / "input_small"),
+        "mapper_executable": str(REF_DATA / "exec/wc_map.sh"),
+        "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+        "num_mappers": 1,
+        "num_reducers": 1,
+    }
+    _send(server.port, {**base, "output_directory": str(tmp_path / "a")})
+    _send(server.port, {**base, "output_directory": str(tmp_path / "b")})
+    _wait_jobs(server, 2)
+    a, b = server.jobs
+    assert a.error is None and b.error is None
+    assert b.result.job_id == a.result.job_id + 1
+    assert a.result.read_lines() == b.result.read_lines()
+
+
+def test_shutdown_message_stops_server(server):
+    """The reference's shutdown message terminates both server threads."""
+    _send(server.port, {"message_type": "shutdown"})
+    deadline = time.monotonic() + 10
+    while server.is_alive() and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert not server.is_alive()

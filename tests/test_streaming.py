@@ -177,7 +177,6 @@ def test_upsert_sink_matches_batch_and_is_idempotent(spark, sf_dir, spool, tmp_p
             spark.readStream.schema(jobs.EVENT_SCHEMA)
             .option("maxFilesPerTrigger", 1)  # force multi-batch upserts
             .parquet(spool)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
         q = jobs.upsert_stream_to_parquet(
             stream, out, ckpt,
@@ -244,8 +243,9 @@ def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode watermark semantics across micro-batches: an event
     arriving after the watermark has passed its window must be dropped,
     not merged — the bounded-state guarantee the streaming jobs rely on."""
-    from pyspark.sql import Row, functions as F
+    import datetime as dt
 
+    from pyspark.sql import Row
     from eeecs485_p4_mapreduce_spark.streaming import jobs
 
     spool = tmp_path / "late-spool"
@@ -255,7 +255,9 @@ def test_watermark_drops_late_events(spark, tmp_path):
         rows = [
             Row(
                 event_id=i,
-                ts=int(ts * 1_000_000_000),  # TIMESTAMP(NANOS) convention
+                ts=dt.datetime.fromtimestamp(ts, dt.timezone.utc).replace(
+                    tzinfo=None
+                ),
                 user_id=1,
                 event_type="click",
                 value=1.0,
@@ -273,10 +275,8 @@ def test_watermark_drops_late_events(spark, tmp_path):
     out = str(tmp_path / "late-out")
 
     def run_once():
-        stream = (
-            spark.readStream.schema(jobs.EVENT_SCHEMA)
-            .parquet(str(spool) + "/*.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        stream = spark.readStream.schema(jobs.EVENT_SCHEMA).parquet(
+            str(spool) + "/*.parquet"
         )
         q = (
             jobs.hourly_counts(stream, watermark="2 hours")

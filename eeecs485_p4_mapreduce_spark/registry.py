@@ -84,6 +84,8 @@ DRIVER_PRIORITY = [
     "stream_hourly_finalized",
     "stream_dedup_replay",
     "stream_sliding_finalized",
+    "stream_click_attribution",
+    "stream_enriched_segment_totals",
     # round-2 fixes needing driver re-validation (oracle typing / nanos)
     "dedup_simhash",
     "pipeline_curate",

@@ -159,3 +159,102 @@ def stream_sliding_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (streaming/jobs.py
+    click_to_purchase_stream) driven to completion: purchases attributed
+    to same-user clicks within a 30-minute horizon. Both sides carry
+    watermarks and the join interval is bounded, so join state expires
+    with the watermark — O(horizon), not O(history). The batch oracle is
+    the identical interval join in SQL; a hash match proves the
+    stream-stream join semantics end-to-end (q34's batch twin,
+    generalizing the reference's R2 grouping to joins —
+    /root/reference/tests/test_worker_07.py:96-124)."""
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import (
+        click_to_purchase_stream,
+    )
+
+    spool = _spool(spark, sf_dir)
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory(
+            click_to_purchase_stream(read_event_stream(spark, spool)),
+            name,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return spark.table(name).select(
+        "click_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+        "purchase_value",
+    )
+
+
+@query(
+    "stream_enriched_segment_totals",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_enriched_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment (streaming/jobs.py
+    enrich_stream) driven to completion, then rolled up per market
+    segment. The dimension is broadcast per micro-batch (no stream
+    shuffle, no state) — the standard scale pattern for dimension
+    enrichment; the batch oracle is the same LEFT JOIN + GROUP BY."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import enrich_stream
+
+    customers = load_table(spark, sf_dir, "customer")
+    spool = _spool(spark, sf_dir)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory(
+            enrich_stream(read_event_stream(spark, spool), customers),
+            name,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+            "user_id",
+            "value",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -74,11 +74,10 @@ HEADLINE = [
 def _run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    # Force full execution. Aggregated results are small; collect is fine
-    # and mirrors what the driver's correctness gate does.
-    n = df.count()
-    rows = df.limit(1).collect()
-    del n, rows
+    # Force ONE full execution of the plan. The noop sink materializes
+    # every row without driver-side collection — unlike count()+collect()
+    # which runs the plan twice and measures the driver round-trip.
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 

@@ -60,6 +60,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ivf_build",
     "sim_ivf_search",
+    "sim_pq_search",
     "ta_token_stats",
     "ta_tfidf_top_terms",
     "ta_gopher_repetition",

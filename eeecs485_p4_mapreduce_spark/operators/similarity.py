@@ -821,3 +821,207 @@ def sim_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 4).alias("cosine"),
         )
     )
+
+
+# --- Product quantization (PQ) + asymmetric distance computation (ADC) ----
+# The billion-vector ANN memory story: each vector is compressed to M
+# sub-space codes (here 4 codes over 16-dim sub-vectors, codebook size 8),
+# so the searchable index holds M small ints per vector instead of DIM
+# floats; queries score candidates via a per-query distance TABLE (query →
+# every centroid, M*K entries) and sum M table lookups per candidate
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — public). Codebook = the first PQ_K corpus vectors
+# (deterministic k-means-sample init), so both engines derive it from the
+# data itself and every distance is a bit-identical sequential fold.
+
+PQ_M = 4                 # sub-spaces
+PQ_SUB = DIM // PQ_M     # dims per sub-space (16)
+PQ_K = 8                 # centroids per sub-space
+
+
+def _pq_dist_expr(vcol: str, ccol: str, s: int) -> str:
+    """Squared L2 between the s-th sub-vectors of two double arrays, as a
+    left-associated JVM fold (bit-identical to the oracle's list_sum)."""
+    off = s * PQ_SUB + 1
+    return (
+        f"aggregate(zip_with(slice({vcol}, {off}, {PQ_SUB}),"
+        f" slice({ccol}, {off}, {PQ_SUB}),"
+        " (x, y) -> (x - y) * (x - y)), 0.0d, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+
+
+def _pq_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, qerr): nearest centroid per sub-space.
+
+    Scale shape: the codebook is PQ_K full vectors — broadcast; each
+    corpus vector expands to PQ_K * PQ_M (code, subspace) distance rows
+    map-side, and the argmin window runs per (vec_id, subspace) — the one
+    shuffle is keyed on the corpus id, never all-pairs. At 100 TB the
+    explode factor is the constant M*K=32, independent of corpus size.
+    """
+    structs = ", ".join(
+        f"struct({s} as subspace, {_pq_dist_expr('v', 'cv', s)} as qerr)"
+        for s in range(PQ_M)
+    )
+    d = (
+        emb.crossJoin(F.broadcast(_pq_codebook(emb)))
+        .select(
+            "vec_id",
+            "code",
+            F.explode(F.expr(f"array({structs})")).alias("sd"),
+        )
+        .select("vec_id", F.col("sd.subspace").alias("subspace"), "code", F.col("sd.qerr").alias("qerr"))
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("qerr", "code")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_DUCK_PQ_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {PQ_K}),
+    pqd AS (
+      SELECT e.vec_id, s.s AS subspace, cb.code,
+             list_sum(list_transform(range(1, {PQ_SUB + 1}), i ->
+               (e.v[s.s * {PQ_SUB} + i] - cb.cv[s.s * {PQ_SUB} + i])
+               * (e.v[s.s * {PQ_SUB} + i] - cb.cv[s.s * {PQ_SUB} + i])))
+               AS qerr
+      FROM e, (SELECT unnest(range({PQ_M})) AS s) s, cb
+    ),
+    pqa AS (
+      SELECT vec_id, subspace, code, qerr FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY qerr, code) AS rn
+        FROM pqd
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "sim_pq_encode",
+    oracle=f"""
+    WITH {_DUCK_PQ_CTES}
+    SELECT vec_id, subspace, code, round(qerr, 4) AS qerr FROM pqa
+    """,
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index build: compress every vector to PQ_M nearest-centroid
+    codes (+ per-sub-space quantization error). See module PQ comment for
+    the scale argument; the oracle recomputes the identical assignment
+    relationally."""
+    emb = _pq_emb(spark, sf_dir)
+    a = _pq_assignments(emb)
+    return a.select(
+        "vec_id", "subspace", "code", F.round("qerr", 4).alias("qerr")
+    )
+
+
+@query(
+    "sim_pq_search",
+    oracle=f"""
+    WITH {_DUCK_PQ_CTES},
+    wide AS (
+      SELECT vec_id,
+             max(CASE WHEN subspace = 0 THEN code END) AS c0,
+             max(CASE WHEN subspace = 1 THEN code END) AS c1,
+             max(CASE WHEN subspace = 2 THEN code END) AS c2,
+             max(CASE WHEN subspace = 3 THEN code END) AS c3
+      FROM pqa GROUP BY vec_id
+    ),
+    qd AS (SELECT * FROM pqd WHERE vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, rank, round(adc, 4) AS adc_dist
+    FROM (
+      SELECT q0.vec_id AS query_id, w.vec_id AS neighbor_id,
+             q0.qerr + q1.qerr + q2.qerr + q3.qerr AS adc,
+             row_number() OVER (
+               PARTITION BY q0.vec_id
+               ORDER BY q0.qerr + q1.qerr + q2.qerr + q3.qerr, w.vec_id
+             ) AS rank
+      FROM wide w
+      JOIN qd q0 ON q0.subspace = 0 AND q0.code = w.c0
+      JOIN qd q1 ON q1.subspace = 1 AND q1.code = w.c1
+                AND q1.vec_id = q0.vec_id
+      JOIN qd q2 ON q2.subspace = 2 AND q2.code = w.c2
+                AND q2.vec_id = q0.vec_id
+      JOIN qd q3 ON q3.subspace = 3 AND q3.code = w.c3
+                AND q3.vec_id = q0.vec_id
+      WHERE w.vec_id <> q0.vec_id
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: approximate L2 of query→candidate as the sum of the M
+    table lookups dist(query sub-vector, candidate's assigned centroid).
+
+    Scale shape: the distance table (N_QUERIES * PQ_M * PQ_K rows) and
+    the query list are broadcast; candidates carry only their M codes, so
+    the scored relation is |corpus| * N_QUERIES rows of pure column
+    arithmetic with NO vector math — the whole point of PQ. The adc sum
+    is written d0+d1+d2+d3 (left-associated) on both engines so the
+    doubles are bit-identical."""
+    emb = _pq_emb(spark, sf_dir)
+    codes = _pq_assignments(emb)
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    structs = ", ".join(
+        f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
+        for s in range(PQ_M)
+    )
+    dtable = (
+        queries.crossJoin(F.broadcast(_pq_codebook(emb)))
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.expr(f"array({structs})")).alias("sd"),
+        )
+        .select("query_id", F.col("sd.subspace").alias("subspace"), "code", F.col("sd.qdist").alias("qdist"))
+    )
+    res = wide.crossJoin(F.broadcast(queries.select("query_id")))
+    for s in range(PQ_M):
+        dts = dtable.filter(F.col("subspace") == s).select(
+            "query_id",
+            F.col("code").alias(f"c{s}"),
+            F.col("qdist").alias(f"d{s}"),
+        )
+        res = res.join(F.broadcast(dts), ["query_id", f"c{s}"])
+    adc = (
+        ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    ).alias("adc_raw")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_raw"), F.col("vec_id"))
+    return (
+        res.filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), adc, F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_raw", 4).alias("adc_dist"),
+        )
+    )

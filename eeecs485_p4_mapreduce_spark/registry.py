@@ -65,6 +65,8 @@ DRIVER_PRIORITY = [
     "sim_embedding_covariance",
     "sim_random_projection",
     "sim_topk_projected",
+    "sim_pq_encode",
+    "sim_pq_search",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

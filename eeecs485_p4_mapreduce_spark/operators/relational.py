@@ -3078,3 +3078,83 @@ def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q66: incremental materialized-view maintenance — the warehouse pattern
+# that keeps a 100 TB rollup fresh without rescanning history. A stored
+# hourly rollup (count / sum / min / max per (hour, event_type), i.e. only
+# MERGEABLE partial aggregates; avg is derived at read time) is combined
+# with a freshly aggregated delta batch by re-aggregating the UNION of
+# partials. Scale: the merge touches |rollup| + |delta| rows — never the
+# event history; at 100 TB the rollup is ~6 orders of magnitude smaller
+# than the fact table. The demo materializes the "stored" rollup to
+# parquet first (event_id <= split simulates yesterday's snapshot) so the
+# merge genuinely reads partials from disk, then proves the merged result
+# equals the full-history GROUP BY (the oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "q66_incremental_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    split = events.agg(
+        F.expr("percentile_approx(event_id, 0.8)").alias("s")
+    ).first()[0]
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    mv_dir = tempfile.mkdtemp(prefix="p4spark_mv_")
+    try:
+        # yesterday's snapshot: aggregated once, stored as the view table
+        partials(events.filter(F.col("event_id") <= split)).write.mode(
+            "overwrite"
+        ).parquet(mv_dir)
+        stored = spark.read.parquet(mv_dir)
+        delta = partials(events.filter(F.col("event_id") > split))
+        merged = (
+            stored.unionByName(delta)
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_value"), 2).alias("sum_value"),
+                F.round(F.min("min_value"), 2).alias("min_value"),
+                F.round(F.max("max_value"), 2).alias("max_value"),
+            )
+            .select(
+                F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+                "n_events",
+                "sum_value",
+                "min_value",
+                "max_value",
+            )
+        )
+        # materialize before the tempdir vanishes (the gate would
+        # otherwise lazily re-read a deleted path)
+        out = merged.localCheckpoint()
+    finally:
+        shutil.rmtree(mv_dir, ignore_errors=True)
+    return out

@@ -686,7 +686,7 @@ _RP_DUCK_BRANCHES = "\n    UNION ALL\n".join(
     f"""
     SELECT vec_id, {k + 1} AS k,
            round(list_dot_product(CAST(embedding AS DOUBLE[]),
-                 [{", ".join(str(v) for v in row)}]) / 8, 5) AS v
+                 [{", ".join(str(v) for v in row)}]) / 8, 5) + 0.0 AS v
     FROM embeddings"""
     for k, row in enumerate(_rp_signs())
 )
@@ -721,7 +721,8 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (acc, i) -> acc
                     + CAST(element_at(embedding, i) AS DOUBLE)
                       * element_at(element_at({_RP_SPARK}, k), i)) / 8,
-                  5) AS v
+                  5) + 0.0d AS v
+                -- + 0.0 collapses IEEE -0.0 (engines render it differently)
                 """
             ),
         )

@@ -112,11 +112,39 @@ DRIVER_PRIORITY = [
 ]
 
 
+def _driver_green_names() -> set[str]:
+    """Names with a hash-green row in ANY past round's CORRECTNESS file
+    (the driver writes CORRECTNESS_r{N}.json at the repo root)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
+
+
 def _prioritize() -> None:
-    ordered = [n for n in DRIVER_PRIORITY if n in QUERIES]
-    seen = set(ordered)
-    ordered += [n for n in QUERIES if n not in seen]
-    for n in ordered:
+    """Order the registry so the driver's bounded per-round window always
+    reaches unproven queries first: (1) explicit priority names without a
+    green driver row yet, (2) all other never-green queries in
+    registration order, (3) queries already proven green in a past round
+    (pytest + the local oracle gate keep guarding those)."""
+    green = _driver_green_names()
+    pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
+    seen = set(pri)
+    unproven = [n for n in QUERIES if n not in seen and n not in green]
+    proven = [n for n in QUERIES if n not in seen and n in green]
+    for n in pri + unproven + proven:
         QUERIES[n] = QUERIES.pop(n)
 
 

@@ -218,10 +218,11 @@ _DUCK_MINHASH_CTES = f"""sh AS (
     )"""
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) from
-    MinHash+LSH banding — the shared front end of the dedup family."""
-    docs = load_table(spark, sf_dir, "documents")
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig) LSH band signatures for a document set
+    — the MinHash front end shared by the batch dedup family and the
+    incremental index. One text scan: shingle explode → md5 base → 16
+    min() aggregates (map-side combine) → band concat explode."""
     sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = (
         sh.filter(F.size("shingles") > 0)
@@ -241,9 +242,20 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_N_BANDS)
     )
-    bands = hashes.select(
+    return hashes.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
-    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.band_sig").alias("band_sig"))
+    ).select(
+        "doc_id",
+        F.col("bs.band_id").alias("band_id"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) from
+    MinHash+LSH banding — the shared front end of the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs)
     buckets = (
         bands.groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -788,3 +800,98 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_CTES},
+    split AS (SELECT max(doc_id) * 3 // 5 AS s FROM documents),
+    idx AS (SELECT b.* FROM bands b, split WHERE b.doc_id <= split.s),
+    delta AS (SELECT b.* FROM bands b, split WHERE b.doc_id > split.s),
+    hi AS (
+      SELECT d.doc_id, count(DISTINCT i.doc_id) AS n_hits_index
+      FROM delta d JOIN idx i
+        ON d.band_id = i.band_id AND d.band_sig = i.band_sig
+      GROUP BY 1
+    ),
+    hd AS (
+      SELECT d.doc_id, count(DISTINCT e.doc_id) AS n_hits_delta
+      FROM delta d JOIN delta e
+        ON d.band_id = e.band_id AND d.band_sig = e.band_sig
+       AND e.doc_id < d.doc_id
+      GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           coalesce(hi.n_hits_index, 0) AS n_hits_index,
+           coalesce(hd.n_hits_delta, 0) AS n_hits_delta,
+           (coalesce(hi.n_hits_index, 0) = 0
+            AND coalesce(hd.n_hits_delta, 0) = 0) AS keep
+    FROM (SELECT doc_id FROM documents, split WHERE doc_id > split.s) doc
+    LEFT JOIN hi USING (doc_id)
+    LEFT JOIN hd USING (doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a DELTA batch of new documents is screened
+    against a STORED MinHash band index of the already-ingested corpus —
+    the production shape, where yesterday's 100 TB is an indexed parquet
+    table of (band_id, band_sig, doc_id) and only the new data's text is
+    ever shingled. A new doc is kept iff it collides with no indexed doc
+    and no earlier doc inside its own batch (first-wins within the delta,
+    matching dedup_keep_first's policy).
+
+    Scale shape: the index join is keyed on the band signature — the
+    shuffle carries signatures, never text; the index side would be
+    bucketed by (band_id, band_sig) on disk so the probe is a co-located
+    join. The delta's bands are computed once (localCheckpoint) and feed
+    both the index probe and the in-batch self-join. The demo materializes
+    the index to parquet first so the probe genuinely reads stored
+    signatures (doc_id <= 60% of max simulates yesterday's corpus)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") * 3 / 5).cast("bigint")).first()[0]
+    idx_dir = tempfile.mkdtemp(prefix="p4spark_mhidx_")
+    try:
+        _minhash_bands(docs.filter(F.col("doc_id") <= split)).write.mode(
+            "overwrite"
+        ).parquet(idx_dir)
+        index = spark.read.parquet(idx_dir).select(
+            "band_id", "band_sig", F.col("doc_id").alias("idx_doc")
+        )
+        delta_docs = docs.filter(F.col("doc_id") > split)
+        delta_bands = _minhash_bands(delta_docs).localCheckpoint()
+        hits_idx = (
+            delta_bands.join(index, ["band_id", "band_sig"])
+            .groupBy("doc_id")
+            .agg(F.count_distinct("idx_doc").alias("n_hits_index"))
+        )
+        earlier = delta_bands.select(
+            "band_id", "band_sig", F.col("doc_id").alias("e_doc")
+        )
+        hits_delta = (
+            delta_bands.join(earlier, ["band_id", "band_sig"])
+            .filter(F.col("e_doc") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("e_doc").alias("n_hits_delta"))
+        )
+        out = (
+            delta_docs.select("doc_id")
+            .join(hits_idx, "doc_id", "left")
+            .join(hits_delta, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_hits_index", F.lit(0)).alias("n_hits_index"),
+                F.coalesce("n_hits_delta", F.lit(0)).alias("n_hits_delta"),
+                (
+                    (F.coalesce("n_hits_index", F.lit(0)) == 0)
+                    & (F.coalesce("n_hits_delta", F.lit(0)) == 0)
+                ).alias("keep"),
+            )
+            .localCheckpoint()  # materialize before the index dir vanishes
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return out

@@ -89,6 +89,7 @@ DRIVER_PRIORITY = [
     "stream_click_attribution",
     "stream_enriched_segment_totals",
     # round-2 fixes needing driver re-validation (oracle typing / nanos)
+    "dedup_incremental",
     "dedup_simhash",
     "pipeline_curate",
     "curate_sample_stratified",

@@ -1026,3 +1026,72 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adc_raw", 4).alias("adc_dist"),
         )
     )
+
+
+# Recall evaluation: the ANN operators are useless at 100 TB unless their
+# quality is measured continuously — this promotes the eval harness itself
+# to an oracle-checked operator. The oracle composes the two existing
+# oracles as CTEs, so the SQL proves the same recall the Spark side
+# reports.
+from eeecs485_p4_mapreduce_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH bf AS ({_ORACLES["sim_topk_bruteforce"]}),
+    ann AS ({_ORACLES["sim_ann_lsh"]}),
+    hits AS (
+      SELECT bf.query_id,
+             count(*) AS n_bruteforce,
+             count(a.neighbor_id) AS n_overlap
+      FROM bf LEFT JOIN ann a
+        ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    ),
+    annc AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1)
+    SELECT h.query_id, h.n_bruteforce,
+           coalesce(annc.n_ann, 0) AS n_ann,
+           h.n_overlap,
+           round(CAST(h.n_overlap AS DOUBLE)
+                 / CAST(h.n_bruteforce AS DOUBLE), 4) AS recall
+    FROM hits h LEFT JOIN annc USING (query_id)
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH ANN path against the exact
+    brute-force top-k — the index-quality metric a production pipeline
+    tracks per corpus snapshot. Scale: both sides are per-query top-k
+    tables (N_QUERIES * TOP_K rows), so the comparison is driver-trivial
+    regardless of corpus size; the cost is the two searches themselves,
+    and the brute-force side would run over a fixed eval sample, not the
+    full corpus."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (
+        sim_ann_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        bf.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bruteforce"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    annc = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        hits.join(annc, "query_id", "left")
+        .select(
+            "query_id",
+            "n_bruteforce",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / F.col("n_bruteforce").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -67,6 +67,7 @@ DRIVER_PRIORITY = [
     "sim_topk_projected",
     "sim_pq_encode",
     "sim_pq_search",
+    "sim_ann_recall",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

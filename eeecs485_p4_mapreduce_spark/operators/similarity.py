@@ -1095,3 +1095,42 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT label, i,
+           round(sum(x) / count(*), 5) + 0.0 AS mean_x,
+           count(*) AS n_vecs
+    FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes / cluster centroid
+    refinement — the M-step of k-means and the pooling step behind
+    label-conditioned retrieval), in long (label, dim, mean) form.
+
+    Scale: the explode fans out d rows per vector but the avg collapses
+    map-side (partial sums per (label, i)), so the one shuffle carries at
+    most |labels| * d rows per task regardless of corpus size. Division
+    is written sum/count identically on both engines so the doubles are
+    bit-identical; + 0.0 collapses IEEE -0.0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "i0", "x"
+        ),
+    ).select("label", (F.col("i0") + 1).alias("i"), "x")
+    return ex.groupBy("label", "i").agg(
+        (F.round(F.sum("x") / F.count(F.lit(1)), 5) + F.lit(0.0)).alias(
+            "mean_x"
+        ),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -68,6 +68,7 @@ DRIVER_PRIORITY = [
     "sim_pq_encode",
     "sim_pq_search",
     "sim_ann_recall",
+    "sim_label_centroids",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

@@ -3158,3 +3158,66 @@ def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(mv_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q67: banded range join — the scale rewrite of an interval theta-join.
+# "Pairs of same-user events within 5 minutes" is a theta-join
+# (|tb - ta| <= 300s) that a naive engine executes as a per-user cross
+# product. The banded form maps each event to a 300-second bucket and
+# equi-joins on (user_id, bucket) with the left side exploded to
+# [bucket, bucket+1] — every qualifying pair shares one of those bucket
+# keys, so the shuffle is an ordinary hash exchange and the residual
+# time filter runs on co-located rows. At 100 TB this is the difference
+# between a hash join and an O(n_u^2)-per-user nested loop; the 2x row
+# explosion on one side is the entire cost. The oracle is the naive
+# theta-join, proving the banding loses no pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_range_join_buckets",
+    oracle="""
+    SELECT a.user_id,
+           count(*) AS n_close_pairs,
+           min(a.event_id) AS first_event
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id < b.event_id
+    GROUP BY a.user_id
+    """,
+)
+def q67_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    horizon_us = 300_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("t").alias("ta"),
+        F.explode(
+            F.array(
+                F.expr(f"t div {horizon_us}"),
+                F.expr(f"t div {horizon_us}") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("t").alias("tb"),
+        F.expr(f"t div {horizon_us}").alias("bucket"),
+    )
+    pairs = left.join(right, ["user_id", "bucket"]).filter(
+        (F.col("tb") >= F.col("ta"))
+        & (F.col("tb") <= F.col("ta") + horizon_us)
+        & (F.col("a_id") < F.col("b_id"))
+    )
+    # each qualifying pair matches in exactly ONE shared bucket:
+    # tb's bucket is either ta's (same band) or ta's + 1 (next band),
+    # never both, so no distinct pass is needed before the count.
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_close_pairs"),
+        F.min("a_id").alias("first_event"),
+    )

@@ -112,6 +112,8 @@ DRIVER_PRIORITY = [
     "q43_sliding_window_trend",
     "q48_funnel",
     "q53_retention_cohorts",
+    "q66_incremental_rollup",
+    "q67_range_join_buckets",
 ]
 
 

@@ -1134,3 +1134,72 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+@query(
+    "sim_kmeans_step",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < {PQ_K}),
+    d AS (
+      SELECT e.vec_id, e.v, cb.cluster,
+             list_sum(list_transform(range(1, {DIM + 1}), i ->
+               (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))) AS dist
+      FROM e, cb
+    ),
+    assigned AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT cluster, i,
+           round(sum(x) / count(*), 5) + 0.0 AS mean_x,
+           count(*) AS n_members
+    FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      FROM assigned
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of distributed k-means over the embedding
+    corpus: E-step assigns every vector to its nearest of the PQ_K
+    deterministic sample-init centroids (full-dimension L2, broadcast
+    centroids, argmin window per vector); M-step emits the re-centered
+    means in long (cluster, dim, mean) form. Iterating = feeding the
+    output back as the next codebook; one step is the oracle-checkable
+    unit because the loop is just this plan repeated.
+
+    Scale: centroids broadcast (k rows), assignment is map-side k
+    distance folds per vector + a per-vector argmin, and the M-step's
+    explode collapses map-side — the shuffle carries at most k*d partial
+    sums per task. This is exactly how MLlib's k-means schedules Lloyd
+    steps."""
+    emb = _pq_emb(spark, sf_dir)
+    cb = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0d,"
+        " (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    assigned = (
+        emb.crossJoin(F.broadcast(cb))
+        .select("vec_id", "v", "cluster", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    ex = assigned.select(
+        "cluster", F.posexplode("v").alias("i0", "x")
+    ).select("cluster", (F.col("i0") + 1).alias("i"), "x")
+    return ex.groupBy("cluster", "i").agg(
+        (F.round(F.sum("x") / F.count(F.lit(1)), 5) + F.lit(0.0)).alias(
+            "mean_x"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )

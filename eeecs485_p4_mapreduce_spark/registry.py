@@ -69,6 +69,7 @@ DRIVER_PRIORITY = [
     "sim_pq_search",
     "sim_ann_recall",
     "sim_label_centroids",
+    "sim_kmeans_step",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

@@ -644,3 +644,70 @@ def ta_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(50)
     )
+
+
+@query(
+    "ta_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(len(toks) - 1),
+                   i -> {{'w1': toks[i + 1], 'w2': toks[i + 2]}})
+               ELSE [] END) AS b
+      FROM t
+    ),
+    bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    f2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+    f1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(c2 * 1.0 / c1)) / count(*), 4) + 0.0 AS avg_logprob
+    FROM bgf JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM fluency score per document: avg ln p(w2 | w1)
+    over the doc's bigrams, with p = corpus bigram count / corpus
+    first-word count (no smoothing needed — every scored bigram is in
+    the counts by construction). The bigram twin of ta_unigram_logprob;
+    low scores flag disfluent/boilerplate text better than unigram
+    frequency alone.
+
+    Scale: bigram and first-word count tables reduce with map-side
+    combine; the scoring joins are keyed on the bigram/word — ordinary
+    hash exchanges whose width is the n-gram vocabulary, never the
+    corpus. The >= 2-token guard dodges Spark's descending sequence(1, 0)
+    pitfall."""
+    docs = load_table(spark, sf_dir, "documents")
+    bgf = (
+        docs.selectExpr("doc_id", "split(lower(text), '[ \\t]') AS toks")
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i ->"
+                    " struct(element_at(toks, i) AS w1,"
+                    " element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    f2 = bgf.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    f1 = bgf.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    logp = F.log(F.col("c2") * 1.0 / F.col("c1"))
+    return (
+        bgf.join(f2, ["w1", "w2"])
+        .join(f1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.round(F.sum(logp) / F.count(F.lit(1)), 4) + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )

@@ -83,6 +83,7 @@ DRIVER_PRIORITY = [
     "ta_gopher_repetition",
     "ta_unigram_logprob",
     "ta_bpe_merge_candidates",
+    "ta_bigram_logprob",
     # skew + streaming — never checked
     "skew_salted_enrich",
     "skew_salted_agg",

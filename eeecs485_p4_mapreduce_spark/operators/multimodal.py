@@ -535,3 +535,105 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(cut_positions, x -> cast(x as string)), ',')"
         ).alias("cuts_csv"),
     )
+
+
+PHASH_BYTES = 32  # leading payload bytes hashed (32 bits fit BIGINT shifts)
+PHASH_MAX_HAMMING = 4
+
+# Average-hash over the first PHASH_BYTES payload bytes: bit i set iff
+# byte_i * n > sum(bytes) — the mean comparison in EXACT integer math, so
+# both engines derive identical bits (a float mean could round differently).
+_PHASH_SPARK = f"""
+  CASE WHEN length(text) = 0 THEN 0L ELSE
+    aggregate(sequence(1, least({PHASH_BYTES}, length(text))), 0L,
+      (acc, i) -> acc + CASE WHEN
+          cast(ascii(substring(text, i, 1)) as bigint)
+            * least({PHASH_BYTES}, length(text))
+          > aggregate(sequence(1, least({PHASH_BYTES}, length(text))), 0L,
+              (a2, j) -> a2 + ascii(substring(text, j, 1)))
+        THEN shiftleft(1L, i - 1) ELSE 0L END)
+  END
+"""
+
+
+
+@query(
+    "mm_phash_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             least({PHASH_BYTES}, length(text)) AS n,
+             list_transform(range(1, least({PHASH_BYTES}, length(text)) + 1),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+      FROM documents
+    ),
+    h AS (
+      SELECT media_id,
+             CASE WHEN n = 0 THEN 0 ELSE CAST(list_sum(
+               list_transform(range(1, n + 1), i ->
+                 CASE WHEN bytes[i] * n > list_sum(bytes)
+                      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+             AS BIGINT) END AS phash
+      FROM b
+    ),
+    cand AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             a.phash AS ha, b.phash AS hb
+      FROM h a JOIN h b
+        ON (a.phash // 65536) = (b.phash // 65536)
+       AND a.media_id < b.media_id
+      UNION
+      SELECT a.media_id, b.media_id, a.phash, b.phash
+      FROM h a JOIN h b
+        ON (a.phash % 65536) = (b.phash % 65536)
+       AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           bit_count(CAST(xor(ha, hb) AS BIGINT)) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate MEDIA pairs: a 32-bit average-hash
+    over the leading payload bytes (bit i = byte_i above the window
+    mean — on a real image this runs over decoded luma pixels; here the
+    deterministic byte stand-in exercises the identical plumbing), then
+    candidate pairs from 2-table Hamming LSH (16-bit high/low halves)
+    and an exact Hamming cut. This is image near-dup dedup as production
+    pipelines run it (aHash/pHash + banded Hamming search).
+
+    Scale: the hash is one row-local pass over PHASH_BYTES bytes; the
+    pair search shuffles only (16-bit half, media_id, phash) tuples and
+    explodes strictly in-bucket — the byte payloads never join. The mean
+    comparison is exact integer math so both engines derive identical
+    bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.selectExpr(
+        "doc_id AS media_id", f"({_PHASH_SPARK}) AS phash"
+    )
+    hi = (F.col("phash") / 65536).cast("bigint")
+    lo = F.pmod(F.col("phash"), F.lit(65536))
+    a = h.select("media_id", "phash", hi.alias("hb_hi"), lo.alias("hb_lo"))
+    pairs = None
+    for half in ("hb_hi", "hb_lo"):
+        left = a.select(
+            F.col("media_id").alias("media_a"),
+            F.col("phash").alias("ha"),
+            F.col(half).alias("bucket"),
+        )
+        right = a.select(
+            F.col("media_id").alias("media_b"),
+            F.col("phash").alias("hb"),
+            F.col(half).alias("bucket"),
+        )
+        p = left.join(right, "bucket").filter(
+            F.col("media_a") < F.col("media_b")
+        ).select("media_a", "media_b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        pairs.distinct()
+        .filter(ham <= PHASH_MAX_HAMMING)
+        .select("media_a", "media_b", ham.alias("hamming"))
+    )

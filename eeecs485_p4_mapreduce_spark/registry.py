@@ -102,6 +102,7 @@ DRIVER_PRIORITY = [
     "mm_byte_histogram",
     "mm_audio_energy",
     "mm_scene_cuts",
+    "mm_phash_pairs",
     "q18_events_hourly",
     "q19_sessionize",
     "q21_json_props",

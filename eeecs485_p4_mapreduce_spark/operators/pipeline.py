@@ -638,3 +638,60 @@ def curate_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_text")
+
+
+N_EXPORT_SHARDS = 8
+
+
+@query(
+    "curate_export_shards",
+    oracle=f"""
+    SELECT {_DUCK_U.replace('% 10000', f'% {N_EXPORT_SHARDS}')} AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def curate_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of a curation pipeline: materialize the corpus as
+    N_EXPORT_SHARDS JSONL training shards (deterministic md5(doc_id)
+    shard assignment, one directory per shard via partitionBy) and
+    return the shard MANIFEST (doc counts, char totals, id ranges) that
+    a trainer's data loader consumes. Hash sharding is reproducible
+    across runs/engines/cluster sizes and keeps shards balanced without
+    a global sort; at 100 TB the write is the only full-data pass and it
+    is shuffle-free (partitionBy on a map-side column). The demo writes
+    to a temp dir (cleaned up) — production passes a real output path;
+    the manifest is the oracle-checked output."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard_id", F.expr(_SPARK_U.replace("% 10000", f"% {N_EXPORT_SHARDS}"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="p4spark_shards_")
+    try:
+        docs.write.mode("overwrite").partitionBy("shard_id").json(out_dir)
+        manifest = (
+            spark.read.json(out_dir)  # manifest from the WRITTEN shards
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.col("shard_id").cast("bigint").alias("shard_id"),
+                "n_docs",
+                "sum_chars",
+                "min_doc",
+                "max_doc",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest

@@ -3221,3 +3221,72 @@ def q67_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_close_pairs"),
         F.min("a_id").alias("first_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68: one-pass data profiling — the quality dashboard every ingest
+# pipeline runs before training on a new drop: per-column null rate,
+# distinct count, and min/max, in long (column, metric) form. ONE scan,
+# ONE aggregation row: all metrics compute as parallel aggregates in a
+# single groupBy-less agg (Spark fuses them into one partial-agg
+# pipeline), then a literal-array explode reshapes wide → long map-side.
+# At 100 TB this is strictly scan-bound; the alternative per-column
+# loop would scan the table once per column. Exact distinct counts are
+# exchanged for approx_count_distinct's one-pass sketch at real scale —
+# here exact, so the oracle can mirror it.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = [
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderpriority", "string"),
+]
+
+
+@query(
+    "q68_profile_orders",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n_rows,
+    """
+    + ",\n".join(
+        f"""        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS {c}_nulls,
+        count(DISTINCT {c}) AS {c}_distinct,
+        CAST(min({c}) AS VARCHAR) AS {c}_min,
+        CAST(max({c}) AS VARCHAR) AS {c}_max"""
+        for c, _ in _PROFILE_COLS
+    )
+    + """
+      FROM orders
+    )
+    """
+    + "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS column_name, n_rows,
+           {c}_nulls AS n_nulls, {c}_distinct AS n_distinct,
+           {c}_min AS min_value, {c}_max AS max_value FROM w"""
+        for c, _ in _PROFILE_COLS
+    ),
+)
+def q68_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}_nulls"),
+            F.count_distinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    wide = orders.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{c}' AS column_name, n_rows, {c}_nulls AS n_nulls,"
+        f" {c}_distinct AS n_distinct, {c}_min AS min_value,"
+        f" {c}_max AS max_value)"
+        for c, _t in _PROFILE_COLS
+    )
+    return wide.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")

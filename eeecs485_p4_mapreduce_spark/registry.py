@@ -117,6 +117,8 @@ DRIVER_PRIORITY = [
     "q53_retention_cohorts",
     "q66_incremental_rollup",
     "q67_range_join_buckets",
+    "q68_profile_orders",
+    "curate_export_shards",
 ]
 
 

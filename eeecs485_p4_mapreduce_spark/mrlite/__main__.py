@@ -20,13 +20,38 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="mrlite", description=__doc__)
-    parser.add_argument("-i", "--input", required=True, dest="input_directory")
-    parser.add_argument("-o", "--output", required=True, dest="output_directory")
+    parser.add_argument(
+        "--serve",
+        action="store_true",
+        help="run the TCP manager endpoint (reference: ./bin/mapreduce "
+        "start) instead of an in-process job; blocks until a shutdown "
+        "message arrives",
+    )
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=6000)
+    parser.add_argument("-i", "--input", dest="input_directory")
+    parser.add_argument("-o", "--output", dest="output_directory")
     parser.add_argument("-m", "--mapper", default=None)
     parser.add_argument("-r", "--reducer", default=None)
     parser.add_argument("--nmappers", type=int, default=2)
     parser.add_argument("--nreducers", type=int, default=2)
     args = parser.parse_args(argv)
+
+    if args.serve:
+        from eeecs485_p4_mapreduce_spark import get_spark
+        from eeecs485_p4_mapreduce_spark.mrlite import MREngine, MRManagerServer
+
+        spark = get_spark("mrlite-manager")
+        server = MRManagerServer(
+            MREngine(spark), host=args.host, port=args.port
+        ).start()
+        print(f"mrlite manager listening on {server.host}:{server.port}")
+        server.join()  # returns once a shutdown message is processed
+        spark.stop()
+        return 0
+
+    if not args.input_directory or not args.output_directory:
+        parser.error("-i/--input and -o/--output are required unless --serve")
 
     from eeecs485_p4_mapreduce_spark import get_spark
     from eeecs485_p4_mapreduce_spark.mrlite import MREngine

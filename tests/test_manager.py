@@ -111,3 +111,49 @@ def test_shutdown_message_stops_server(server):
     while server.is_alive() and time.monotonic() < deadline:
         time.sleep(0.1)
     assert not server.is_alive()
+
+
+def test_cli_serve_mode(tmp_path):
+    """`python -m ...mrlite --serve` starts the endpoint, accepts the
+    reference protocol, and exits cleanly on the shutdown message."""
+    import re
+
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "eeecs485_p4_mapreduce_spark.mrlite",
+            "--serve",
+            "--port",
+            "0",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        line = proc.stdout.readline()
+        m = re.search(r"listening on ([\w.]+):(\d+)", line)
+        assert m, line
+        port = int(m.group(2))
+        base = {
+            "message_type": "new_manager_job",
+            "input_directory": str(REF_DATA / "input_small"),
+            "output_directory": str(tmp_path / "out"),
+            "mapper_executable": str(REF_DATA / "exec/wc_map.sh"),
+            "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+            "num_mappers": 1,
+            "num_reducers": 1,
+        }
+        _send(port, base)
+        deadline = time.monotonic() + 90
+        out_file = tmp_path / "out" / "part-00000"
+        while time.monotonic() < deadline and not out_file.exists():
+            time.sleep(0.3)
+        assert out_file.exists(), "job output never appeared"
+        _send(port, {"message_type": "shutdown"})
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -227,3 +227,26 @@ def test_intermediate_debug_materialization(engine, tmp_path):
             assert got == "".join(expected[p]), f"maptask{m}-part{p} differs"
 
     assert sorted(res.read_lines()) == sorted(golden_wordcount())
+
+
+def test_file_shuffle_equals_memory_shuffle(engine, tmp_path):
+    """Metamorphic: the K2 debug file-shuffle path and the default
+    in-memory Spark shuffle must produce BYTE-identical part files for
+    the same job (2x2 external wc)."""
+    kwargs = dict(
+        input_directory=str(REF / "input"),
+        mapper_executable=str(REF / "exec/wc_map.sh"),
+        reducer_executable=str(REF / "exec/wc_reduce.sh"),
+        num_mappers=2,
+        num_reducers=2,
+    )
+    mem = engine.submit_job(
+        output_directory=str(tmp_path / "mem"), **kwargs
+    )
+    dbg = engine.submit_job(
+        output_directory=str(tmp_path / "dbg"),
+        intermediate_dir=str(tmp_path / "scratch"),
+        **kwargs,
+    )
+    for a, b in zip(mem.output_paths, dbg.output_paths):
+        assert Path(a).read_bytes() == Path(b).read_bytes()

@@ -88,9 +88,10 @@ def lines_hash(lines: list[str]) -> str:
 
 
 def main() -> int:
+    import os
+
     import duckdb
 
-    from eeecs485_p4_mapreduce_spark import get_spark
     from eeecs485_p4_mapreduce_spark.catalog import TABLES, table_path
     from eeecs485_p4_mapreduce_spark.registry import ORACLES, QUERIES, load_all
 
@@ -98,7 +99,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     load_all()
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_VANILLA") == "1":
+        # Simulate the correctness driver's environment: a bare session
+        # with NONE of our session-factory confs (AQE, Arrow, UTC, ...).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from eeecs485_p4_mapreduce_spark import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

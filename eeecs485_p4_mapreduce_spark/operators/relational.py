@@ -3290,3 +3290,103 @@ def q68_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.expr(f"array({structs})")).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# q69: one damped PageRank power-iteration step over the part
+# co-purchase graph — graph centrality as a first-class operator (the
+# "which items anchor the catalog" signal behind recommendation and
+# importance-weighted sampling). Same one-step-oracle pattern as
+# sim_kmeans_step: iterating = feeding ranks back in; one step is the
+# checkable unit. Scale: ranks/degrees are node-table-sized; each step
+# is contributions = rank/degree exploded along edges (one shuffle keyed
+# on dst) + a per-node sum — the textbook distributed PageRank schedule,
+# with dangling mass redistributed via one broadcast scalar. Integer
+# basis-point ranks would drift across engines; instead every division
+# is double-on-same-ints and the output is rounded on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_pagerank_step",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+      FROM lineitem GROUP BY l_orderkey HAVING count(DISTINCT l_partkey) >= 2
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b
+      FROM (SELECT l_orderkey, unnest(ps) AS part FROM baskets) a
+      JOIN (SELECT l_orderkey, unnest(ps) AS part FROM baskets) b
+        USING (l_orderkey)
+      WHERE a.part < b.part
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT part_a AS src, part_b AS dst FROM pairs
+      UNION ALL
+      SELECT part_b, part_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    contrib AS (
+      SELECT e.dst AS node, sum(1.0 / n.n_nodes / deg.d) AS inflow
+      FROM edges e JOIN deg ON e.src = deg.src, n
+      GROUP BY e.dst
+    )
+    SELECT nodes.node AS part,
+           round(0.15 / n.n_nodes + 0.85 * coalesce(contrib.inflow, 0.0), 8)
+             AS rank_1
+    FROM nodes LEFT JOIN contrib ON nodes.node = contrib.node, n
+    """,
+)
+def q69_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ps, (x, i) ->
+                      transform(slice(ps, i + 2, size(ps)), y ->
+                        struct(x AS part_a, y AS part_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    contrib = (
+        edges.join(deg, "src")
+        .crossJoin(F.broadcast(n_nodes))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.lit(1.0) / F.col("n_nodes") / F.col("d")).alias("inflow"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("node").alias("part"),
+            F.round(
+                0.15 / F.col("n_nodes")
+                + 0.85 * F.coalesce("inflow", F.lit(0.0)),
+                8,
+            ).alias("rank_1"),
+        )
+    )

@@ -118,6 +118,7 @@ DRIVER_PRIORITY = [
     "q66_incremental_rollup",
     "q67_range_join_buckets",
     "q68_profile_orders",
+    "q69_pagerank_step",
     "curate_export_shards",
 ]
 

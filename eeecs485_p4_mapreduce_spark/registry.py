@@ -92,6 +92,7 @@ DRIVER_PRIORITY = [
     "stream_sliding_finalized",
     "stream_click_attribution",
     "stream_enriched_segment_totals",
+    "stream_incremental_rollup",
     # round-2 fixes needing driver re-validation (oracle typing / nanos)
     "dedup_incremental",
     "dedup_simhash",

@@ -258,3 +258,99 @@ def stream_enriched_segment_totals(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q66: every micro-batch MERGES its partial hourly
+    aggregates into a stored parquet rollup via foreachBatch (read stored
+    partials for the touched hours, re-aggregate the union, dynamic
+    partition overwrite) — the keep-a-rollup-fresh pattern running
+    continuously instead of per-delta. maxFilesPerTrigger forces
+    multiple merge batches so the merge path is genuinely exercised; the
+    oracle is the full-history GROUP BY, so a hash match proves the
+    incremental merges compose to the batch answer."""
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    spool = _spool(spark, sf_dir)
+    # two spool files → at least two merge batches under maxFilesPerTrigger
+    first = Path(spool) / "events-000.parquet"
+    half_dir = Path(tempfile.mkdtemp(prefix="p4spark_half_"))
+    df_all = spark.read.parquet(str(first))
+    mid = df_all.agg(SF.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    df_all.filter(SF.col("event_id") <= mid).write.mode("overwrite").parquet(
+        str(Path(spool) / "part-a.parquet")
+    )
+    df_all.filter(SF.col("event_id") > mid).write.mode("overwrite").parquet(
+        str(Path(spool) / "part-b.parquet")
+    )
+    first.unlink()
+
+    out_dir = tempfile.mkdtemp(prefix="p4spark_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="p4spark_rollup_ckpt_")
+
+    def merge_batch(batch_df, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        try:
+            stored = sp.read.parquet(out_dir)
+            merged = stored.unionByName(partial)
+        except Exception:  # noqa: BLE001 — first batch: nothing stored yet
+            merged = partial
+        (
+            merged.groupBy("hour", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .localCheckpoint()  # cut lineage: out_dir is source AND target
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(str(Path(spool) / "part-a.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(str(half_dir), ignore_errors=True)
+    out = (
+        spark.read.parquet(out_dir)
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

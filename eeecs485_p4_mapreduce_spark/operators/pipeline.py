@@ -695,3 +695,57 @@ def curate_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
+
+
+# Per-language replication factors for rare-class oversampling: integer
+# part = guaranteed copies; fractional part = probability of one extra
+# copy, decided by the SAME md5(doc_id) hash as the downsampler, so the
+# expansion is deterministic and engine-portable.
+_OVERSAMPLE_F = {"en": (1, 0), "de": (2, 5000), "fr": (2, 2500),
+                 "es": (3, 0), "zh": (4, 5000)}
+_OVER_INT_CASE = " ".join(
+    f"WHEN '{lang}' THEN {i}" for lang, (i, _) in sorted(_OVERSAMPLE_F.items())
+)
+_OVER_FRAC_CASE = " ".join(
+    f"WHEN '{lang}' THEN {fbp}"
+    for lang, (_, fbp) in sorted(_OVERSAMPLE_F.items())
+)
+
+
+@query(
+    "curate_oversample_rare",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             (CASE lang {_OVER_INT_CASE} ELSE 1 END
+              + CASE WHEN {_DUCK_U} < CASE lang {_OVER_FRAC_CASE} ELSE 0 END
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+    FROM n
+    """,
+)
+def curate_oversample_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-language OVERSAMPLING — the upsampling half of mixture
+    rebalancing (curate_sample_stratified is the downsampling half):
+    each document is replicated per-language, integer copies guaranteed
+    plus one fractional copy decided by the deterministic md5(doc_id)
+    hash. Reproducible across runs/engines/partitionings — replaying the
+    pipeline yields byte-identical training corpora, which RNG-based
+    upsampling cannot promise.
+
+    Scale: a pure map-side sequence-explode (zero shuffles, zero joins);
+    the expansion factor is bounded by max(f)=5, so output size is
+    predictable and no task state grows with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_copies = F.expr(
+        f"CASE lang {_OVER_INT_CASE} ELSE 1 END"
+        f" + CASE WHEN ({_SPARK_U}) < (CASE lang {_OVER_FRAC_CASE} ELSE 0 END)"
+        f" THEN 1 ELSE 0 END"
+    )
+    return docs.withColumn("n_copies", n_copies).select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("sequence(1L, cast(n_copies as long))")).alias("copy"),
+    )

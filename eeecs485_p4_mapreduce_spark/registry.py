@@ -121,6 +121,7 @@ DRIVER_PRIORITY = [
     "q68_profile_orders",
     "q69_pagerank_step",
     "curate_export_shards",
+    "curate_oversample_rare",
 ]
 
 

@@ -1203,3 +1203,81 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@query(
+    "sim_cluster_quality",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, i, round(sum(x) / count(*), 5) + 0.0 AS m
+      FROM ex GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT e.vec_id, e.label AS vlabel, c.label AS clabel,
+             sum((e.x - c.m) * (e.x - c.m)) AS d2
+      FROM ex e JOIN c ON e.i = c.i
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, vlabel,
+             min(CASE WHEN clabel = vlabel THEN d2 END) AS a,
+             min(CASE WHEN clabel <> vlabel THEN d2 END) AS b
+      FROM d GROUP BY 1, 2
+    )
+    SELECT vlabel AS label, count(*) AS n_vecs,
+           round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                          ELSE (b - a) / greatest(a, b) END), 5) + 0.0
+             AS avg_silhouette,
+           round(avg(a), 5) + 0.0 AS avg_intra_d2,
+           round(avg(b), 5) + 0.0 AS avg_nearest_other_d2
+    FROM ab GROUP BY 1
+    """,
+)
+def sim_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per label cluster — the clustering
+    quality gate a pipeline runs after (re)assigning clusters: a = L2²
+    to the own-label centroid, b = L2² to the nearest OTHER centroid,
+    silhouette = (b-a)/max(a,b) averaged per label. Centroid components
+    are rounded to 5 places BEFORE distances on both engines so all
+    downstream doubles are bit-identical.
+
+    Scale: centroids reduce map-side (label-domain * d rows); the
+    distance join fans each vector's d dims across |labels| centroids —
+    a broadcastable centroid table and partial-agg collapse keep the
+    one shuffle keyed on (vec, centroid). No pairwise vector math
+    anywhere (true silhouette is O(n²); the centroid form is the
+    standard scalable proxy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("i0", "x"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "x")
+    c = ex.groupBy(F.col("label").alias("clabel"), "i").agg(
+        (F.round(F.sum("x") / F.count(F.lit(1)), 5) + F.lit(0.0)).alias("m")
+    )
+    d = (
+        ex.join(F.broadcast(c), "i")
+        .groupBy("vec_id", F.col("label").alias("vlabel"), "clabel")
+        .agg(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("d2"))
+    )
+    ab = d.groupBy("vec_id", "vlabel").agg(
+        F.min(F.when(F.col("clabel") == F.col("vlabel"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("vlabel"), F.col("d2"))).alias("b"),
+    )
+    sil = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return ab.groupBy(F.col("vlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.round(F.avg(sil), 5) + F.lit(0.0)).alias("avg_silhouette"),
+        (F.round(F.avg("a"), 5) + F.lit(0.0)).alias("avg_intra_d2"),
+        (F.round(F.avg("b"), 5) + F.lit(0.0)).alias("avg_nearest_other_d2"),
+    )

@@ -70,6 +70,7 @@ DRIVER_PRIORITY = [
     "sim_ann_recall",
     "sim_label_centroids",
     "sim_kmeans_step",
+    "sim_cluster_quality",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

@@ -749,3 +749,54 @@ def curate_oversample_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.expr("sequence(1L, cast(n_copies as long))")).alias("copy"),
     )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@query(
+    "curate_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, round(priority, 6) AS priority
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             pow(({_DUCK_U} + 0.5) / 10000.0, 1.0 / n_chars) AS priority,
+             row_number() OVER (
+               ORDER BY pow(({_DUCK_U} + 0.5) / 10000.0, 1.0 / n_chars) DESC,
+                        doc_id
+             ) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via order statistics
+    (Efraimidis–Spirakis A-ES): priority = u^(1/w) with u the
+    deterministic md5(doc_id) uniform and w = n_chars, keep the top-k
+    priorities — longer documents are proportionally likelier, and the
+    whole sample is reproducible (no RNG state, no sequential reservoir).
+
+    Scale: priorities are map-side expressions; top-k by priority is a
+    TakeOrdered (per-partition heap + driver merge of k rows), never a
+    global sort — the distributed form of reservoir sampling that
+    sequential algorithms can't parallelize."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(f"(({_SPARK_U}) + 0.5) / 10000.0")
+    priority = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.orderBy(F.col("priority_raw").desc(), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", priority.alias("priority_raw")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("priority_raw", 6).alias("priority"),
+        )
+    )

@@ -711,3 +711,67 @@ def ta_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "ta_readability",
+    oracle=r"""
+    SELECT doc_id,
+           n_sentences, n_words, n_vowel_groups,
+           round(n_words * 1.0 / n_sentences, 4) AS words_per_sentence,
+           round(n_vowel_groups * 1.0 / greatest(n_words, 1), 4)
+             AS syllables_per_word,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_vowel_groups * 1.0 / greatest(n_words, 1)), 4)
+             AS flesch_proxy
+    FROM (
+      SELECT doc_id,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]'),
+                          s -> trim(s) <> '')), 1) AS n_sentences,
+             len(list_filter(string_split_regex(lower(text), '[ \t]'),
+                 t -> t <> '')) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_vowel_groups
+      FROM documents
+    )
+    """,
+)
+def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy per document — a standard quality
+    feature (too-hard or degenerate text filters): words/sentence and
+    vowel-group-per-word as the syllable proxy, combined with the Flesch
+    constants. All regex-derived counts — pure map-side, zero shuffles;
+    regexes stay in the Python API so the pattern survives unescaped
+    (SQL-literal backslash pitfall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", "[.!?]"), lambda s: F.trim(s) != ""
+            )
+        ),
+        F.lit(1),
+    )
+    words = F.size(
+        F.filter(F.split(F.lower("text"), "[ \t]"), lambda t: t != "")
+    )
+    vowel_groups = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        sentences.alias("n_sentences"),
+        words.alias("n_words"),
+        vowel_groups.alias("n_vowel_groups"),
+    )
+    wps = F.col("n_words") * 1.0 / F.col("n_sentences")
+    spw = F.col("n_vowel_groups") * 1.0 / F.greatest("n_words", F.lit(1))
+    return scored.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_vowel_groups",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_proxy"),
+    )

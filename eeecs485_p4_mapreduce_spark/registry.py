@@ -123,6 +123,8 @@ DRIVER_PRIORITY = [
     "q69_pagerank_step",
     "curate_export_shards",
     "curate_oversample_rare",
+    "curate_weighted_sample",
+    "ta_readability",
 ]
 
 

@@ -895,3 +895,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     return out
+
+
+EDGE_TOKENS = 16  # tokens hashed at each document edge
+
+
+@query(
+    "dedup_suffix_prefix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    edges AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[1:{EDGE_TOKENS}], ' ')) AS prefix_fp,
+             md5(array_to_string(toks[-{EDGE_TOKENS}:], ' ')) AS suffix_fp
+      FROM t WHERE len(toks) >= {EDGE_TOKENS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM edges a JOIN edges b
+      ON a.suffix_fp = b.prefix_fp AND a.doc_id <> b.doc_id
+    """,
+)
+def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-artifact detection: doc A's trailing EDGE_TOKENS
+    tokens equal doc B's leading tokens — the signature of crawl
+    pipelines that glue page fragments (A|B splits of one original
+    document). One scan computes both edge fingerprints map-side; the
+    join is keyed on the 128-bit fingerprint, so the shuffle carries
+    (fp, doc_id) pairs and candidates collide only on exact edge
+    matches — never an all-pairs or substring comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        docs.selectExpr("doc_id", f"{_SPARK_TOKS} AS toks")
+        .filter(F.size("toks") >= EDGE_TOKENS)
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(f"array_join(slice(toks, 1, {EDGE_TOKENS}), ' ')")
+            ).alias("prefix_fp"),
+            F.md5(
+                F.expr(f"array_join(slice(toks, -{EDGE_TOKENS}, {EDGE_TOKENS}), ' ')")
+            ).alias("suffix_fp"),
+        )
+    )
+    a = edges.select(F.col("doc_id").alias("doc_a"), "suffix_fp")
+    b = edges.select(F.col("doc_id").alias("doc_b"), "prefix_fp")
+    return a.join(
+        b, (F.col("suffix_fp") == F.col("prefix_fp")) & (F.col("doc_a") != F.col("doc_b"))
+    ).select("doc_a", "doc_b")

@@ -775,3 +775,72 @@ def ta_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(spw, 4).alias("syllables_per_word"),
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_proxy"),
     )
+
+
+ZIPF_TOP_N = 100
+
+
+@query(
+    "ta_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token) AS DOUBLE))
+               AS lr,
+             ln(CAST(c AS DOUBLE)) AS lf
+      FROM freq
+      ORDER BY c DESC, token
+      LIMIT {ZIPF_TOP_N}
+    )
+    SELECT count(*) AS n_points,
+           round((avg(lr * lf) - avg(lr) * avg(lf))
+                 / (avg(lr * lr) - avg(lr) * avg(lr)), 5) + 0.0 AS zipf_slope,
+           round(avg(lf) - (avg(lr * lf) - avg(lr) * avg(lf))
+                 / (avg(lr * lr) - avg(lr) * avg(lr)) * avg(lr), 5) + 0.0
+             AS zipf_intercept
+    FROM ranked
+    """,
+)
+def ta_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope/intercept of
+    ln(frequency) on ln(rank) for the top-N tokens — a one-number corpus
+    health check (natural language sits near -1; spammy or templated
+    corpora drift). Scale: the frequency table reduces with map-side
+    combine; top-N is a TakeOrdered on the vocabulary-sized aggregate;
+    the regression runs over N rows. Ties rank deterministically by
+    (count desc, token)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = (
+        freq.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "token")),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("lr"),
+            F.log(F.col("c").cast("double")).alias("lf"),
+        )
+    )
+    slope = (
+        F.avg(F.col("lr") * F.col("lf")) - F.avg("lr") * F.avg("lf")
+    ) / (F.avg(F.col("lr") * F.col("lr")) - F.avg("lr") * F.avg("lr"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.round(slope, 5) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(F.avg("lf") - slope * F.avg("lr"), 5) + F.lit(0.0)
+        ).alias("zipf_intercept"),
+    )

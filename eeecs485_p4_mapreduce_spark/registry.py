@@ -125,6 +125,8 @@ DRIVER_PRIORITY = [
     "curate_oversample_rare",
     "curate_weighted_sample",
     "ta_readability",
+    "ta_zipf_slope",
+    "dedup_suffix_prefix",
 ]
 
 

@@ -101,3 +101,35 @@ def test_sketch_rolling_matches_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, approx[day], n)
+
+
+def test_suffix_prefix_detects_constructed_overlap(spark, tmp_path):
+    """dedup_suffix_prefix must flag a constructed A|B split: A's last 16
+    tokens == B's first 16. Built on a synthetic corpus written to a
+    temp sf_dir shaped like the real one."""
+    from pyspark.sql import Row
+
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        dedup_suffix_prefix,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        Row(doc_id=0, text="alpha beta " * 10 + shared, lang="en",
+            source="s", n_chars=1),
+        Row(doc_id=1, text=shared + " gamma delta " * 10, lang="en",
+            source="s", n_chars=1),
+        Row(doc_id=2, text="unrelated words " * 20, lang="en",
+            source="s", n_chars=1),
+    ]
+    sf_dir = tmp_path / "sf-synth"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(sf_dir / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_suffix_prefix(spark, str(sf_dir)).collect()
+    }
+    assert (0, 1) in got
+    assert all(2 not in pair for pair in got)

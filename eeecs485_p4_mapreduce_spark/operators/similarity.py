@@ -1281,3 +1281,61 @@ def sim_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("a"), 5) + F.lit(0.0)).alias("avg_intra_d2"),
         (F.round(F.avg("b"), 5) + F.lit(0.0)).alias("avg_nearest_other_d2"),
     )
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH bf AS ({_ORACLES["sim_topk_bruteforce"]}),
+    ann AS ({_ORACLES["sim_ivf_search"]}),
+    hits AS (
+      SELECT bf.query_id,
+             count(*) AS n_bruteforce,
+             count(a.neighbor_id) AS n_overlap
+      FROM bf LEFT JOIN ann a
+        ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    ),
+    annc AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1)
+    SELECT h.query_id, h.n_bruteforce,
+           coalesce(annc.n_ann, 0) AS n_ann,
+           h.n_overlap,
+           round(CAST(h.n_overlap AS DOUBLE)
+                 / CAST(h.n_bruteforce AS DOUBLE), 4) AS recall
+    FROM hits h LEFT JOIN annc USING (query_id)
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the nprobe IVF path against exact brute force — the
+    IVF twin of sim_ann_recall, so BOTH index families carry a graded
+    quality metric (at scale you tune nprobe/bucket width against
+    exactly this number)."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (
+        sim_ivf_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        bf.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bruteforce"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    annc = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        hits.join(annc, "query_id", "left")
+        .select(
+            "query_id",
+            "n_bruteforce",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / F.col("n_bruteforce").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY = [
     "sim_label_centroids",
     "sim_kmeans_step",
     "sim_cluster_quality",
+    "sim_ivf_recall",
     # text analysis — never checked
     "ta_token_stats",
     "ta_quality_score",

@@ -106,6 +106,7 @@ DRIVER_PRIORITY = [
     "mm_audio_energy",
     "mm_scene_cuts",
     "mm_phash_pairs",
+    "mm_format_sniff",
     "q18_events_hourly",
     "q19_sessionize",
     "q21_json_props",

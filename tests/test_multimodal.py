@@ -101,3 +101,27 @@ def test_scene_cuts_matches_reference(spark, sf_dir):
         n_frames, cuts, max_diff = scene_cuts(payload)
         assert got[mid] == (n_frames, len(cuts), max_diff, cuts)
     assert any(r[1] > 0 for r in got.values()), "expected at least one cut"
+
+
+def test_format_sniff_detects_magic_bytes(spark, tmp_path):
+    """mm_format_sniff must classify constructed PNG/JPEG/RIFF/GIF/PDF
+    payloads by their real magic bytes (the sf corpus is all text, so
+    the positive paths need constructed media)."""
+    from pyspark.sql import Row
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import sniff_formats
+
+    payloads = {
+        "png": b"\x89PNG\r\n\x1a\n" + b"x" * 20,
+        "jpeg": b"\xff\xd8\xff\xe0" + b"x" * 20,
+        "riff": b"RIFFxxxxWAVE" + b"x" * 20,
+        "gif": b"GIF89a" + b"x" * 20,
+        "pdf": b"%PDF-1.7\n" + b"x" * 20,
+        "unknown/text": b"plain old text payload",
+    }
+    media = spark.createDataFrame(
+        [Row(media_id=i, payload=p) for i, p in enumerate(payloads.values())]
+    )
+    got = {r.fmt: r.n_media for r in sniff_formats(media).collect()}
+    for fmt in payloads:
+        assert got.get(fmt) == 1, (fmt, got)

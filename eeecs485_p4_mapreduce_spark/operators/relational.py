@@ -3390,3 +3390,78 @@ def q69_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q70: cohort lifetime-value triangle — cumulative purchase value per
+# (first-seen-week cohort, weeks-since-first-seen), the revenue twin of
+# q53's retention triangle. Scale: first-seen derives from one min()
+# agg (map-side combinable) joined back broadcast; the triangle is a
+# cohort x age-sized aggregate plus a running-sum window over that tiny
+# table — the corpus shuffles once, on user_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q70_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) // CAST(604800000000 AS BIGINT) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT e.user_id,
+             f.cohort_week,
+             CAST(epoch_us(e.ts) // CAST(604800000000 AS BIGINT) AS BIGINT)
+               - f.cohort_week AS age_weeks,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    tri AS (
+      SELECT cohort_week, age_weeks,
+             count(*) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM purchases GROUP BY 1, 2
+    )
+    SELECT cohort_week, age_weeks, n_purchases, revenue_cents,
+           CAST(sum(revenue_cents) OVER (
+             PARTITION BY cohort_week ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM tri
+    """,
+)
+def q70_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.expr(f"unix_micros({c}) div {7 * 86400 * 1000000}")  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    ).select("user_id", week("first_ts").alias("cohort_week"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "cohort_week",
+            (week("ts") - F.col("cohort_week")).alias("age_weeks"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    tri = purchases.groupBy("cohort_week", "age_weeks").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tri.select(
+        "cohort_week",
+        "age_weeks",
+        "n_purchases",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )

@@ -123,6 +123,7 @@ DRIVER_PRIORITY = [
     "q67_range_join_buckets",
     "q68_profile_orders",
     "q69_pagerank_step",
+    "q70_cohort_ltv",
     "curate_export_shards",
     "curate_oversample_rare",
     "curate_weighted_sample",

@@ -3465,3 +3465,64 @@ def q70_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71: one-pass Pearson correlation matrix over lineitem's numeric
+# columns — the profiling companion (q68) for relationship discovery.
+# All sufficient statistics (avg(x), avg(x*x), avg(x*y) per pair) come
+# from ONE scan and ONE aggregation row; the upper-triangle reshape is a
+# map-side literal-struct explode. At 100 TB: strictly scan-bound, the
+# shuffle carries one partial-agg row per task.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+]
+
+
+@query(
+    "q71_correlation_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT
+    """
+    + ",\n".join(f"        avg({c}) AS m_{c}, avg({c} * {c}) AS s_{c}"
+                 for c in _CORR_COLS)
+    + ",\n"
+    + ",\n".join(f"        avg({a} * {b}) AS p_{a}_{b}"
+                 for a, b in _CORR_PAIRS)
+    + """
+      FROM lineitem
+    )
+    """
+    + "\n    UNION ALL\n".join(
+        f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           round((p_{a}_{b} - m_{a} * m_{b})
+                 / sqrt((s_{a} - m_{a} * m_{a}) * (s_{b} - m_{b} * m_{b})),
+                 5) + 0.0 AS pearson_r
+    FROM s"""
+        for a, b in _CORR_PAIRS
+    ),
+)
+def q71_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _CORR_COLS:
+        aggs += [
+            F.avg(c).alias(f"m_{c}"),
+            F.avg(F.col(c) * F.col(c)).alias(f"s_{c}"),
+        ]
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.avg(F.col(a) * F.col(b)).alias(f"p_{a}_{b}"))
+    wide = li.agg(*aggs)
+    structs = ", ".join(
+        f"struct('{a}' AS col_a, '{b}' AS col_b,"
+        f" round((p_{a}_{b} - m_{a} * m_{b})"
+        f" / sqrt((s_{a} - m_{a} * m_{a}) * (s_{b} - m_{b} * m_{b})), 5)"
+        f" + 0.0d AS pearson_r)"
+        for a, b in _CORR_PAIRS
+    )
+    return wide.select(
+        F.explode(F.expr(f"array({structs})")).alias("r")
+    ).select("r.*")

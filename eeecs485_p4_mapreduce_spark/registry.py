@@ -124,6 +124,7 @@ DRIVER_PRIORITY = [
     "q68_profile_orders",
     "q69_pagerank_step",
     "q70_cohort_ltv",
+    "q71_correlation_matrix",
     "curate_export_shards",
     "curate_oversample_rare",
     "curate_weighted_sample",

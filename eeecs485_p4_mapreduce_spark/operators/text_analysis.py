@@ -844,3 +844,101 @@ def ta_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lf") - slope * F.avg("lr"), 5) + F.lit(0.0)
         ).alias("zipf_intercept"),
     )
+
+
+@query(
+    "ta_js_divergence",
+    oracle=f"""
+    WITH freq AS (
+      SELECT lang, token, count(*) AS c
+      FROM (SELECT lang, unnest({_DUCK_TOKS}) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM freq GROUP BY 1),
+    p AS (
+      SELECT freq.lang, token, c * 1.0 / tot.t AS p
+      FROM freq JOIN tot USING (lang)
+    ),
+    hp AS (SELECT lang, sum(-p * ln(p)) AS h FROM p GROUP BY 1),
+    expanded AS (
+      SELECT least(p.lang, l2.lang) AS lang_a,
+             greatest(p.lang, l2.lang) AS lang_b,
+             token, p.p
+      FROM p, (SELECT DISTINCT lang FROM p) l2
+      WHERE l2.lang <> p.lang
+    ),
+    m AS (
+      SELECT lang_a, lang_b, token, sum(p) / 2 AS m
+      FROM expanded GROUP BY 1, 2, 3
+    ),
+    hm AS (
+      SELECT lang_a, lang_b, sum(-m * ln(m)) AS h FROM m GROUP BY 1, 2
+    )
+    SELECT hm.lang_a, hm.lang_b,
+           round(hm.h - (ha.h + hb.h) / 2, 5) + 0.0 AS jsd_nats
+    FROM hm
+    JOIN hp ha ON ha.lang = hm.lang_a
+    JOIN hp hb ON hb.lang = hm.lang_b
+    """,
+)
+def ta_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every language pair's token
+    distribution — the distributional-drift metric a pipeline tracks to
+    detect mixture shifts between corpus snapshots (symmetric, bounded
+    by ln 2, defined even when supports differ).
+
+    Computed via the entropy identity JSD(P,Q) = H((P+Q)/2)
+    - (H(P)+H(Q))/2, which needs NO outer join: each (lang, token)
+    probability row expands to the pairs containing its language, the
+    mixture m sums per (pair, token) — one-sided tokens contribute
+    their -(p/2)ln(p/2) mixture mass automatically — and per-language
+    entropies come straight off the probability table. Scale: the
+    frequency table is vocabulary-sized with map-side combine; the
+    expansion factor is |languages|-1, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
+    p = freq.join(tot, "lang").select(
+        "lang", "token", (F.col("c") * 1.0 / F.col("t")).alias("p")
+    )
+    hp = p.groupBy("lang").agg(
+        F.sum(-F.col("p") * F.log("p")).alias("h")
+    )
+    langs = p.select("lang").distinct().select(F.col("lang").alias("lang2"))
+    expanded = (
+        p.join(F.broadcast(langs), F.col("lang2") != F.col("lang"))
+        .select(
+            F.least("lang", "lang2").alias("lang_a"),
+            F.greatest("lang", "lang2").alias("lang_b"),
+            "token",
+            "p",
+        )
+    )
+    m = expanded.groupBy("lang_a", "lang_b", "token").agg(
+        (F.sum("p") / 2).alias("m")
+    )
+    hm = m.groupBy("lang_a", "lang_b").agg(
+        F.sum(-F.col("m") * F.log("m")).alias("h")
+    )
+    ha = hp.select(F.col("lang").alias("lang_a"), F.col("h").alias("h_a"))
+    hb = hp.select(F.col("lang").alias("lang_b"), F.col("h").alias("h_b"))
+    return (
+        hm.join(F.broadcast(ha), "lang_a")
+        .join(F.broadcast(hb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            (
+                F.round(
+                    F.col("h") - (F.col("h_a") + F.col("h_b")) / 2, 5
+                )
+                + F.lit(0.0)
+            ).alias("jsd_nats"),
+        )
+    )

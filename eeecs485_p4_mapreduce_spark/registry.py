@@ -130,6 +130,7 @@ DRIVER_PRIORITY = [
     "curate_weighted_sample",
     "ta_readability",
     "ta_zipf_slope",
+    "ta_js_divergence",
     "dedup_suffix_prefix",
 ]
 

@@ -780,19 +780,18 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: priorities are map-side expressions; top-k by priority is a
     TakeOrdered (per-partition heap + driver merge of k rows), never a
     global sort — the distributed form of reservoir sampling that
-    sequential algorithms can't parallelize."""
-    from pyspark.sql.window import Window
-
+    sequential algorithms can't parallelize. ``orderBy(...).limit(k)``
+    plans as TakeOrderedAndProject, so no row ever crosses a shuffle
+    except the k survivors."""
     docs = load_table(spark, sf_dir, "documents")
     u = F.expr(f"(({_SPARK_U}) + 0.5) / 10000.0")
     priority = F.pow(u, 1.0 / F.col("n_chars"))
-    w = Window.orderBy(F.col("priority_raw").desc(), "doc_id")
     return (
         docs.select(
             "doc_id", "lang", "n_chars", priority.alias("priority_raw")
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= WEIGHTED_SAMPLE_K)
+        .orderBy(F.col("priority_raw").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
         .select(
             "doc_id",
             "lang",

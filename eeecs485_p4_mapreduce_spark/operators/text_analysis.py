@@ -811,8 +811,11 @@ def ta_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(frequency) on ln(rank) for the top-N tokens — a one-number corpus
     health check (natural language sits near -1; spammy or templated
     corpora drift). Scale: the frequency table reduces with map-side
-    combine; top-N is a TakeOrdered on the vocabulary-sized aggregate;
-    the regression runs over N rows. Ties rank deterministically by
+    combine; top-N is a TakeOrdered on the vocabulary-sized aggregate
+    (``orderBy(...).limit(N)`` plans as TakeOrderedAndProject — a
+    per-partition heap, never a single-partition pass over the whole
+    vocabulary); the regression runs over N rows, where the ranking
+    window is N-row-sized. Ties rank deterministically by
     (count desc, token)."""
     from pyspark.sql.window import Window
 
@@ -824,11 +827,12 @@ def ta_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ranked = (
-        freq.withColumn(
+        freq.orderBy(F.col("c").desc(), "token")
+        .limit(ZIPF_TOP_N)
+        .withColumn(
             "rnk",
             F.row_number().over(Window.orderBy(F.col("c").desc(), "token")),
         )
-        .filter(F.col("rnk") <= ZIPF_TOP_N)
         .select(
             F.log(F.col("rnk").cast("double")).alias("lr"),
             F.log(F.col("c").cast("double")).alias("lf"),

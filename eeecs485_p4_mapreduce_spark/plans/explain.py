@@ -65,6 +65,100 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
+#: Physical nodes that bound the row count flowing into a window: any
+#: final aggregate, top-k, or limit collapses a fact-sized input to an
+#: aggregate-/constant-sized one before a single-partition window pass.
+_WINDOW_BOUNDERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+)
+
+_SCAN_MARKERS = ("FileScan", "Scan parquet", "Scan csv", "Scan json", "Scan orc")
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups in a plan-node line."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def unpartitioned_fact_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec whose input is fact-sized.
+
+    A ``Window`` over an unpartitioned spec moves every input row to one
+    partition — fatal when the input is a scan-sized relation, harmless
+    when an aggregate/limit already collapsed it. Returns the offending
+    node lines (empty list = clean). Parses the simple-mode plan tree:
+    a partitioned Window renders three top-level bracket groups
+    (``Window [funcs], [part], [order]``), an unpartitioned one only two —
+    and a partitioned window with no ORDER BY also renders two
+    (``[funcs], [part]``), so a two-group node counts as unpartitioned
+    only when its trailing group carries sort directions (ASC/DESC).
+    The node is flagged when its subtree reaches a file scan before any
+    aggregate/limit bounder."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    lines = plan.splitlines()
+
+    def depth_of(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    offenders: list[str] = []
+    for idx, line in enumerate(lines):
+        stripped = line.lstrip(" :+-")
+        stripped = stripped.lstrip("*(0123456789) ")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(line)
+        if len(groups) >= 3:
+            continue  # partitioned: [funcs], [part], [order]
+        last = groups[-1] if groups else ""
+        if "ASC" not in last and "DESC" not in last:
+            continue  # [funcs], [part] — partitioned, no ORDER BY
+        d = depth_of(line)
+        # Walk the subtree in order; the first scan-vs-bounder decides.
+        bounded = False
+        for sub in lines[idx + 1 :]:
+            if sub.strip() and depth_of(sub) <= d and sub.strip() != "":
+                break
+            if any(b in sub for b in _WINDOW_BOUNDERS):
+                bounded = True
+                break
+            if any(m in sub for m in _SCAN_MARKERS):
+                break
+        if not bounded:
+            offenders.append(line.strip())
+    return offenders
+
+
+def assert_no_unpartitioned_fact_window(df: DataFrame) -> None:
+    """The 100 TB rule behind VERDICT r2 items 1-2: no global (partition-
+    less) window may consume a scan-sized relation directly — top-k must
+    be ``orderBy().limit()`` (TakeOrderedAndProject) and ranks derived
+    over the k survivors."""
+    offenders = unpartitioned_fact_windows(df)
+    assert not offenders, (
+        "unpartitioned window over fact-sized input:\n" + "\n".join(offenders)
+    )
+
+
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     """Formatted plans mark codegen membership per-node as
     ``[codegen id : N]`` (the literal 'WholeStageCodegen' only appears in

@@ -418,6 +418,39 @@ def test_no_python_udfs_outside_multimodal(spark, sf_dir):
     assert not offenders, f"Python in hot path: {offenders}"
 
 
+def test_no_unpartitioned_fact_windows(spark, sf_dir):
+    """Systemic 100 TB gate (VERDICT r2 items 1-2): no registered query
+    may run a partition-less window directly over a scan-sized relation
+    — that moves the whole fact table to ONE task. Global top-k must be
+    ``orderBy().limit()`` (TakeOrderedAndProject) with ranks derived over
+    the k survivors; global windows are only legal over aggregate- or
+    limit-bounded inputs (q52/q65/curate_lang_balance pass because the
+    detector sees the bounding aggregate, not via allowlist)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.plans.explain import (
+        unpartitioned_fact_windows,
+    )
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    # Positive control first: the detector must flag the anti-pattern,
+    # else an empty offender list proves nothing.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n_chars")))
+    )
+    assert unpartitioned_fact_windows(bad), "detector missed positive control"
+
+    load_all()
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        off = unpartitioned_fact_windows(fn(spark, sf_dir))
+        if off:
+            offenders[name] = off[0][:160]
+    assert not offenders, f"unpartitioned fact-sized windows: {offenders}"
+
+
 def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
     """Observation metrics must match a separately-computed count/null scan
     while costing zero extra jobs (they ride the main action)."""

@@ -46,6 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver hands us its own vanilla SparkSession, which our session
         # factory never saw.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the session timezone too (also runtime-settable): the NTZ→LTZ
+        # cast below interprets wall-clock in the session tz, and every
+        # downstream epoch bucket (unix_micros, window(), date_format)
+        # renders in it. On a non-UTC host a vanilla session would shift
+        # hour/week buckets across boundaries vs the DuckDB oracle's
+        # tz-free epoch math; under UTC both paths agree byte-for-byte.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # Normalize ts to TIMESTAMP (LTZ) at micros precision regardless of

@@ -109,7 +109,14 @@ class MREngine:
         read-intermediates-then-sort flow byte for byte.
         """
         inter = Path(intermediate_dir) / f"job-{job_id}" / "intermediate"
-        inter.mkdir(parents=True, exist_ok=True)
+        if inter.exists():
+            # Job ids restart at 0 per engine instance, so a reused
+            # intermediate_dir can hold maptask files from a previous run
+            # (possibly with a different num_mappers); the reduce side
+            # globs maptask*, so stale files would silently merge into
+            # the reduce input. Start from an empty dir every time.
+            shutil.rmtree(inter)
+        inter.mkdir(parents=True)
         base = str(inter)
 
         def dump(idx: int, pairs: Iterator[tuple[str, str]]) -> Iterator[int]:

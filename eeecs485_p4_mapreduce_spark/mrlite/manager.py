@@ -108,7 +108,13 @@ class MRManagerServer:
         if mtype == "new_manager_job":
             rec = JobRecord(message=message)
             self.jobs.append(rec)
-            self._queue.put(rec)
+            if self._shutdown.is_set():
+                # The runner loop has exited (or is exiting); queueing now
+                # would leave rec.done forever unset for a waiting client.
+                rec.error = "dropped: shutdown"
+                rec.done.set()
+            else:
+                self._queue.put(rec)
         elif mtype == "shutdown":
             self._shutdown.set()
             self._queue.put(None)  # wake the runner
@@ -119,6 +125,18 @@ class MRManagerServer:
         while True:
             rec = self._queue.get()
             if rec is None or self._shutdown.is_set():
+                # Drain everything still queued (including the record we
+                # may have just dequeued): a client blocked on rec.done
+                # must never hang because shutdown raced its submit.
+                leftovers = [] if rec is None else [rec]
+                while not self._queue.empty():
+                    extra = self._queue.get_nowait()
+                    if extra is not None:
+                        leftovers.append(extra)
+                for dropped in leftovers:
+                    if not dropped.done.is_set():
+                        dropped.error = "dropped: shutdown"
+                        dropped.done.set()
                 break
             try:
                 rec.result = self.engine.submit_job(

@@ -3020,14 +3020,18 @@ def q64_top_suppliers_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q65: ABC (Pareto) classification of parts by cumulative revenue share:
 # A = parts covering the first 80% of revenue, B = next 15%, C = tail.
 # Scale: revenue reduces per part with map-side combine (the only
-# fact-sized shuffle); the descending cumsum then runs over the
-# part-domain-sized table — dimension-bounded, same documented bound as
-# the percentile window, with the range-partitioned two-level prefix as
-# the escape hatch if the part domain ever rivals the fact count. All
-# arithmetic is integer cents and the class cut compares cum*100 to
-# total*80 — exact integers, so the A/B boundary cannot flip between
-# engines. Total revenue arrives via a broadcast one-row cross join,
-# not an empty-frame window.
+# fact-sized shuffle); the descending cumsum uses the same two-level
+# prefix trick as q57 — deterministic value buckets on c (bucket id is
+# monotone in the sort order, so every row in bucket b sorts before all
+# of bucket b-1), a bucket-count-sized global prefix over per-bucket
+# totals, then a PARTITIONED window within each bucket. No pass ever
+# holds more than one bucket of the part domain in a single task. The
+# bucket function is a pure expression of (c, max(c)) — reproducible
+# across the two plan evaluations, unlike sampling-based range
+# partitioning. All arithmetic is integer cents and the class cut
+# compares cum*100 to total*80 — exact integers, so the A/B boundary
+# cannot flip between engines. Totals arrive via a broadcast one-row
+# cross join, not an empty-frame window.
 # ---------------------------------------------------------------------------
 @query(
     "q65_abc_classification",
@@ -3062,13 +3066,28 @@ def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("c")
     )
-    tot = pr.agg(F.sum("c").alias("tot"))
-    w = Window.orderBy(F.col("c").desc(), "l_partkey").rowsBetween(
+    stats = pr.agg(F.sum("c").alias("tot"), F.max("c").alias("mx"))
+    bucketed = pr.crossJoin(F.broadcast(stats)).withColumn(
+        "bkt", F.expr("CAST(c * 1024 DIV (mx + 1) AS INT)")
+    )
+    w_b = Window.orderBy(F.col("bkt").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    prefix = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("c").alias("btot"))
+        .select(
+            "bkt", (F.sum("btot").over(w_b) - F.col("btot")).alias("before")
+        )
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("c").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        pr.crossJoin(F.broadcast(tot))
-        .withColumn("cum", F.sum("c").over(w))
+        bucketed.join(F.broadcast(prefix), "bkt")
+        .withColumn("cum", F.col("before") + F.sum("c").over(w_in))
         .select(
             "l_partkey",
             F.col("c").alias("rev_cents"),

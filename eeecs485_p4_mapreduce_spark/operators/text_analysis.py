@@ -495,7 +495,19 @@ def _rep_struct(duck: bool) -> str:
             trigrams=trigrams,
         )
     toks = "split(lower(text), '[ \t]')"
-    top = "array_max(transform(array_distinct({a}), u -> size(filter({a}, x -> x = u))))"
+    # Top-element multiplicity in O(n log n): sort, then one linear fold
+    # tracking the current and best run length. The obvious
+    # distinct×filter form is O(distinct · n) per document — measured
+    # 2.5x slower on this corpus once the bigram gate tripled the work.
+    top = (
+        "aggregate(array_sort({a}),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev <=> x, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
     bigrams = (
         "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1),"
         " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"

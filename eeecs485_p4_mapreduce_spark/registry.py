@@ -160,8 +160,20 @@ def _prioritize() -> None:
     """Order the registry so the driver's bounded per-round window always
     reaches unproven queries first: (1) explicit priority names without a
     green driver row yet, (2) all other never-green queries in
-    registration order, (3) queries already proven green in a past round
-    (pytest + the local oracle gate keep guarding those)."""
+    registration order, (3) queries already proven green in a past round.
+
+    Proven queries are not hidden from the driver — they immediately
+    follow the unproven block, so once the unproven set shrinks below the
+    window size the driver re-checks proven queries every round (and
+    pytest + tools/oracle_check.py re-verify all 151 regardless of
+    order). The CORRECTNESS_r*.json inputs are committed artifacts, so
+    iteration order is reproducible from a clone. Set
+    ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering entirely and keep
+    pure registration order."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
+        return
     green = _driver_green_names()
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
     seen = set(pri)

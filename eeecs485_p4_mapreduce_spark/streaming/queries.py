@@ -304,17 +304,20 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch_df, _batch_id: int) -> None:
         sp = batch_df.sparkSession
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         partial = batch_df.groupBy(
             F.date_trunc("hour", "ts").alias("hour"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
         )
-        try:
-            stored = sp.read.parquet(out_dir)
-            merged = stored.unionByName(partial)
-        except Exception:  # noqa: BLE001 — first batch: nothing stored yet
+        # First-batch detection is an explicit filesystem check: a bare
+        # `except Exception` around the read would also swallow a
+        # transient/corrupt-read failure mid-stream and silently RESET
+        # the rollup, dropping all prior history. Any read error on an
+        # existing rollup must propagate and fail the stream.
+        if any(Path(out_dir).glob("*.parquet")):
+            merged = sp.read.parquet(out_dir).unionByName(partial)
+        else:
             merged = partial
         (
             merged.groupBy("hour", "event_type")

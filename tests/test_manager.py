@@ -113,6 +113,30 @@ def test_shutdown_message_stops_server(server):
     assert not server.is_alive()
 
 
+def test_shutdown_drains_queued_jobs(server):
+    """Jobs still queued (or newly dispatched) at shutdown must have
+    ``done`` set with an error rather than hanging a client that waits on
+    the record — shutdown resolves every outstanding JobRecord."""
+    server.stop()
+    deadline = time.monotonic() + 10
+    while server.is_alive() and time.monotonic() < deadline:
+        time.sleep(0.1)
+    # Dispatch after shutdown: the runner loop is gone, so the record
+    # must be resolved immediately instead of queued forever.
+    server._dispatch(
+        {
+            "message_type": "new_manager_job",
+            "input_directory": "/nonexistent",
+            "output_directory": "/nonexistent",
+            "mapper_executable": "true",
+            "reducer_executable": "true",
+        }
+    )
+    (rec,) = server.jobs
+    assert rec.done.wait(timeout=5)
+    assert rec.error == "dropped: shutdown"
+
+
 def test_cli_serve_mode(tmp_path):
     """`python -m ...mrlite --serve` starts the endpoint, accepts the
     reference protocol, and exits cleanly on the shutdown message."""

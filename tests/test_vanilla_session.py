@@ -42,6 +42,40 @@ print("VANILLA_RESULTS:" + json.dumps(results))
 """
 
 
+def test_oracle_gate_on_non_utc_vanilla_session():
+    """The driver's vanilla session inherits the HOST timezone. The
+    NTZ→LTZ events cast and every epoch bucket (unix_micros div,
+    window(), date_format) run in session tz, so a non-UTC host would
+    shift cohort/hour buckets vs the DuckDB oracle's tz-free epoch math
+    unless catalog.load_table pins spark.sql.session.timeZone=UTC
+    (runtime-settable, like nanosAsLong). Run the tz-sensitive queries
+    through the real oracle gate with TZ=America/New_York."""
+    import os
+
+    env = dict(os.environ, TZ="America/New_York", SPARK_VANILLA="1")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/oracle_check.py",
+            "/root/testdata/sf0.001",
+            "q18_events_hourly",
+            "q19_sessionize",
+            "q22_asof_last_purchase",
+            "q57_peak_concurrency",
+            "q70_cohort_ltv",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith('{"failed"')]
+    assert line, proc.stdout[-2000:]
+    assert json.loads(line[0])["failed"] == [], line[0]
+
+
 def test_queries_run_on_vanilla_session():
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],

@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched Pandas
 UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode step is a
+The container has no image/audio libraries, so PIXEL decode is a
 clearly-marked stub (``decode_image``/``decode_audio`` raise
 NotImplementedError; ``fake_feature_extract`` is the deterministic stand-in
-used by tests and queries). Everything Spark-side is real and tested:
-schema, batch iteration, partitioning, and the UDF signatures — swapping
-the stub for PIL/ffmpeg is a one-function change on the executors.
+used by tests and queries). HEADER decode is real: ``parse_image_header``
+walks actual JPEG marker streams / PNG IHDR / GIF LSD / BMP DIB layouts
+(see mm_image_dimensions), grounded against canonical real-world fixture
+bytes in tests. Everything Spark-side is real and tested: schema, batch
+iteration, partitioning, and the UDF signatures — swapping the pixel stub
+for PIL/ffmpeg is a one-function change on the executors.
 
 Scale notes: media blobs ride the DataFrame as binary columns, so column
 pruning keeps them out of any query that doesn't touch them; feature
@@ -695,3 +698,204 @@ def mm_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     text payloads); the pytest constructs real magic-byte payloads to
     prove the positive paths."""
     return sniff_formats(documents_as_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Real header-level image decode — the first NON-stub decoder in this
+# family. Pixel decode still needs an imaging library (decode_image stays
+# a declared stub), but container headers are pure byte layout, specified
+# publicly (JPEG: ITU-T T.81 §B.2, PNG: RFC 2083 §12, GIF: GIF89a spec,
+# BMP: BITMAPINFOHEADER), and parsing them is what a 100 TB ingest
+# actually does first: validate + extract dimensions WITHOUT decoding
+# pixels, at metadata rate. parse_image_header is grounded against
+# real-world fixture bytes in tests/test_multimodal.py, not just the
+# builder round-trip.
+# ---------------------------------------------------------------------------
+
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC (T.81 table B.1)
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) from real image container bytes.
+
+    - JPEG: walk the marker stream (skipping APPn/COM/anything with a
+      big-endian length) to the first SOF frame header; height/width are
+      bytes 3-6 of the segment (ITU-T T.81 §B.2.2).
+    - PNG: the IHDR chunk is mandatory-first; width/height are the two
+      big-endian u32 at offsets 16/20 (RFC 2083 §12.2).
+    - GIF: logical screen descriptor at offset 6, little-endian u16.
+    - BMP: BITMAPINFOHEADER at offset 14, little-endian i32.
+
+    Returns None for anything unrecognized or truncated (never raises:
+    at ingest scale, malformed blobs are data, not exceptions).
+    """
+    if len(payload) < 14:
+        return None
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None  # desynchronized marker stream
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding is legal
+                i += 1
+                continue
+            if marker in _SOF_MARKERS:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no length field
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        if payload[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return ("bmp", w, abs(h))  # negative height = top-down rows
+    return None
+
+
+def build_image_payload(fmt: str, width: int, height: int) -> bytes:
+    """Emit spec-conformant header bytes for ``fmt`` (+ a short opaque
+    body) so the synthetic corpus carries REAL container layouts. The
+    JPEG path deliberately places APP0 and COM segments before SOF0 so a
+    parser must actually walk the marker stream."""
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"p4sgn"
+        sof0 = (
+            b"\xff\xc0"
+            + (11).to_bytes(2, "big")
+            + b"\x08"
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + b"\x01"  # Nf = 1 component
+            + b"\x01\x11\x00"  # component: id, H/V sampling, quant table
+        )
+        return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+    if fmt == "png":
+        ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + b"\x08\x00\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # CRC slot (not validated header-side)
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + b"\x00\x00\x00\x00;"
+        )
+    if fmt == "bmp":
+        dib = (
+            (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + bytes(24)
+        )
+        header = b"BM" + (14 + 40).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        return header + dib
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+DIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+_DIM_FMTS = ("jpeg", "png", "gif", "bmp")
+
+
+def decode_image_dimensions(media: DataFrame) -> DataFrame:
+    """Header-decode every payload to (fmt, width, height) — one
+    Arrow-batched zero-shuffle pass; unparseable payloads yield nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "width": [t[1] if t else None for t in parsed],
+                    "height": [t[2] if t else None for t in parsed],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, DIM_SCHEMA)
+
+
+@query(
+    "mm_image_dimensions",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['jpeg', 'png', 'gif', 'bmp'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
+           CAST(16 + (doc_id * 7) % 317 AS BIGINT) AS width,
+           CAST(16 + n_chars % 211 AS BIGINT) AS height,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 44 WHEN 1 THEN 33 WHEN 2 THEN 15 ELSE 54 END
+             AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode: build spec-conformant JPEG/PNG/GIF/BMP
+    headers with dimensions derived from document columns, then recover
+    format + dimensions by parsing the BYTES with parse_image_header
+    (marker walk / IHDR / LSD / DIB — no stand-ins on this path). The
+    oracle recomputes the expected dimensions arithmetically, so a hash
+    match proves encode→parse round-trips the real container layouts
+    byte-exactly. One mapInPandas pass, no shuffle; at 100 TB this is
+    the validate-and-index step of a media ingest, reading headers at
+    metadata rate."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_image_payload(
+                    _DIM_FMTS[int(d) % 4],
+                    16 + (int(d) * 7) % 317,
+                    16 + int(n) % 211,
+                )
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            parsed = [parse_image_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "fmt": [t[0] if t else None for t in parsed],
+                    "width": [t[1] if t else None for t in parsed],
+                    "height": [t[2] if t else None for t in parsed],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(run, DIM_SCHEMA)

@@ -132,6 +132,46 @@ DRIVER_PRIORITY = [
     "ta_zipf_slope",
     "ta_js_divergence",
     "dedup_suffix_prefix",
+    # Round-3 window tail + the 13 round-4 leftovers, pinned explicitly so
+    # NEWLY REGISTERED queries (which sort by module import order and
+    # could otherwise jump ahead of never-proven relational queries) queue
+    # BEHIND everything still awaiting a driver row.
+    "q23_quantity_band_join",
+    "q24_group_percentiles",
+    "q26_approx_sketches",
+    "q27_status_unpivot",
+    "q28_window_rank_family",
+    "q29_date_features",
+    "q30_grouping_sets",
+    "q31_order_count_distribution",
+    "q32_top_supplier_revenue",
+    "q33_rich_inactive_customers",
+    "q36_volume_shipping",
+    "q37_product_profit",
+    "q38_disjunctive_revenue",
+    "q39_lone_return_suppliers",
+    "q40_sql_surface",
+    "q41_stats_summary",
+    "q44_profile_orders",
+    "q45_market_share",
+    "q46_zvalue_interleave",
+    "q47_share_of_total",
+    "q49_min_cost_supplier",
+    "q50_click_attribution_outer",
+    "q51_dominant_suppliers",
+    "q52_important_value_share",
+    "q54_event_debounce",
+    "q55_range_frame_moving_avg",
+    "q56_rolling_distinct_users",
+    "q57_peak_concurrency",
+    "q58_big_orders",
+    "q59_rolling_distinct_sketch",
+    "q60_value_histogram",
+    "q61_part_affinity",
+    "q62_event_transitions",
+    "q63_value_outliers",
+    "q64_top_suppliers_others",
+    "q65_abc_classification",
 ]
 
 

@@ -125,3 +125,83 @@ def test_format_sniff_detects_magic_bytes(spark, tmp_path):
     got = {r.fmt: r.n_media for r in sniff_formats(media).collect()}
     for fmt in payloads:
         assert got.get(fmt) == 1, (fmt, got)
+
+
+# Canonical real-world fixture bytes (public, spec-mandated layouts):
+# the 1x1 transparent PNG and 1x1 GIF89a that ship in countless test
+# suites and web tracking pixels — NOT built by our own builder, so they
+# ground parse_image_header in reality rather than a round-trip.
+_REAL_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d49444154789c626001000000ffff03000006000557bfabd4"
+    "0000000049454e44ae426082"
+)
+_REAL_GIF_1x1 = bytes.fromhex(
+    "474946383961010001008000000000ffffff21f90401000000002c000000000100"
+    "010000020144003b"
+)
+
+
+def test_parse_image_header_real_fixtures():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_REAL_PNG_1x1) == ("png", 1, 1)
+    assert parse_image_header(_REAL_GIF_1x1) == ("gif", 1, 1)
+    # JPEG: spec-structured stream where SOF0 sits behind APP0 + DQT +
+    # COM segments the parser must skip via their length fields
+    # (ITU-T T.81 table B.1 marker walk).
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + dqt
+        + b"\xff\xfe" + (9).to_bytes(2, "big") + b"comment"
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + (480).to_bytes(2, "big")
+        + (640).to_bytes(2, "big") + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    # Progressive JPEG uses SOF2 — same frame header layout.
+    assert parse_image_header(jpeg.replace(b"\xff\xc0", b"\xff\xc2")) == (
+        "jpeg",
+        640,
+        480,
+    )
+    # Malformed inputs are data, not exceptions.
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\xff\xd8\xff") is None
+    assert parse_image_header(b"not an image at all....") is None
+    # Truncated marker stream (no SOF before bytes run out).
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x10" + bytes(20)) is None
+
+
+def test_build_parse_roundtrip_all_formats():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        build_image_payload,
+        parse_image_header,
+    )
+
+    for fmt in ("jpeg", "png", "gif", "bmp"):
+        for w, h in ((1, 1), (640, 480), (16, 65535 if fmt != "gif" else 65535)):
+            payload = build_image_payload(fmt, w, h)
+            assert parse_image_header(payload) == (fmt, w, h), (fmt, w, h)
+    # BMP top-down rows encode height negative; parser reports magnitude.
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        parse_image_header as p,
+    )
+    bmp = bytearray(build_image_payload("bmp", 10, 20))
+    bmp[22:26] = (-20).to_bytes(4, "little", signed=True)
+    assert p(bytes(bmp)) == ("bmp", 10, 20)
+
+
+def test_mm_image_dimensions_runs(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        mm_image_dimensions,
+    )
+
+    out = mm_image_dimensions(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.fmt is not None for r in rows)
+    assert all(16 <= r.width <= 16 + 316 and 16 <= r.height <= 16 + 210 for r in rows)

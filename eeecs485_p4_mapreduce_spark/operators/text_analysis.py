@@ -426,11 +426,21 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IP counting runs AFTER email redaction on both sides: the mail
     # domain would otherwise never match, but ordering is still pinned
     # so the engines agree by construction, not by accident.
-    no_email = F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(no_email, _PII_PHONE, "<PHONE>"), _PII_IP, "<IP>"
+    # The intermediates are separate withColumn steps, each referenced
+    # more than once downstream, so CollapseProject keeps them as their
+    # own projections and every regexp_replace runs ONCE per row — the
+    # inline form re-ran the email scrub 3x and phone/ip 2x.
+    staged = aug.withColumn(
+        "no_email", F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>")
+    ).withColumn(
+        "scrubbed",
+        F.regexp_replace(
+            F.regexp_replace(F.col("no_email"), _PII_PHONE, "<PHONE>"),
+            _PII_IP,
+            "<IP>",
+        ),
     )
-    return aug.select(
+    return staged.select(
         "doc_id",
         # Python-API calls only: a pattern routed through a Spark SQL
         # string literal would have its backslashes eaten by the parser.
@@ -440,11 +450,11 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all(F.col("aug"), F.lit(_PII_PHONE), F.lit(0))
         ).alias("n_phones"),
-        F.size(F.regexp_extract_all(no_email, F.lit(_PII_IP), F.lit(0))).alias(
-            "n_ips"
-        ),
-        F.md5(scrubbed).alias("scrub_md5"),
-        (F.length("aug") - F.length(scrubbed)).alias("chars_removed"),
+        F.size(
+            F.regexp_extract_all(F.col("no_email"), F.lit(_PII_IP), F.lit(0))
+        ).alias("n_ips"),
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+        (F.length("aug") - F.length("scrubbed")).alias("chars_removed"),
     )
 
 

@@ -1,13 +1,34 @@
-#!/usr/bin/env python3
-"""Scaling probe: time a query subset at sf0.01 and sf0.1 (10x the rows)
-in ONE warm session and report the wall-time ratio per query.
+"""Scale probe: replicate the sf0.1 tables N-fold with shifted keys and
+re-run the headline queries, looking for super-linear stages.
 
-A ratio near 1 means fixed overhead dominates at this corpus size; near
-10 means linear in data; well above 10 flags a super-linear stage (the
-thing that kills a 100 TB run). Output: markdown table on stdout
-(redirect to SCALING.md) + one JSON summary line on stderr.
+The driver's test data tops out at sf0.1 (~600 k lineitem rows), which is
+overhead-bound on 32 cores — a plan with a hidden O(n^2) stage or a
+single-task bottleneck can still look fast there. This tool manufactures a
+larger *measurement* corpus (never used for correctness: the oracle gate
+stays on the driver's own parquet) by unioning R shifted copies of each
+table:
 
-Usage: python tools/scale_probe.py [q1,q2,... (default: bench headline)]
+- every foreign/primary key gets a per-replica offset (``i * KEY_OFFSET``)
+  so join multiplicities stay constant — naive duplication without offsets
+  would inflate join outputs by R per matched key and measure a blow-up the
+  real engine never executes;
+- ``documents.text`` gets a per-replica suffix on every token, so
+  within-replica near-dup structure is preserved exactly while
+  cross-replica shingles are disjoint (otherwise R exact copies of every
+  doc would hand MinHash-LSH an R^2 candidate-pair explosion that says
+  nothing about how the plan scales on real data);
+- ``nation``/``region`` stay single-copy (TPC-H holds dimension constants
+  fixed as SF grows); ``events.ts`` keeps its time domain (a bigger corpus
+  means higher event *rate*, not a longer history — watermark/window state
+  must stay bounded by the time domain, which this probes).
+
+Usage:
+    python tools/scale_probe.py build  [factor] [out_dir]
+    python tools/scale_probe.py run    [factor] [out_dir] [query ...]
+
+``run`` executes each query once against sf0.1 and once against the
+replica, reports wall ratios, and flags anything growing faster than
+``factor`` (linear) by more than SLACK.
 """
 
 from __future__ import annotations
@@ -19,64 +40,143 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_SMALL = "/root/testdata/sf0.01"
-SF_LARGE = "/root/testdata/sf0.1"
-DATA_RATIO = 10.0
+KEY_OFFSET = 100_000_000
+
+# key columns to shift per replica, per table
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ("nation", "region")
+
+# Queries whose runtime is dominated by deliberate demo-shaped I/O or a
+# declared O(n^2) oracle path — excluded from the linearity gate (still
+# run, still timed) with the reason printed.
+NONLINEAR_OK = {
+    "dedup_embedding_cosine": "declared O(n^2) recall oracle (guarded)",
+    "dedup_incremental": "writes+reads a parquet index inside the query",
+    "curate_export_shards": "writes+reads JSON shards inside the query",
+    "sim_topk_bruteforce": "exact top-k scans all vectors per probe (recall oracle)",
+}
+
+SLACK = 2.5  # ratio/factor above this → flagged
 
 
-def _time_one(spark, fn, sf_dir: str) -> float:
-    best = float("inf")
-    for _ in range(2):  # warm min-of-2, like bench.py
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+def build(factor: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
+    from pyspark.sql import functions as F
+
+    from eeecs485_p4_mapreduce_spark import get_spark
+    from eeecs485_p4_mapreduce_spark.catalog import TABLES, load_table
+
+    spark = get_spark("scale-probe-build")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        df = load_table(spark, src, name)
+        out = os.path.join(out_dir, f"{name}.parquet")
+        if name in SINGLE_COPY:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        copies = []
+        for i in range(factor):
+            c = df
+            for col in SHIFT_COLS.get(name, []):
+                c = c.withColumn(col, F.col(col) + F.lit(i * KEY_OFFSET))
+            if name == "documents" and i > 0:
+                # suffix every token: within-replica shingle/near-dup
+                # structure is byte-preserved, cross-replica shingles are
+                # disjoint (see module docstring).
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"([^ \t]+)", rf"$1_r{i}"),
+                ).withColumn("n_chars", F.length("text"))
+            copies.append(c)
+        merged = copies[0]
+        for c in copies[1:]:
+            merged = merged.unionByName(c)
+        # events.ts came through load_table normalization (timestamp);
+        # write as-is — the replica is read back through load_table too,
+        # which no-ops on a plain timestamp column.
+        merged.repartition(max(4, factor)).write.mode("overwrite").parquet(out)
+        print(f"built {name} x{factor}", flush=True)
+    spark.stop()
 
 
-def main() -> int:
-    from bench import HEADLINE
+def run(factor: int, out_dir: str, names: list[str]) -> dict:
+    import bench
 
     from eeecs485_p4_mapreduce_spark import get_spark
     from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
 
     load_all()
-    names = (
-        sys.argv[1].split(",") if len(sys.argv) > 1 else HEADLINE
-    )
-    names = [n for n in names if n in QUERIES]
+    names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    rows = []
+    def timed(fn, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    rows = {}
+    flagged = []
     for name in names:
+        fn = QUERIES[name]
         try:
-            t_small = _time_one(spark, QUERIES[name], SF_SMALL)
-            t_large = _time_one(spark, QUERIES[name], SF_LARGE)
-            rows.append((name, t_small, t_large, t_large / max(t_small, 1e-9)))
-        except Exception as exc:  # noqa: BLE001
-            print(f"probe: {name} failed: {exc}", file=sys.stderr)
-
-    print("# SCALING — wall-time ratio for 10x the data (sf0.01 -> sf0.1)")
-    print()
-    print("Warm min-of-2 per scale, one session, local[32], noop sink.")
-    print("ratio ~1: overhead-bound at this size; ~10: linear; >>10: a")
-    print("super-linear stage that needs attention before 100 TB.")
-    print()
-    print("| query | sf0.01 s | sf0.1 s | ratio |")
-    print("|---|---|---|---|")
-    for name, ts, tl, r in sorted(rows, key=lambda x: -x[3]):
-        print(f"| {name} | {ts:.2f} | {tl:.2f} | {r:.1f} |")
-
-    ratios = sorted(r for _, _, _, r in rows)
-    summary = {
-        "n": len(rows),
-        "median_ratio": round(ratios[len(ratios) // 2], 2) if rows else None,
-        "max_ratio": round(ratios[-1], 2) if rows else None,
-        "data_ratio": DATA_RATIO,
-    }
-    print(json.dumps(summary), file=sys.stderr)
+            timed(fn, "/root/testdata/sf0.1")  # warm plan+JIT
+            base = timed(fn, "/root/testdata/sf0.1")
+            big = timed(fn, out_dir)
+            ratio = big / max(base, 1e-9)
+            norm = ratio / factor
+            rows[name] = {
+                "base_s": round(base, 3),
+                "big_s": round(big, 3),
+                "ratio": round(ratio, 2),
+                "ratio_over_factor": round(norm, 3),
+            }
+            note = ""
+            if name in NONLINEAR_OK:
+                note = f"  [exempt: {NONLINEAR_OK[name]}]"
+            elif norm > SLACK:
+                flagged.append(name)
+                note = "  <-- SUPER-LINEAR"
+            print(
+                f"{name:30s} base {base:7.2f}s  x{factor} {big:7.2f}s "
+                f"ratio {ratio:6.2f} (/{factor} = {norm:5.2f}){note}",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — probe must finish the sweep
+            rows[name] = {"error": str(exc)[:200]}
+            print(f"{name:30s} ERROR {str(exc)[:120]}", flush=True)
     spark.stop()
-    return 0
+    out = {"factor": factor, "flagged": flagged, "queries": rows}
+    print(json.dumps({"factor": factor, "flagged": flagged}))
+    return out
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sfx{factor}"
+    if cmd == "build":
+        build(factor, out_dir)
+        return 0
+    if cmd == "run":
+        result = run(factor, out_dir, sys.argv[4:])
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"SCALING_x{factor}.json",
+        )
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+        return 0
+    print(__doc__)
+    return 2
 
 
 if __name__ == "__main__":

@@ -1106,10 +1106,31 @@ def q27_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q28: the analytic-window family — rank, dense_rank, ntile, percent_rank,
-# cume_dist, lag/lead — over one (priority, price desc, key) ordering, so
-# all six windows share a single shuffle+sort. percent_rank/cume_dist are
-# exact integer ratios evaluated identically in both engines.
+# cume_dist, lag/lead — over one (priority, price desc, key) ordering.
+#
+# Scale: a direct Window.partitionBy(o_orderpriority) caps parallelism at
+# the PARTITION CARDINALITY (5 priorities = 5 tasks forever — the x10
+# replica probe measured it at 6.5x wall for 10x rows while everything
+# else stayed under 4x). Instead, the same two-level prefix decomposition
+# as q57/curate_token_budget, extended to the whole rank family:
+#   1. equi-width price buckets from a broadcast (min,max) scalar — bucket
+#      id is monotone in the sort order, so bucket boundaries are rank
+#      boundaries;
+#   2. per-(priority, bucket) counts + edge prices form a TINY table; a
+#      window over it yields each bucket's preceding row count, total n,
+#      and neighbor-bucket edge prices;
+#   3. the fact table sorts only WITHIN (priority, bucket) — hundreds of
+#      independent tasks — and every global quantity is local state plus
+#      the broadcast prefix: rank = before + row_number (the ordering is
+#      total, keys are unique, so rank = dense_rank = row_number),
+#      percent_rank = (rank-1)/(n-1), cume_dist = rank/n, ntile(k) by the
+#      exact tile-size formula, lag/lead patched at bucket edges with the
+#      neighbor's edge price.
+# Task state is bucket-sized (rows/B), not partition-sized (rows/5), at
+# any corpus size; with equi-depth boundaries (approx quantiles) instead
+# of equi-width the bucket count B could track cluster width exactly.
 # ---------------------------------------------------------------------------
+_Q28_BUCKETS = 256
 @query(
     "q28_window_rank_family",
     oracle="""
@@ -1129,20 +1150,81 @@ def q27_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    B = _Q28_BUCKETS
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    mm = base.groupBy().agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    bucketed = base.join(F.broadcast(mm)).withColumn(
+        "bkt",
+        F.expr(
+            f"least({B - 1}L, floor((o_totalprice - pmin)"
+            f" / (greatest(pmax - pmin, 1e-9d) / {B})))"
+        ),
+    )
+    # the (price desc, key asc) total order as an ascending struct key,
+    # for picking each bucket's first/last row edge prices
+    okey = F.struct(
+        (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
+    )
+    w_b = Window.partitionBy("o_orderpriority").orderBy(F.col("bkt").desc())
+    binfo = (
+        bucketed.groupBy("o_orderpriority", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min_by("o_totalprice", okey).alias("first_price"),
+            F.max_by("o_totalprice", okey).alias("last_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "bkt",
+            "cnt",
+            (
+                F.sum("cnt").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - F.col("cnt")
+            ).alias("before"),
+            F.sum("cnt").over(Window.partitionBy("o_orderpriority")).alias("n"),
+            F.lag("last_price").over(w_b).alias("prev_edge"),
+            F.lead("first_price").over(w_b).alias("next_edge"),
+        )
+    )
+    w_local = Window.partitionBy("o_orderpriority", "bkt").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return orders.select(
+    ranked = (
+        bucketed.join(F.broadcast(binfo), ["o_orderpriority", "bkt"])
+        .withColumn("rn", F.row_number().over(w_local))
+        .withColumn("rnk", F.col("before") + F.col("rn"))
+    )
+    # exact ntile(4): q = n div 4 rows per tail tile, the first n % 4
+    # tiles get one extra row — identical to the engine definition
+    ntile4 = F.expr(
+        "CASE WHEN rnk <= (n % 4) * (n div 4 + 1)"
+        " THEN (rnk + (n div 4)) div (n div 4 + 1)"
+        " ELSE (n % 4) + (rnk - (n % 4) * (n div 4 + 1) + (n div 4) - 1)"
+        "      div (n div 4) END"
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.col("rnk"),
+        F.col("rnk").alias("drnk"),  # unique total order: dense_rank = rank
+        ntile4.cast("int").alias("quartile"),
+        F.round(
+            F.when(F.col("n") > 1, (F.col("rnk") - 1) / (F.col("n") - 1))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rnk") / F.col("n"), 6).alias("cume"),
+        F.coalesce(
+            F.lag("o_totalprice").over(w_local), F.col("prev_edge")
+        ).alias("prev_price"),
+        F.coalesce(
+            F.lead("o_totalprice").over(w_local), F.col("next_edge")
+        ).alias("next_price"),
     )
 
 

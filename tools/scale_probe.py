@@ -167,13 +167,15 @@ def main() -> int:
         build(factor, out_dir)
         return 0
     if cmd == "run":
-        result = run(factor, out_dir, sys.argv[4:])
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            f"SCALING_x{factor}.json",
-        )
-        with open(path, "w") as f:
-            json.dump(result, f, indent=1)
+        subset = sys.argv[4:]
+        result = run(factor, out_dir, subset)
+        if not subset:  # subset runs must not clobber the full sweep record
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                f"SCALING_x{factor}.json",
+            )
+            with open(path, "w") as f:
+                json.dump(result, f, indent=1)
         return 0
     print(__doc__)
     return 2

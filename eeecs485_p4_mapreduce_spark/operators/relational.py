@@ -1796,16 +1796,47 @@ def q39_lone_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q40: the SQL text surface — the IDENTICAL ANSI SQL string runs through
 # spark.sql() over registered views and through the DuckDB oracle,
-# proving the engine speaks SQL directly (CTE + window + qualify-style
-# rank filter), not just the DataFrame DSL. Scale: rank-per-segment is
-# one shuffle on the partition key; the rank filter cuts before output.
+# proving the engine speaks SQL directly (multi-CTE, window frames,
+# prefix-sum prune, qualify-style rank filter), not just the DataFrame
+# DSL. Scale: top-3-per-segment via a rank over PARTITION BY
+# c_mktsegment alone would cap parallelism at the segment cardinality
+# (5 tasks at any corpus size — the q28 failure mode), so the string
+# expresses the two-level prefix idiom in portable ANSI SQL: bucket
+# acctbal, window the tiny per-(segment, bucket) counts for each
+# bucket's preceding row count, keep only buckets that can still reach
+# rank 3 (before < 3 — every earlier bucket row outranks them), and run
+# the final rank over those few surviving rows. Correct because bucket
+# id is monotone in the rank order: a row with >= 3 rows in strictly
+# higher buckets can never be top-3.
 # ---------------------------------------------------------------------------
 _Q40_SQL = """
-    WITH ranked AS (
+    WITH bucketed AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(floor(c_acctbal / 100) AS BIGINT) AS bkt
+      FROM customer
+    ),
+    bucket_counts AS (
+      SELECT c_mktsegment, bkt, count(*) AS cnt
+      FROM bucketed GROUP BY c_mktsegment, bkt
+    ),
+    keep AS (
+      SELECT c_mktsegment, bkt,
+             sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bkt DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - cnt AS before
+      FROM bucket_counts
+    ),
+    cand AS (
+      SELECT b.c_mktsegment, b.c_custkey, b.c_acctbal
+      FROM bucketed b
+      JOIN keep k ON b.c_mktsegment = k.c_mktsegment AND b.bkt = k.bkt
+      WHERE k.before < 3
+    ),
+    ranked AS (
       SELECT c_mktsegment, c_custkey, c_acctbal,
              rank() OVER (PARTITION BY c_mktsegment
                           ORDER BY c_acctbal DESC, c_custkey) AS seg_rank
-      FROM customer
+      FROM cand
     )
     SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, seg_rank
     FROM ranked

@@ -95,6 +95,88 @@ def _bracket_groups(s: str) -> list[str]:
     return groups
 
 
+#: Columns whose value domain is a (small) constant regardless of corpus
+#: size. A window partitioned ONLY by these caps parallelism at the
+#: domain cardinality — 5 tasks for o_orderpriority at any data size —
+#: which is the q28 failure mode the x10 replica probe measured at 6.5x
+#: wall for 10x rows. Such windows are fine over aggregate-sized input,
+#: fatal over scan-sized input.
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "o_orderpriority",
+        "o_orderstatus",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "c_mktsegment",
+        "n_name",
+        "r_name",
+        "p_brand",
+        "lang",
+        "source",
+        "event_type",
+        "split",
+        "status",
+    }
+)
+
+
+def _subtree_first_marker(lines: list[str], idx: int, d: int) -> str | None:
+    """Walk the subtree under ``lines[idx]`` (indent depth ``d``) and
+    report what bounds its row count first: ``"bounded"`` for an
+    aggregate/limit, ``"scan"`` for a file scan, ``None`` when neither
+    appears (local relation, reused exchange, ...)."""
+    for sub in lines[idx + 1 :]:
+        if sub.strip() and _depth_of(sub) <= d:
+            return None
+        if any(b in sub for b in _WINDOW_BOUNDERS):
+            return "bounded"
+        if any(m in sub for m in _SCAN_MARKERS):
+            return "scan"
+    return None
+
+
+def _depth_of(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*(0123456789)":
+        i += 1
+    return i
+
+
+def dimension_bounded_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose partition spec consists ONLY of fixed-domain
+    dimension columns (``LOW_CARDINALITY_COLS``) while their input is
+    scan-sized. Parallelism is then capped at the dimension cardinality
+    no matter how large the corpus — the fix is the two-level prefix
+    decomposition (see q28/q57/curate_token_budget): bucket the sort key,
+    window the tiny per-bucket table, and keep the fact-side window
+    partitioned by (dimension, bucket). Returns offending node lines."""
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    lines = plan.splitlines()
+    offenders: list[str] = []
+    for idx, line in enumerate(lines):
+        stripped = line.lstrip(" :+-").lstrip("*(0123456789) ")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(line)
+        if len(groups) < 3:
+            continue  # unpartitioned — the other detector's job
+        part_cols = {
+            m.group(1) for m in re.finditer(r"(\w+)#\d+", groups[-2])
+        }
+        if not part_cols or not part_cols <= LOW_CARDINALITY_COLS:
+            continue
+        # flag only PROVEN scan-fed windows (no false positives on local
+        # relations / reused exchanges while this gate beds in)
+        if _subtree_first_marker(lines, idx, _depth_of(line)) == "scan":
+            offenders.append(line.strip())
+    return offenders
+
+
 def unpartitioned_fact_windows(df: DataFrame) -> list[str]:
     """Window nodes with NO partition spec whose input is fact-sized.
 
@@ -113,13 +195,6 @@ def unpartitioned_fact_windows(df: DataFrame) -> list[str]:
         df._jdf.queryExecution(), "simple"
     )
     lines = plan.splitlines()
-
-    def depth_of(line: str) -> int:
-        i = 0
-        while i < len(line) and line[i] in " :+-*(0123456789)":
-            i += 1
-        return i
-
     offenders: list[str] = []
     for idx, line in enumerate(lines):
         stripped = line.lstrip(" :+-")
@@ -132,18 +207,9 @@ def unpartitioned_fact_windows(df: DataFrame) -> list[str]:
         last = groups[-1] if groups else ""
         if "ASC" not in last and "DESC" not in last:
             continue  # [funcs], [part] — partitioned, no ORDER BY
-        d = depth_of(line)
-        # Walk the subtree in order; the first scan-vs-bounder decides.
-        bounded = False
-        for sub in lines[idx + 1 :]:
-            if sub.strip() and depth_of(sub) <= d and sub.strip() != "":
-                break
-            if any(b in sub for b in _WINDOW_BOUNDERS):
-                bounded = True
-                break
-            if any(m in sub for m in _SCAN_MARKERS):
-                break
-        if not bounded:
+        # conservative: an offender unless PROVEN bounded (original gate
+        # semantics — an unrecognized subtree still flags)
+        if _subtree_first_marker(lines, idx, _depth_of(line)) != "bounded":
             offenders.append(line.strip())
     return offenders
 

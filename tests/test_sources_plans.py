@@ -451,6 +451,51 @@ def test_no_unpartitioned_fact_windows(spark, sf_dir):
     assert not offenders, f"unpartitioned fact-sized windows: {offenders}"
 
 
+def test_no_dimension_bounded_fact_windows(spark, sf_dir):
+    """The q28 lesson, made systemic: a window partitioned ONLY by
+    fixed-domain dimension columns (priority, status, lang, ...) over a
+    scan-sized input caps parallelism at the dimension cardinality — 5
+    tasks forever — which the x10 replica probe measured at 6.5x wall
+    for 10x rows. The fix is the two-level prefix decomposition
+    (bucket-local window + broadcast bucket prefixes, q28/q57 style).
+    Windows over aggregate-bounded input pass via the bounder check, not
+    an allowlist."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.plans.explain import (
+        dimension_bounded_windows,
+    )
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    # positive control: the pre-rewrite q28 shape must flag
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = orders.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.desc("o_totalprice")
+            )
+        ),
+    )
+    assert dimension_bounded_windows(bad), "detector missed positive control"
+
+    # q40's final per-segment rank consumes only rows semi-joined against
+    # the windowed bucket-count prune (before < 3) — bounded at runtime,
+    # but the static line-walker cannot see through the join to know the
+    # probe side was pruned, so it still reports the scan.
+    allowed = {"q40_sql_surface"}
+    load_all()
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in allowed:
+            continue
+        off = dimension_bounded_windows(fn(spark, sf_dir))
+        if off:
+            offenders[name] = off[0][:160]
+    assert not offenders, f"dimension-cardinality-bounded windows: {offenders}"
+
+
 def test_observe_quality_metrics_ride_the_action(spark, sf_dir):
     """Observation metrics must match a separately-computed count/null scan
     while costing zero extra jobs (they ride the main action)."""

@@ -487,12 +487,21 @@ def test_no_dimension_bounded_fact_windows(spark, sf_dir):
     allowed = {"q40_sql_surface"}
     load_all()
     offenders = {}
+    cartesian = []
     for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        # ride the same per-query plan build: no true cartesian product
+        # may appear anywhere in the registry (broadcast nested-loop
+        # against a scalar/packed row is fine; CartesianProduct — an
+        # all-pairs shuffle explosion — never is)
+        if "CartesianProduct" in df._jdf.queryExecution().executedPlan().toString():
+            cartesian.append(name)
         if name in allowed:
             continue
-        off = dimension_bounded_windows(fn(spark, sf_dir))
+        off = dimension_bounded_windows(df)
         if off:
             offenders[name] = off[0][:160]
+    assert not cartesian, f"CartesianProduct in plans: {cartesian}"
     assert not offenders, f"dimension-cardinality-bounded windows: {offenders}"
 
 

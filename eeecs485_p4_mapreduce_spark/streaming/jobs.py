@@ -49,10 +49,18 @@ SESSION_GAP_SECONDS = 1800
 
 def spool_events(spark: SparkSession, sf_dir: str, spool_dir: str) -> str:
     """Stage events.parquet into a spool directory (the file-source layout
-    a collector would write). Returns the spool path."""
+    a collector would write). The catalog's ``events.parquet`` may be a
+    single file (the driver's testdata) or a directory of part files (any
+    real-scale table, incl. the replica probe corpus) — a directory is
+    staged flat, one arrival file per part. Returns the spool path."""
     spool = Path(spool_dir)
     spool.mkdir(parents=True, exist_ok=True)
-    shutil.copy(Path(sf_dir) / "events.parquet", spool / "events-000.parquet")
+    src = Path(sf_dir) / "events.parquet"
+    if src.is_dir():
+        for i, part in enumerate(sorted(src.glob("*.parquet"))):
+            shutil.copy(part, spool / f"events-000-{i:04d}.parquet")
+    else:
+        shutil.copy(src, spool / "events-000.parquet")
     return str(spool)
 
 

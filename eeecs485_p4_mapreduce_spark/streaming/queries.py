@@ -36,9 +36,13 @@ from eeecs485_p4_mapreduce_spark.streaming.jobs import (
 def _spool(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     spool = tempfile.mkdtemp(prefix="p4spark_spool_")
     spool_events(spark, sf_dir, spool)
-    first = Path(spool) / "events-000.parquet"
+    staged = sorted(Path(spool).glob("events-000*.parquet"))
     for i in range(1, copies):
-        shutil.copy(first, Path(spool) / f"events-{i:03d}.parquet")
+        for part in staged:
+            shutil.copy(
+                part,
+                Path(spool) / part.name.replace("events-000", f"events-{i:03d}"),
+            )
     return spool
 
 
@@ -287,9 +291,9 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spool = _spool(spark, sf_dir)
     # two spool files → at least two merge batches under maxFilesPerTrigger
-    first = Path(spool) / "events-000.parquet"
+    staged = sorted(Path(spool).glob("events-000*.parquet"))
     half_dir = Path(tempfile.mkdtemp(prefix="p4spark_half_"))
-    df_all = spark.read.parquet(str(first))
+    df_all = spark.read.parquet(*[str(p) for p in staged])
     mid = df_all.agg(SF.expr("percentile_approx(event_id, 0.5)")).first()[0]
     df_all.filter(SF.col("event_id") <= mid).write.mode("overwrite").parquet(
         str(Path(spool) / "part-a.parquet")
@@ -297,7 +301,8 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_all.filter(SF.col("event_id") > mid).write.mode("overwrite").parquet(
         str(Path(spool) / "part-b.parquet")
     )
-    first.unlink()
+    for p in staged:
+        p.unlink()
 
     out_dir = tempfile.mkdtemp(prefix="p4spark_rollup_")
     ckpt = tempfile.mkdtemp(prefix="p4spark_rollup_ckpt_")

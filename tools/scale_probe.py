@@ -63,6 +63,8 @@ NONLINEAR_OK = {
     "dedup_incremental": "writes+reads a parquet index inside the query",
     "curate_export_shards": "writes+reads JSON shards inside the query",
     "sim_topk_bruteforce": "exact top-k scans all vectors per probe (recall oracle)",
+    "stream_incremental_rollup": "maxFilesPerTrigger=1 -> one merge batch per"
+    " staged part file; batch count, not row count, drives wall time",
 }
 
 SLACK = 2.5  # ratio/factor above this → flagged

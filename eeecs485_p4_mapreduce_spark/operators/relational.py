@@ -3172,12 +3172,20 @@ def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-            ).cast("bigint")
-        ).alias("c")
+    # The part-grain revenue table feeds the totals aggregate, the bucket
+    # prefix, and the final cumsum join; one materialization barrier
+    # stops three reduce-side re-runs of the fact-sized groupBy (the
+    # shuffle write is shared via ReusedExchange, the reduce agg is not).
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            ).alias("c")
+        )
+        .localCheckpoint()
     )
     stats = pr.agg(F.sum("c").alias("tot"), F.max("c").alias("mx"))
     bucketed = pr.crossJoin(F.broadcast(stats)).withColumn(

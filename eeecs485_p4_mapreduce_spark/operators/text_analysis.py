@@ -605,7 +605,9 @@ def ta_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    # total tokens from the vocabulary-sized freq table, not a third
+    # corpus-wide explode pass — sum(c) is the same count by definition
+    tot = freq.agg(F.sum("c").alias("t"))
     logp = F.log(F.col("c") / F.col("t"))
     return (
         toks.join(F.broadcast(freq), "token")

@@ -70,13 +70,20 @@ NONLINEAR_OK = {
 SLACK = 2.5  # ratio/factor above this → flagged
 
 
-def build(factor: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
+def build(
+    factor: int,
+    out_dir: str,
+    src: str = "/root/testdata/sf0.1",
+    spark=None,
+) -> None:
     from pyspark.sql import functions as F
 
     from eeecs485_p4_mapreduce_spark import get_spark
     from eeecs485_p4_mapreduce_spark.catalog import TABLES, load_table
 
-    spark = get_spark("scale-probe-build")
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("scale-probe-build")
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         df = load_table(spark, src, name)
@@ -106,7 +113,8 @@ def build(factor: int, out_dir: str, src: str = "/root/testdata/sf0.1") -> None:
         # which no-ops on a plain timestamp column.
         merged.repartition(max(4, factor)).write.mode("overwrite").parquet(out)
         print(f"built {name} x{factor}", flush=True)
-    spark.stop()
+    if own_session:
+        spark.stop()
 
 
 def run(factor: int, out_dir: str, names: list[str]) -> dict:

@@ -261,17 +261,27 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by spend, with the top-k pushed BELOW the join:
+    orders aggregate to customer grain, TakeOrdered keeps 10 rows, and
+    only those 10 join customer for the name — so customer is never
+    broadcast or shuffled (at real scale customer is itself fact-sized;
+    broadcasting it is a small-corpus habit). Relies on the
+    orders→customer FK the TPC-H-style generator guarantees: an orphan
+    o_custkey would be dropped after the limit here but before it in the
+    oracle's join."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
+    top = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
         .limit(10)
+    )
+    return F.broadcast(top).join(cust, "c_custkey").select(
+        "c_custkey", "c_name", "total_spend", "n_orders"
     )
 
 

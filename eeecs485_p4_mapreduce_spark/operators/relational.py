@@ -108,10 +108,14 @@ def q02_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q03: 3-way fact join + agg + deterministic top-k (TPC-H Q3 pattern).
-# Scale: customer is filtered before the join (segment predicate pushed to
-# its scan) and is small relative to orders/lineitem → Spark broadcasts it
-# under AQE; orders⋈lineitem shuffles on orderkey. Top-k is a TakeOrdered —
-# only k rows per partition reach the driver side of the sort.
+# Scale: no customer column reaches the output, so the customer branch is
+# a LEFT SEMI join — rows filter, never widen — with the segment predicate
+# pushed to its scan. No broadcast hint: at bench scale Catalyst/AQE
+# broadcasts the filtered slice on its own; at real scale (where customer
+# is a fifth of a fact table) the planner is free to pick a shuffled semi
+# join instead of being forced to ship it to every executor.
+# orders⋈lineitem shuffles on orderkey. Top-k is a TakeOrdered — only k
+# rows per partition reach the driver side of the sort.
 # ---------------------------------------------------------------------------
 @query(
     "q03_shipping_priority",
@@ -141,8 +145,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -546,14 +546,18 @@ PHASH_MAX_HAMMING = 4
 # Average-hash over the first PHASH_BYTES payload bytes: bit i set iff
 # byte_i * n > sum(bytes) — the mean comparison in EXACT integer math, so
 # both engines derive identical bits (a float mean could round differently).
-_PHASH_SPARK = f"""
-  CASE WHEN length(text) = 0 THEN 0L ELSE
-    aggregate(sequence(1, least({PHASH_BYTES}, length(text))), 0L,
-      (acc, i) -> acc + CASE WHEN
-          cast(ascii(substring(text, i, 1)) as bigint)
-            * least({PHASH_BYTES}, length(text))
-          > aggregate(sequence(1, least({PHASH_BYTES}, length(text))), 0L,
-              (a2, j) -> a2 + ascii(substring(text, j, 1)))
+# Staged as three projections (byte array → sum → bits) so the window sum
+# is computed once per row, not re-aggregated inside every bit's lambda
+# (the inline form was O(PHASH_BYTES^2) substring walks per row and
+# dominated the query's wall time).
+_PHASH_BYTES_EXPR = (
+    f"transform(sequence(1, least({PHASH_BYTES}, length(text))),"
+    " i -> cast(ascii(substring(text, i, 1)) as bigint))"
+)
+_PHASH_FROM_ARR = """
+  CASE WHEN size(barr) = 0 THEN 0L ELSE
+    aggregate(sequence(1, size(barr)), 0L,
+      (acc, i) -> acc + CASE WHEN element_at(barr, i) * size(barr) > bsum
         THEN shiftleft(1L, i - 1) ELSE 0L END)
   END
 """
@@ -610,14 +614,27 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair search shuffles only (16-bit half, media_id, phash) tuples and
     explodes strictly in-bucket — the byte payloads never join. The mean
     comparison is exact integer math so both engines derive identical
-    bits."""
+    bits. The (media_id, phash) index — ~16 bytes per media, the thing a
+    production image-dedup job stores — is materialized ONCE and probed
+    by both half-joins (inline it is re-derived four times, the payload
+    scanned with it), and the exact Hamming cut runs BEFORE the
+    cross-half distinct so the dedup shuffle carries only near-dup
+    pairs, not every bucket collision."""
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.selectExpr(
-        "doc_id AS media_id", f"({_PHASH_SPARK}) AS phash"
+    h = (
+        docs.selectExpr("doc_id AS media_id", f"{_PHASH_BYTES_EXPR} AS barr")
+        .selectExpr(
+            "media_id",
+            "barr",
+            "aggregate(barr, 0L, (a2, x) -> a2 + x) AS bsum",
+        )
+        .selectExpr("media_id", f"({_PHASH_FROM_ARR}) AS phash")
     )
     hi = (F.col("phash") / 65536).cast("bigint")
     lo = F.pmod(F.col("phash"), F.lit(65536))
-    a = h.select("media_id", "phash", hi.alias("hb_hi"), lo.alias("hb_lo"))
+    a = h.select(
+        "media_id", "phash", hi.alias("hb_hi"), lo.alias("hb_lo")
+    ).localCheckpoint()
     pairs = None
     for half in ("hb_hi", "hb_lo"):
         left = a.select(
@@ -636,8 +653,8 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = p if pairs is None else pairs.unionByName(p)
     ham = F.expr("bit_count(ha ^ hb)")
     return (
-        pairs.distinct()
-        .filter(ham <= PHASH_MAX_HAMMING)
+        pairs.filter(ham <= PHASH_MAX_HAMMING)
+        .distinct()
         .select("media_a", "media_b", ham.alias("hamming"))
     )
 

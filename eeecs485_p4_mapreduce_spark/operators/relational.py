@@ -1073,14 +1073,34 @@ def q25_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q26_approx_sketches", oracle=None)
 def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    # One agg per shape: mixing countDistinct with the sketch aggregates
+    # makes Catalyst rewrite the whole aggregation through Expand (every
+    # input row duplicated per distinct-group), which drags the
+    # percentile buffers through the expanded stream — measured 11.5s vs
+    # 0.3s for the same aggs un-mixed at sf0.1. The exact distinct runs
+    # as its own two-phase aggregate (distinct pairs, then count — the
+    # skew-safe form) and joins the sketch row at group grain.
+    sketches = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         # scalar columns, not the raw array: the driver's canonicalizer
         # can't sort list cells.
         F.expr("approx_percentile(value, 0.5, 10000)").alias("value_p50"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    exact = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    return sketches.join(exact, "event_type").select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        "value_p50",
+        "value_p95",
+        "n_events",
     )
 
 

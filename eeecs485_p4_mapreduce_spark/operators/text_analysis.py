@@ -653,13 +653,22 @@ def ta_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length >= 2 guard is load-bearing: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] (DuckDB's range(1, 0) is empty), so a 0/1-char
     # document would fabricate pairs without it.
-    pairs = docs.filter(F.length("text") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 1),"
-                " i -> substring(lower(text), i, 2))"
-            )
-        ).alias("pair")
+    # Split to a char array ONCE, then pair adjacent elements: a
+    # substring(text, i, 2) per position re-walks the string's bytes
+    # from the start (UTF-8 offsets aren't random-access), making the
+    # generate O(n_chars^2) per document — measured 4.9s vs 1.8s at
+    # sf0.1 for the same pairs.
+    pairs = (
+        docs.filter(F.length("text") >= 2)
+        .selectExpr("split(lower(text), '') AS cs")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1),"
+                    " i -> concat(element_at(cs, i), element_at(cs, i + 1)))"
+                )
+            ).alias("pair")
+        )
     )
     return (
         pairs.filter(~F.col("pair").rlike("[ \t]"))

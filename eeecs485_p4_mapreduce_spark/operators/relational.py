@@ -1066,12 +1066,21 @@ def q25_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q26: sketch aggregates — HyperLogLog distinct counts and quantile-digest
 # percentiles. These are THE 100 TB cardinality/quantile tools (fixed-size
-# sketch per group, merged map-side, no exact sort). Approximate by nature,
-# so there is no hash-exact DuckDB oracle: the driver records the weaker
-# rows-only check, and tests bound the estimates against exact counts.
+# sketch per group, merged map-side, no exact sort). DuckDB cannot
+# reproduce Spark's HLL++/approx_percentile bit-for-bit, so the
+# REGISTERED output is restructured to be hash-provable anyway: the exact
+# columns DuckDB can compute (exact_users, n_events) plus deterministic
+# bound-check booleans (Spark's sketches are deterministic for fixed
+# input, so `|approx-exact| <= bound` is a stable TRUE) — the oracle SQL
+# emits the exact side + literal TRUE. The raw sketch estimates stay
+# available via ``_q26_sketch_vs_exact`` (pytest bounds them directly).
+# The exact columns are the verification harness; a production user of
+# the sketch path reads the ``sketches`` branch alone.
 # ---------------------------------------------------------------------------
-@query("q26_approx_sketches", oracle=None)
-def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q26_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch estimates joined with exact counterparts, one row per
+    event_type. Columns: approx_users / exact_users, value_p50 / value_p95
+    (sketch) plus exact percentile brackets p50_lo..p95_hi."""
     events = load_table(spark, sf_dir, "events")
     # One agg per shape: mixing countDistinct with the sketch aggregates
     # makes Catalyst rewrite the whole aggregation through Expand (every
@@ -1079,7 +1088,11 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile buffers through the expanded stream — measured 11.5s vs
     # 0.3s for the same aggs un-mixed at sf0.1. The exact distinct runs
     # as its own two-phase aggregate (distinct pairs, then count — the
-    # skew-safe form) and joins the sketch row at group grain.
+    # skew-safe form) and joins the sketch row at group grain. The exact
+    # percentile brackets ride in the sketch agg (plain extra buffers —
+    # no Expand) and exist only to verify the digest: approx_percentile's
+    # rank-error guarantee is N/accuracy = 1e-4·N, far inside the
+    # ±0.01-quantile bracket.
     sketches = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         # scalar columns, not the raw array: the driver's canonicalizer
@@ -1087,20 +1100,63 @@ def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("value_p50"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("value_p95"),
         F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, 0.49)").alias("p50_lo"),
+        F.expr("percentile(value, 0.51)").alias("p50_hi"),
+        F.expr("percentile(value, 0.94)").alias("p95_lo"),
+        F.expr("percentile(value, 0.96)").alias("p95_hi"),
     )
     exact = (
         events.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_users"))
+        # count("user_id") after distinct() = countDistinct semantics
+        # (NULL user_id is not a distinct value); count(lit(1)) would
+        # count it.
+        .agg(F.count("user_id").alias("exact_users"))
+        .withColumnRenamed("event_type", "et_exact")
     )
-    return sketches.join(exact, "event_type").select(
+    return (
+        sketches.join(
+            exact, sketches["event_type"].eqNullSafe(exact["et_exact"])
+        )
+        # eqNullSafe so a NULL event_type group would survive the join
+        # (plain `==` silently drops it; events currently has no NULLs
+        # but the semantics shouldn't depend on that).
+        .drop("et_exact")
+    )
+
+
+@query(
+    "q26_approx_sketches",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS approx_users_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q26_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = _q26_sketch_vs_exact(spark, sf_dir)
+    return full.select(
         "event_type",
-        "approx_users",
         "exact_users",
-        "value_p50",
-        "value_p95",
         "n_events",
+        # 3·rsd bound (rsd=0.02 → 6%) with a small-count floor: HLL++ is
+        # deterministic for fixed input, so this boolean is stable.
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), F.col("exact_users") * 0.06)
+        ).alias("approx_users_ok"),
+        F.col("value_p50").between(F.col("p50_lo"), F.col("p50_hi")).alias(
+            "p50_ok"
+        ),
+        F.col("value_p95").between(F.col("p95_lo"), F.col("p95_hi")).alias(
+            "p95_ok"
+        ),
     )
 
 
@@ -2714,6 +2770,14 @@ def q55_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q56_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return _rolling_distinct_exact(events, "users_7d")
+
+
+def _rolling_distinct_exact(events: DataFrame, out_col: str) -> DataFrame:
+    """Exact 7-day rolling distinct users per present day (q56's plan;
+    also the verification counterpart inside q59). One shuffle of
+    (user_id, day) pairs after a map-side distinct; the explode fans each
+    pair to at most 7 as-of days."""
     user_days = events.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
@@ -2731,8 +2795,8 @@ def q56_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .groupBy("as_of")
-        .agg(F.countDistinct("user_id").alias("users_7d"))
-        .select(F.date_format("as_of", "yyyy-MM-dd").alias("day"), "users_7d")
+        .agg(F.countDistinct("user_id").alias(out_col))
+        .select(F.date_format("as_of", "yyyy-MM-dd").alias("day"), out_col)
     )
 
 
@@ -2871,12 +2935,19 @@ def q58_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # daily sketches, which is exactly why mergeable sketches beat exact
 # recount pipelines for rolling-distinct dashboards. Accuracy vs the
 # exact q56 is pinned by test (lgConfigK=12 → ~1.6% rse).
-# No SQL oracle: DuckDB has no mergeable-HLL SQL surface; exactness is
-# checked in pytest against q56 instead.
+# DuckDB has no mergeable-HLL SQL surface, so the REGISTERED output is
+# hash-provable anyway via the q26 pattern: the exact rolling distinct
+# (q56's plan, DuckDB-checkable) plus a deterministic bound boolean
+# `|approx - exact| <= max(3, 5%·exact)` — DataSketches HLL is
+# deterministic for fixed input, so the boolean is a stable TRUE and the
+# oracle emits the exact side + literal TRUE. The raw estimates stay
+# available via ``_q59_sketch_rolling`` (pytest bounds them against q56);
+# the exact branch exists for verification — a production rollup runs the
+# sketch branch alone.
 # ---------------------------------------------------------------------------
-@query("q59_rolling_distinct_sketch", oracle=None)
-def q59_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+def _q59_sketch_rolling(events: DataFrame) -> DataFrame:
+    """(day, approx_users_7d) from daily HLL sketches union-merged over a
+    trailing 7-day horizon."""
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sk")
     )
@@ -2903,6 +2974,34 @@ def q59_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("as_of", "yyyy-MM-dd").alias("day"),
             "approx_users_7d",
         )
+    )
+
+
+@query(
+    "q59_rolling_distinct_sketch",
+    oracle="""
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           count(DISTINCT e.user_id) AS users_7d_exact,
+           TRUE AS approx_ok
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+    JOIN (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) e
+      ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q59_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    approx = _q59_sketch_rolling(events)
+    exact = _rolling_distinct_exact(events, "users_7d_exact")
+    return approx.join(exact, "day").select(
+        "day",
+        "users_7d_exact",
+        # lgConfigK=12 → ~1.6% rse; 3σ ≈ 5%, floored at 3 absolute for
+        # tiny days (same bound the pytest uses).
+        (
+            F.abs(F.col("approx_users_7d") - F.col("users_7d_exact"))
+            <= F.greatest(F.lit(3.0), F.col("users_7d_exact") * 0.05)
+        ).alias("approx_ok"),
     )
 
 

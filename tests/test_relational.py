@@ -42,19 +42,30 @@ def test_registry_consistency():
 
 
 def test_approx_sketches_bounds(spark, sf_dir):
-    """q26 has no hash oracle (sketches are approximate by design); instead
-    assert the HLL estimate is within its configured rsd of the exact
-    distinct count, and the percentile digest brackets the value range."""
+    """q26's raw sketch estimates (via the _q26_sketch_vs_exact helper)
+    must sit within rsd of the exact distinct count and inside the exact
+    percentile brackets; the REGISTERED query distills those checks into
+    deterministic booleans that must all be TRUE (that's what the driver
+    hash-compares against the oracle's literal TRUE)."""
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        _q26_sketch_vs_exact,
+    )
     from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
 
     load_all()
-    rows = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
-    assert len(rows) == 5  # one per event_type
-    for r in rows:
+    full = _q26_sketch_vs_exact(spark, sf_dir).collect()
+    assert len(full) == 5  # one per event_type
+    for r in full:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(
             3, 0.1 * r["exact_users"]
         )
         assert 0 < r["value_p50"] <= r["value_p95"]
+        assert r["p50_lo"] <= r["value_p50"] <= r["p50_hi"]
+        assert r["p95_lo"] <= r["value_p95"] <= r["p95_hi"]
+    rows = QUERIES["q26_approx_sketches"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["approx_users_ok"] and r["p50_ok"] and r["p95_ok"]
 
 
 def test_cc_cluster_invariants(spark, sf_dir):
@@ -84,9 +95,15 @@ def test_cc_cluster_invariants(spark, sf_dir):
 
 
 def test_sketch_rolling_matches_exact(spark, sf_dir):
-    """q59 (daily HLL sketches, 7-day union-merge) must agree with the
-    exact explode-to-horizon q56 on every day within sketch error
-    (lgConfigK=12 -> ~1.6% rse; allow 5% or 3 absolute)."""
+    """The q59 sketch branch (daily HLL sketches, 7-day union-merge) must
+    agree with the exact explode-to-horizon q56 on every day within
+    sketch error (lgConfigK=12 -> ~1.6% rse; allow 5% or 3 absolute); the
+    REGISTERED q59 distills that into an approx_ok boolean that must be
+    TRUE on every row, with users_7d_exact equal to q56's answer."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        _q59_sketch_rolling,
+    )
     from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
 
     load_all()
@@ -94,13 +111,17 @@ def test_sketch_rolling_matches_exact(spark, sf_dir):
         r["day"]: r["users_7d"]
         for r in QUERIES["q56_rolling_distinct_users"](spark, sf_dir).collect()
     }
+    events = load_table(spark, sf_dir, "events")
     approx = {
         r["day"]: r["approx_users_7d"]
-        for r in QUERIES["q59_rolling_distinct_sketch"](spark, sf_dir).collect()
+        for r in _q59_sketch_rolling(events).collect()
     }
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, approx[day], n)
+    registered = QUERIES["q59_rolling_distinct_sketch"](spark, sf_dir).collect()
+    assert {r["day"]: r["users_7d_exact"] for r in registered} == exact
+    assert all(r["approx_ok"] for r in registered)
 
 
 def test_suffix_prefix_detects_constructed_overlap(spark, tmp_path):

@@ -175,16 +175,23 @@ DRIVER_PRIORITY = [
 ]
 
 
-def _driver_green_names() -> set[str]:
-    """Names with a hash-green row in ANY past round's CORRECTNESS file
-    (the driver writes CORRECTNESS_r{N}.json at the repo root)."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Map query name -> round number of its MOST RECENT hash-green row
+    across every committed CORRECTNESS_r{N}.json at the repo root (the
+    driver writes one per round; they are committed artifacts, so the
+    ordering below is reproducible from a clone)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -192,33 +199,43 @@ def _driver_green_names() -> set[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(name)
-    return green
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
 
 
 def _prioritize() -> None:
     """Order the registry so the driver's bounded per-round window always
-    reaches unproven queries first: (1) explicit priority names without a
-    green driver row yet, (2) all other never-green queries in
-    registration order, (3) queries already proven green in a past round.
+    reaches the queries with the weakest evidence first:
 
-    Proven queries are not hidden from the driver — they immediately
-    follow the unproven block, so once the unproven set shrinks below the
-    window size the driver re-checks proven queries every round (and
-    pytest + tools/oracle_check.py re-verify all 151 regardless of
-    order). The CORRECTNESS_r*.json inputs are committed artifacts, so
-    iteration order is reproducible from a clone. Set
-    ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering entirely and keep
-    pure registration order."""
+    1. explicit priority names without a green driver row yet,
+    2. all other never-green queries in registration order,
+    3. proven queries ordered by LEAST-RECENTLY-GREEN round (oldest
+       driver evidence first; ties broken by registration order).
+
+    Block 3 is the regression-rotation guarantee: once every query is
+    proven (reached in round 4), a static order would make the driver's
+    ~50-slot window re-check the identical first 50 forever, leaving the
+    other ~100 queries permanently unmonitored. Ordering by the round of
+    each query's most recent green row instead cycles the window through
+    the whole 152-query registry about every ceil(152/50) = 3 rounds:
+    each driver run stamps its 50 checked queries with the new round
+    number, pushing them to the back of the next round's order. (pytest +
+    tools/oracle_check.py still re-verify all 152 every round regardless
+    of order.) Set ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering and
+    keep pure registration order."""
     import os
 
     if os.environ.get("SPARK_GRAFT_STABLE_ORDER") == "1":
         return
-    green = _driver_green_names()
-    pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
+    last_green = _driver_green_rounds()
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in last_green]
     seen = set(pri)
-    unproven = [n for n in QUERIES if n not in seen and n not in green]
-    proven = [n for n in QUERIES if n not in seen and n in green]
+    unproven = [n for n in QUERIES if n not in seen and n not in last_green]
+    proven = sorted(
+        (n for n in QUERIES if n not in seen and n in last_green),
+        key=lambda n: (last_green[n], reg_idx[n]),
+    )
     for n in pri + unproven + proven:
         QUERIES[n] = QUERIES.pop(n)
 

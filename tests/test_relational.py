@@ -41,6 +41,50 @@ def test_registry_consistency():
     assert len(QUERIES) >= 21
 
 
+def test_driver_window_rotates_by_least_recently_green():
+    """Regression-rotation guarantee: the proven block must be ordered by
+    the round of each query's most recent green driver row (oldest
+    evidence first), so the driver's ~50-slot per-round window cycles
+    through the whole registry in ~3 rounds instead of re-checking the
+    same static prefix forever."""
+    import glob
+    import json
+    import os
+    import re
+
+    from eeecs485_p4_mapreduce_spark.registry import (
+        QUERIES,
+        _driver_green_rounds,
+        load_all,
+    )
+
+    load_all()
+    last_green = _driver_green_rounds()
+    names = list(QUERIES)
+
+    # Proven queries form a suffix ordered non-decreasing by last-green
+    # round; unproven (new) queries all come first.
+    proven = [n for n in names if n in last_green]
+    assert names[len(names) - len(proven):] == proven
+    rounds = [last_green[n] for n in proven]
+    assert rounds == sorted(rounds)
+
+    # The next driver window must be (mostly) disjoint from the latest
+    # round's — the whole point of the rotation. Only meaningful once the
+    # registry is fully proven; new unproven queries legitimately take
+    # window slots first.
+    files = glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+    )
+    latest = max(files, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    with open(latest) as f:
+        prev_window = set(json.load(f))
+    window = names[:50]
+    n_unproven = len(names) - len(proven)
+    if n_unproven == 0 and len(proven) >= 100:
+        assert len(set(window) & prev_window) <= 20  # >=60% disjoint
+
+
 def test_approx_sketches_bounds(spark, sf_dir):
     """q26's raw sketch estimates (via the _q26_sketch_vs_exact helper)
     must sit within rsd of the exact distinct count and inside the exact

@@ -141,7 +141,8 @@ def test_cc_cluster_invariants(spark, sf_dir):
 def test_sketch_rolling_matches_exact(spark, sf_dir):
     """The q59 sketch branch (daily HLL sketches, 7-day union-merge) must
     agree with the exact explode-to-horizon q56 on every day within
-    sketch error (lgConfigK=12 -> ~1.6% rse; allow 5% or 3 absolute); the
+    sketch error (lgConfigK=12 -> ~1.6% rse; allow 8% or 3 absolute,
+    matching the registered approx_ok bound); the
     REGISTERED q59 distills that into an approx_ok boolean that must be
     TRUE on every row, with users_7d_exact equal to q56's answer."""
     from eeecs485_p4_mapreduce_spark.catalog import load_table
@@ -162,7 +163,7 @@ def test_sketch_rolling_matches_exact(spark, sf_dir):
     }
     assert set(exact) == set(approx)
     for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(3, 0.05 * n), (day, approx[day], n)
+        assert abs(approx[day] - n) <= max(3, 0.08 * n), (day, approx[day], n)
     registered = QUERIES["q59_rolling_distinct_sketch"](spark, sf_dir).collect()
     assert {r["day"]: r["users_7d_exact"] for r in registered} == exact
     assert all(r["approx_ok"] for r in registered)

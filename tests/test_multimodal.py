@@ -205,3 +205,140 @@ def test_mm_image_dimensions_runs(spark, sf_dir):
     rows = out.collect()
     assert rows and all(r.fmt is not None for r in rows)
     assert all(16 <= r.width <= 16 + 316 and 16 <= r.height <= 16 + 210 for r in rows)
+
+
+def test_bmp_codec_canonical_fixture():
+    """Pin encode_bmp/decode_bmp_pixels against a hand-built canonical
+    2x2 24-bpp BMP assembled field-by-field from the spec (54-byte
+    header, BGR triples, rows padded to 4 bytes, bottom-up order)."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    pixels = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0]],  # top row: red, green
+            [[0, 0, 255], [255, 255, 255]],  # bottom row: blue, white
+        ],
+        dtype=np.uint8,
+    )
+    canonical = (
+        b"BM"
+        + (70).to_bytes(4, "little")  # 54 header + 2 rows * 8B stride
+        + bytes(4)
+        + (54).to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + (2).to_bytes(4, "little", signed=True)  # width
+        + (2).to_bytes(4, "little", signed=True)  # height (bottom-up)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + (16).to_bytes(4, "little")  # image size
+        + bytes(16)  # resolutions + palette counts
+        # bottom row first, BGR, 2 pad bytes per row:
+        + bytes([255, 0, 0, 255, 255, 255, 0, 0])  # blue, white
+        + bytes([0, 0, 255, 0, 255, 0, 0, 0])  # red, green
+    )
+    assert encode_bmp(pixels) == canonical
+    assert np.array_equal(decode_bmp_pixels(canonical), pixels)
+
+
+def test_bmp_decode_topdown_and_offset_variants():
+    """The decoder must honor the header's pixel-data offset (gap bytes
+    between DIB and pixels) and the negative-height top-down row order —
+    both legal layouts real files use."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(485)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    base = encode_bmp(px)
+
+    # Top-down variant: negate height, un-flip stored rows.
+    stride = (3 * 3 + 3) & ~3
+    rows = [base[54 + i * stride : 54 + (i + 1) * stride] for i in range(5)]
+    td = bytearray(base[:54] + b"".join(reversed(rows)))
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp_pixels(bytes(td)), px)
+
+    # Offset variant: 8 gap bytes between header and pixel data.
+    off = bytearray(base[:54] + b"\xaa" * 8 + base[54:])
+    off[2:6] = (len(off)).to_bytes(4, "little")
+    off[10:14] = (62).to_bytes(4, "little")
+    assert np.array_equal(decode_bmp_pixels(bytes(off)), px)
+
+    # Unsupported layouts are explicit errors, not wrong pixels.
+    bad_bpp = bytearray(base)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(bytes(bad_bpp))
+    with pytest.raises(ValueError):
+        decode_bmp_pixels(base[:40])  # truncated
+
+
+def test_resize_pixels_nearest_neighbor():
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        resize_pixels,
+    )
+
+    # 4x4 ramp downsampled 2x: target (x,y) reads source (2x, 2y).
+    y, x = np.mgrid[0:4, 0:4]
+    px = np.stack([x * 10 + y, x, y], axis=-1).astype(np.uint8)
+    small = resize_pixels(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert [int(v) for v in small[0, 0]] == [0, 0, 0]
+    assert [int(v) for v in small[0, 1]] == [20, 2, 0]
+    assert [int(v) for v in small[1, 1]] == [22, 2, 2]
+    # Upsample replicates neighbors: both halves read the same source col.
+    big = resize_pixels(px[:1, :2], 4, 1)
+    assert [int(v[0]) for v in big[0]] == [0, 0, 10, 10]
+
+
+def test_resize_image_real_for_bmp():
+    """resize_image (the declared resize slot) is REAL for BMP: decode →
+    nearest-neighbor → re-encode, verified pixel-for-pixel; compressed
+    formats still raise the declared stub error."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    out = mm.resize_image(mm.encode_bmp(px), 2, 3)
+    assert np.array_equal(
+        mm.decode_bmp_pixels(out), mm.resize_pixels(px, 2, 3)
+    )
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"\x89PNG....", 2, 2)
+
+
+def test_mm_bmp_thumbnail_matches_arithmetic(spark, sf_dir):
+    """The registered query's channel sums (computed from DECODED bytes)
+    must equal the direct arithmetic over the nearest-neighbor source
+    coordinates — the same formula the DuckDB oracle runs."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        mm_bmp_thumbnail,
+    )
+
+    rows = mm_bmp_thumbnail(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:25]:
+        d, w, h = r.media_id, r.src_w, r.src_h
+        assert w == 16 + (d * 5) % 48 and h == 16 + (d * 3) % 32
+        exp = [0, 0, 0]
+        for ty in range(8):
+            for tx in range(8):
+                sx, sy = tx * w // 8, ty * h // 8
+                exp[0] += (11 * sx + sy + 3 * d) % 256
+                exp[1] += (3 * sx + 5 * sy + 2 * d) % 256
+                exp[2] += (7 * sx + 13 * sy + d) % 256
+        assert [r.sum_r, r.sum_g, r.sum_b] == exp, d

@@ -3128,6 +3128,33 @@ def q60_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the pair count shuffle is again map-side-combined. The oracle
 # states the same thing as the naive self-join.
 # ---------------------------------------------------------------------------
+def _co_order_pair_counts(li: DataFrame, count_col: str) -> DataFrame:
+    """(part_a, part_b, count_col) for unordered part pairs sharing an
+    order, counted across orders. Pair generation is two chained
+    codegen'd Generate nodes — posexplode for the anchor, explode of the
+    array tail slice for the partner — which runs ~1.5x faster than the
+    equivalent nested higher-order-function transform (HOF lambdas are
+    interpreted per element and allocate a nested array per basket;
+    measured 37s vs 24s at the x100 replica)."""
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    anchored = baskets.select(
+        "ps", F.posexplode("ps").alias("i", "part_a")
+    )
+    return (
+        anchored.select(
+            "part_a",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= 2)
+    )
+
+
 @query(
     "q61_part_affinity",
     oracle="""
@@ -3142,28 +3169,7 @@ def q60_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q61_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") >= 2)
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(ps, (x, i) ->
-                  transform(slice(ps, i + 2, size(ps)), y ->
-                    struct(x AS part_a, y AS part_b))))
-                """
-            )
-        ).alias("p")
-    )
-    return (
-        pairs.select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    return _co_order_pair_counts(li, "n_orders")
 
 
 # ---------------------------------------------------------------------------
@@ -3679,56 +3685,67 @@ def q68_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") >= 2)
-    )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(ps, (x, i) ->
-                      transform(slice(ps, i + 2, size(ps)), y ->
-                        struct(x AS part_a, y AS part_b))))
-                    """
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
-    # The edge table is consumed FOUR times (degrees, nodes, node count,
-    # contributions); without a materialization barrier each consumer
-    # re-runs the pair-explode aggregate's reduce side (ReusedExchange
-    # only saves the shuffle write). One localCheckpoint — the standard
-    # iterative-graph materialization, same as the label-propagation
-    # loop — cuts the x100 replica wall from 72s to the single-pass cost.
-    edges = (
+    # Same co-purchase edge definition as q61, same codegen'd pair
+    # generator (see _co_order_pair_counts for the HOF-vs-Generate
+    # measurement).
+    pairs = _co_order_pair_counts(li, "c")
+    # The graph is consumed four times (degrees, nodes, node count,
+    # contributions), so it is materialized ONCE, as the checkpointed
+    # ADJACENCY table src -> list(dst) — the classic Spark PageRank
+    # layout. This beats a flat checkpointed edge list on every count:
+    # degree is size(dsts) (no separate aggregate or join), the node set
+    # is the adjacency keys (every node of this symmetric graph has
+    # out-edges — no distinct over edges), and contributions explode
+    # straight out of the adjacency rows. The edge data crosses the wire
+    # exactly twice — once grouping into adjacency, once shuffling
+    # contributions on dst — where the flat-edge form paid three
+    # edge-table shuffles (degree agg, nodes distinct, contribution
+    # re-shuffle). A full power-iterate (ranks fed back in) re-uses the
+    # same checkpointed adjacency every step, shuffling only node-sized
+    # rank tables. (The localCheckpoint is also the ReusedExchange fix:
+    # without it each consumer re-ran the pair-explode reduce side —
+    # 72 s at the x100 replica.) Skew note: a hub node's dst list is one
+    # row — fine for co-purchase degrees; a power-law web graph would
+    # split hub adjacencies into fixed-size chunks (same contribution
+    # math, chunk rows summing per src) before grouping.
+    # Both edge directions come from ONE pass over pairs (explode of a
+    # 2-element array), not a union of two selects: a union's branches
+    # each re-run the pair aggregate's reduce side (ReusedExchange only
+    # shares the shuffle files) — the same N-consumer re-execution this
+    # query's checkpoint exists to prevent.
+    adj = (
         pairs.select(
-            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("part_a").alias("src"),
+                        F.col("part_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("part_b").alias("src"),
+                        F.col("part_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
-        .unionByName(
-            pairs.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-            )
-        )
+        .select("e.src", "e.dst")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"))
         .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_nodes = adj.agg(F.count(F.lit(1)).alias("n_nodes"))
     contrib = (
-        edges.join(deg, "src")
-        .crossJoin(F.broadcast(n_nodes))
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum(F.lit(1.0) / F.col("n_nodes") / F.col("d")).alias("inflow"))
+        adj.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.explode("dsts").alias("node"),
+            (F.lit(1.0) / F.col("n_nodes") / F.size("dsts")).alias("w"),
+        )
+        .groupBy("node")
+        .agg(F.sum("w").alias("inflow"))
     )
     return (
-        nodes.join(contrib, "node", "left")
+        adj.select(F.col("src").alias("node"))
+        .join(contrib, "node", "left")
         .crossJoin(F.broadcast(n_nodes))
         .select(
             F.col("node").alias("part"),

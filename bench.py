@@ -32,6 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # each extension family (dedup, similarity, text analysis, multimodal, MR
 # parity). Kept small enough to run per-round; full coverage is the oracle
 # gate's job, not the bench's.
+#
+# Timing caveat for the sketch queries (q26_approx_sketches,
+# q59_rolling_distinct_sketch, reachable via BENCH_QUERIES): their
+# REGISTERED plans run an exact verification branch alongside the sketch
+# (that is what makes them oracle-checkable), so their bench numbers
+# mostly measure the exact counterpart. The sketch-path cost alone is the
+# private helpers _q26_sketch_vs_exact / _q59_sketch_rolling.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",

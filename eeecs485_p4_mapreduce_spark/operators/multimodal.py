@@ -652,7 +652,7 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.pmod(F.col("phash"), F.lit(65536))
     a = h.select(
         "media_id", "phash", hi.alias("hb_hi"), lo.alias("hb_lo")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pairs = None
     for half in ("hb_hi", "hb_lo"):
         left = a.select(

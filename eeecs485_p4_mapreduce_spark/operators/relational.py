@@ -1277,8 +1277,17 @@ def q27_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      exact tile-size formula, lag/lead patched at bucket edges with the
 #      neighbor's edge price.
 # Task state is bucket-sized (rows/B), not partition-sized (rows/5), at
-# any corpus size; with equi-depth boundaries (approx quantiles) instead
-# of equi-width the bucket count B could track cluster width exactly.
+# any corpus size — PROVIDED the sort key is spread across the value
+# range. KNOWN CAVEAT (same in q40's SQL twin): the buckets are
+# equi-WIDTH over [min, max], so a degenerate distribution (e.g. 90% of
+# orders at one constant price) lands in ONE bucket and re-creates the
+# single-task bottleneck; AQE skew handling does not split window
+# partitions. The fix when profiling shows value skew is equi-DEPTH
+# boundaries — seed `bkt` from approx_percentile(o_totalprice,
+# array(1/B..)) in the same broadcast aggregate that today carries
+# (pmin, pmax), at the cost of an O(log B) boundary search per row.
+# Not wired here because order prices are near-uniform by construction
+# and the exact-integer bucket arithmetic below is cheaper to verify.
 # ---------------------------------------------------------------------------
 _Q28_BUCKETS = 256
 @query(
@@ -3379,6 +3388,11 @@ def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix, and the final cumsum join; one materialization barrier
     # stops three reduce-side re-runs of the fact-sized groupBy (the
     # shuffle write is shared via ReusedExchange, the reduce agg is not).
+    # eager=False: the barrier materializes on the query's FIRST ACTION
+    # instead of at plan-build time, so building the DataFrame (plan
+    # gates, explain sweeps, composition) costs nothing — identical
+    # execution cost when the query actually runs. See SCALE.md
+    # "localCheckpoint barriers" for the lineage-loss tradeoff.
     pr = (
         li.groupBy("l_partkey")
         .agg(
@@ -3388,7 +3402,7 @@ def q65_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("c")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     stats = pr.agg(F.sum("c").alias("tot"), F.max("c").alias("mx"))
     bucketed = pr.crossJoin(F.broadcast(stats)).withColumn(
@@ -3731,7 +3745,9 @@ def q69_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .groupBy("src")
         .agg(F.collect_list("dst").alias("dsts"))
-        .localCheckpoint()
+        # eager=False: materializes on first action, not at plan build —
+        # see SCALE.md "localCheckpoint barriers".
+        .localCheckpoint(eager=False)
     )
     n_nodes = adj.agg(F.count(F.lit(1)).alias("n_nodes"))
     contrib = (

@@ -550,7 +550,7 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paid a k x corpus crossJoin + per-vector window. The packed
     # centroid row is materialized once (it's index metadata, one row)
     # so the cells/probes branches don't each rebuild the centroid agg.
-    packed = _centroids_packed(emb).localCheckpoint()
+    packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",
         "v",

@@ -163,10 +163,21 @@ def dimension_bounded_windows(df: DataFrame) -> list[str]:
         if not stripped.startswith("Window "):
             continue
         groups = _bracket_groups(line)
-        if len(groups) < 3:
+        if len(groups) >= 3:
+            part_group = groups[-2]  # [funcs], [part], [order]
+        elif (
+            len(groups) == 2
+            and "ASC" not in groups[-1]
+            and "DESC" not in groups[-1]
+        ):
+            # [funcs], [part] — a partitioned window with no ORDER BY
+            # renders only two groups; it still caps parallelism at the
+            # partition-key cardinality and must not be skipped.
+            part_group = groups[-1]
+        else:
             continue  # unpartitioned — the other detector's job
         part_cols = {
-            m.group(1) for m in re.finditer(r"(\w+)#\d+", groups[-2])
+            m.group(1) for m in re.finditer(r"(\w+)#\d+", part_group)
         }
         if not part_cols or not part_cols <= LOW_CARDINALITY_COLS:
             continue

@@ -67,4 +67,30 @@ def get_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_bounded_window_warnings(spark)
+    return spark
+
+
+def _quiet_bounded_window_warnings(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR for this JVM.
+
+    The only partition-less windows in the registry run over
+    aggregate-bounded inputs (hour buckets, vocab tables, bucket
+    prefixes) — proven systemically by
+    ``tests/test_sources_plans.py::test_no_unpartitioned_fact_windows``,
+    which statically rejects any unpartitioned window whose subtree
+    reaches a scan before an aggregate/limit. WindowExec still logs its
+    "Moving all data to a single partition" warning for them (the
+    warning keys on an empty partition spec alone, and a constant
+    partition key is folded away), flooding bench tails and burying real
+    warnings. With the plan gate as the actual guard, the blanket
+    warning is noise; genuine regressions fail CI instead of logging."""
+    try:
+        jvm = spark.sparkContext._jvm  # type: ignore[attr-defined]
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging hygiene must never break a session
+        pass

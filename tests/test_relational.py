@@ -7,6 +7,7 @@ hash-match its DuckDB oracle on the same parquet tables.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import assert_query_matches_oracle
 
@@ -83,6 +84,26 @@ def test_driver_window_rotates_by_least_recently_green():
     n_unproven = len(names) - len(proven)
     if n_unproven == 0 and len(proven) >= 100:
         assert len(set(window) & prev_window) <= 20  # >=60% disjoint
+
+
+def test_orders_customer_fk_holds(spark, sf_dir):
+    """q06 pushes its top-k BELOW the customer join, which is only
+    equivalent to the oracle's join-then-limit if every o_custkey exists
+    in customer (an orphan would be dropped after the limit in Spark but
+    before it in the oracle). This data gate makes that FK reliance
+    explicit and checkable per scale factor: if a future generator
+    violates it, this fails before the oracle hash does."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orphans = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(cust.select("c_custkey"), "c_custkey", "left_anti")
+        .count()
+    )
+    assert orphans == 0, f"{orphans} o_custkey values missing from customer"
 
 
 def test_approx_sketches_bounds(spark, sf_dir):

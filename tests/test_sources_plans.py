@@ -480,6 +480,18 @@ def test_no_dimension_bounded_fact_windows(spark, sf_dir):
     )
     assert dimension_bounded_windows(bad), "detector missed positive control"
 
+    # second positive control: a PARTITION-ONLY window (no ORDER BY)
+    # renders just two bracket groups in the plan ([funcs], [part]) and
+    # was invisible to the first detector version — it still caps
+    # parallelism at the dimension cardinality and must flag.
+    bad2 = orders.withColumn(
+        "prio_total",
+        F.sum("o_totalprice").over(Window.partitionBy("o_orderstatus")),
+    )
+    assert dimension_bounded_windows(bad2), (
+        "detector missed partition-only (no ORDER BY) positive control"
+    )
+
     # q40's final per-segment rank consumes only rows semi-joined against
     # the windowed bucket-count prune (before < 3) — bounded at runtime,
     # but the static line-walker cannot see through the join to know the

@@ -77,8 +77,16 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Decode encoded audio to samples. STUB (no audio library here)."""
-    raise NotImplementedError("audio decoding requires an audio library")
+    """Decode encoded audio to (sample_rate, int16 sample array).
+
+    REAL for RIFF/WAVE PCM-16 (pure byte layout — see decode_wav_samples);
+    compressed codecs (MP3/AAC/Opus) still need an audio library and
+    remain a declared stub."""
+    if payload[:4] == b"RIFF":
+        return decode_wav_samples(payload)
+    raise NotImplementedError(
+        "compressed-audio decoding requires an audio library"
+    )
 
 
 def fake_feature_extract(payload: bytes, n_bins: int = 8) -> list[int]:
@@ -1031,6 +1039,152 @@ def mm_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, BMP_THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real AUDIO decode — RIFF/WAVE PCM-16, the audio twin of the BMP pixel
+# path: the container is pure byte structure (RIFF chunk stream, fmt
+# descriptor, little-endian int16 frames; see the WAVE spec / RIFF 1991),
+# so a pure-Python executor can decode actual samples end-to-end.
+# encode_wav deliberately inserts a LIST chunk between fmt and data so a
+# parser must genuinely walk the chunk stream rather than assume fixed
+# offsets. Compressed codecs stay behind the declared decode_audio stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an int16 mono sample array as a PCM-16 RIFF/WAVE file,
+    including a LIST(INFO) chunk between fmt and data (legal and common
+    in real files; forces chunk-walking on decode)."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    info = b"INFOISFT" + (6).to_bytes(4, "little") + b"p4sgn\x00"
+    lst = b"LIST" + len(info).to_bytes(4, "little") + info
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) % 2:  # RIFF chunks are word-aligned
+        data += b"\x00"
+    body = b"WAVE" + fmt + lst + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav_samples(payload: bytes):
+    """Decode a PCM-16 mono RIFF/WAVE payload to (sample_rate, int16
+    array). Real parser: walks the chunk stream (id, little-endian u32
+    size, word-aligned payloads), reads the format from the fmt chunk,
+    and slices samples at the data chunk's own offset — unknown chunks
+    (LIST, fact, cue) are skipped, not assumed absent. Raises ValueError
+    on non-WAVE/compressed/multichannel layouts."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM-16 mono supported (fmt={audio_fmt},"
+                    f" ch={channels}, bits={bits})"
+                )
+            fmt_info = rate
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return fmt_info, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+
+
+WAV_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+        StructField("max_abs", LongType(), False),
+    ]
+)
+
+
+@query(
+    "mm_wav_energy",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + (doc_id * 7) % 192 AS n,
+             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, n, rate,
+             (doc_id * 31 + 13 * t.i * t.i) % 65536 - 32768 AS v
+      FROM dims, LATERAL (SELECT unnest(range(n)) AS i) t
+    )
+    SELECT doc_id AS media_id,
+           rate AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS BIGINT) AS max_abs
+    FROM smp GROUP BY doc_id, n, rate
+    """,
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per document, synthesize a PCM-16
+    RIFF/WAVE payload whose samples are an arithmetic function of
+    (doc_id, i), then recover rate + samples by PARSING THE BYTES with
+    decode_wav_samples (chunk walk past an interposed LIST chunk — no
+    stand-ins), and emit exact integer energy stats over the decoded
+    samples. The oracle recomputes the stats from the same formulas, so
+    a hash match proves the encode→chunk-walk→PCM-decode pipeline
+    byte-exact — the audio twin of mm_bmp_thumbnail's pixel proof. One
+    mapInPandas pass, no shuffle; at 100 TB this is the
+    loudness/VAD-feature step of an audio ingest, each blob decoded once
+    inside its partition."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in WAV_ENERGY_SCHEMA.fieldNames()}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + (d * 7) % 192
+                rate = 8000 + (d % 4) * 4000
+                i = np.arange(n, dtype=np.int64)
+                synth = ((d * 31 + 13 * i * i) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                # the codec round trip IS the computation under test:
+                # stats read the decoded samples, not `synth`
+                got_rate, s = decode_wav_samples(encode_wav(synth, rate))
+                s64 = s.astype(np.int64)
+                out["media_id"].append(d)
+                out["sample_rate"].append(got_rate)
+                out["n_samples"].append(len(s))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["max_abs"].append(int(np.abs(s64).max()))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, WAV_ENERGY_SCHEMA)
 
 
 DIM_SCHEMA = StructType(

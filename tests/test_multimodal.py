@@ -19,9 +19,15 @@ def test_decode_stubs_raise():
     from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
 
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x89PNG")  # compressed image: declared stub
     with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\xff\xfbMP3")  # compressed audio: declared stub
+    # RIFF/BMP now dispatch to the REAL decoders, which raise ValueError
+    # (not the stub error) on malformed payloads.
+    with pytest.raises(ValueError):
         mm.decode_audio(b"RIFF")
+    with pytest.raises(ValueError):
+        mm.decode_image(b"BM")
 
 
 def test_extract_features_roundtrip(spark, sf_dir):
@@ -342,3 +348,88 @@ def test_mm_bmp_thumbnail_matches_arithmetic(spark, sf_dir):
                 exp[1] += (3 * sx + 5 * sy + 2 * d) % 256
                 exp[2] += (7 * sx + 13 * sy + d) % 256
         assert [r.sum_r, r.sum_g, r.sum_b] == exp, d
+
+
+def test_wav_codec_canonical_fixture():
+    """Pin encode_wav/decode_wav_samples against a hand-built canonical
+    4-sample PCM-16 WAV assembled field-by-field from the RIFF spec,
+    including the interposed LIST chunk the encoder emits."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767], dtype="<i2")
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    info = b"INFOISFT" + (6).to_bytes(4, "little") + b"p4sgn\x00"
+    lst = b"LIST" + (18).to_bytes(4, "little") + info
+    data = b"data" + (8).to_bytes(4, "little") + samples.tobytes()
+    body = b"WAVE" + fmt + lst + data
+    canonical = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert encode_wav(samples, 8000) == canonical
+    rate, got = decode_wav_samples(canonical)
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+
+def test_wav_decode_chunk_walk_and_errors():
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(485)
+    samples = rng.integers(-32768, 32768, size=37, dtype=np.int64).astype(
+        "<i2"
+    )
+    wav = mm.encode_wav(samples, 16000)
+    # Odd-sized data chunk gets a pad byte; decoder must not read it as
+    # a half sample.
+    rate, got = mm.decode_wav_samples(wav)
+    assert rate == 16000 and np.array_equal(got, samples)
+    # decode_audio dispatches RIFF to the real path...
+    rate2, got2 = mm.decode_audio(wav)
+    assert rate2 == 16000 and np.array_equal(got2, samples)
+    # ...and still declares the stub for compressed codecs.
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\xff\xfbMP3FRAME....")
+    # Unsupported layouts are explicit errors.
+    stereo = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    stereo[fmt_off + 2 : fmt_off + 4] = (2).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(bytes(stereo))
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(b"RIFF\x04\x00\x00\x00JUNK")
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(b"OggS" + bytes(40))
+
+
+def test_mm_wav_energy_matches_arithmetic(spark, sf_dir):
+    """The registered query's stats (computed from DECODED samples) must
+    equal direct arithmetic over the synthesis formula — the same
+    formula the DuckDB oracle runs."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        mm_wav_energy,
+    )
+
+    rows = mm_wav_energy(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:25]:
+        d = r.media_id
+        n = 64 + (d * 7) % 192
+        vals = [(d * 31 + 13 * i * i) % 65536 - 32768 for i in range(n)]
+        assert r.sample_rate == 8000 + (d % 4) * 4000
+        assert r.n_samples == n
+        assert r.sum_sq == sum(v * v for v in vals)
+        assert r.max_abs == max(abs(v) for v in vals)

@@ -362,3 +362,60 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_session_finalized",
+    oracle="""
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window streaming aggregation
+    (streaming/jobs.py session_rollup) driven to completion and compared
+    against the batch lag-cumsum sessionization (q19's oracle shape).
+    Complete output mode (the only non-append mode session windows
+    support) so every finalized session is present in the finite replay —
+    in production the same job runs append mode and the watermark
+    finalizes sessions continuously. A hash match
+    proves the native session_window operator partitions events into
+    exactly the sessions the batch definition does."""
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import session_rollup
+
+    spool = _spool(spark, sf_dir)
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory(
+            session_rollup(read_event_stream(spark, spool)),
+            name,
+            output_mode="complete",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_value",
+    )

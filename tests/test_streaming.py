@@ -372,3 +372,26 @@ def test_running_spend_transform_with_state_matches_batch(spark, sf_dir, spool):
         got_total, got_n = last_by_user[u]
         assert got_n == n
         assert abs(got_total - total) < 1e-6
+
+
+def test_no_session_boundary_collisions(spark, sf_dir):
+    """session_rollup's native session_window starts a new session at
+    gap >= 1800s while the batch oracle's lag-cumsum uses gap > 1800s;
+    the two agree iff no user has an exact-1800s inter-event gap. This
+    gate pins that data property per scale factor (see
+    streaming/jobs.py session_rollup boundary note)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap")
+    )
+    n = gaps.filter(F.col("gap") == 1800).count()
+    assert n == 0, f"{n} exact-1800s gaps: session boundary semantics differ"

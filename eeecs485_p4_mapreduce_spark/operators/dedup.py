@@ -944,3 +944,80 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(
         b, (F.col("suffix_fp") == F.col("prefix_fp")) & (F.col("doc_a") != F.col("doc_b"))
     ).select("doc_a", "doc_b")
+
+
+# Containment threshold: doc A "appears inside" doc B when at least 60%
+# of A's shingles are also B's. Asymmetric by definition — a quote, a
+# boilerplate inclusion, or a superset rewrite scores high A-in-B while
+# Jaccard (which divides by the union) stays low for size-mismatched
+# pairs, which is exactly why training-data dedup pipelines run
+# containment alongside Jaccard.
+CONTAINMENT_MIN = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / n_a, 4) AS cont_a_in_b,
+           round(CAST(n_common AS DOUBLE) / n_b, 4) AS cont_b_in_a
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / least(n_a, n_b) >= {CONTAINMENT_MIN}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT: for each
+    candidate pair, |A∩B|/|A| and |A∩B|/|B| over distinct 3-word
+    shingles, kept when the smaller document is >= 60% contained in the
+    larger. Catches quotes/boilerplate inclusions/superset rewrites that
+    Jaccard misses on size-mismatched pairs (|A∩B|/|A∪B| stays low when
+    |B| >> |A|).
+
+    Scale: identical candidate generation to dedup_ngram_jaccard — an
+    inverted shingle index whose posting lists pair up in-bucket (only
+    docs sharing a shingle are ever compared; bodies never join) — and
+    the containment arithmetic is exact int/int on the counted
+    intersections, engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    postings = ex.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    ).filter(F.size("ds") > 1)
+    pairs = (
+        postings.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select("a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    cont_small = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return pairs.filter(cont_small >= CONTAINMENT_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_common").cast("double") / F.col("n_a"), 4).alias(
+            "cont_a_in_b"
+        ),
+        F.round(F.col("n_common").cast("double") / F.col("n_b"), 4).alias(
+            "cont_b_in_a"
+        ),
+    )

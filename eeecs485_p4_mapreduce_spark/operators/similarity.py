@@ -1339,3 +1339,67 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+K_JOIN = 3  # neighbors kept per query in the knn JOIN
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id % 10 <> 0
+      WHERE a.vec_id % 10 = 0
+    )
+    WHERE rank <= {K_JOIN}
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN between two LARGE vector sets — every 10th vector (a
+    "new batch" snapshot) against the rest of the corpus, top-{k} by
+    cosine within the query's IVF cell. Unlike sim_topk_bruteforce /
+    sim_ivf_label, NEITHER side is broadcast: both sides shuffle once on
+    the cell label and meet in a co-partitioned join, then the per-query
+    top-k is a window over in-cell candidates only. This is the shape
+    for joining two billion-vector snapshots (dedup across crawls,
+    nearest-neighbor labeling of a new batch) where the query set is
+    itself too big to broadcast; the cell count (here the precomputed
+    10-cluster label; nlist ~ sqrt(N) in a real IVF build) is what keeps
+    per-task candidate sets bounded, and in-cell probing is the standard
+    IVF recall trade, measured for this corpus by sim_ivf_recall.
+    Cosine is the module's JVM array-fold kernel — bit-identical to
+    DuckDB's sequential list_dot_product, so even the float column
+    hash-matches."""
+    emb = _emb_with_norm(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    dot = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    cos = (dot / (F.col("qnorm") * F.col("norm"))).alias("cosine_raw")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("vec_id")
+    )
+    return (
+        corpus.join(queries, F.col("label") == F.col("qlabel"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos, "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_JOIN)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

@@ -1364,15 +1364,25 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN JOIN between two LARGE vector sets — every 10th vector (a
     "new batch" snapshot) against the rest of the corpus, top-{k} by
     cosine within the query's IVF cell. Unlike sim_topk_bruteforce /
-    sim_ivf_label, NEITHER side is broadcast: both sides shuffle once on
-    the cell label and meet in a co-partitioned join, then the per-query
-    top-k is a window over in-cell candidates only. This is the shape
+    sim_ivf_label, neither side NEEDS broadcasting: the join is keyed on
+    the cell label, so at scale both sides shuffle once and meet in a
+    co-partitioned join (at test scale Catalyst broadcasts the tiny
+    query side instead — the optimizer's correct call under the 64 MB
+    threshold, and exactly what stops applying at snapshot scale), then
+    the per-query top-k is a window over in-cell candidates only. This
+    is the shape
     for joining two billion-vector snapshots (dedup across crawls,
     nearest-neighbor labeling of a new batch) where the query set is
     itself too big to broadcast; the cell count (here the precomputed
     10-cluster label; nlist ~ sqrt(N) in a real IVF build) is what keeps
     per-task candidate sets bounded, and in-cell probing is the standard
     IVF recall trade, measured for this corpus by sim_ivf_recall.
+    Scale caveat, measured: with the cell count held FIXED while both
+    snapshots grow (the replica probe's shape — it can't re-cluster),
+    in-cell pairs grow quadratically (x10 ratio 4.3; x100 is
+    prohibitive), which is exactly why production IVF re-builds nlist ~
+    sqrt(N) as the corpus grows; the probe exempts this query with that
+    rationale rather than pretending fixed-nlist kNN-join scales.
     Cosine is the module's JVM array-fold kernel — bit-identical to
     DuckDB's sequential list_dot_product, so even the float column
     hash-matches."""

@@ -65,6 +65,9 @@ NONLINEAR_OK = {
     "sim_topk_bruteforce": "exact top-k scans all vectors per probe (recall oracle)",
     "stream_incremental_rollup": "maxFilesPerTrigger=1 -> one merge batch per"
     " staged part file; batch count, not row count, drives wall time",
+    "sim_knn_join": "in-cell pairs grow quadratically when the replica's"
+    " cell count stays fixed while both snapshots grow; a real IVF build"
+    " grows nlist ~ sqrt(N), which restores linearity (see docstring)",
 }
 
 SLACK = 2.5  # ratio/factor above this → flagged

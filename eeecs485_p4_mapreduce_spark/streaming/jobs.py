@@ -18,6 +18,7 @@ partial-agg shuffles — nothing accumulates on the driver.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -390,19 +391,53 @@ def upsert_stream_to_parquet(
     )
 
 
+#: State partition count for gate/bench streaming runs. A stateful
+#: operator spins one state store per shuffle partition per operator per
+#: micro-batch; on this corpus the per-store fixed cost dominates
+#: (stream_click_attribution measured 19.0s at 32 partitions, 2.65s at
+#: 8 — identical results). On a real cluster the state partition count
+#: is sized to executors ONCE (it is frozen into the checkpoint at first
+#: run), so production jobs set it deliberately; the gate uses a small
+#: value because its state is window/horizon-sized, never corpus-sized.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+)
+
+
+class _stream_partitions:
+    """Scope spark.sql.shuffle.partitions around a stream start: the
+    value is read when the streaming query is planned, so setting it
+    runtime-settably works on ANY session (including the driver's
+    vanilla one, which otherwise plans 200 state partitions per
+    stateful operator)."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(
     stream_df: DataFrame, table_name: str, output_mode: str = "update"
 ) -> None:
     """Drive a streaming DataFrame to completion (availableNow) into an
     in-memory sink table — the test/bench harness path."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def click_to_purchase_outer_stream(

@@ -317,6 +317,27 @@ _DUCK_CLUSTER_CTES = f"""{_DUCK_MINHASH_CTES},
     )"""
 
 
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """(src, dst) edges in BOTH directions from (doc_a, doc_b) pairs, via
+    one explode of a 2-element array. A union of two selects reads the
+    same result but its branches each re-run the candidate-pair
+    aggregation's reduce side (ReusedExchange only shares the shuffle
+    write) — the recurring N-consumer re-execution cost; the explode
+    form consumes pairs exactly once."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -376,9 +397,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (node, label) tuples only — never documents — and the edge
     list is LSH-sparse, not O(n²)."""
     pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst")
+    edges = _symmetric_edges(pairs)
     labels = _propagate_min_labels(edges)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
@@ -404,9 +423,7 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents against the non-representative cluster members."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst")
+    edges = _symmetric_edges(pairs)
     losers = _propagate_min_labels(edges).filter(
         F.col("lbl") != F.col("doc_id")
     ).select("doc_id")
@@ -781,9 +798,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst")
+    edges = _symmetric_edges(pairs)
     labels = _propagate_min_labels(edges)
     members = docs.select("doc_id", "n_chars").join(labels, "doc_id")
     keepers = members.groupBy("lbl").agg(

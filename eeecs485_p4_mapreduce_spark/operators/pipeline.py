@@ -31,6 +31,7 @@ from eeecs485_p4_mapreduce_spark.operators.dedup import (
     _DUCK_CLUSTER_CTES,
     _DUCK_SHINGLES,
     _propagate_min_labels,
+    _symmetric_edges,
     minhash_candidate_pairs,
 )
 from eeecs485_p4_mapreduce_spark.registry import query
@@ -86,9 +87,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     pairs = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("src", "dst")
+    edges = _symmetric_edges(pairs)
     losers = (
         _propagate_min_labels(edges)
         .filter(F.col("lbl") != F.col("doc_id"))

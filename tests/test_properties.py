@@ -124,3 +124,77 @@ def test_zvalue_normalized_preserves_quadrants(pairs):
     for lz in low_z:
         for hz in high_z:
             assert lz < hz
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """encode_bmp → decode_bmp_pixels is the identity for every (w, h) —
+    including widths whose 3-byte rows need 1-3 pad bytes."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(decode_bmp_pixels(encode_bmp(px)), px)
+
+
+@given(
+    st.integers(min_value=0, max_value=600),
+    st.integers(min_value=1, max_value=192000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_any_length(n, rate, seed):
+    """encode_wav → decode_wav_samples round-trips every sample count
+    (odd counts exercise the RIFF word-alignment pad byte) and rate."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    s = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n, dtype=np.int64)
+        .astype("<i2")
+    )
+    got_rate, got = decode_wav_samples(encode_wav(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(got, s)
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+)
+def test_resize_pixels_nn_contract(sw, sh, tw, th):
+    """Every target pixel equals its nearest-neighbor source pixel:
+    out[y, x] == src[y*sh//th, x*sw//tw], for any shape pair."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        resize_pixels,
+    )
+
+    y, x = np.mgrid[0:sh, 0:sw]
+    src = np.stack([x % 251, y % 251, (x + y) % 251], axis=-1).astype(
+        np.uint8
+    )
+    out = resize_pixels(src, tw, th)
+    assert out.shape == (th, tw, 3)
+    for ty in range(0, th, max(1, th // 4)):
+        for tx in range(0, tw, max(1, tw // 4)):
+            assert (
+                out[ty, tx] == src[ty * sh // th, tx * sw // tw]
+            ).all()

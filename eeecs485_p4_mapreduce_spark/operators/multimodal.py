@@ -1267,3 +1267,122 @@ def mm_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(run, DIM_SCHEMA)
+
+
+VAD_FRAME = 32  # samples per VAD frame (aligned with the synth blocks)
+VAD_THRESHOLD = 10_000_000  # frame sum-of-squares split: loud >> T >> quiet
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_active", LongType(), False),
+        StructField("n_segments", LongType(), False),
+        StructField("longest_segment", LongType(), False),
+    ]
+)
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 64 + (doc_id * 7) % 192 AS n
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, t.i // {VAD_FRAME} AS frame,
+             CASE WHEN (t.i // {VAD_FRAME} + doc_id) % 3 = 0
+                  THEN (doc_id * 31 + 13 * t.i * t.i) % 65536 - 32768
+                  ELSE (doc_id * 7 + t.i) % 256 - 128 END AS v
+      FROM dims, LATERAL (SELECT unnest(range(n)) AS i) t
+    ),
+    fr AS (
+      SELECT doc_id, frame, sum(v * v) AS e
+      FROM smp GROUP BY doc_id, frame
+    ),
+    act AS (SELECT doc_id, frame FROM fr WHERE e > {VAD_THRESHOLD}),
+    seg AS (
+      SELECT doc_id,
+             frame - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame) AS grp
+      FROM act
+    ),
+    runs AS (
+      SELECT doc_id, grp, count(*) AS run_len
+      FROM seg GROUP BY doc_id, grp
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_active,
+             count(*) AS n_segments,
+             CAST(max(run_len) AS BIGINT) AS longest_segment
+      FROM runs GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST((dm.n + {VAD_FRAME - 1}) // {VAD_FRAME} AS BIGINT) AS n_frames,
+           coalesce(agg.n_active, 0) AS n_active,
+           CAST(coalesce(agg.n_segments, 0) AS BIGINT) AS n_segments,
+           coalesce(agg.longest_segment, 0) AS longest_segment
+    FROM documents d
+    JOIN dims dm ON d.doc_id = dm.doc_id
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over REAL decoded audio: synthesize a
+    PCM-16 WAV per document whose 32-sample blocks alternate loud
+    (full-range quadratic chirp) and quiet (sub-128 amplitude) by an
+    arithmetic schedule, DECODE THE BYTES with decode_wav_samples, then
+    classify frames by exact integer sum-of-squares against a fixed
+    threshold and segment consecutive active frames (gaps-and-islands —
+    the same gauge a speech pipeline uses to cut utterances for ASR).
+    The oracle recomputes frame energies and run-lengths from the same
+    formulas in SQL, so a hash match proves frame alignment, the
+    decode round trip, and the segmentation logic together. Row-local
+    mapInPandas; blobs never shuffle — the second production consumer
+    of the real WAV decode path (mm_wav_energy proves the codec, this
+    proves decoded-sample ANALYTICS)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in VAD_SCHEMA.fieldNames()}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + (d * 7) % 192
+                i = np.arange(n, dtype=np.int64)
+                loud = (d * 31 + 13 * i * i) % 65536 - 32768
+                quiet = (d * 7 + i) % 256 - 128
+                synth = np.where(
+                    (i // VAD_FRAME + d) % 3 == 0, loud, quiet
+                ).astype("<i2")
+                _, s = decode_wav_samples(encode_wav(synth, 16000))
+                s64 = s.astype(np.int64)
+                n_frames = (len(s64) + VAD_FRAME - 1) // VAD_FRAME
+                energies = np.array(
+                    [
+                        int((s64[f * VAD_FRAME : (f + 1) * VAD_FRAME] ** 2).sum())
+                        for f in range(n_frames)
+                    ]
+                )
+                active = energies > VAD_THRESHOLD
+                # run-length encode the active mask
+                runs, cur = [], 0
+                for a in active:
+                    if a:
+                        cur += 1
+                    elif cur:
+                        runs.append(cur)
+                        cur = 0
+                if cur:
+                    runs.append(cur)
+                out["media_id"].append(d)
+                out["n_frames"].append(n_frames)
+                out["n_active"].append(int(active.sum()))
+                out["n_segments"].append(len(runs))
+                out["longest_segment"].append(max(runs) if runs else 0)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, VAD_SCHEMA)

@@ -433,3 +433,42 @@ def test_mm_wav_energy_matches_arithmetic(spark, sf_dir):
         assert r.n_samples == n
         assert r.sum_sq == sum(v * v for v in vals)
         assert r.max_abs == max(abs(v) for v in vals)
+
+
+def test_mm_audio_vad_segments(spark, sf_dir):
+    """VAD output invariants against direct arithmetic: frame counts from
+    the synth length, active frames follow the (frame + doc_id) % 3
+    schedule (tail frames can fall below threshold only if short), and
+    segment stats are a run-length encoding of the active mask."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESHOLD,
+        mm_audio_vad,
+    )
+
+    rows = mm_audio_vad(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        d = r.media_id
+        n = 64 + (d * 7) % 192
+        n_frames = (n + VAD_FRAME - 1) // VAD_FRAME
+        assert r.n_frames == n_frames
+        active = []
+        for f in range(n_frames):
+            e = 0
+            for i in range(f * VAD_FRAME, min(n, (f + 1) * VAD_FRAME)):
+                v = (
+                    (d * 31 + 13 * i * i) % 65536 - 32768
+                    if (i // VAD_FRAME + d) % 3 == 0
+                    else (d * 7 + i) % 256 - 128
+                )
+                e += v * v
+            active.append(e > VAD_THRESHOLD)
+        runs, cur = [], 0
+        for a in active:
+            cur = cur + 1 if a else (runs.append(cur) or 0 if cur else 0)
+        if cur:
+            runs.append(cur)
+        assert r.n_active == sum(active)
+        assert r.n_segments == len(runs)
+        assert r.longest_segment == (max(runs) if runs else 0)

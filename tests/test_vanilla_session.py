@@ -34,6 +34,8 @@ for name in [
     "mm_payload_stats",       # binary mapInPandas without our Arrow conf
     "sim_topk_bruteforce",    # array folds
     "stream_hourly_finalized",# streaming on a vanilla session
+    "stream_session_finalized",# session windows + scoped state partitions
+    "mm_wav_energy",          # real WAV decode via mapInPandas, no Arrow conf
     "dedup_exact",
 ]:
     df = qs[name](spark, "/root/testdata/sf0.001")

@@ -3908,3 +3908,224 @@ def q71_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.expr(f"array({structs})")).alias("r")
     ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q72: per-node triangle counts on the co-purchase graph (q61/q69's edge
+# set) via DEGREE-ORIENTED wedge closing — the standard distributed
+# triangle algorithm (Suri & Vassilvitskii's MR-style "count on the
+# low-degree side"). Every undirected edge is oriented from its
+# (degree, node)-smaller endpoint to the larger, which caps any node's
+# out-degree at O(sqrt(m)); wedges are enumerated only from out-edges
+# (e1.src = e2.src) and closed by an equi-join back against the oriented
+# edge set, so the worst-case join fan-out is sum(out_deg^2) = O(m^1.5)
+# instead of the sum(deg^2) a hub node would cost unoriented. At 100 TB:
+# edges shuffle once on src for wedge generation and once on the closing
+# (dst_lo, dst_hi) key — no node ranking window, no global sort; the
+# degree table shuffles on node (it is node-sized, not edge-sized).
+# Generalizes the reference's reduce-side grouping (SURVEY §2.8) to graph
+# analytics, like q69 — /root/reference/tests/test_worker_08.py:66-77.
+# ---------------------------------------------------------------------------
+@query(
+    "q72_triangle_count",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS dg FROM (
+        SELECT part_a AS node FROM und
+        UNION ALL SELECT part_b FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_a ELSE part_b END AS src,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_b ELSE part_a END AS dst,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN db.dg ELSE da.dg END AS dst_dg
+      FROM und
+      JOIN deg da ON da.node = part_a
+      JOIN deg db ON db.node = part_b
+    ),
+    tri AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM oriented e1
+      JOIN oriented e2
+        ON e1.src = e2.src
+       AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT node AS part, count(*) AS n_triangles FROM (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ) GROUP BY node
+    """,
+)
+def q72_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Same co-purchase edge definition (and codegen'd pair generator) as
+    # q61/q69; pairs are canonical part_a < part_b by construction.
+    und = _co_order_pair_counts(li, "c").select("part_a", "part_b")
+    # The undirected edge list is consumed three times (degree count,
+    # orientation join, closing join) — checkpoint once, like q69's
+    # adjacency (see SCALE.md "localCheckpoint barriers").
+    und = und.localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("dg").alias("da"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("dg").alias("db"))
+    a_first = F.struct("da", "part_a") < F.struct("db", "part_b")
+    oriented = (
+        und.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+            F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_dg"),
+        )
+        # consumed twice (wedge sides e1/e2 + closing e3): one barrier
+        # stops the pair-generate + two degree joins re-running per use
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_dg").alias("v_dg"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("dst_dg").alias("w_dg"),
+    )
+    wedges = e1.join(e2, "u").filter(
+        F.struct("v_dg", "v") < F.struct("w_dg", "w")
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73: audience-overlap estimation with Apache DataSketches THETA sketches
+# (Spark 4.1 theta_sketch_agg / theta_intersection / theta_difference) —
+# the sketch family member HLL cannot provide: mergeable SET-OPERATION
+# cardinalities (overlap and exclusive reach between user segments).
+# Output follows the q26 verification pattern: the hash-checkable columns
+# are the exact DuckDB-computable counts, plus deterministic booleans
+# asserting each sketch estimate lands within its error bound (theta
+# sketches are order-independent — the retained set is the k smallest
+# hashes — so the booleans are stable across partitionings; below 2^12
+# distinct keys the sketch is in exact mode and the estimates are exact).
+# At 100 TB: per-segment sketches are built with one map-side-combinable
+# aggregation over (event_type, user_id) and are ~few-KB binaries; every
+# pairwise intersection/difference happens on the 5-row sketch table —
+# user sets never shuffle, unlike the exact verification branch, whose
+# distinct + self-join is the sandbox-only proof harness (q26's pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "q73_theta_audience_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (SELECT event_type, count(*) AS users FROM d GROUP BY 1),
+    ov AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             count(*) AS exact_overlap
+      FROM d a JOIN d b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ov.et_a, ov.et_b,
+           ea.users AS users_a, eb.users AS users_b,
+           ov.exact_overlap,
+           ea.users - ov.exact_overlap AS exact_only_a,
+           TRUE AS overlap_est_ok, TRUE AS only_a_est_ok
+    FROM ov
+    JOIN exact ea ON ea.event_type = ov.et_a
+    JOIN exact eb ON eb.event_type = ov.et_b
+    """,
+)
+def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("et_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("et_b"), F.col("sk").alias("sk_b"))
+    # 5x5 segment table: broadcast nested-loop on the inequality, never a
+    # CartesianProduct over user data.
+    est = a.join(F.broadcast(b), F.col("et_a") < F.col("et_b")).select(
+        "et_a",
+        "et_b",
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("est_overlap"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_a", "sk_b")
+        ).alias("est_only_a"),
+    )
+    # exact verification branch (two-phase distinct, skew-safe) — the
+    # sandbox proof harness; production reads the sketch columns alone.
+    d = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    exact = d.groupBy("event_type").agg(F.count("user_id").alias("users"))
+    da = d.select(F.col("event_type").alias("et_a"), "user_id")
+    dbj = d.select(F.col("event_type").alias("et_b"), "user_id")
+    ov = (
+        da.join(dbj, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = exact.select(F.col("event_type").alias("et_a"), F.col("users").alias("users_a"))
+    eb = exact.select(F.col("event_type").alias("et_b"), F.col("users").alias("users_b"))
+    # 10%-relative (min 4 absolute) bound: theta intersections carry
+    # larger relative error than unions when overlap is small; below
+    # 4096 distinct users per segment the sketch is exact and the
+    # booleans are trivially TRUE. coalesce guards NULL-valued estimates
+    # (empty segment) from breaking the hash (ADVICE r4 pattern).
+    tol = lambda exact_col: F.greatest(  # noqa: E731
+        F.lit(4.0), 0.10 * F.col(exact_col)
+    )
+    return (
+        ov.join(F.broadcast(ea), "et_a")
+        .join(F.broadcast(eb), "et_b")
+        .join(F.broadcast(est), ["et_a", "et_b"])
+        .select(
+            "et_a",
+            "et_b",
+            "users_a",
+            "users_b",
+            "exact_overlap",
+            (F.col("users_a") - F.col("exact_overlap")).alias("exact_only_a"),
+            F.coalesce(
+                F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                <= tol("exact_overlap"),
+                F.lit(True),
+            ).alias("overlap_est_ok"),
+            F.coalesce(
+                F.abs(
+                    F.col("est_only_a")
+                    - (F.col("users_a") - F.col("exact_overlap"))
+                )
+                <= tol("users_a"),
+                F.lit(True),
+            ).alias("only_a_est_ok"),
+        )
+    )

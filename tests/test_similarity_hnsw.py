@@ -1,0 +1,88 @@
+"""Structural + recall tests for the HNSW-style layered ANN graph.
+
+Oracle parity is covered by the parametrized gate in test_relational;
+these tests assert what the hash can't: the graph is a valid layered
+adjacency and the search actually finds near neighbors (an ANN that
+hash-matches a useless spec is still useless — recall is the metric)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hnsw_edges(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        sim_hnsw_build,
+    )
+
+    return sim_hnsw_build(spark, sf_dir).collect()
+
+
+def test_hnsw_build_structure(hnsw_edges):
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        HNSW_M,
+        HNSW_MAX_LEVEL,
+    )
+
+    assert {r.level for r in hnsw_edges} == set(range(HNSW_MAX_LEVEL + 1))
+    out_deg = {}
+    for r in hnsw_edges:
+        assert r.src != r.dst
+        assert 1 <= r.rank <= HNSW_M
+        out_deg[(r.level, r.src)] = max(
+            out_deg.get((r.level, r.src), 0), r.rank
+        )
+    assert all(d <= HNSW_M for d in out_deg.values())
+    # layer populations must shrink as level rises (geometric level rule)
+    pop = {
+        lvl: len({s for (l, s) in out_deg if l == lvl})
+        for lvl in range(HNSW_MAX_LEVEL + 1)
+    }
+    for lvl in range(HNSW_MAX_LEVEL):
+        assert pop[lvl] >= pop[lvl + 1]
+
+
+def test_hnsw_layer_membership_follows_level_rule(hnsw_edges):
+    """Every node appearing at layer l must satisfy the md5 level rule
+    level(vec_id) >= l — recomputed independently in Python."""
+    import hashlib
+
+    def level(vec_id: int) -> int:
+        h = int(hashlib.md5(str(vec_id).encode()).hexdigest()[:8], 16)
+        return (h % 4 == 0) + (h % 16 == 0) + (h % 64 == 0)
+
+    for r in hnsw_edges:
+        assert level(r.src) >= r.level, (r.src, r.level)
+        assert level(r.dst) >= r.level, (r.dst, r.level)
+
+
+def test_hnsw_recall_beats_flat_lsh(spark, sf_dir):
+    """The layered-graph search must recover most of the true top-5 and
+    strictly beat the flat single-bucket LSH path on the same corpus
+    (the whole point of spending build time on the graph; flat LSH
+    measures ~0.04 recall on these LSH-hostile synthetic embeddings)."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        sim_ann_lsh,
+        sim_hnsw_search,
+        sim_topk_bruteforce,
+    )
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+        if r.rank <= 5
+    }
+    hnsw = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_hnsw_search(spark, sf_dir).collect()
+    }
+    flat = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_ann_lsh(spark, sf_dir).collect()
+        if r.rank <= 5
+    }
+    recall_hnsw = len(bf & hnsw) / len(bf)
+    recall_flat = len(bf & flat) / len(bf)
+    assert recall_hnsw >= 0.6, recall_hnsw
+    assert recall_hnsw > recall_flat, (recall_hnsw, recall_flat)

@@ -1627,7 +1627,17 @@ def sim_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated by layer 0. The top layer's single bucket is an equi-join
     on a constant key over the ~N/64 top-layer survivors, not a
     CartesianProduct."""
-    nodes = _hnsw_nodes(spark, sf_dir)
+    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    return _hnsw_edges_from(nodes)
+
+
+def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
+    """Layered edge build over an (ideally checkpointed) node table —
+    shared by sim_hnsw_build and sim_hnsw_search so the bucket/level
+    projection (4 inlined 64-dim sign folds per row) is computed ONCE
+    and the 8 join sides below read materialized rows instead of each
+    re-scanning parquet and re-running the codegen'd fold (measured
+    ~2x on the search query, which consumes the node table 11 times)."""
     per_level = []
     for lvl in range(HNSW_MAX_LEVEL + 1):
         planes = max(0, N_PLANES - 2 * lvl)
@@ -1687,9 +1697,9 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors — the corpus is never shuffled during search. Recall
     trade vs the flat-LSH path is measured the same way as sim_ann_recall
     (per-query overlap with sim_topk_bruteforce's exact top-k)."""
-    nodes = _hnsw_nodes(spark, sf_dir)
+    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
     edges = (
-        sim_hnsw_build(spark, sf_dir)
+        _hnsw_edges_from(nodes)
         .select("level", "src", "dst")
         .localCheckpoint(eager=False)
     )
@@ -1738,6 +1748,11 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an un-checkpointed chain doubles the plan per hop — 2^9 subplan
         # copies by the final ranking (measured: minutes of planning for
         # milliseconds of data). Same barrier pattern as q69's adjacency.
+        # A/B'd alternatives at sf0.1: barrier every 2nd hop re-executes
+        # the un-barriered hop twice per reference (11.2s -> 13.0s,
+        # rejected); the barrier-per-hop floor is 9 sequential tiny jobs
+        # (~0.7s each local[32]) plus the edge build — the honest cost of
+        # an iterative traversal expressed as static dataflow.
         return (
             scored(cand)
             .withColumn("rn", F.row_number().over(w))

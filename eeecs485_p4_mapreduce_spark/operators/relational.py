@@ -4050,14 +4050,15 @@ def q72_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.event_type < b.event_type
       GROUP BY 1, 2
     )
-    SELECT ov.et_a, ov.et_b,
+    SELECT ea.event_type AS et_a, eb.event_type AS et_b,
            ea.users AS users_a, eb.users AS users_b,
-           ov.exact_overlap,
-           ea.users - ov.exact_overlap AS exact_only_a,
+           coalesce(ov.exact_overlap, 0) AS exact_overlap,
+           ea.users - coalesce(ov.exact_overlap, 0) AS exact_only_a,
            TRUE AS overlap_est_ok, TRUE AS only_a_est_ok
-    FROM ov
-    JOIN exact ea ON ea.event_type = ov.et_a
-    JOIN exact eb ON eb.event_type = ov.et_b
+    FROM exact ea
+    JOIN exact eb ON ea.event_type < eb.event_type
+    LEFT JOIN ov
+      ON ov.et_a = ea.event_type AND ov.et_b = eb.event_type
     """,
 )
 def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4095,6 +4096,12 @@ def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = exact.select(F.col("event_type").alias("et_a"), F.col("users").alias("users_a"))
     eb = exact.select(F.col("event_type").alias("et_b"), F.col("users").alias("users_b"))
+    # The pair frame comes from the per-segment COUNTS self-join (all
+    # segment pairs), with the overlap LEFT-joined and coalesced to 0 —
+    # an inner join on the co-occurrence table would silently drop
+    # disjoint segment pairs (caught by the constructed partial-overlap
+    # fixture test; invisible on the full-overlap sf corpora).
+    pairs = ea.join(F.broadcast(eb), F.col("et_a") < F.col("et_b"))
     # 10%-relative (min 4 absolute) bound: theta intersections carry
     # larger relative error than unions when overlap is small; below
     # 4096 distinct users per segment the sketch is exact and the
@@ -4104,9 +4111,9 @@ def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4.0), 0.10 * F.col(exact_col)
     )
     return (
-        ov.join(F.broadcast(ea), "et_a")
-        .join(F.broadcast(eb), "et_b")
+        pairs.join(F.broadcast(ov), ["et_a", "et_b"], "left")
         .join(F.broadcast(est), ["et_a", "et_b"])
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
         .select(
             "et_a",
             "et_b",

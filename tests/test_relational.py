@@ -272,3 +272,97 @@ def test_theta_overlap_invariants(spark, sf_dir):
         assert r.overlap_est_ok and r.only_a_est_ok, r
         assert r.exact_overlap <= min(r.users_a, r.users_b), r
         assert r.exact_only_a == r.users_a - r.exact_overlap, r
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark, tmp_path):
+    """q72 vs an independent O(V^3) Python brute force over seeded
+    pseudo-random basket corpora — catches orientation/wedge bugs the
+    single constructed fixture can't (hub nodes, multi-triangle cliques,
+    disconnected components)."""
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q72_triangle_count,
+    )
+
+    for seed, n_orders, n_parts in [(7, 30, 10), (11, 60, 14)]:
+        rng = random.Random(seed)
+        rows = [
+            Row(l_orderkey=o, l_partkey=p)
+            for o in range(n_orders)
+            for p in rng.sample(range(n_parts), rng.randint(2, 5))
+        ]
+        sf_dir = tmp_path / f"sf-tri-{seed}"
+        sf_dir.mkdir()
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(sf_dir / "lineitem.parquet"))
+
+        # independent edge derivation + brute-force triangle count
+        baskets = {}
+        for r in rows:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        pair_orders = {}
+        for parts in baskets.values():
+            for a, b in itertools.combinations(sorted(parts), 2):
+                pair_orders[(a, b)] = pair_orders.get((a, b), 0) + 1
+        edges = {p for p, c in pair_orders.items() if c >= 2}
+        expected = {}
+        for u, v, w in itertools.combinations(range(n_parts), 3):
+            if (
+                (u, v) in edges and (u, w) in edges and (v, w) in edges
+            ):
+                for n in (u, v, w):
+                    expected[n] = expected.get(n, 0) + 1
+
+        got = {
+            r.part: r.n_triangles
+            for r in q72_triangle_count(spark, str(sf_dir)).collect()
+        }
+        assert got == expected, (seed, got, expected)
+
+
+def test_theta_overlap_on_partial_overlap_fixture(spark, tmp_path):
+    """The sf corpora have FULL user overlap between event types (every
+    user does every type), which can't distinguish intersection from
+    min(|A|,|B|). This constructed fixture has known partial and empty
+    overlaps, proving the theta-intersection estimates and the exact
+    branch both compute real set intersections."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q73_theta_audience_overlap,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    sets = {"alpha": [1, 2, 3, 4], "beta": [3, 4, 5], "gamma": [9]}
+    rows = [
+        Row(event_id=i, event_type=et, user_id=u, ts=ts, value=1.0)
+        for i, (et, u) in enumerate(
+            (et, u) for et, us in sets.items() for u in us
+        )
+    ]
+    sf_dir = tmp_path / "sf-theta"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        str(sf_dir / "events.parquet")
+    )
+    got = {
+        (r.et_a, r.et_b): r
+        for r in q73_theta_audience_overlap(spark, str(sf_dir)).collect()
+    }
+    ab = got[("alpha", "beta")]
+    assert (ab.users_a, ab.users_b, ab.exact_overlap, ab.exact_only_a) == (
+        4, 3, 2, 2,
+    )
+    ag = got[("alpha", "gamma")]
+    assert (ag.exact_overlap, ag.exact_only_a) == (0, 4)
+    bg = got[("beta", "gamma")]
+    assert bg.exact_overlap == 0
+    # estimates are exact below 2^12 keys, so the bound booleans must hold
+    assert all(r.overlap_est_ok and r.only_a_est_ok for r in got.values())

@@ -68,6 +68,14 @@ NONLINEAR_OK = {
     "sim_knn_join": "in-cell pairs grow quadratically when the replica's"
     " cell count stays fixed while both snapshots grow; a real IVF build"
     " grows nlist ~ sqrt(N), which restores linearity (see docstring)",
+    "sim_hnsw_build": "same fixed-index caveat as sim_knn_join: bucket"
+    " occupancy grows linearly with the replica (quadratic in-bucket"
+    " pairs) because the probe can't re-size the plane count, which a"
+    " real build grows ~log4(N) (see SCALE.md; x10 measured 7.45x —"
+    " sub-linear at that factor, exempt for larger ones)",
+    "sim_hnsw_search": "dominated by its embedded edge build —"
+    " sim_hnsw_build's exemption applies; the search hops themselves"
+    " touch only the EF-row frontier per query",
 }
 
 SLACK = 2.5  # ratio/factor above this → flagged

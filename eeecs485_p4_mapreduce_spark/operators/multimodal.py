@@ -2,15 +2,20 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched Pandas
 UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so pixel decode of COMPRESSED
-formats is a clearly-marked stub (``decode_image``/``decode_audio`` raise
-NotImplementedError for JPEG/PNG/GIF/audio; ``fake_feature_extract`` is the
-deterministic stand-in used by those paths). Two decode layers ARE real:
-HEADER decode (``parse_image_header`` walks actual JPEG marker streams /
-PNG IHDR / GIF LSD / BMP DIB layouts — see mm_image_dimensions) and
+The container has no image/audio libraries, so pixel decode of
+entropy-coded formats OTHER than PNG is a clearly-marked stub
+(``decode_image``/``decode_audio`` raise NotImplementedError for
+JPEG/GIF/compressed audio; ``fake_feature_extract`` is the deterministic
+stand-in used by those paths). Three decode layers ARE real: HEADER
+decode (``parse_image_header`` walks actual JPEG marker streams /
+PNG IHDR / GIF LSD / BMP DIB layouts — see mm_image_dimensions),
 uncompressed-BMP PIXEL decode (``encode_bmp``/``decode_bmp_pixels``/
 ``resize_pixels`` implement the real 24-bpp byte layout end-to-end — see
-mm_bmp_thumbnail), both grounded against canonical fixture bytes in tests.
+mm_bmp_thumbnail), and COMPRESSED PNG pixel decode
+(``decode_png_pixels``: chunk walk + CRC32 verification + zlib inflate +
+all five scanline unfilters — zlib's DEFLATE is a Python built-in, so
+the full codec is pure Python), all grounded against canonical fixture
+bytes in tests.
 Everything Spark-side is real and tested: schema, batch iteration,
 partitioning, and the UDF signatures — swapping the compressed-format stub
 for PIL/ffmpeg is a one-function change on the executors.
@@ -63,16 +68,21 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an encoded image to an (h, w, 3) RGB pixel array.
+    """Decode an encoded image to an (h, w, 3) RGB (or (h, w) grey)
+    pixel array.
 
     REAL for uncompressed 24-bpp BMP (pure byte layout — see
-    decode_bmp_pixels); compressed formats (JPEG/PNG/GIF entropy coding)
-    still need an imaging library and remain a declared stub — swap in
+    decode_bmp_pixels) and for 8-bit non-interlaced PNG (genuine
+    DEFLATE-compressed decode: zlib inflate + all five scanline
+    unfilters — see decode_png_pixels); JPEG/GIF entropy coding still
+    needs an imaging library and remains a declared stub — swap in
     PIL/cv2 here on a real cluster."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png_pixels(payload)
     raise NotImplementedError(
-        "compressed-image decoding requires an imaging library"
+        "JPEG/GIF decoding requires an imaging library"
     )
 
 
@@ -870,8 +880,9 @@ def build_image_payload(fmt: str, width: int, height: int) -> bytes:
 # header, BGR triples, rows padded to 4-byte multiples, bottom-up row order,
 # negative-height top-down variant), and mm_bmp_thumbnail runs REAL pixel
 # math (decode → nearest-neighbor resize → channel sums) over those bytes.
-# JPEG/PNG/GIF pixel decode still requires an imaging library and remains a
-# declared stub in decode_image/resize_image.
+# PNG pixel decode is also real (zlib inflate + scanline unfilters — see
+# the PNG section below); JPEG/GIF pixel decode still requires an imaging
+# library and remains a declared stub in decode_image/resize_image.
 # ---------------------------------------------------------------------------
 
 
@@ -1386,3 +1397,190 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real COMPRESSED pixel decode — PNG (RFC 2083), pure Python end-to-end:
+# zlib (a Python built-in) provides the DEFLATE entropy coding, and the
+# scanline prediction layer — all five PNG filter types (None/Sub/Up/
+# Average/Paeth) — is implemented here. Unlike BMP (raw byte layout),
+# this is a genuinely compressed codec: decode_png_pixels walks the chunk
+# stream (verifying each CRC32), inflates the concatenated IDAT stream,
+# and inverts the per-row filters. encode_png is the matching encoder
+# (any fixed filter type or per-row mix), which the property tests use to
+# prove every filter's inverse over generated image shapes. 8-bit
+# truecolor (type 2) and greyscale (type 0), non-interlaced — the subset
+# a pure-Python executor can own; palette/alpha/16-bit/Adam7 raise
+# ValueError, JPEG/GIF entropy coding still needs an imaging library.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, filters=0) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) greyscale uint8 array as an
+    8-bit non-interlaced PNG. ``filters`` is a PNG filter type 0-4
+    applied to every row, or a list of per-row types — the encoder
+    APPLIES the filter (stores the residuals), so round-tripping through
+    decode_png_pixels proves the decoder's inverse for that type."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    grey = px.ndim == 2
+    h, w = px.shape[0], px.shape[1]
+    bpp = 1 if grey else 3
+    colortype = 0 if grey else 2
+    rows = px.reshape(h, w * bpp).astype(np.int16)
+    ftypes = (
+        [int(filters)] * h if isinstance(filters, int) else list(filters)
+    )
+    if len(ftypes) != h:
+        raise ValueError("per-row filter list must have one entry per row")
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        raw = rows[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+        ft = ftypes[y]
+        if ft == 0:
+            res = raw
+        elif ft == 1:
+            res = raw - left
+        elif ft == 2:
+            res = raw - prior
+        elif ft == 3:
+            res = raw - (left + prior) // 2
+        elif ft == 4:
+            pae = np.array(
+                [_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prior, ul)],
+                dtype=np.int16,
+            )
+            res = raw - pae
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.append(ft)
+        out.extend((res % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (greyscale, grey+alpha, RGB,
+    or RGBA — color types 0/4/2/6) to an (h, w[, channels]) uint8 array.
+    Real decoder: chunk walk with CRC32 verification, multi-IDAT
+    concatenation, zlib inflate, and the inverse of all five scanline
+    filters. Raises ValueError on anything outside the supported subset
+    (palette, 16-bit, interlaced) or on corrupt data — like
+    decode_bmp_pixels, pixel decode is an explicit operation that must
+    not silently guess."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    colortype = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, colortype, comp, filt, interlace = body[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    "only 8-bit non-interlaced PNG supported"
+                )
+            if colortype not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {colortype}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int16)
+        prior = recon[y - 1].astype(np.int16) if y else np.zeros(
+            stride, dtype=np.int16
+        )
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = line + prior
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential within the row
+            rec = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        recon[y] = (rec % 256).astype(np.uint8)
+    if colortype == 0:
+        return recon.copy()
+    return recon.reshape(h, w, bpp).copy()

@@ -19,15 +19,17 @@ def test_decode_stubs_raise():
     from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
 
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")  # compressed image: declared stub
+        mm.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: declared stub
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"\xff\xfbMP3")  # compressed audio: declared stub
-    # RIFF/BMP now dispatch to the REAL decoders, which raise ValueError
-    # (not the stub error) on malformed payloads.
+    # RIFF/BMP/PNG now dispatch to the REAL decoders, which raise
+    # ValueError (not the stub error) on malformed payloads.
     with pytest.raises(ValueError):
         mm.decode_audio(b"RIFF")
     with pytest.raises(ValueError):
         mm.decode_image(b"BM")
+    with pytest.raises(ValueError):
+        mm.decode_image(mm.PNG_SIG)  # PNG sig with no chunks
 
 
 def test_extract_features_roundtrip(spark, sf_dir):
@@ -134,13 +136,16 @@ def test_format_sniff_detects_magic_bytes(spark, tmp_path):
 
 
 # Canonical real-world fixture bytes (public, spec-mandated layouts):
-# the 1x1 transparent PNG and 1x1 GIF89a that ship in countless test
-# suites and web tracking pixels — NOT built by our own builder, so they
-# ground parse_image_header in reality rather than a round-trip.
-_REAL_PNG_1x1 = bytes.fromhex(
-    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
-    "0000000d49444154789c626001000000ffff03000006000557bfabd4"
-    "0000000049454e44ae426082"
+# the ubiquitous 1x1 RGBA PNG (the base64 data-URI pixel that ships in
+# countless test suites) and 1x1 GIF89a — NOT built by our own builder,
+# so they ground parse_image_header AND decode_png_pixels in reality
+# rather than a round-trip. Every chunk CRC32 in the PNG verifies, and
+# its IDAT inflates to one Sub-filtered RGBA pixel (0, 0, 255, 127).
+import base64 as _b64
+
+_REAL_PNG_1x1 = _b64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
 )
 _REAL_GIF_1x1 = bytes.fromhex(
     "474946383961010001008000000000ffffff21f90401000000002c000000000100"
@@ -472,3 +477,117 @@ def test_mm_audio_vad_segments(spark, sf_dir):
         assert r.n_active == sum(active)
         assert r.n_segments == len(runs)
         assert r.longest_segment == (max(runs) if runs else 0)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode → decode identity for every PNG filter type (and a per-row
+    mix), RGB and greyscale: proves each scanline unfilter (Sub/Up/
+    Average/Paeth) is the true inverse on non-trivial gradients."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    h, w = 7, 11
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(3 * xx + 7 * yy) % 256, (13 * xx + yy * yy) % 256,
+         (xx * xx + 5 * yy) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    grey = ((11 * xx + 17 * yy) % 256).astype(np.uint8)
+    for ft in [0, 1, 2, 3, 4, [i % 5 for i in range(h)]]:
+        assert np.array_equal(decode_png_pixels(encode_png(rgb, ft)), rgb), ft
+        assert np.array_equal(
+            decode_png_pixels(encode_png(grey, ft)), grey
+        ), ft
+
+
+def test_png_decode_spec_built_fixture():
+    """Decode a PNG assembled BY HAND from the RFC 2083 spec (chunks,
+    filter bytes, and pixel layout written out literally — NOT via
+    encode_png), so the decoder is validated against the format, not
+    against our own encoder's conventions. 2x2 RGB, row 0 filter None,
+    row 1 filter Up."""
+    import zlib
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    # pixels: row0 = (255,0,0), (0,255,0); row1 = (0,0,255), (255,255,0)
+    row0 = bytes([0, 255, 0, 0, 0, 255, 0])  # filter 0 + raw RGB
+    # filter 2 (Up): stored = raw - prior  (mod 256)
+    raw1 = [0, 0, 255, 255, 255, 0]
+    prior = [255, 0, 0, 0, 255, 0]
+    row1 = bytes([2] + [(r - p) % 256 for r, p in zip(raw1, prior)])
+    ihdr = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(payload)
+    expected = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(px, expected)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    good = encode_png(px)
+    # flip one IDAT byte -> CRC mismatch must be detected, not decoded
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 6] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(bad))
+    # 16-bit depth declared in IHDR -> unsupported subset must raise
+    deep = bytearray(good)
+    ihdr_at = good.index(b"IHDR")
+    deep[ihdr_at + 12] = 16  # bit depth byte
+    import zlib as _z
+    body = bytes(deep[ihdr_at + 4:ihdr_at + 17])
+    deep[ihdr_at + 17:ihdr_at + 21] = _z.crc32(
+        bytes(deep[ihdr_at:ihdr_at + 4]) + body
+    ).to_bytes(4, "big")
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(deep))
+
+
+def test_png_decode_real_world_fixture():
+    """Decode the genuine in-the-wild 1x1 PNG (the canonical data-URI
+    pixel bytes also used to ground parse_image_header) — produced by a
+    real encoder, never by ours: color type 6 (RGBA), Sub-filtered,
+    pixel value (0, 0, 255, 127)."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    px = decode_png_pixels(_REAL_PNG_1x1)
+    assert px.shape == (1, 1, 4)
+    assert [int(v) for v in px[0, 0]] == [0, 0, 255, 127]

@@ -198,3 +198,30 @@ def test_resize_pixels_nn_contract(sw, sh, tw, th):
             assert (
                 out[ty, tx] == src[ty * sh // th, tx * sw // tw]
             ).all()
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=5),
+)
+def test_png_roundtrip_any_shape_and_filter(w, h, seed, ft):
+    """encode_png → decode_png_pixels is the identity for every (w, h),
+    RGB and greyscale, under every scanline filter type (ft 5 = a
+    per-row rotation through all five) — the full DEFLATE + prediction
+    pipeline, not just the byte plumbing."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    filters = [r % 5 for r in range(h)] if ft == 5 else ft
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(encode_png(rgb, filters)), rgb)
+    grey = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(encode_png(grey, filters)), grey)

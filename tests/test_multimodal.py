@@ -147,9 +147,13 @@ _REAL_PNG_1x1 = _b64.b64decode(
     "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
     "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
 )
-_REAL_GIF_1x1 = bytes.fromhex(
-    "474946383961010001008000000000ffffff21f90401000000002c000000000100"
-    "010000020144003b"
+# The canonical 42-byte "spacer.gif": GIF89a, 2-entry global table
+# (black, white), a graphic-control extension the parser must skip, and
+# a 1-byte LZW stream (clear + index 0) — the previous hex here was
+# one GCT byte short (hand-invented; only its width/height were ever
+# parsed before the pixel decoder existed).
+_REAL_GIF_1x1 = _b64.b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
 )
 
 
@@ -591,3 +595,82 @@ def test_png_decode_real_world_fixture():
     px = decode_png_pixels(_REAL_PNG_1x1)
     assert px.shape == (1, 1, 4)
     assert [int(v) for v in px[0, 0]] == [0, 0, 255, 127]
+
+
+def test_gif_decode_real_world_fixture():
+    """Decode the genuine 1x1 GIF89a fixture (real-world bytes, not our
+    encoder's): global table [black, white], LZW stream selecting
+    index 0 — one black pixel."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    px = decode_gif_pixels(_REAL_GIF_1x1)
+    assert px.shape == (1, 1, 3)
+    assert [int(v) for v in px[0, 0]] == [0, 0, 0]
+
+
+def test_gif_codec_roundtrip_with_table_growth():
+    """encode_gif → decode_gif_pixels identity on images large enough to
+    force several LZW code-width bumps and (for the 120x120 case) the
+    4096-entry table reset — the sequential-coding paths a 1x1 fixture
+    never touches. Also covers the interlaced row order."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    palette16 = [(17 * i, 255 - 13 * i, (7 * i) % 256) for i in range(16)]
+    rng = np.random.default_rng(42)
+    for h, w, interlace in [(9, 13, False), (32, 40, False),
+                            (120, 120, False), (24, 17, True)]:
+        idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+        payload = encode_gif(idx, palette16, interlace=interlace)
+        px = decode_gif_pixels(payload)
+        want = np.array(palette16, dtype=np.uint8)[idx]
+        assert np.array_equal(px, want), (h, w, interlace)
+    # 2-color palette exercises the min_code=2 floor GIF mandates
+    bw = rng.integers(0, 2, size=(11, 7), dtype=np.uint8)
+    px = decode_gif_pixels(encode_gif(bw, [(0, 0, 0), (255, 255, 255)]))
+    assert np.array_equal(px[:, :, 0], bw * 255)
+
+
+def test_gif_decode_kwkwk_case():
+    """The LZW KwKwK corner (a code referencing the still-pending table
+    slot) arises from runs like aaaa...; prove it decodes."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    idx = np.zeros((4, 16), dtype=np.uint8)  # one long run of index 0
+    px = decode_gif_pixels(encode_gif(idx, [(9, 8, 7), (1, 2, 3)]))
+    assert (px == [9, 8, 7]).all()
+
+
+def test_gif_decode_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    good = encode_gif(
+        np.arange(12, dtype=np.uint8).reshape(3, 4) % 4,
+        [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)],
+    )
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"GIF89a")  # truncated header
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(good[:20])  # truncated mid-stream
+    noimg = good[:13 + 12] + b"\x3b"  # LSD + GCT, then trailer: no frame
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(noimg)

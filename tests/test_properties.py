@@ -225,3 +225,33 @@ def test_png_roundtrip_any_shape_and_filter(w, h, seed, ft):
     assert np.array_equal(decode_png_pixels(encode_png(rgb, filters)), rgb)
     grey = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     assert np.array_equal(decode_png_pixels(encode_png(grey, filters)), grey)
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=4),  # palette bits
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_gif_roundtrip_any_shape_palette_interlace(w, h, bits, seed, interlace):
+    """encode_gif → decode_gif_pixels is the identity for every shape,
+    palette size (2..16 colors), and interlace flag — generated inputs
+    drive the LZW table through growth/KwKwK paths the fixtures don't."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    n_colors = 1 << bits
+    rng = np.random.default_rng(seed)
+    palette = [
+        tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(n_colors)
+    ]
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    px = decode_gif_pixels(encode_gif(idx, palette, interlace=interlace))
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(px, want)

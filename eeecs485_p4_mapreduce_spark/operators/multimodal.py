@@ -2,22 +2,25 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched Pandas
 UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so pixel decode of
-JPEG (Huffman + DCT) and compressed audio is a clearly-marked stub
-(``decode_image``/``decode_audio`` raise NotImplementedError there;
-``fake_feature_extract`` is the deterministic stand-in used by those
-paths). The other decode layers ARE real: HEADER decode
-(``parse_image_header`` walks actual JPEG marker streams /
-PNG IHDR / GIF LSD / BMP DIB layouts — see mm_image_dimensions),
-uncompressed-BMP PIXEL decode (``encode_bmp``/``decode_bmp_pixels``/
-``resize_pixels`` implement the real 24-bpp byte layout end-to-end — see
-mm_bmp_thumbnail), COMPRESSED PNG pixel decode (``decode_png_pixels``:
-chunk walk + CRC32 verification + zlib inflate + all five scanline
-unfilters — zlib's DEFLATE is a Python built-in, so the full codec is
-pure Python), and COMPRESSED GIF pixel decode (``decode_gif_pixels``:
-variable-width LSB-first LZW implemented from scratch, palettes,
-extension skipping, 4-pass de-interlace), all grounded against
-canonical real-world fixture bytes in tests.
+The container has no image/audio libraries; every image decode layer is
+nevertheless REAL, implemented from the public specs in pure
+Python/numpy: HEADER decode (``parse_image_header`` walks actual JPEG
+marker streams / PNG IHDR / GIF LSD / BMP DIB layouts — see
+mm_image_dimensions), uncompressed-BMP PIXEL decode (``encode_bmp``/
+``decode_bmp_pixels``/``resize_pixels``, the real 24-bpp byte layout —
+see mm_bmp_thumbnail), COMPRESSED PNG pixel decode
+(``decode_png_pixels``: chunk walk + CRC32 verification + zlib inflate
++ all five scanline unfilters), COMPRESSED GIF pixel decode
+(``decode_gif_pixels``: variable-width LSB-first LZW implemented from
+scratch, palettes, extension skipping, 4-pass de-interlace), and
+baseline sequential JPEG decode (``decode_jpeg_pixels``: stream-read
+DQT/DHT tables, Huffman + EXTEND entropy decoding, dequantize, inverse
+DCT, YCbCr→RGB; 4:4:4/greyscale subset). PNG and GIF are grounded
+against canonical real-world fixture bytes in tests; JPEG against its
+matching spec-built encoder plus the independent header parser. Only
+compressed AUDIO (MP3/AAC/Opus) remains a declared stub
+(``decode_audio``; ``fake_feature_extract`` is the deterministic
+stand-in those paths use).
 Everything Spark-side is real and tested: schema, batch iteration,
 partitioning, and the UDF signatures — swapping the compressed-format stub
 for PIL/ffmpeg is a one-function change on the executors.
@@ -73,22 +76,26 @@ def decode_image(payload: bytes) -> "object":
     """Decode an encoded image to an (h, w, 3) RGB (or (h, w) grey)
     pixel array.
 
-    REAL for uncompressed 24-bpp BMP (pure byte layout — see
-    decode_bmp_pixels), for 8-bit non-interlaced PNG (genuine
-    DEFLATE-compressed decode: zlib inflate + all five scanline
-    unfilters — see decode_png_pixels), and for GIF87a/89a (variable-
-    width LZW implemented from scratch — see decode_gif_pixels); JPEG
-    entropy coding (Huffman + DCT) still needs an imaging library and
-    remains the one declared stub — swap in PIL/cv2 here on a real
-    cluster."""
+    REAL for every format the header parser knows: uncompressed 24-bpp
+    BMP (pure byte layout — decode_bmp_pixels), 8-bit non-interlaced
+    PNG (zlib inflate + all five scanline unfilters —
+    decode_png_pixels), GIF87a/89a (variable-width LZW implemented from
+    scratch — decode_gif_pixels), and baseline sequential JPEG (Huffman
+    + IDCT, 4:4:4/greyscale subset — decode_jpeg_pixels). Unrecognized
+    magic raises NotImplementedError; formats outside each codec's
+    declared subset (progressive/subsampled JPEG, paletted PNG, ...)
+    raise ValueError from the codec itself."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == PNG_SIG:
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
     raise NotImplementedError(
-        "JPEG decoding requires an imaging library"
+        "unrecognized image container; decoding it requires an imaging"
+        " library"
     )
 
 
@@ -1816,3 +1823,382 @@ def decode_gif_pixels(payload: bytes):
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image frame")
+
+
+# ---------------------------------------------------------------------------
+# Real COMPRESSED pixel decode #3 — baseline JPEG (ITU-T T.81 sequential
+# DCT), pure Python + numpy: the last image format the header parser
+# knows whose pixels previously had no decoder. decode_jpeg_pixels
+# implements the full baseline pipeline — marker walk, DQT/DHT table
+# parsing (general: tables come FROM THE STREAM, so any baseline file's
+# canonical Huffman tables work, not just our encoder's), byte-unstuffed
+# entropy-decoding of DC-difference categories + AC run/size pairs with
+# EXTEND sign recovery, dequantization through the zigzag order
+# (generated algorithmically, not transcribed), 8x8 inverse DCT, and
+# JFIF YCbCr→RGB. Subset: 8-bit baseline, 1 or 3 components, no chroma
+# subsampling (h=v=1) and no restart markers — 4:2:0 raises ValueError.
+# encode_jpeg is the matching encoder (orthonormal DCT, flat
+# quantization by default = near-lossless, canonical fixed-length
+# Huffman tables written into DHT) so tests can bound the decode error
+# arithmetically; JPEG being lossy, round-trips assert closeness, not
+# identity.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order():
+    """The 64-entry zigzag scan, generated (not transcribed): walk the
+    anti-diagonals of an 8x8 grid, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(diag)
+    return [y * 8 + x for y, x in order]
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5  # orthonormal: M @ block @ M.T is the 2-D DCT
+
+
+def _bit_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, width: int) -> None:
+        # MSB-first bit packing with 0xFF byte stuffing
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1-bits per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huffman_from_dht(counts, symbols):
+    """(code, length) -> symbol map from DHT's BITS/HUFFVAL canonical
+    construction (T.81 annex C)."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(code, length)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huffman_fixed(symbols, length: int):
+    """Canonical table giving every symbol the SAME code length (valid
+    while count < 2^length; simple, and written verbatim into DHT so any
+    conformant decoder reads it back)."""
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    enc = {}
+    code = 0
+    for s in symbols:
+        enc[s] = (code, length)
+        code += 1
+    return counts, enc
+
+
+def _extend(extra: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return extra if extra >= (1 << (size - 1)) else extra - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(px):
+    import numpy as np
+
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc):
+    import numpy as np
+
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255)
+
+
+def encode_jpeg(pixels, quant: int = 1) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) greyscale uint8 array as a
+    baseline sequential JPEG (SOF0, 4:4:4, tables embedded). ``quant``
+    scales a flat quantization table — 1 is near-lossless, larger values
+    coarser."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    grey = px.ndim == 2
+    h, w = px.shape[0], px.shape[1]
+    planes = (
+        [px.astype(np.float64)]
+        if grey
+        else list(np.moveaxis(_rgb_to_ycbcr(px), -1, 0))
+    )
+    ncomp = len(planes)
+    qtab = np.full(64, max(1, int(quant)), dtype=np.int32)
+    m = _dct_matrix()
+
+    # entropy-code all blocks, collecting with fixed-length tables
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    dc_counts, dc_enc = _huffman_fixed(dc_syms, 8)
+    ac_counts, ac_enc = _huffman_fixed(ac_syms, 9)
+    bw = _JpegBitWriter()
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, plane in enumerate(planes):
+                block = np.empty((8, 8))
+                ys = np.minimum(by * 8 + np.arange(8), h - 1)
+                xs = np.minimum(bx * 8 + np.arange(8), w - 1)
+                block[:] = plane[np.ix_(ys, xs)]
+                coef = m @ (block - 128.0) @ m.T
+                q = np.round(coef.reshape(-1) / qtab).astype(np.int64)
+                zz = q[_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                size = _bit_category(diff)
+                code, ln = dc_enc[size]
+                bw.write(code, ln)
+                if size:
+                    extra = diff if diff > 0 else diff + (1 << size) - 1
+                    bw.write(extra, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size = _bit_category(v)
+                    code, ln = ac_enc[(run << 4) | size]
+                    bw.write(code, ln)
+                    extra = v if v > 0 else v + (1 << size) - 1
+                    bw.write(extra, size)
+                    run = 0
+                if run:
+                    code, ln = ac_enc[0x00]
+                    bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(qtab[_ZIGZAG[i]]) for i in range(64)))
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + sof_comps,
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
+    no chroma subsampling, no restart intervals) to an (h, w, 3) RGB or
+    (h, w) grey uint8 array. Tables are read from the stream's DQT/DHT
+    segments (canonical Huffman per T.81 annex C), so files from real
+    encoders decode as long as they stay in this subset; progressive
+    (SOF2), subsampled, or arithmetic-coded files raise ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[p + 1:p + 65], dtype=np.uint8)
+                tab = np.empty(64, dtype=np.int64)
+                tab[_ZIGZAG] = zz
+                qtabs[tid] = tab
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                counts = list(body[p + 1:p + 17])
+                n = sum(counts)
+                symbols = list(body[p + 17:p + 17 + n])
+                htabs[(cls, tid)] = _huffman_from_dht(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC0:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, qid = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            pos += 2 + ln
+            break  # entropy data follows
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    comp_q = dict(comps)
+    m = _dct_matrix()
+    reader = _JpegBitReader(payload[pos:])
+
+    def read_symbol(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid JPEG Huffman code")
+
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bwid * 8)) for _ in scan]
+    prev_dc = [0] * len(scan)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, (cid, dct, act) in enumerate(scan):
+                dc_tab = htabs.get((0, dct))
+                ac_tab = htabs.get((1, act))
+                qtab = qtabs.get(comp_q.get(cid))
+                if dc_tab is None or ac_tab is None or qtab is None:
+                    raise ValueError("JPEG references undefined table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_symbol(dc_tab)
+                diff = _extend(reader.read_bits(size), size)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                coef = np.empty(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * qtab[_ZIGZAG]
+                block = m.T @ coef.reshape(8, 8) @ m + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return _ycbcr_to_rgb(ycc).astype(np.uint8)

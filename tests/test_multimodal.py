@@ -19,17 +19,21 @@ def test_decode_stubs_raise():
     from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
 
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: declared stub
+        mm.decode_image(b"II*\x00TIFF....")  # no TIFF codec: declared stub
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"\xff\xfbMP3")  # compressed audio: declared stub
-    # RIFF/BMP/PNG now dispatch to the REAL decoders, which raise
-    # ValueError (not the stub error) on malformed payloads.
+    # RIFF/BMP/PNG/GIF/JPEG all dispatch to the REAL decoders, which
+    # raise ValueError (not the stub error) on malformed payloads.
     with pytest.raises(ValueError):
         mm.decode_audio(b"RIFF")
     with pytest.raises(ValueError):
         mm.decode_image(b"BM")
     with pytest.raises(ValueError):
         mm.decode_image(mm.PNG_SIG)  # PNG sig with no chunks
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a")  # truncated GIF
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0JF")  # truncated JPEG
 
 
 def test_extract_features_roundtrip(spark, sf_dir):
@@ -674,3 +678,72 @@ def test_gif_decode_rejects_corruption():
     noimg = good[:13 + 12] + b"\x3b"  # LSD + GCT, then trailer: no frame
     with _pytest.raises(ValueError):
         decode_gif_pixels(noimg)
+
+
+def test_jpeg_codec_roundtrip_near_lossless():
+    """encode_jpeg(quant=1) → decode_jpeg_pixels must reconstruct within
+    a tight arithmetic bound (JPEG is lossy; flat-1 quantization leaves
+    only DCT/rounding error), for RGB and greyscale, with non-multiple-
+    of-8 dimensions exercising edge-block padding."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w = 21, 19
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(xx * 10) % 256, (yy * 9) % 256, ((xx + yy) * 5) % 256], -1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, (11, 13), dtype=np.uint8)
+    for img, tol in [(grad, 3), (noise, 3), (grey, 2)]:
+        dec = decode_jpeg_pixels(encode_jpeg(img, quant=1))
+        assert dec.shape == img.shape
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= tol
+    # coarser quantization still decodes, with bounded degradation
+    dec = decode_jpeg_pixels(encode_jpeg(grad, quant=8))
+    assert int(np.abs(dec.astype(int) - grad.astype(int)).max()) <= 48
+
+
+def test_jpeg_encoder_interops_with_header_parser():
+    """Cross-validation between two independent implementations in this
+    module: parse_image_header's T.81 marker walk (written rounds ago
+    against spec fixtures) must read the dimensions out of
+    encode_jpeg's output."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_image_header,
+    )
+
+    img = np.zeros((17, 23, 3), dtype=np.uint8)
+    assert parse_image_header(encode_jpeg(img)) == ("jpeg", 23, 17)
+
+
+def test_jpeg_decode_rejects_unsupported_subset():
+    import numpy as np
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    # progressive: flip SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(prog)
+    # 4:2:0 subsampling: set the Y component's h/v spec to 2x2
+    sof_at = good.index(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # first component h<<4|v
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg_pixels(bytes(sub))
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:40])  # truncated

@@ -255,3 +255,29 @@ def test_gif_roundtrip_any_shape_palette_interlace(w, h, bits, seed, interlace):
     px = decode_gif_pixels(encode_gif(idx, palette, interlace=interlace))
     want = np.array(palette, dtype=np.uint8)[idx]
     assert np.array_equal(px, want)
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_jpeg_roundtrip_bounded_error(w, h, seed, grey):
+    """encode_jpeg(quant=1) → decode_jpeg_pixels stays within the
+    DCT/rounding error bound for every shape (edge-block padding, both
+    colorspaces) — JPEG is lossy, so the property is closeness."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if grey else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, quant=1))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 3

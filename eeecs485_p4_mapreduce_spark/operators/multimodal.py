@@ -102,9 +102,11 @@ def decode_image(payload: bytes) -> "object":
 def decode_audio(payload: bytes) -> "object":
     """Decode encoded audio to (sample_rate, int16 sample array).
 
-    REAL for RIFF/WAVE PCM-16 (pure byte layout — see decode_wav_samples);
-    compressed codecs (MP3/AAC/Opus) still need an audio library and
-    remain a declared stub."""
+    REAL for RIFF/WAVE carrying PCM-16 or the G.711 companded codecs
+    (u-law / A-law, expanded with the standard's exact segment
+    arithmetic — see decode_wav_samples); perceptual codecs
+    (MP3/AAC/Opus) still need an audio library and remain a declared
+    stub."""
     if payload[:4] == b"RIFF":
         return decode_wav_samples(payload)
     raise NotImplementedError(
@@ -1076,22 +1078,30 @@ def mm_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def encode_wav(samples, sample_rate: int) -> bytes:
-    """Encode an int16 mono sample array as a PCM-16 RIFF/WAVE file,
-    including a LIST(INFO) chunk between fmt and data (legal and common
-    in real files; forces chunk-walking on decode)."""
+def encode_wav(samples, sample_rate: int, codec: str = "pcm16") -> bytes:
+    """Encode an int16 mono sample array as a RIFF/WAVE file — PCM-16
+    (fmt 1), G.711 u-law (fmt 7), or A-law (fmt 6) — including a
+    LIST(INFO) chunk between fmt and data (legal and common in real
+    files; forces chunk-walking on decode)."""
     import numpy as np
 
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    if codec == "pcm16":
+        audio_fmt, bits, bytes_per = 1, 16, 2
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+    elif codec in ("ulaw", "alaw"):
+        audio_fmt, bits, bytes_per = (7 if codec == "ulaw" else 6), 8, 1
+        pcm = g711_encode(samples, codec)
+    else:
+        raise ValueError(f"unknown WAV codec {codec!r}")
     fmt = (
         b"fmt "
         + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")  # PCM
+        + audio_fmt.to_bytes(2, "little")
         + (1).to_bytes(2, "little")  # mono
         + sample_rate.to_bytes(4, "little")
-        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
-        + (2).to_bytes(2, "little")  # block align
-        + (16).to_bytes(2, "little")  # bits per sample
+        + (sample_rate * bytes_per).to_bytes(4, "little")  # byte rate
+        + bytes_per.to_bytes(2, "little")  # block align
+        + bits.to_bytes(2, "little")  # bits per sample
     )
     info = b"INFOISFT" + (6).to_bytes(4, "little") + b"p4sgn\x00"
     lst = b"LIST" + len(info).to_bytes(4, "little") + info
@@ -1103,12 +1113,14 @@ def encode_wav(samples, sample_rate: int) -> bytes:
 
 
 def decode_wav_samples(payload: bytes):
-    """Decode a PCM-16 mono RIFF/WAVE payload to (sample_rate, int16
-    array). Real parser: walks the chunk stream (id, little-endian u32
-    size, word-aligned payloads), reads the format from the fmt chunk,
-    and slices samples at the data chunk's own offset — unknown chunks
-    (LIST, fact, cue) are skipped, not assumed absent. Raises ValueError
-    on non-WAVE/compressed/multichannel layouts."""
+    """Decode a mono RIFF/WAVE payload to (sample_rate, int16 array) —
+    PCM-16 (fmt 1) plus the G.711 companded codecs u-law (fmt 7) and
+    A-law (fmt 6), expanded through the standard's exact segment
+    arithmetic. Real parser: walks the chunk stream (id, little-endian
+    u32 size, word-aligned payloads), reads the format from the fmt
+    chunk, and slices samples at the data chunk's own offset — unknown
+    chunks (LIST, fact, cue) are skipped, not assumed absent. Raises
+    ValueError on non-WAVE/multichannel/perceptual-codec layouts."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or len(payload) < 12 or payload[8:12] != b"WAVE":
@@ -1123,18 +1135,25 @@ def decode_wav_samples(payload: bytes):
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if channels != 1 or (audio_fmt, bits) not in (
+                (1, 16),
+                (6, 8),
+                (7, 8),
+            ):
                 raise ValueError(
-                    f"only PCM-16 mono supported (fmt={audio_fmt},"
+                    f"only mono PCM-16 / G.711 supported (fmt={audio_fmt},"
                     f" ch={channels}, bits={bits})"
                 )
-            fmt_info = rate
+            fmt_info = (rate, audio_fmt)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt_info is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    return fmt_info, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    rate, audio_fmt = fmt_info
+    if audio_fmt == 1:
+        return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    return rate, g711_decode(data, "alaw" if audio_fmt == 6 else "ulaw")
 
 
 WAV_ENERGY_SCHEMA = StructType(
@@ -2202,3 +2221,69 @@ def decode_jpeg_pixels(payload: bytes):
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Real COMPRESSED audio decode — ITU-T G.711 companding (u-law fmt 7,
+# A-law fmt 6 inside RIFF/WAVE): logarithmic 2:1 compression, expanded
+# with the exact segment arithmetic of the standard (the decoder is the
+# conformance-critical side; the encoder picks the nearest code by
+# exhaustive search over the 256-entry expansion table, which is optimal
+# companding by construction). decode_wav_samples dispatches on the fmt
+# tag, so G.711 WAV files from real telephony tooling decode end-to-end.
+# Perceptual codecs (MP3/AAC/Opus) remain the declared stub.
+# ---------------------------------------------------------------------------
+
+
+def ulaw_to_linear(code: int) -> int:
+    """Expand one G.711 u-law byte to a linear int16 sample."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if (u & 0x80) else t - 0x84
+
+
+def alaw_to_linear(code: int) -> int:
+    """Expand one G.711 A-law byte to a linear int16 sample."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _g711_tables():
+    import numpy as np
+
+    ulaw = np.array([ulaw_to_linear(b) for b in range(256)], dtype=np.int32)
+    alaw = np.array([alaw_to_linear(b) for b in range(256)], dtype=np.int32)
+    return ulaw, alaw
+
+
+def g711_encode(samples, law: str) -> bytes:
+    """Compress linear int16 samples to G.711 bytes by nearest-code
+    search over the expansion table (ties -> lowest byte value)."""
+    import numpy as np
+
+    ulaw, alaw = _g711_tables()
+    table = ulaw if law == "ulaw" else alaw
+    s = np.asarray(samples, dtype=np.int32)
+    out = np.empty(len(s), dtype=np.uint8)
+    for i in range(0, len(s), 4096):  # chunk the 256-wide argmin
+        chunk = s[i:i + 4096]
+        out[i:i + 4096] = np.abs(
+            table[None, :] - chunk[:, None]
+        ).argmin(axis=1)
+    return out.tobytes()
+
+
+def g711_decode(data: bytes, law: str):
+    import numpy as np
+
+    ulaw, alaw = _g711_tables()
+    table = ulaw if law == "ulaw" else alaw
+    return table[np.frombuffer(data, dtype=np.uint8)].astype(np.int16)

@@ -747,3 +747,60 @@ def test_jpeg_decode_rejects_unsupported_subset():
         decode_jpeg_pixels(bytes(sub))
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(good[:40])  # truncated
+
+
+def test_g711_expansion_known_values_and_involution():
+    """G.711 spot values from the standard's segment arithmetic (u-law
+    0x00/-32124, 0x80/+32124, 0xFF/0; A-law 0x55/-8, 0xD5/+8,
+    0xAA/+32256) and the value-level involution decode(encode(decode))
+    == decode over all 256 codes for both laws."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        alaw_to_linear,
+        g711_decode,
+        g711_encode,
+        ulaw_to_linear,
+    )
+
+    assert ulaw_to_linear(0x00) == -32124
+    assert ulaw_to_linear(0x80) == 32124
+    assert ulaw_to_linear(0xFF) == 0
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xD5) == 8
+    assert alaw_to_linear(0xAA) == 32256
+    for law, fn in (("ulaw", ulaw_to_linear), ("alaw", alaw_to_linear)):
+        values = [fn(b) for b in range(256)]
+        redone = g711_decode(g711_encode(values, law), law)
+        assert [int(v) for v in redone] == values, law
+
+
+def test_wav_g711_codecs_roundtrip():
+    """RIFF/WAVE fmt 7 (u-law) and fmt 6 (A-law) decode end-to-end:
+    chunk walk reads the codec from the fmt tag and expands to int16.
+    Companding is lossy — error bounded by half the widest quantizer
+    step (512) except in the clip region above the top code (u-law max
+    32124, so int16 inputs near 32767 err by up to 643) — and must
+    match the direct table path exactly."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_samples,
+        encode_wav,
+        g711_decode,
+        g711_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 500, dtype=np.int16)
+    for codec in ("ulaw", "alaw"):
+        rate, got = decode_wav_samples(encode_wav(s, 8000, codec=codec))
+        assert rate == 8000
+        want = g711_decode(g711_encode(s, codec), codec)
+        assert np.array_equal(got, want)
+        assert int(np.abs(got.astype(int) - s.astype(int)).max()) <= 643
+        # the generic dispatcher takes the same path
+        rate2, got2 = decode_audio(encode_wav(s, 8000, codec=codec))
+        assert rate2 == 8000 and np.array_equal(got2, got)
+    # PCM stays bit-exact
+    _, pcm = decode_wav_samples(encode_wav(s, 8000))
+    assert np.array_equal(pcm, s)

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -2287,3 +2288,140 @@ def g711_decode(data: bytes, law: str):
     ulaw, alaw = _g711_tables()
     table = ulaw if law == "ulaw" else alaw
     return table[np.frombuffer(data, dtype=np.uint8)].astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# mm_codec_verify: the COMPRESSED codecs (PNG / GIF / JPEG), graded
+# end-to-end. Per document a small RGB (or 16-color palette) image is
+# synthesized from closed-form (x, y, doc_id) arithmetic, really
+# encoded and really decoded ON THE EXECUTORS with this module's pure-
+# Python codecs, and verified: for the lossless codecs the hash-checked
+# channel sums are computed FROM THE DECODED PIXELS (a single wrong
+# byte anywhere in DEFLATE/LZW handling flips the driver hash); for
+# lossy JPEG the sums come from the source formula and the decode is
+# bound-checked into the decode_ok boolean (max channel error <= 3 at
+# flat-1 quantization — the q26 sketch-verification pattern). The
+# oracle recomputes the same sums arithmetically in SQL. One
+# mapInPandas pass, zero shuffles; 7 small columns leave the executor.
+# ---------------------------------------------------------------------------
+CODEC_VERIFY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("src_w", LongType(), False),
+        StructField("src_h", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("decode_ok", BooleanType(), False),
+    ]
+)
+
+
+@query(
+    "mm_codec_verify",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + (doc_id * 5) % 25 AS w,
+             8 + (doc_id * 3) % 17 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  ELSE 'jpeg' END AS fmt
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, fmt, t.i % w AS x, t.i // w AS y
+      FROM dims, LATERAL (SELECT unnest(range(w * h)) AS i) t
+    ),
+    chan AS (
+      SELECT doc_id, w, h, fmt,
+             CASE WHEN fmt = 'gif' THEN 17 * ((x + 2 * y + doc_id) % 16)
+                  ELSE (11 * x + y + 3 * doc_id) % 256 END AS r,
+             CASE WHEN fmt = 'gif' THEN 255 - 13 * ((x + 2 * y + doc_id) % 16)
+                  ELSE (3 * x + 5 * y + 2 * doc_id) % 256 END AS g,
+             CASE WHEN fmt = 'gif' THEN 7 * ((x + 2 * y + doc_id) % 16)
+                  ELSE (7 * x + 13 * y + doc_id) % 256 END AS b
+      FROM px
+    )
+    SELECT doc_id AS media_id, fmt,
+           CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           TRUE AS decode_ok
+    FROM chan GROUP BY doc_id, fmt, w, h
+    """,
+)
+def mm_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    palette = [(17 * i, 255 - 13 * i, 7 * i) for i in range(16)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = np.array(palette, dtype=np.uint8)
+        for pdf in batches:
+            out = {k: [] for k in CODEC_VERIFY_SCHEMA.fieldNames()}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + (d * 5) % 25
+                h = 8 + (d * 3) % 17
+                y, x = np.mgrid[0:h, 0:w]
+                fmt = ("png", "gif", "jpeg")[d % 3]
+                if fmt == "gif":
+                    idx = ((x + 2 * y + d) % 16).astype(np.uint8)
+                    src = pal[idx]
+                    decoded = decode_gif_pixels(
+                        encode_gif(idx, palette, interlace=bool(d % 2))
+                    )
+                else:
+                    src = np.stack(
+                        [
+                            (11 * x + y + 3 * d) % 256,
+                            (3 * x + 5 * y + 2 * d) % 256,
+                            (7 * x + 13 * y + d) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    if fmt == "png":
+                        # per-row filter mix drives all five unfilters
+                        # through the graded path
+                        decoded = decode_png_pixels(
+                            encode_png(src, [r % 5 for r in range(h)])
+                        )
+                    else:
+                        decoded = decode_jpeg_pixels(encode_jpeg(src, quant=1))
+                if fmt == "jpeg":
+                    ok = bool(
+                        np.abs(
+                            decoded.astype(np.int64) - src.astype(np.int64)
+                        ).max()
+                        <= 3
+                    )
+                    sums = src.astype(np.int64).sum(axis=(0, 1))
+                else:
+                    ok = bool(np.array_equal(decoded, src))
+                    # lossless: the hash-checked sums READ THE DECODED
+                    # BYTES — equality with the oracle's formula sums is
+                    # the decode proof itself
+                    sums = decoded.astype(np.int64).sum(axis=(0, 1))
+                out["media_id"].append(d)
+                out["fmt"].append(fmt)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["decode_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    # The verify work is pure CPU per row, but sf-scale documents.parquet
+    # is a single split → one task. Spreading the 8-byte doc_id column
+    # across the cores costs a trivial shuffle and buys full parallelism
+    # (measured 12.9s → ~1s at sf0.1 on local[32]); at warehouse scale
+    # the source has real splits and the repartition coalesces away.
+    return (
+        docs.select("doc_id")
+        .repartition(64)
+        .mapInPandas(run, CODEC_VERIFY_SCHEMA)
+    )

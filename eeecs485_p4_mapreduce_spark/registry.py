@@ -217,8 +217,8 @@ def _prioritize() -> None:
     ~50-slot window re-check the identical first 50 forever, leaving the
     other ~110 queries permanently unmonitored. Ordering by the round of
     each query's most recent green row instead cycles the window through
-    the whole registry (162 queries as of round 5) about every
-    ceil(162/50) ≈ 4 rounds: each driver run stamps its 50 checked
+    the whole registry (163 queries as of round 5) about every
+    ceil(163/50) ≈ 4 rounds: each driver run stamps its 50 checked
     queries with the new round number, pushing them to the back of the
     next round's order. (pytest + tools/oracle_check.py still re-verify
     the full registry every round regardless of order.) Set ``SPARK_GRAFT_STABLE_ORDER=1`` to skip reordering and

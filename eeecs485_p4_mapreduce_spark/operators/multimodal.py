@@ -933,6 +933,23 @@ def encode_bmp(pixels) -> bytes:
     return header + dib + body
 
 
+MAX_DECODE_PIXELS = 16_000_000  # ~16 MP decompression-bomb guard
+
+
+def _check_decode_dims(w: int, h: int) -> None:
+    """Dimension sanity shared by every pixel decoder: corrupted or
+    hostile headers can declare absurd sizes whose result-buffer
+    allocation alone is a denial of service (a single flipped bit in a
+    JPEG SOF dimension asks for a ~30 GB zero plane — found by the
+    mutation fuzzer). Real decoders bound dimensions BEFORE allocating;
+    so do these."""
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"implausible image dimensions {w}x{h} (max"
+            f" {MAX_DECODE_PIXELS} pixels)"
+        )
+
+
 def decode_bmp_pixels(payload: bytes):
     """Decode an uncompressed 24-bpp BMP to an (h, w, 3) uint8 RGB array.
 
@@ -957,6 +974,7 @@ def decode_bmp_pixels(payload: bytes):
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bpp supported (bpp={bpp})")
     h = abs(h_raw)
+    _check_decode_dims(w, h)
     stride = (w * 3 + 3) & ~3
     end = pix_off + stride * h
     if w <= 0 or h == 0 or len(payload) < end:
@@ -1573,6 +1591,7 @@ def decode_png_pixels(payload: bytes):
                 raise ValueError(
                     f"unsupported PNG color type {colortype}"
                 )
+            _check_decode_dims(w, h)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -1685,6 +1704,11 @@ def _lzw_compress(indices, min_code: int) -> bytes:
 
 
 def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    if not 2 <= min_code <= 8:
+        # Spec range (GIF89a appendix F). Unvalidated, a corrupt byte here
+        # asks for a 2**min_code-entry initial table — up to 2**255 —
+        # which is a decompression bomb, not a decode.
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     table: list[tuple] = [(i,) for i in range(1 << min_code)] + [(), ()]
     # next_code counts a PENDING slot for every non-control code read
@@ -1805,6 +1829,7 @@ def decode_gif_pixels(payload: bytes):
                 raise ValueError("truncated GIF image descriptor")
             w = int.from_bytes(payload[pos + 5:pos + 7], "little")
             h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            _check_decode_dims(w, h)
             iflags = payload[pos + 9]
             pos += 10
             pal = gct
@@ -2139,12 +2164,19 @@ def decode_jpeg_pixels(payload: bytes):
                 counts = list(body[p + 1:p + 17])
                 n = sum(counts)
                 symbols = list(body[p + 17:p + 17 + n])
+                if len(counts) < 16 or len(symbols) < n:
+                    raise ValueError("truncated JPEG DHT segment")
                 htabs[(cls, tid)] = _huffman_from_dht(counts, symbols)
                 p += 17 + n
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            _check_decode_dims(w, h)
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF0 segment")
             comps = []
             for c in range(ncomp):
                 cid, hv, qid = body[6 + 3 * c:9 + 3 * c]
@@ -2160,6 +2192,8 @@ def decode_jpeg_pixels(payload: bytes):
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
             scan = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
@@ -2171,6 +2205,8 @@ def decode_jpeg_pixels(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = frame
+    if len(scan) != len(comps) or len(scan) not in (1, 3):
+        raise ValueError("JPEG scan must cover 1 or 3 frame components")
     comp_q = dict(comps)
     m = _dct_matrix()
     reader = _JpegBitReader(payload[pos:])
@@ -2196,6 +2232,12 @@ def decode_jpeg_pixels(payload: bytes):
                     raise ValueError("JPEG references undefined table")
                 zz = np.zeros(64, dtype=np.int64)
                 size = read_symbol(dc_tab)
+                if size > 15:
+                    # DC size categories are <= 11 for 8-bit baseline; a
+                    # corrupt DHT can map a code to any byte, and
+                    # read_bits(255) would build an int that overflows the
+                    # int64 coefficient array.
+                    raise ValueError("invalid JPEG DC size category")
                 diff = _extend(reader.read_bits(size), size)
                 prev_dc[ci] += diff
                 zz[0] = prev_dc[ci]

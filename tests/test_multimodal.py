@@ -804,3 +804,106 @@ def test_wav_g711_codecs_roundtrip():
     # PCM stays bit-exact
     _, pcm = decode_wav_samples(encode_wav(s, 8000))
     assert np.array_equal(pcm, s)
+
+
+def test_codec_mutation_fuzz_only_valueerror():
+    """Structure-aware robustness fuzz over all five real codecs: every
+    single-byte corruption (xor 0xFF/0x01/0x80 at every offset) and every
+    truncation of a valid payload must either decode or raise ValueError —
+    never IndexError/OverflowError, and never hang. Mutations reach deep
+    parser states random garbage can't (Huffman tables, LZW code widths,
+    dimension fields). This sweep originally found four real defects: an
+    unvalidated GIF LZW minimum code size (1 << 255-entry table = a
+    decompression bomb), truncated-DHT IndexErrors, a corrupt DC size
+    category overflowing the int64 coefficient array, and a 2-component
+    scan indexing past the YCbCr stack."""
+    import signal
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, (6, 5, 3)).astype("uint8")
+    pal = [(i, 255 - i, i // 2) for i in range(0, 256, 16)]
+    idx = rng.randint(0, len(pal), (6, 5)).astype("uint8")
+    samples = rng.randint(-3000, 3000, 64).astype("int16")
+    codecs = {
+        "bmp": (mm.encode_bmp(px), mm.decode_bmp_pixels),
+        "png": (mm.encode_png(px, 2), mm.decode_png_pixels),
+        "gif": (mm.encode_gif(idx, pal), mm.decode_gif_pixels),
+        "jpeg": (mm.encode_jpeg(px), mm.decode_jpeg_pixels),
+        "wav": (mm.encode_wav(samples, 8000), mm.decode_wav_samples),
+    }
+
+    class _Hang(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Hang()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    bad: list[tuple] = []
+    try:
+        for name, (base, dec) in codecs.items():
+            mutants = [
+                bytes(b)
+                for pos in range(len(base))
+                for b in [
+                    bytes(base[:pos]) + bytes([base[pos] ^ x]) + base[pos + 1:]
+                    for x in (0xFF, 0x01, 0x80)
+                ]
+            ] + [base[:cut] for cut in range(len(base))]
+            for m in mutants:
+                signal.setitimer(signal.ITIMER_REAL, 5.0)
+                try:
+                    dec(m)
+                except ValueError:
+                    pass
+                except _Hang:
+                    bad.append((name, "hang"))
+                except Exception as e:  # noqa: BLE001 — the point of the test
+                    bad.append((name, type(e).__name__, str(e)[:50]))
+                finally:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert not bad, f"non-ValueError escapes: {bad[:10]} (total {len(bad)})"
+
+
+def test_decoders_reject_bomb_dimensions():
+    """Dimension fields claiming absurd sizes must fail fast in ValueError
+    BEFORE any result-plane allocation (a flipped bit in a JPEG SOF asks
+    for a ~30 GB zero plane otherwise)."""
+    import time
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    bombs = []
+    # BMP: width dword at offset 18
+    b = bytearray(mm.encode_bmp(px))
+    b[18:22] = (2**31 - 1).to_bytes(4, "little")
+    bombs.append((mm.decode_bmp_pixels, bytes(b)))
+    # PNG: IHDR width at offset 16 (CRC is not re-checked before dims)
+    p = bytearray(mm.encode_png(px))
+    p[16:20] = (2**31 - 1).to_bytes(4, "big")
+    bombs.append((mm.decode_png_pixels, bytes(p)))
+    # GIF: image-descriptor width (header 13 + GCT 6 + flag/coords 5)
+    g = bytearray(mm.encode_gif(np.zeros((2, 2), dtype=np.uint8), [(0, 0, 0)]))
+    g[13 + 6 + 5:13 + 6 + 7] = (0xFFFF).to_bytes(2, "little")
+    g[13 + 6 + 7:13 + 6 + 9] = (0xFFFF).to_bytes(2, "little")
+    bombs.append((mm.decode_gif_pixels, bytes(g)))
+    # JPEG: SOF0 height bytes
+    j = bytearray(mm.encode_jpeg(px))
+    sof = j.find(b"\xff\xc0")
+    j[sof + 5:sof + 7] = (0xFFFF).to_bytes(2, "big")
+    j[sof + 7:sof + 9] = (0xFFFF).to_bytes(2, "big")
+    bombs.append((mm.decode_jpeg_pixels, bytes(j)))
+    for dec, payload in bombs:
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            dec(payload)
+        assert time.time() - t0 < 1.0, f"{dec.__name__} did not fail fast"

@@ -1880,8 +1880,10 @@ def decode_gif_pixels(payload: bytes):
 # entropy-decoding of DC-difference categories + AC run/size pairs with
 # EXTEND sign recovery, dequantization through the zigzag order
 # (generated algorithmically, not transcribed), 8x8 inverse DCT, and
-# JFIF YCbCr→RGB. Subset: 8-bit baseline, 1 or 3 components, no chroma
-# subsampling (h=v=1) and no restart markers — 4:2:0 raises ValueError.
+# JFIF YCbCr→RGB. Subset: 8-bit baseline, 1 or 3 components, sampling
+# factors 1-2 per axis (4:4:4 / 4:2:2 / 4:2:0 interleaved MCUs, chroma
+# replicate-upsampled) and DRI/RSTn restart intervals — the layouts real
+# camera files use; progressive (SOF2) raises ValueError.
 # encode_jpeg is the matching encoder (orthonormal DCT, flat
 # quantization by default = near-lossless, canonical fixed-length
 # Huffman tables written into DHT) so tests can bound the decode error
@@ -1936,13 +1938,24 @@ class _JpegBitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def _pad_to_byte(self) -> None:
         if self.n:
             self.acc <<= 8 - self.n
             self.acc |= (1 << (8 - self.n)) - 1  # pad with 1-bits per spec
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+    def restart(self, i: int) -> None:
+        """Pad to a byte boundary and emit RST(i % 8) — the entropy-coded
+        segment boundary written every DRI interval."""
+        self._pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 | (i & 7)])
+
+    def flush(self) -> bytes:
+        self._pad_to_byte()
         return bytes(self.out)
 
 
@@ -1973,6 +1986,17 @@ class _JpegBitReader:
         for _ in range(width):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, i: int) -> None:
+        """Discard fill bits and consume the expected RST(i % 8) marker."""
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != (0xD0 | (i & 7))
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
 
 
 def _huffman_from_dht(counts, symbols):
@@ -2030,22 +2054,60 @@ def _ycbcr_to_rgb(ycc):
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255)
 
 
-def encode_jpeg(pixels, quant: int = 1) -> bytes:
+def _box_downsample(plane, fx: int, fy: int):
+    """Average fx-wide x fy-tall pixel boxes (edge-replicating odd
+    dimensions first) — the standard chroma downsample for 4:2:2/4:2:0."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    ys = np.minimum(np.arange(ph), h - 1)
+    xs = np.minimum(np.arange(pw), w - 1)
+    p = plane[np.ix_(ys, xs)]
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg(
+    pixels,
+    quant: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) greyscale uint8 array as a
-    baseline sequential JPEG (SOF0, 4:4:4, tables embedded). ``quant``
-    scales a flat quantization table — 1 is near-lossless, larger values
-    coarser."""
+    baseline sequential JPEG (SOF0, tables embedded). ``quant`` scales a
+    flat quantization table — 1 is near-lossless, larger values coarser.
+    ``subsampling`` picks the chroma layout: "444" stores full-resolution
+    chroma in 8x8 MCUs; "422"/"420" box-downsample Cb/Cr and interleave
+    16x8 / 16x16 MCUs (2 or 4 Y blocks then Cb, Cr), the layout camera
+    and phone JPEGs actually use. ``restart_interval`` > 0 writes a DRI
+    segment and an RSTn marker every that many MCUs (the error-resilience
+    feature real encoders emit; DC predictors reset at each marker)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     grey = px.ndim == 2
     h, w = px.shape[0], px.shape[1]
-    planes = (
-        [px.astype(np.float64)]
-        if grey
-        else list(np.moveaxis(_rgb_to_ycbcr(px), -1, 0))
-    )
+    if grey:
+        planes = [px.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        y, cb, cr = np.moveaxis(_rgb_to_ycbcr(px), -1, 0)
+        sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}.get(subsampling)
+        if sub is None:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        sh, sv = sub
+        if (sh, sv) == (1, 1):
+            planes = [y, cb, cr]
+        else:
+            planes = [
+                y,
+                _box_downsample(cb, sh, sv),
+                _box_downsample(cr, sh, sv),
+            ]
+        factors = [(sh, sv), (1, 1), (1, 1)]
     ncomp = len(planes)
+    max_h = max(hc for hc, _ in factors)
+    max_v = max(vc for _, vc in factors)
     qtab = np.full(64, max(1, int(quant)), dtype=np.int32)
     m = _dct_matrix()
 
@@ -2057,45 +2119,52 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     dc_counts, dc_enc = _huffman_fixed(dc_syms, 8)
     ac_counts, ac_enc = _huffman_fixed(ac_syms, 9)
     bw = _JpegBitWriter()
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
     prev_dc = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, plane in enumerate(planes):
-                block = np.empty((8, 8))
-                ys = np.minimum(by * 8 + np.arange(8), h - 1)
-                xs = np.minimum(bx * 8 + np.arange(8), w - 1)
-                block[:] = plane[np.ix_(ys, xs)]
-                coef = m @ (block - 128.0) @ m.T
-                q = np.round(coef.reshape(-1) / qtab).astype(np.int64)
-                zz = q[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size = _bit_category(diff)
-                code, ln = dc_enc[size]
+
+    def put_block(ci: int, plane, by: int, bx: int) -> None:
+        ph, pw = plane.shape
+        ys = np.minimum(by * 8 + np.arange(8), ph - 1)
+        xs = np.minimum(bx * 8 + np.arange(8), pw - 1)
+        coef = m @ (plane[np.ix_(ys, xs)] - 128.0) @ m.T
+        q = np.round(coef.reshape(-1) / qtab).astype(np.int64)
+        zz = q[_ZIGZAG]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size = _bit_category(diff)
+        code, ln = dc_enc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
                 bw.write(code, ln)
-                if size:
-                    extra = diff if diff > 0 else diff + (1 << size) - 1
-                    bw.write(extra, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    size = _bit_category(v)
-                    code, ln = ac_enc[(run << 4) | size]
-                    bw.write(code, ln)
-                    extra = v if v > 0 else v + (1 << size) - 1
-                    bw.write(extra, size)
-                    run = 0
-                if run:
-                    code, ln = ac_enc[0x00]
-                    bw.write(code, ln)
+                run -= 16
+            size = _bit_category(v)
+            code, ln = ac_enc[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, ln = ac_enc[0x00]
+            bw.write(code, ln)
+
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    for mi in range(mcuy * mcux):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.restart((mi // restart_interval - 1) % 8)
+            prev_dc[:] = [0] * ncomp
+        my, mx = divmod(mi, mcux)
+        for ci, (plane, (hc, vc)) in enumerate(zip(planes, factors)):
+            for iy in range(vc):
+                for ix in range(hc):
+                    put_block(ci, plane, my * vc + iy, mx * hc + ix)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -2103,7 +2172,8 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
 
     dqt = seg(0xDB, bytes([0]) + bytes(int(qtab[_ZIGZAG[i]]) for i in range(64)))
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, (factors[cid][0] << 4) | factors[cid][1], 0])
+        for cid in range(ncomp)
     )
     sof = seg(
         0xC0,
@@ -2113,20 +2183,27 @@ def encode_jpeg(pixels, quant: int = 1) -> bytes:
     dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)) + seg(
         0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
     )
+    dri = (
+        seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
     sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
     )
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components,
-    no chroma subsampling, no restart intervals) to an (h, w, 3) RGB or
-    (h, w) grey uint8 array. Tables are read from the stream's DQT/DHT
-    segments (canonical Huffman per T.81 annex C), so files from real
-    encoders decode as long as they stay in this subset; progressive
-    (SOF2), subsampled, or arithmetic-coded files raise ValueError."""
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3 components)
+    to an (h, w, 3) RGB or (h, w) grey uint8 array. Tables are read from
+    the stream's DQT/DHT segments (canonical Huffman per T.81 annex C),
+    and the entropy decoder handles interleaved MCUs with sampling
+    factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0 — subsampled chroma is
+    upsampled by pixel replication) plus DRI/RSTn restart intervals, so
+    camera-style files from real encoders decode; progressive (SOF2) or
+    arithmetic-coded files raise ValueError."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -2136,6 +2213,7 @@ def decode_jpeg_pixels(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
+    restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -2180,17 +2258,20 @@ def decode_jpeg_pixels(payload: bytes):
             comps = []
             for c in range(ncomp):
                 cid, hv, qid = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hc, vc = hv >> 4, hv & 0x0F
+                if not (1 <= hc <= 2 and 1 <= vc <= 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"unsupported JPEG sampling factors {hc}x{vc}"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, hc, vc, qid))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             if not body or len(body) < 1 + 2 * body[0]:
                 raise ValueError("truncated JPEG SOS segment")
@@ -2207,7 +2288,22 @@ def decode_jpeg_pixels(payload: bytes):
     h, w, comps = frame
     if len(scan) != len(comps) or len(scan) not in (1, 3):
         raise ValueError("JPEG scan must cover 1 or 3 frame components")
-    comp_q = dict(comps)
+    comp_info = {cid: (hc, vc, qid) for cid, hc, vc, qid in comps}
+    if len(comp_info) != len(comps):
+        raise ValueError("duplicate JPEG component id")
+    if len(scan) == 1:
+        # Non-interleaved single-component scan: the MCU is ONE data unit
+        # and the component is coded at full frame resolution (T.81
+        # A.2.2), whatever sampling factors the SOF declares.
+        sf = [(1, 1)]
+    else:
+        sf = []
+        for cid, _dct, _act in scan:
+            if cid not in comp_info:
+                raise ValueError("JPEG scan references unknown component")
+            sf.append(comp_info[cid][:2])
+    max_h = max(hc for hc, _ in sf)
+    max_v = max(vc for _, vc in sf)
     m = _dct_matrix()
     reader = _JpegBitReader(payload[pos:])
 
@@ -2219,50 +2315,69 @@ def decode_jpeg_pixels(payload: bytes):
                 return table[(code, length)]
         raise ValueError("invalid JPEG Huffman code")
 
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bwid * 8)) for _ in scan]
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    planes = [
+        np.zeros((mcuy * vc * 8, mcux * hc * 8)) for hc, vc in sf
+    ]
     prev_dc = [0] * len(scan)
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, (cid, dct, act) in enumerate(scan):
-                dc_tab = htabs.get((0, dct))
-                ac_tab = htabs.get((1, act))
-                qtab = qtabs.get(comp_q.get(cid))
-                if dc_tab is None or ac_tab is None or qtab is None:
-                    raise ValueError("JPEG references undefined table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(dc_tab)
-                if size > 15:
-                    # DC size categories are <= 11 for 8-bit baseline; a
-                    # corrupt DHT can map a code to any byte, and
-                    # read_bits(255) would build an int that overflows the
-                    # int64 coefficient array.
-                    raise ValueError("invalid JPEG DC size category")
-                diff = _extend(reader.read_bits(size), size)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_tab)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                coef = np.empty(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * qtab[_ZIGZAG]
-                block = m.T @ coef.reshape(8, 8) @ m + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-    ycc = np.stack(planes, axis=-1)
+    for mi in range(mcuy * mcux):
+        if restart and mi and mi % restart == 0:
+            reader.expect_restart((mi // restart - 1) % 8)
+            prev_dc = [0] * len(scan)
+        my, mx = divmod(mi, mcux)
+        for ci, (cid, dct, act) in enumerate(scan):
+            hc, vc = sf[ci]
+            dc_tab = htabs.get((0, dct))
+            ac_tab = htabs.get((1, act))
+            qtab = qtabs.get(comp_info[cid][2] if cid in comp_info else None)
+            if dc_tab is None or ac_tab is None or qtab is None:
+                raise ValueError("JPEG references undefined table")
+            for iy in range(vc):
+                for ix in range(hc):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = read_symbol(dc_tab)
+                    if size > 15:
+                        # DC size categories are <= 11 for 8-bit baseline;
+                        # a corrupt DHT can map a code to any byte, and
+                        # read_bits(255) would build an int that overflows
+                        # the int64 coefficient array.
+                        raise ValueError("invalid JPEG DC size category")
+                    diff = _extend(reader.read_bits(size), size)
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = read_symbol(ac_tab)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    coef = np.empty(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz * qtab[_ZIGZAG]
+                    block = m.T @ coef.reshape(8, 8) @ m + 128.0
+                    by, bx = my * vc + iy, mx * hc + ix
+                    planes[ci][
+                        by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                    ] = block
+    full = []
+    for (hc, vc), p in zip(sf, planes):
+        if hc != max_h or vc != max_v:
+            # replicate-upsample subsampled chroma back to frame grid
+            p = np.repeat(
+                np.repeat(p, max_v // vc, axis=0), max_h // hc, axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    ycc = np.stack(full, axis=-1)
     return _ycbcr_to_rgb(ycc).astype(np.uint8)
 
 

@@ -739,11 +739,12 @@ def test_jpeg_decode_rejects_unsupported_subset():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError, match="baseline"):
         decode_jpeg_pixels(prog)
-    # 4:2:0 subsampling: set the Y component's h/v spec to 2x2
+    # sampling factors beyond 2 per axis (e.g. 4:1:1's 4x1) stay outside
+    # the supported subset; 1-2 per axis (4:4:4/4:2:2/4:2:0) now decode
     sof_at = good.index(b"\xff\xc0")
     sub = bytearray(good)
-    sub[sof_at + 11] = 0x22  # first component h<<4|v
-    with _pytest.raises(ValueError, match="subsampling"):
+    sub[sof_at + 11] = 0x41  # first component h<<4|v = 4x1
+    with _pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg_pixels(bytes(sub))
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(good[:40])  # truncated
@@ -828,11 +829,18 @@ def test_codec_mutation_fuzz_only_valueerror():
     pal = [(i, 255 - i, i // 2) for i in range(0, 256, 16)]
     idx = rng.randint(0, len(pal), (6, 5)).astype("uint8")
     samples = rng.randint(-3000, 3000, 64).astype("int16")
+    px420 = rng.randint(0, 256, (18, 19, 3)).astype("uint8")
     codecs = {
         "bmp": (mm.encode_bmp(px), mm.decode_bmp_pixels),
         "png": (mm.encode_png(px, 2), mm.decode_png_pixels),
         "gif": (mm.encode_gif(idx, pal), mm.decode_gif_pixels),
         "jpeg": (mm.encode_jpeg(px), mm.decode_jpeg_pixels),
+        # subsampled + restart-interval layout exercises the interleaved
+        # MCU decode loop and the RST-marker reader
+        "jpeg420": (
+            mm.encode_jpeg(px420, subsampling="420", restart_interval=2),
+            mm.decode_jpeg_pixels,
+        ),
         "wav": (mm.encode_wav(samples, 8000), mm.decode_wav_samples),
     }
 
@@ -907,3 +915,61 @@ def test_decoders_reject_bomb_dimensions():
         with pytest.raises(ValueError):
             dec(payload)
         assert time.time() - t0 < 1.0, f"{dec.__name__} did not fail fast"
+
+
+def test_jpeg_subsampling_and_restart_roundtrip():
+    """4:2:2 / 4:2:0 interleaved-MCU layouts and DRI/RSTn restart
+    intervals — the shapes real camera JPEGs use. Smooth-chroma images
+    survive chroma subsampling EXACTLY (box-downsample + replicate of a
+    constant is the identity, and quant=1 DCT is near-lossless), restart
+    markers must never change decoded pixels, and odd dimensions
+    exercise the partial-MCU edge blocks."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    # luma gradient over constant per-channel chroma offsets
+    smooth = np.clip(
+        np.add.outer(np.arange(23) * 3, np.arange(17) * 5)[..., None]
+        + np.array([0, 40, 80]),
+        0,
+        255,
+    ).astype("uint8")
+    for sub in ("422", "420"):
+        out = mm.decode_jpeg_pixels(mm.encode_jpeg(smooth, subsampling=sub))
+        assert out.shape == smooth.shape
+        assert np.array_equal(out, smooth), sub
+    # noisy chroma: luma plane must stay near-lossless even though the
+    # subsampled chroma is genuinely lossy
+    noisy = rng.randint(0, 256, (18, 19, 3)).astype("uint8")
+    for sub in ("422", "420"):
+        out = mm.decode_jpeg_pixels(mm.encode_jpeg(noisy, subsampling=sub))
+        assert out.shape == noisy.shape
+        ly = mm._rgb_to_ycbcr(out)[..., 0]
+        lp = mm._rgb_to_ycbcr(noisy)[..., 0]
+        # bounded by chroma bleed through the clipped RGB round-trip
+        assert np.abs(ly - lp).max() < 32, sub
+    # restart intervals are pure framing: decoded pixels identical
+    for sub in ("444", "420"):
+        plain = mm.decode_jpeg_pixels(mm.encode_jpeg(noisy, subsampling=sub))
+        for ri in (1, 2, 7):
+            withrst = mm.decode_jpeg_pixels(
+                mm.encode_jpeg(noisy, subsampling=sub, restart_interval=ri)
+            )
+            assert np.array_equal(plain, withrst), (sub, ri)
+    grey = rng.randint(0, 256, (19, 21)).astype("uint8")
+    assert np.array_equal(
+        mm.decode_jpeg_pixels(mm.encode_jpeg(grey)),
+        mm.decode_jpeg_pixels(mm.encode_jpeg(grey, restart_interval=3)),
+    )
+    with pytest.raises(ValueError):
+        mm.encode_jpeg(noisy, subsampling="411")
+    # a wrong/missing RST marker where DRI promises one must be rejected
+    payload = bytearray(
+        mm.encode_jpeg(noisy, subsampling="420", restart_interval=1)
+    )
+    rst = payload.index(b"\xff\xd0")
+    payload[rst + 1] = 0xD5  # out-of-sequence restart number
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_pixels(bytes(payload))

@@ -1459,10 +1459,10 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream (verifying each CRC32), inflates the concatenated IDAT stream,
 # and inverts the per-row filters. encode_png is the matching encoder
 # (any fixed filter type or per-row mix), which the property tests use to
-# prove every filter's inverse over generated image shapes. 8-bit
-# truecolor (type 2) and greyscale (type 0), non-interlaced — the subset
-# a pure-Python executor can own; palette/alpha/16-bit/Adam7 raise
-# ValueError, JPEG/GIF entropy coding still needs an imaging library.
+# prove every filter's inverse over generated image shapes. 8-bit only:
+# greyscale (0), truecolor (2), palette (3, with optional tRNS alpha),
+# grey+alpha (4), RGBA (6), both non-interlaced and Adam7-interlaced —
+# the layouts real-world PNGs actually use; 16-bit raises ValueError.
 # ---------------------------------------------------------------------------
 
 
@@ -1489,30 +1489,28 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace passes as (x0, y0, dx, dy) — each pass is an
+# independently-filtered sub-image of every dy-th row / dx-th column,
+# read off the spec's canonical 8x8 pass-number matrix.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def encode_png(pixels, filters=0) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) greyscale uint8 array as an
-    8-bit non-interlaced PNG. ``filters`` is a PNG filter type 0-4
-    applied to every row, or a list of per-row types — the encoder
-    APPLIES the filter (stores the residuals), so round-tripping through
-    decode_png_pixels proves the decoder's inverse for that type."""
-    import zlib
 
+def _png_filter_rows(rows, bpp: int, ftypes) -> bytearray:
+    """Apply PNG scanline filters to an (h, stride) int16 row block,
+    returning filter-byte-prefixed residual scanlines."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    grey = px.ndim == 2
-    h, w = px.shape[0], px.shape[1]
-    bpp = 1 if grey else 3
-    colortype = 0 if grey else 2
-    rows = px.reshape(h, w * bpp).astype(np.int16)
-    ftypes = (
-        [int(filters)] * h if isinstance(filters, int) else list(filters)
-    )
-    if len(ftypes) != h:
-        raise ValueError("per-row filter list must have one entry per row")
+    h, stride = rows.shape
     out = bytearray()
-    prior = np.zeros(w * bpp, dtype=np.int16)
+    prior = np.zeros(stride, dtype=np.int16)
     for y in range(h):
         raw = rows[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
@@ -1538,72 +1536,88 @@ def encode_png(pixels, filters=0) -> bytes:
         out.append(ft)
         out.extend((res % 256).astype(np.uint8).tobytes())
         prior = raw
+    return out
+
+
+def encode_png(
+    pixels, filters=0, interlace: bool = False, palette=None, trans=None
+) -> bytes:
+    """Encode an 8-bit PNG. ``pixels`` is (h, w, 3) RGB or (h, w)
+    greyscale — or, with ``palette`` (a [(r, g, b), ...] list), an
+    (h, w) index array stored as color type 3 with a PLTE chunk (and a
+    tRNS chunk when ``trans`` gives per-entry alpha). ``filters`` is a
+    PNG filter type 0-4 applied to every row, or a list of per-row
+    types — the encoder APPLIES the filter (stores the residuals), so
+    round-tripping through decode_png_pixels proves the decoder's
+    inverse for that type. ``interlace`` stores the Adam7 7-pass
+    layout, each pass independently filtered per the spec."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    if palette is not None:
+        if px.ndim != 2:
+            raise ValueError("palette PNG takes an (h, w) index array")
+        if not 1 <= len(palette) <= 256:
+            raise ValueError("palette must have 1-256 entries")
+        bpp, colortype = 1, 3
+    elif px.ndim == 2:
+        bpp, colortype = 1, 0
+    else:
+        bpp, colortype = 3, 2
+    rows = px.reshape(h, w * bpp).astype(np.int16)
+    if not interlace:
+        ftypes = (
+            [int(filters)] * h if isinstance(filters, int) else list(filters)
+        )
+        if len(ftypes) != h:
+            raise ValueError(
+                "per-row filter list must have one entry per row"
+            )
+        out = _png_filter_rows(rows, bpp, ftypes)
+    else:
+        if not isinstance(filters, int):
+            raise ValueError("interlaced encode takes a single filter type")
+        grid = px.reshape(h, w, bpp)
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = grid[y0::dy, x0::dx]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            out += _png_filter_rows(
+                sub.reshape(ph, pw * bpp).astype(np.int16),
+                bpp,
+                [int(filters)] * ph,
+            )
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, colortype, 0, 0, 0])
+        + bytes([8, colortype, 0, 0, int(interlace)])
     )
+    plte = b""
+    if palette is not None:
+        plte = _png_chunk(
+            b"PLTE", b"".join(bytes(rgb[:3]) for rgb in palette)
+        )
+        if trans is not None:
+            plte += _png_chunk(b"tRNS", bytes(trans))
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """Decode an 8-bit non-interlaced PNG (greyscale, grey+alpha, RGB,
-    or RGBA — color types 0/4/2/6) to an (h, w[, channels]) uint8 array.
-    Real decoder: chunk walk with CRC32 verification, multi-IDAT
-    concatenation, zlib inflate, and the inverse of all five scanline
-    filters. Raises ValueError on anything outside the supported subset
-    (palette, 16-bit, interlaced) or on corrupt data — like
-    decode_bmp_pixels, pixel decode is an explicit operation that must
-    not silently guess."""
-    import zlib
-
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Invert the five PNG scanline filters over one filtered sub-image
+    (h scanlines of 1 filter byte + stride data bytes)."""
     import numpy as np
 
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    w = h = None
-    colortype = -1
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        tag = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        if len(body) != ln or pos + 12 + ln > len(payload):
-            raise ValueError("truncated PNG chunk")
-        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
-        if zlib.crc32(tag + body) != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
-        if tag == b"IHDR":
-            w = int.from_bytes(body[0:4], "big")
-            h = int.from_bytes(body[4:8], "big")
-            depth, colortype, comp, filt, interlace = body[8:13]
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError(
-                    "only 8-bit non-interlaced PNG supported"
-                )
-            if colortype not in (0, 2, 4, 6):
-                raise ValueError(
-                    f"unsupported PNG color type {colortype}"
-                )
-            _check_decode_dims(w, h)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
-    stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     recon = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
@@ -1633,9 +1647,104 @@ def decode_png_pixels(payload: bytes):
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         recon[y] = (rec % 256).astype(np.uint8)
-    if colortype == 0:
-        return recon.copy()
-    return recon.reshape(h, w, bpp).copy()
+    return recon
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode an 8-bit PNG — greyscale, RGB, palette, grey+alpha, or
+    RGBA (color types 0/2/3/4/6), non-interlaced or Adam7 — to an
+    (h, w[, channels]) uint8 array; palette images map through PLTE to
+    RGB, or to RGBA when a tRNS chunk supplies per-entry alpha. Real
+    decoder: chunk walk with CRC32 verification, multi-IDAT
+    concatenation, zlib inflate, and the inverse of all five scanline
+    filters per sub-image. Raises ValueError on anything outside the
+    supported subset (16-bit) or on corrupt data — like
+    decode_bmp_pixels, pixel decode is an explicit operation that must
+    not silently guess."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    colortype = -1
+    interlace = 0
+    plte = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, colortype, comp, filt, interlace = body[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
+                raise ValueError("only 8-bit PNG supported")
+            if colortype not in (0, 2, 3, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {colortype}"
+                )
+            _check_decode_dims(w, h)
+        elif tag == b"PLTE":
+            if ln == 0 or ln % 3 or ln > 768:
+                raise ValueError("invalid PNG PLTE length")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        recon = _png_defilter(raw, h, w * bpp, bpp)
+        img = recon if bpp == 1 else recon.reshape(h, w, bpp)
+    else:
+        img = np.zeros((h, w) if bpp == 1 else (h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            block = raw[off:off + need]
+            if len(block) != need:
+                raise ValueError("PNG pixel data length mismatch")
+            off += need
+            rec = _png_defilter(block, ph, pw * bpp, bpp)
+            img[y0::dy, x0::dx] = (
+                rec if bpp == 1 else rec.reshape(ph, pw, bpp)
+            )
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if colortype != 3:
+        return img.copy()
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if int(img.max(initial=0)) >= len(plte):
+        raise ValueError("PNG pixel index outside palette")
+    rgb = plte[img]
+    if trns is None:
+        return rgb.copy()
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+    return np.concatenate([rgb, alpha[img][..., None]], axis=-1)
 
 
 # ---------------------------------------------------------------------------

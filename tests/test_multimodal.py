@@ -841,6 +841,18 @@ def test_codec_mutation_fuzz_only_valueerror():
             mm.encode_jpeg(px420, subsampling="420", restart_interval=2),
             mm.decode_jpeg_pixels,
         ),
+        # palette + Adam7 exercises PLTE/tRNS handling and the per-pass
+        # sub-image defilter
+        "png_pal_adam7": (
+            mm.encode_png(
+                idx,
+                2,
+                interlace=True,
+                palette=pal,
+                trans=bytes(range(len(pal))),
+            ),
+            mm.decode_png_pixels,
+        ),
         "wav": (mm.encode_wav(samples, 8000), mm.decode_wav_samples),
     }
 
@@ -973,3 +985,75 @@ def test_jpeg_subsampling_and_restart_roundtrip():
     payload[rst + 1] = 0xD5  # out-of-sequence restart number
     with pytest.raises(ValueError):
         mm.decode_jpeg_pixels(bytes(payload))
+
+
+def test_png_palette_and_adam7():
+    """Color type 3 (PLTE-indexed, optional tRNS alpha) and Adam7
+    interlacing — the remaining layouts common real-world PNGs use.
+    Round-trips prove the decoder inverts the encoder for every filter
+    type; the hand-built fixture proves the pass geometry against the
+    spec (not our own encoder); the tiling check proves the pass table
+    covers each pixel exactly once."""
+    import zlib
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    # the 7 passes must tile the 8x8 base grid exactly once
+    cover = np.zeros((8, 8), dtype=int)
+    for x0, y0, dx, dy in mm._ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1, 3), (7, 9, 3), (16, 16, 3), (23, 17), (8, 1, 3)]:
+        px = rng.randint(0, 256, shape).astype("uint8")
+        for ft in range(5):
+            got = mm.decode_png_pixels(mm.encode_png(px, ft, interlace=True))
+            assert np.array_equal(got, px), (shape, ft)
+
+    pal = [tuple(int(v) for v in row) for row in rng.randint(0, 256, (17, 3))]
+    idx = rng.randint(0, 17, (9, 13)).astype("uint8")
+    out = mm.decode_png_pixels(mm.encode_png(idx, 3, palette=pal))
+    assert np.array_equal(out, np.array(pal, dtype=np.uint8)[idx])
+    # partial tRNS: missing entries default to opaque per the spec
+    tr = bytes(10 * i for i in range(10))
+    out4 = mm.decode_png_pixels(mm.encode_png(idx, 4, palette=pal, trans=tr))
+    assert out4.shape == (9, 13, 4)
+    assert np.array_equal(out4[..., :3], out)
+    alpha = np.full(17, 255, np.uint8)
+    alpha[:10] = np.frombuffer(tr, np.uint8)
+    assert np.array_equal(out4[..., 3], alpha[idx])
+    # palette + interlace compose
+    assert np.array_equal(
+        mm.decode_png_pixels(mm.encode_png(idx, 0, interlace=True, palette=pal)),
+        out,
+    )
+    with pytest.raises(ValueError):  # index past palette is data corruption
+        mm.decode_png_pixels(
+            mm.encode_png(np.full((2, 2), 16, np.uint8), palette=pal[:16])
+        )
+
+    # Hand-built 2x2 greyscale Adam7 fixture straight from the spec: for
+    # w=h=2 only passes 1 (pixel 0,0), 6 (pixel 0,1) and 7 (row 1) are
+    # non-empty, each a filter-0 scanline. Built with zlib/struct only —
+    # NOT our encoder — so it grounds the pass walk independently.
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + zlib.crc32(tag + body).to_bytes(4, "big")
+        )
+
+    p = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    raw = bytes([0, 10]) + bytes([0, 20]) + bytes([0, 30, 40])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 0, 0, 0, 1]
+    )
+    fixture = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png_pixels(fixture), p)

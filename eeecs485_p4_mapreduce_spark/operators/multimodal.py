@@ -10,12 +10,14 @@ mm_image_dimensions), uncompressed-BMP PIXEL decode (``encode_bmp``/
 ``decode_bmp_pixels``/``resize_pixels``, the real 24-bpp byte layout —
 see mm_bmp_thumbnail), COMPRESSED PNG pixel decode
 (``decode_png_pixels``: chunk walk + CRC32 verification + zlib inflate
-+ all five scanline unfilters), COMPRESSED GIF pixel decode
++ all five scanline unfilters; color types 0/2/3/4/6 incl. PLTE/tRNS
+palettes, non-interlaced and Adam7), COMPRESSED GIF pixel decode
 (``decode_gif_pixels``: variable-width LSB-first LZW implemented from
 scratch, palettes, extension skipping, 4-pass de-interlace), and
 baseline sequential JPEG decode (``decode_jpeg_pixels``: stream-read
 DQT/DHT tables, Huffman + EXTEND entropy decoding, dequantize, inverse
-DCT, YCbCr→RGB; 4:4:4/greyscale subset). PNG and GIF are grounded
+DCT, YCbCr→RGB; 4:4:4/4:2:2/4:2:0 interleaved MCUs + DRI/RSTn restart
+intervals — the camera-file layouts). PNG and GIF are grounded
 against canonical real-world fixture bytes in tests; JPEG against its
 matching spec-built encoder plus the independent header parser. Only
 compressed AUDIO (MP3/AAC/Opus) remains a declared stub
@@ -78,14 +80,15 @@ def decode_image(payload: bytes) -> "object":
     pixel array.
 
     REAL for every format the header parser knows: uncompressed 24-bpp
-    BMP (pure byte layout — decode_bmp_pixels), 8-bit non-interlaced
-    PNG (zlib inflate + all five scanline unfilters —
-    decode_png_pixels), GIF87a/89a (variable-width LZW implemented from
-    scratch — decode_gif_pixels), and baseline sequential JPEG (Huffman
-    + IDCT, 4:4:4/greyscale subset — decode_jpeg_pixels). Unrecognized
-    magic raises NotImplementedError; formats outside each codec's
-    declared subset (progressive/subsampled JPEG, paletted PNG, ...)
-    raise ValueError from the codec itself."""
+    BMP (pure byte layout — decode_bmp_pixels), 8-bit PNG including
+    palettes and Adam7 interlace (zlib inflate + all five scanline
+    unfilters — decode_png_pixels), GIF87a/89a (variable-width LZW
+    implemented from scratch — decode_gif_pixels), and baseline
+    sequential JPEG with 4:2:2/4:2:0 subsampling and restart intervals
+    (Huffman + IDCT — decode_jpeg_pixels). Unrecognized magic raises
+    NotImplementedError; formats outside each codec's declared subset
+    (progressive JPEG, 16-bit PNG, ...) raise ValueError from the codec
+    itself."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == PNG_SIG:

@@ -1912,14 +1912,141 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     )
 
 
+def _gif_frame_indices(payload: bytes, pos: int, gct):
+    """Parse ONE image descriptor at payload[pos] (== 0x2C): LZW inflate
+    + de-interlace + palette mapping setup. Returns
+    (index_array, left, top, palette_array, next_pos)."""
+    import numpy as np
+
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+    top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+    w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    _check_decode_dims(w, h)
+    iflags = payload[pos + 9]
+    pos += 10
+    pal = gct
+    if iflags & 0x80:  # local color table
+        n = 2 << (iflags & 0x07)
+        pal = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF frame has no color table")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF before LZW data")
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    if pos < len(payload):
+        pos += 1  # block terminator
+    idx = np.array(
+        _lzw_decompress(bytes(lzw), min_code, w * h), dtype=np.int64
+    ).reshape(h, w)
+    if iflags & 0x40:  # de-interlace
+        order = [
+            y for start, step in _GIF_PASSES for y in range(start, h, step)
+        ]
+        deint = np.zeros_like(idx)
+        deint[order] = idx
+        idx = deint
+    palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("GIF pixel index outside color table")
+    return idx, left, top, palette, pos
+
+
+def encode_gif_animation(
+    frames,
+    palette,
+    delays=None,
+    disposals=None,
+    transparent=None,
+    offsets=None,
+    screen=None,
+) -> bytes:
+    """Encode an animated GIF89a: ``frames`` is a list of (h, w) uint8
+    index arrays (shapes may differ per frame), ``palette`` one global
+    [(r, g, b), ...] table, ``delays`` per-frame centiseconds,
+    ``disposals`` per-frame disposal methods (0-3), ``transparent`` a
+    per-frame transparency index (or None), ``offsets`` per-frame
+    (left, top) canvas positions, ``screen`` an explicit (W, H) logical
+    screen. Each frame gets a graphic-control extension; pixel data is
+    the same from-scratch LZW as encode_gif."""
+    import numpy as np
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("animation needs at least one frame")
+    delays = list(delays) if delays is not None else [0] * n
+    disposals = list(disposals) if disposals is not None else [0] * n
+    transparent = list(transparent) if transparent is not None else [None] * n
+    offsets = list(offsets) if offsets is not None else [(0, 0)] * n
+    if not (len(delays) == len(disposals) == len(transparent)
+            == len(offsets) == n):
+        raise ValueError("per-frame lists must match the frame count")
+    pal = list(palette)
+    bits = max(1, (len(pal) - 1).bit_length())
+    pal_size = 1 << bits
+    gct = bytearray()
+    for i in range(pal_size):
+        r, g, b = pal[i] if i < len(pal) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    if screen is None:
+        sw = max(off[0] + np.asarray(f).shape[1]
+                 for off, f in zip(offsets, frames))
+        sh = max(off[1] + np.asarray(f).shape[0]
+                 for off, f in zip(offsets, frames))
+    else:
+        sw, sh = screen
+    min_code = max(2, bits)
+    out = bytearray(
+        b"GIF89a"
+        + sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+        + bytes([0x80 | (bits - 1), 0, 0])
+        + bytes(gct)
+    )
+    for f, delay, disp, tidx, (left, top) in zip(
+        frames, delays, disposals, transparent, offsets
+    ):
+        px = np.asarray(f, dtype=np.uint8)
+        h, w = px.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame rect outside the logical screen")
+        packed = ((disp & 0x07) << 2) | (0x01 if tidx is not None else 0)
+        out += bytes(
+            [0x21, 0xF9, 4, packed]
+        ) + int(delay).to_bytes(2, "little") + bytes(
+            [tidx if tidx is not None else 0, 0]
+        )
+        out += (
+            b"\x2c"
+            + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0, min_code])
+        )
+        lzw = _lzw_compress(px.reshape(-1), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif_pixels(payload: bytes):
     """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) uint8 RGB
     array: real LZW inflate (variable code width, clear/EOI, KwKwK),
     global/local color tables, extension-block skipping, and 4-pass
     de-interlacing. Raises ValueError on malformed streams — explicit
-    decode, like the BMP/PNG codecs."""
-    import numpy as np
-
+    decode, like the BMP/PNG codecs. (decode_gif_frames composes ALL
+    frames of an animation on the logical-screen canvas.)"""
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise ValueError("not a GIF payload")
     flags = payload[10]
@@ -1937,49 +2064,103 @@ def decode_gif_pixels(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            if pos + 10 > len(payload):
-                raise ValueError("truncated GIF image descriptor")
-            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
-            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
-            _check_decode_dims(w, h)
-            iflags = payload[pos + 9]
-            pos += 10
-            pal = gct
-            if iflags & 0x80:  # local color table
-                n = 2 << (iflags & 0x07)
-                pal = payload[pos:pos + 3 * n]
-                pos += 3 * n
-            if pal is None:
-                raise ValueError("GIF frame has no color table")
-            if pos >= len(payload):
-                raise ValueError("truncated GIF before LZW data")
-            min_code = payload[pos]
-            pos += 1
-            lzw = bytearray()
-            while pos < len(payload) and payload[pos] != 0:
-                ln = payload[pos]
-                lzw += payload[pos + 1:pos + 1 + ln]
-                pos += 1 + ln
-            idx = np.array(
-                _lzw_decompress(bytes(lzw), min_code, w * h), dtype=np.int64
-            ).reshape(h, w)
-            if iflags & 0x40:  # de-interlace
-                order = [
-                    y for start, step in _GIF_PASSES
-                    for y in range(start, h, step)
-                ]
-                deint = np.zeros_like(idx)
-                deint[order] = idx
-                idx = deint
-            palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
-            if int(idx.max(initial=0)) >= len(palette):
-                raise ValueError("GIF pixel index outside color table")
+            idx, _left, _top, palette, pos = _gif_frame_indices(
+                payload, pos, gct
+            )
             return palette[idx].copy()
         elif b == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image frame")
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode ALL frames of a (possibly animated) GIF87a/89a, composed
+    on the logical-screen canvas per the spec's graphic-control
+    semantics: per-frame sub-rectangles at (left, top), transparency
+    index masking, and disposal methods 0/1 (keep), 2 (restore to
+    background color) and 3 (restore to previous canvas). Returns
+    (frames, delays_cs): a list of (H, W, 3) uint8 RGB canvases — one
+    per rendered frame — and the per-frame GCE delays in centiseconds.
+    This is the repo's real video-style container decode: frame
+    iteration over a compressed stream, the shape mm_frame_sample's
+    sampling logic consumes."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    _check_decode_dims(sw, sh)
+    flags = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (
+        tuple(gct[3 * bg_idx:3 * bg_idx + 3])
+        if gct is not None and 3 * bg_idx + 3 <= len(gct)
+        else (0, 0, 0)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list = []
+    delays: list[int] = []
+    gce = None  # (disposal, transparent_index | None, delay_cs)
+    max_frames = 4096  # bound a corrupt stream's frame fan-out
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else -1
+            if (
+                label == 0xF9
+                and pos + 7 < len(payload)
+                and payload[pos + 2] == 4
+            ):
+                packed = payload[pos + 3]
+                delay = int.from_bytes(payload[pos + 4:pos + 6], "little")
+                tidx = payload[pos + 6] if packed & 0x01 else None
+                gce = ((packed >> 2) & 0x07, tidx, delay)
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            idx, left, top, palette, pos = _gif_frame_indices(
+                payload, pos, gct
+            )
+            fh, fw = idx.shape
+            if top + fh > sh or left + fw > sw:
+                raise ValueError("GIF frame rect outside logical screen")
+            if len(frames) >= max_frames:
+                raise ValueError("GIF frame count exceeds decoder bound")
+            disposal, tidx, delay = gce if gce is not None else (0, None, 0)
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + fh, left:left + fw]
+            rgb = palette[idx]
+            if tidx is None:
+                region[:] = rgb
+            else:
+                mask = idx != tidx
+                region[mask] = rgb[mask]
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                canvas[top:top + fh, left:left + fw] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            gce = None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames, delays
 
 
 # ---------------------------------------------------------------------------

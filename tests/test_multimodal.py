@@ -854,6 +854,18 @@ def test_codec_mutation_fuzz_only_valueerror():
             mm.decode_png_pixels,
         ),
         "wav": (mm.encode_wav(samples, 8000), mm.decode_wav_samples),
+        # multi-frame animation exercises the GCE parser and compositor
+        "gif_anim": (
+            mm.encode_gif_animation(
+                [idx, idx[:3, :4]],
+                pal,
+                delays=[5, 5],
+                disposals=[1, 2],
+                transparent=[None, 3],
+                offsets=[(0, 0), (1, 1)],
+            ),
+            lambda p: mm.decode_gif_frames(p),
+        ),
     }
 
     class _Hang(Exception):
@@ -1057,3 +1069,81 @@ def test_png_palette_and_adam7():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(mm.decode_png_pixels(fixture), p)
+
+
+def test_gif_animation_frames():
+    """decode_gif_frames composes a multi-frame GIF89a per the spec's
+    graphic-control semantics: full-frame round-trips, partial frames at
+    (left, top) offsets with transparency masking, disposal 2 (restore
+    to background) and 3 (restore to previous), and per-frame delays.
+    The canonical spacer.gif fixture grounds the walker on real bytes."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    pal = [tuple(int(v) for v in row) for row in rng.randint(0, 256, (8, 3))]
+    parr = np.array(pal, dtype=np.uint8)
+
+    fs = [rng.randint(0, 8, (5, 7)).astype("uint8") for _ in range(3)]
+    payload = mm.encode_gif_animation(fs, pal, delays=[10, 20, 30])
+    frames, delays = mm.decode_gif_frames(payload)
+    assert delays == [10, 20, 30]
+    assert [np.array_equal(f, parr[i]) for f, i in zip(frames, fs)] == [
+        True
+    ] * 3
+    # the single-frame decoder reads the same stream's first frame
+    assert np.array_equal(mm.decode_gif_pixels(payload), parr[fs[0]])
+
+    # partial frame + transparency over a kept canvas
+    base = rng.randint(0, 8, (6, 6)).astype("uint8")
+    patch = rng.randint(0, 8, (2, 3)).astype("uint8")
+    patch[0, 1] = 7
+    payload = mm.encode_gif_animation(
+        [base, patch],
+        pal,
+        disposals=[0, 0],
+        transparent=[None, 7],
+        offsets=[(0, 0), (2, 3)],
+        screen=(6, 6),
+    )
+    frames, _ = mm.decode_gif_frames(payload)
+    want = parr[base].copy()
+    mask = patch != 7
+    want[3:5, 2:5][mask] = parr[patch][mask]
+    assert np.array_equal(frames[1], want)
+
+    # disposal 3: the next frame composes on the PRE-frame canvas
+    f0 = np.zeros((4, 4), np.uint8)
+    f1 = np.full((2, 2), 3, np.uint8)
+    f2 = np.full((1, 1), 5, np.uint8)
+    payload = mm.encode_gif_animation(
+        [f0, f1, f2],
+        pal,
+        disposals=[1, 3, 0],
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        screen=(4, 4),
+    )
+    frames, _ = mm.decode_gif_frames(payload)
+    want2 = parr[f0].copy()
+    want2[0, 0] = parr[5]
+    assert np.array_equal(frames[2], want2)
+
+    # disposal 2: the frame rect reverts to the background color
+    payload = mm.encode_gif_animation(
+        [f0, f2], pal, disposals=[2, 0], offsets=[(0, 0), (3, 3)],
+        screen=(4, 4),
+    )
+    frames, _ = mm.decode_gif_frames(payload)
+    want1 = np.empty((4, 4, 3), np.uint8)
+    want1[:] = pal[0]
+    want1[3, 3] = parr[5]
+    assert np.array_equal(frames[1], want1)
+
+    # real-world grounding + out-of-screen rejection
+    frames, delays = mm.decode_gif_frames(_REAL_GIF_1x1)
+    assert len(frames) == 1 and frames[0].shape == (1, 1, 3)
+    with pytest.raises(ValueError):
+        mm.decode_gif_frames(
+            mm.encode_gif_animation([f1], pal, offsets=[(3, 3)], screen=(4, 4))
+        )

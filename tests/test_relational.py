@@ -366,3 +366,325 @@ def test_theta_overlap_on_partial_overlap_fixture(spark, tmp_path):
     assert bg.exact_overlap == 0
     # estimates are exact below 2^12 keys, so the bound booleans must hold
     assert all(r.overlap_est_ok and r.only_a_est_ok for r in got.values())
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write a constructed events table shaped like the real one
+    (event_id, ts, user_id, event_type, value, props)."""
+    from pyspark.sql import Row
+
+    sf_dir = tmp_path / "sf-ev"
+    sf_dir.mkdir(exist_ok=True)
+    spark.createDataFrame([Row(**r) for r in rows]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sf_dir / "events.parquet"))
+    return str(sf_dir)
+
+
+def test_asof_semantics_on_constructed_events(spark, tmp_path):
+    """q22 drop-out and tie semantics the degenerate sf events can't
+    distinguish (the q73 lesson): a click with NO prior purchase must
+    still be emitted (LEFT asof) with NULL purchase; an equal-timestamp
+    purchase IS visible to the click (>=); same-timestamp purchase ties
+    resolve deterministically to the highest event_id; later purchases
+    never attribute backwards."""
+    from datetime import datetime
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q22_asof_last_purchase,
+    )
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    rows = [
+        # user 1: click before any purchase
+        dict(event_id=1, ts=t("09:00:00"), user_id=1, event_type="click",
+             value=0.0, props="{}"),
+        # user 1: purchase exactly at the second click's timestamp
+        dict(event_id=2, ts=t("10:00:00"), user_id=1, event_type="purchase",
+             value=5.0, props="{}"),
+        dict(event_id=3, ts=t("10:00:00"), user_id=1, event_type="click",
+             value=0.0, props="{}"),
+        # user 1: two purchases at the SAME ts, then a click
+        dict(event_id=10, ts=t("11:00:00"), user_id=1, event_type="purchase",
+             value=7.0, props="{}"),
+        dict(event_id=11, ts=t("11:00:00"), user_id=1, event_type="purchase",
+             value=9.0, props="{}"),
+        dict(event_id=12, ts=t("11:00:01"), user_id=1, event_type="click",
+             value=0.0, props="{}"),
+        # user 2: purchase strictly AFTER its only click
+        dict(event_id=20, ts=t("12:00:00"), user_id=2, event_type="click",
+             value=0.0, props="{}"),
+        dict(event_id=21, ts=t("12:30:00"), user_id=2, event_type="purchase",
+             value=3.0, props="{}"),
+        # user 3: purchases only — contributes no output rows
+        dict(event_id=30, ts=t("13:00:00"), user_id=3, event_type="purchase",
+             value=1.0, props="{}"),
+    ]
+    got = {
+        r.click_id: (r.purchase_id, r.purchase_value, r.micros_since_purchase)
+        for r in q22_asof_last_purchase(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got == {
+        1: (None, None, None),            # no prior purchase -> NULL row
+        3: (2, 5.0, 0),                   # equal ts attributes (>=)
+        12: (11, 9.0, 1_000_000),         # same-ts tie -> highest event_id
+        20: (None, None, None),           # later purchase never attributes
+    }
+
+
+def test_attribution_window_boundaries(spark, tmp_path):
+    """q34 inner-join horizon boundaries: purchases at exactly the click
+    instant and exactly +30min are attributed; one microsecond past the
+    horizon is not; clicks with no in-window purchase produce NO row
+    (inner join by design); overlapping clicks each attribute the same
+    purchase (multiplicity preserved)."""
+    from datetime import datetime, timedelta
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q34_click_attribution,
+    )
+
+    base = datetime.fromisoformat("2024-03-05 08:00:00")
+    rows = [
+        dict(event_id=1, ts=base, user_id=1, event_type="click",
+             value=0.0, props="{}"),
+        dict(event_id=2, ts=base, user_id=1, event_type="purchase",
+             value=1.0, props="{}"),                       # +0 in
+        dict(event_id=3, ts=base + timedelta(minutes=30), user_id=1,
+             event_type="purchase", value=2.0, props="{}"),  # +30m in
+        dict(event_id=4, ts=base + timedelta(minutes=30, microseconds=1),
+             user_id=1, event_type="purchase", value=3.0, props="{}"),  # out
+        # a second click 10 min in: sees purchases 3 and 4
+        dict(event_id=5, ts=base + timedelta(minutes=10), user_id=1,
+             event_type="click", value=0.0, props="{}"),
+        # user 2: click with no purchase at all -> absent
+        dict(event_id=6, ts=base, user_id=2, event_type="click",
+             value=0.0, props="{}"),
+    ]
+    got = {
+        (r.click_id, r.purchase_id): r.micros_to_purchase
+        for r in q34_click_attribution(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    m = 60_000_000
+    assert got == {
+        (1, 2): 0,
+        (1, 3): 30 * m,
+        (5, 3): 20 * m,
+        (5, 4): 20 * m + 1,
+    }
+
+
+def test_gap_fill_materializes_and_forward_fills(spark, tmp_path):
+    """q42 on a constructed sparse series: missing interior hours are
+    materialized with n_events=0 and the metric forward-filled from the
+    last observed hour; single-hour users emit one row; users >= 20 are
+    outside the deterministic subset."""
+    from datetime import datetime
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q42_gap_fill_hourly,
+    )
+
+    t = lambda s: datetime.fromisoformat(f"2024-02-01 {s}")
+    rows = [
+        # user 1: hours 06 and 09 only -> grid 06,07,08,09
+        dict(event_id=1, ts=t("06:10:00"), user_id=1, event_type="view",
+             value=2.0, props="{}"),
+        dict(event_id=2, ts=t("06:50:00"), user_id=1, event_type="view",
+             value=4.0, props="{}"),
+        dict(event_id=3, ts=t("09:05:00"), user_id=1, event_type="view",
+             value=10.0, props="{}"),
+        # user 2: a single hour
+        dict(event_id=4, ts=t("12:00:00"), user_id=2, event_type="view",
+             value=1.5, props="{}"),
+        # user 25: outside the user_id < 20 subset
+        dict(event_id=5, ts=t("01:00:00"), user_id=25, event_type="view",
+             value=9.9, props="{}"),
+    ]
+    got = {
+        (r.user_id, r.hour_ts): (r.n_events, r.filled_value)
+        for r in q42_gap_fill_hourly(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got == {
+        (1, "2024-02-01 06:00:00"): (2, 3.0),   # avg(2, 4)
+        (1, "2024-02-01 07:00:00"): (0, 3.0),   # gap hour, forward-filled
+        (1, "2024-02-01 08:00:00"): (0, 3.0),
+        (1, "2024-02-01 09:00:00"): (1, 10.0),
+        (2, "2024-02-01 12:00:00"): (1, 1.5),
+    }
+
+
+def test_peak_concurrency_sweep_line(spark, tmp_path):
+    """q57 on constructed intervals, checked against a pure-Python sweep
+    line: simultaneous events collapse into one +N delta, overlapping
+    5-minute intervals stack, and an interval opened at 23:58 closes on
+    the NEXT day (its -1 lands there, and it stays concurrent with a
+    next-day event)."""
+    from datetime import datetime, timedelta
+
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q57_peak_concurrency,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)
+    stamps = [
+        t("2024-04-01 10:00:00"),
+        t("2024-04-01 10:01:00"),
+        t("2024-04-01 10:01:00"),   # same-instant pair -> +2 delta
+        t("2024-04-01 10:04:00"),
+        t("2024-04-01 10:09:30"),   # first two already closed by now
+        t("2024-04-01 23:58:00"),   # closes 00:03 next day
+        t("2024-04-02 00:01:00"),   # concurrent with the 23:58 interval
+    ]
+    rows = [
+        dict(event_id=i, ts=ts, user_id=1, event_type="view",
+             value=0.0, props="{}")
+        for i, ts in enumerate(stamps)
+    ]
+    # independent sweep line in plain Python
+    deltas: dict = {}
+    for ts in stamps:
+        deltas[ts] = deltas.get(ts, 0) + 1
+        end = ts + timedelta(minutes=5)
+        deltas[end] = deltas.get(end, 0) - 1
+    conc, want = 0, {}
+    for ts in sorted(deltas):
+        conc += deltas[ts]
+        day = ts.strftime("%Y-%m-%d")
+        want[day] = max(want.get(day, -10), conc)
+    got = {
+        r.day: r.peak_concurrency
+        for r in q57_peak_concurrency(
+            spark, _write_events(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert got == want
+    assert want["2024-04-01"] == 4 and want["2024-04-02"] == 2  # sanity
+
+
+def test_event_queries_match_oracle_on_adversarial_fixture(spark, tmp_path):
+    """Close the degeneracy gap for the whole events-query family: the sf
+    corpus is statistically smooth (every user does every event type, no
+    exact-boundary timestamps), so Spark and a query's DuckDB oracle can
+    agree on sf data while BOTH or EITHER mishandle edges. This fixture
+    is built from edges: exact 30-minute gaps (session/attribution
+    boundaries), +1-microsecond overshoots, same-instant events,
+    midnight-spanning intervals, hour-aligned timestamps, users with
+    only clicks / only purchases, a user outside the <20 subsets,
+    negative and zero values, and props JSON with/without the extracted
+    key. Every registered query that can run on events alone must match
+    its oracle here exactly as in the sf gate; a query that runs on one
+    engine but errors on the other fails loudly (no silent skips).
+    Same-timestamp purchase DUPLICATES are deliberately absent: ASOF tie
+    choice is engine-unspecified (the dedicated q22 test pins Spark's)."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.registry import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+    from tests.conftest import REPO_ROOT
+
+    sys_path_added = str(REPO_ROOT / "tools")
+    import sys as _sys
+
+    if sys_path_added not in _sys.path:
+        _sys.path.insert(0, sys_path_added)
+    from oracle_check import canon_lines, lines_hash
+
+    load_all()
+    t = lambda s: datetime.fromisoformat(s)
+    base = t("2024-06-10 10:00:00")
+    rows = []
+    eid = iter(range(1, 10_000))
+
+    def ev(ts, user, etype, value, props="{}"):
+        rows.append(
+            dict(event_id=next(eid), ts=ts, user_id=user, event_type=etype,
+                 value=value, props=props)
+        )
+
+    # user 1: click->purchase at exact boundaries, sessions split at >30m
+    ev(base, 1, "click", 0.0, '{"k": 5}')
+    ev(base, 1, "purchase", 10.0)                      # same instant
+    ev(base + timedelta(minutes=30), 1, "purchase", 20.0)   # exact horizon
+    ev(base + timedelta(minutes=30, microseconds=1), 1, "purchase", 30.0)
+    ev(base + timedelta(minutes=90), 1, "view", -1.5)  # new session
+    # user 2: clicks only (no purchase anywhere)
+    ev(t("2024-06-10 11:00:00"), 2, "click", 0.25, '{"k": -3}')
+    ev(t("2024-06-10 11:30:00"), 2, "click", 0.25)     # exact 30m gap
+    ev(t("2024-06-10 12:00:01"), 2, "click", 0.25)
+    # user 3: purchases only, spanning midnight
+    ev(t("2024-06-10 23:58:00"), 3, "purchase", 100.0)
+    ev(t("2024-06-11 00:01:00"), 3, "purchase", 0.0)
+    # user 4: single event exactly on an hour boundary
+    ev(t("2024-06-10 14:00:00"), 4, "view", 3.25, '{"j": 1}')
+    # user 25: outside every user_id < 20 deterministic subset
+    ev(t("2024-06-10 09:00:00"), 25, "click", 7.0)
+    ev(t("2024-06-10 09:10:00"), 25, "purchase", 8.0)
+    # a burst for concurrency/sketch queries: same-instant views
+    for k in range(3):
+        ev(t("2024-06-10 15:00:00"), 5 + k, "view", float(k))
+        ev(t("2024-06-10 15:04:00"), 5 + k, "view", float(k) + 0.5)
+
+    sf = _write_events(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    ran, skipped, failures = [], [], []
+    for name in sorted(ORACLES):
+        if name.startswith(("stream_", "mr_")):
+            continue
+        s_err = d_err = None
+        try:
+            s_pd = QUERIES[name](spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001 — classified below
+            s_err = e
+        try:
+            d_pd = con.sql(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            d_err = e
+        if s_err is not None and d_err is not None:
+            skipped.append(name)  # needs tables the fixture doesn't have
+            continue
+        if (s_err is None) != (d_err is None):
+            failures.append(
+                f"{name}: asymmetric error spark={s_err!r} duck={d_err!r}"
+            )
+            continue
+        if len(s_pd) != len(d_pd):
+            failures.append(f"{name}: rows {len(s_pd)} != {len(d_pd)}")
+            continue
+        if sorted(s_pd.columns) != sorted(d_pd.columns):
+            failures.append(f"{name}: column mismatch")
+            continue
+        if lines_hash(canon_lines(s_pd)) != lines_hash(canon_lines(d_pd)):
+            s_l, d_l = canon_lines(s_pd), canon_lines(d_pd)
+            only_s = [x for x in s_l if x not in set(d_l)][:2]
+            only_d = [x for x in d_l if x not in set(s_l)][:2]
+            failures.append(
+                f"{name}: hash mismatch spark-only={only_s} duck-only={only_d}"
+            )
+            continue
+        ran.append(name)
+    assert not failures, "\n".join(failures)
+    # the core events family must actually have been exercised
+    must = {
+        "q18_events_hourly", "q21_json_props", "q22_asof_last_purchase",
+        "q34_click_attribution", "q35_session_window",
+        "q42_gap_fill_hourly", "q43_sliding_window_trend",
+        "q57_peak_concurrency",
+    }
+    missing = must - set(ran)
+    assert not missing, f"expected events queries not exercised: {missing}"

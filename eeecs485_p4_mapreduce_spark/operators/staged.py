@@ -1,0 +1,293 @@
+"""Queries STAGED for round-6 registration (implemented + oracle-proven
+now, registered later).
+
+Round 5 already added 11 queries — the per-round registration budget the
+round-4 verdict set (~10/round, so the driver's 50-slot rotation keeps
+covering the proven block). These two are therefore built and pytest
+oracle-checked in round 5 but NOT ``@query``-registered; round 6 flips
+them on by adding ``operators.staged`` to ``registry.load_all`` with the
+one-line ``register_staged()`` call below. Everything here follows the
+registered-query contract (identical aliases both sides, round()-ed
+doubles, no nullable hash-bearing columns).
+
+Staged surface:
+
+- ``ta_bm25_topk`` — BM25 retrieval (Robertson/Sparck-Jones idf,
+  k1=1.2, b=0.75): the 8 highest-document-frequency tokens act as the
+  query workload; top-5 documents per term. Completes the text-analysis
+  family's retrieval story (tf-idf ranks terms per doc; BM25 ranks docs
+  per term — the actual search direction).
+- ``stream_attribution_outer`` — the LEFT OUTER stream-stream interval
+  join (streaming/jobs.py click_to_purchase_outer_stream) driven to
+  completion and hash-compared against the batch LEFT JOIN. Outer
+  emission is the part the inner variant (stream_click_attribution)
+  cannot prove: a click with no purchase is only provably unmatched once
+  the watermark passes click_ts + horizon, so the wrapper appends a
+  far-future SENTINEL click+purchase pair to the spool to push the
+  global watermark past every real click's horizon — the standard
+  production trick for flushing outer-join state in a finite replay
+  (continuous pipelines never need it; new events advance the watermark
+  for free).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 8
+BM25_TOP_DOCS = 5
+_BM25_SALTS = 32  # phase-1 fan-out for the per-term top-k (see docstring)
+
+TA_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ), qterms AS (
+      SELECT token AS term,
+             ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))
+               AS idf
+      FROM (SELECT token, count(*) AS df FROM tf GROUP BY token)
+      ORDER BY df DESC, token
+      LIMIT {BM25_N_TERMS}
+    ), scored AS (
+      SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+             round(q.idf * (tf.tf * {BM25_K1 + 1.0})
+                   / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                      + {BM25_B} * dl.dl / stats.avgdl)), 6) AS bm25
+      FROM tf
+      JOIN qterms q ON tf.token = q.term
+      JOIN dl ON tf.doc_id = dl.doc_id, stats
+    )
+    SELECT term, doc_id, tf, dl, bm25, rnk FROM (
+      SELECT term, doc_id, tf, dl, bm25,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BM25_TOP_DOCS}
+"""
+
+
+def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_DOCS} documents per query term under BM25, for the
+    {BM25_N_TERMS} highest-df tokens (ties on token text — a
+    deterministic, data-derived query workload).
+
+    Scale shape: the per-token df table is vocabulary-sized and the term
+    list is {BM25_N_TERMS} rows — both broadcast; the corpus-side flow is
+    one (doc_id, token) partial-agg shuffle (shared by tf and dl's
+    map-side size()) and then a TWO-PHASE top-k: ranking directly with a
+    window partitioned by term would move every scored row for a term to
+    one task ({BM25_N_TERMS} tasks total — a built-in skew cliff at
+    100 TB, where a common term matches millions of documents), so phase
+    1 takes the per-(term, doc_id%{_BM25_SALTS}) top-{BM25_TOP_DOCS} and
+    phase 2 ranks the <= {_BM25_SALTS}x{BM25_TOP_DOCS} survivors per
+    term. The global top-{BM25_TOP_DOCS} is a subset of the per-salt
+    winners, so the decomposition is exact (same trick as q28's prefix
+    decomposition). Doubles: the score expression is written with the
+    identical association as the oracle SQL and round(6)-ed before
+    ranking, so ties and hashes are engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(tokens())).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(BM25_N_TERMS)
+        .select(
+            F.col("token").alias("term"),
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.withColumnRenamed("token", "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w1 = Window.partitionBy("term", F.pmod("doc_id", F.lit(_BM25_SALTS))).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= BM25_TOP_DOCS)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= BM25_TOP_DOCS)
+        .select("term", "doc_id", "tf", "dl", "bm25", "rnk")
+    )
+
+
+ATTR_HORIZON_MINUTES = 30
+# sentinel ts must clear max(click_ts) + horizon + the 2h watermark delay
+# before outer state flushes; 4h covers both with an hour of margin.
+_SENTINEL_LEAD_HOURS = 4
+
+STREAM_ATTR_OUTER_ORACLE = f"""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           coalesce(p.event_id, -1) AS purchase_id,
+           coalesce(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), '-') AS purchase_ts,
+           coalesce(p.value, -1.0) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTR_HORIZON_MINUTES} MINUTE
+"""
+
+
+def _spool_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Spool events.parquet plus one far-future sentinel click+purchase
+    pair (event_id -1/-2, user_id -1). The sentinels advance BOTH sides'
+    event-time watermarks past every real click's outer-emission point
+    (click_ts + horizon + watermark delay), so the no-data flush batch
+    emits the null-padded rows; they join nothing real (no real event
+    within their horizon, no user -1) and are filtered from the output."""
+    import tempfile
+
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import spool_events
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spool = Path(tempfile.mkdtemp(prefix="p4spark_spool_"))
+    spool_events(spark, sf_dir, str(spool))
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    from datetime import timedelta
+
+    sent_ts = max_ts + timedelta(hours=_SENTINEL_LEAD_HOURS)
+    table = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([sent_ts, sent_ts], pa.timestamp("us")),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["click", "purchase"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array([None, None], pa.string()),
+        }
+    )
+    pq.write_table(table, spool / "events-zzz-sentinel.parquet")
+    return str(spool)
+
+
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join driven to completion:
+    every click emits exactly once — joined rows as soon as both sides
+    arrive, null-padded rows once the watermark proves no purchase can
+    still match (see _spool_with_sentinel for how a finite replay gets
+    the watermark there). The batch oracle is the identical LEFT JOIN;
+    a hash match proves the outer-emission semantics end-to-end. Null
+    purchase columns are coalesced to sentinels (-1 / '-' / -1.0) on
+    BOTH sides so the hash never rides on pandas' nullable-int-to-float
+    coercion."""
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import (
+        click_to_purchase_outer_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    spool = _spool_with_sentinel(spark, sf_dir)
+    name = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
+    try:
+        run_to_memory(
+            click_to_purchase_outer_stream(
+                read_event_stream(spark, spool),
+                horizon_minutes=ATTR_HORIZON_MINUTES,
+            ),
+            name,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return (
+        spark.table(name)
+        .filter(F.col("click_id") >= 0)
+        .select(
+            "click_id",
+            "user_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "click_ts"
+            ),
+            F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+            F.coalesce(
+                F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit("-"),
+            ).alias("purchase_ts"),
+            F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+        )
+    )
+
+
+#: round 6: call this from registry.load_all() (and delete the module
+#: docstring's staging note) to promote both queries to the graded surface.
+STAGED: dict[str, tuple] = {
+    "ta_bm25_topk": (ta_bm25_topk, TA_BM25_ORACLE),
+    "stream_attribution_outer": (
+        stream_attribution_outer,
+        STREAM_ATTR_OUTER_ORACLE,
+    ),
+}
+
+
+def register_staged() -> None:
+    from eeecs485_p4_mapreduce_spark.registry import query
+
+    for name, (fn, oracle) in STAGED.items():
+        query(name, oracle=oracle)(fn)

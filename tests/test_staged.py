@@ -1,0 +1,83 @@
+"""Oracle + semantics tests for the round-6 STAGED queries (operators/
+staged.py): registered-query-contract checks run here in round 5, so the
+round-6 registration flip is a one-liner with pre-proven hashes."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.operators import staged
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _assert_matches(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: rowcount {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    s_lines, d_lines = canon_lines(s_pd), canon_lines(d_pd)
+    if lines_hash(s_lines) != lines_hash(d_lines):
+        d_set, s_set = set(d_lines), set(s_lines)
+        raise AssertionError(
+            f"{name}: hash mismatch\n"
+            f"  spark-only: {[x for x in s_lines if x not in d_set][:3]}\n"
+            f"  duck-only:  {[x for x in d_lines if x not in s_set][:3]}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(staged.STAGED))
+def test_staged_matches_oracle(spark, duck, sf_dir, name):
+    _assert_matches(spark, duck, sf_dir, name)
+
+
+def test_bm25_two_phase_topk_is_exact(spark, sf_dir):
+    """The salted phase-1 prefilter must not change the global top-k:
+    re-rank the FULL scored candidate set (obtained by disabling both
+    keep thresholds through the module constants) in plain Python and
+    compare."""
+    import unittest.mock as mock
+
+    got = {
+        (r.term, r.doc_id, r.rnk)
+        for r in staged.ta_bm25_topk(spark, sf_dir).collect()
+    }
+    with mock.patch.object(staged, "_BM25_SALTS", 1), mock.patch.object(
+        staged, "BM25_TOP_DOCS", 10**9
+    ):
+        full = staged.ta_bm25_topk(spark, sf_dir).collect()
+    by_term: dict[str, list] = {}
+    for r in full:
+        by_term.setdefault(r.term, []).append(r)
+    want = set()
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: (-r.bm25, r.doc_id))
+        for i, r in enumerate(rows[: staged.BM25_TOP_DOCS], start=1):
+            want.add((term, r.doc_id, i))
+    assert got == want
+
+
+def test_outer_join_emits_unmatched_clicks(spark, sf_dir, duck):
+    """The point of the OUTER variant: clicks with no purchase inside the
+    horizon must appear with sentinel-null purchase columns, and the
+    matched subset must equal the inner join's output."""
+    out = staged.stream_attribution_outer(spark, sf_dir).cache()
+    n_unmatched = out.filter(F.col("purchase_id") == -1).count()
+    n_batch_unmatched = duck.sql(
+        f"SELECT count(*) FROM ({staged.STREAM_ATTR_OUTER_ORACLE}) "
+        "WHERE purchase_id = -1"
+    ).fetchone()[0]
+    assert n_unmatched == n_batch_unmatched
+    assert n_unmatched > 0, "fixture has no abandoned clicks; test is vacuous"
+    # no sentinel leakage
+    assert out.filter(F.col("click_id") < 0).count() == 0
+    assert out.filter(F.col("user_id") < 0).count() == 0
+    out.unpersist()

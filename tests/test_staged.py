@@ -65,6 +65,27 @@ def test_bm25_two_phase_topk_is_exact(spark, sf_dir):
     assert got == want
 
 
+def test_pack_sequences_prefix_sum_is_exact(spark, sf_dir):
+    """The two-level decomposition must equal the naive single-scan
+    prefix sum; the packed stream must cover token space contiguously."""
+    rows = sorted(
+        staged.curate_pack_sequences(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    run = 0
+    for r in rows:
+        assert r.tok_start == run, (r.doc_id, r.tok_start, run)
+        assert r.seq_first == r.tok_start // staged.PACK_CTX
+        assert r.seq_last == (r.tok_start + r.n_tokens - 1) // staged.PACK_CTX
+        assert r.n_seqs == r.seq_last - r.seq_first + 1
+        run += r.n_tokens
+    # every sequence index up to the last is produced by some doc
+    covered = set()
+    for r in rows:
+        covered.update(range(r.seq_first, r.seq_last + 1))
+    assert covered == set(range(rows[-1].seq_last + 1))
+
+
 def test_outer_join_emits_unmatched_clicks(spark, sf_dir, duck):
     """The point of the OUTER variant: clicks with no purchase inside the
     horizon must appear with sentinel-null purchase columns, and the

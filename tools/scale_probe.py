@@ -135,6 +135,13 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
     from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
 
     load_all()
+    # STAGED-for-next-round queries (operators/staged.py) are probe-able
+    # by name even though they are not yet registered: scale evidence
+    # should exist BEFORE a query joins the graded surface.
+    from eeecs485_p4_mapreduce_spark.operators.staged import STAGED
+
+    lookup = dict(QUERIES)
+    lookup.update({n: fn for n, (fn, _oracle) in STAGED.items()})
     names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -147,7 +154,7 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
     rows = {}
     flagged = []
     for name in names:
-        fn = QUERIES[name]
+        fn = lookup[name]
         try:
             timed(fn, "/root/testdata/sf0.1")  # warm plan+JIT
             base = timed(fn, "/root/testdata/sf0.1")

@@ -17,6 +17,9 @@ Staged surface:
   query workload; top-5 documents per term. Completes the text-analysis
   family's retrieval story (tf-idf ranks terms per doc; BM25 ranks docs
   per term — the actual search direction).
+- ``dedup_semdedup`` — SemDeDup: embedding near-dup removal with the
+  pairwise search bounded by nearest-centroid clusters (the published
+  scale fix for the brute-force dedup_embedding_cosine path).
 - ``curate_pack_sequences`` — fixed-context training-sequence packing
   (concat tokens in doc order, split every {PACK_CTX}): per-doc global
   token offset + spanned sequence range, via a two-level distributed
@@ -172,6 +175,118 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= BM25_TOP_DOCS)
         .select("term", "doc_id", "tf", "dl", "bm25", "rnk")
+    )
+
+
+SEMDEDUP_TAU = 0.4  # same near-dup cosine bar as dedup_embedding_cosine
+
+DEDUP_SEMDEDUP_ORACLE = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT label, ii.i AS i, v[ii.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    cen AS MATERIALIZED (
+      SELECT label AS c_label, list(m ORDER BY i) AS cv
+      FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+      GROUP BY label
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, v, nrm, c_label AS cl FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[])) AS nrm,
+               c.c_label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   c.c_label) AS rnk
+        FROM embeddings e CROSS JOIN cen c
+      ) WHERE rnk = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, b.cl AS cluster, a.vec_id AS a_id,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, cluster, min(a_id) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_near,
+           round(max(cos), 4) AS max_cos
+    FROM pairs
+    WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY vec_id, cluster
+"""
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup with the
+    pairwise search BOUNDED by clusters — assign every vector to its
+    nearest centroid (one k-means-style step seeded from labels, exactly
+    sim_ivf_build's quantization), then compare only within-cluster
+    pairs; a vector is a duplicate when some lower-id cluster-mate sits
+    at cosine >= {SEMDEDUP_TAU}. Emits one row per duplicate: its
+    cluster, the keeper (lowest matching id), how many near-matches, and
+    the tightest cosine.
+
+    Scale: this is the published fix for dedup_embedding_cosine's O(n^2)
+    — the all-pairs search becomes one shuffle keyed on cluster id plus
+    within-cluster pairs, and k grows with the corpus (k ~ N/target
+    cluster size) to hold per-cluster work constant; the fixed-k replica
+    probe therefore carries the same exemption rationale as sim_knn_join
+    (it cannot re-cluster). The assignment step never shuffles the
+    embedding table (broadcast packed centroids, row-local array_sort);
+    the assigned table is checkpointed once and joined to itself."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _ASSIGN_SORTED,
+        _centroids_packed,
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir)
+    asg = (
+        emb.crossJoin(F.broadcast(_centroids_packed(emb)))
+        .selectExpr(
+            "vec_id",
+            "v",
+            "norm",
+            f"element_at({_ASSIGN_SORTED}, 1).c_label AS cl",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = asg.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+        "cl",
+    )
+    b = asg.select(
+        "vec_id",
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bnorm"),
+        F.col("cl").alias("cluster"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(av, bv, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+    )
+    pairs = a.join(
+        b, (F.col("cl") == F.col("cluster")) & (F.col("a_id") < F.col("vec_id"))
+    ).select(
+        "vec_id",
+        "cluster",
+        "a_id",
+        (dot / (F.col("anorm") * F.col("bnorm"))).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.min("a_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
     )
 
 
@@ -362,6 +477,7 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED: dict[str, tuple] = {
     "ta_bm25_topk": (ta_bm25_topk, TA_BM25_ORACLE),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_ORACLE),
+    "dedup_semdedup": (dedup_semdedup, DEDUP_SEMDEDUP_ORACLE),
     "stream_attribution_outer": (
         stream_attribution_outer,
         STREAM_ATTR_OUTER_ORACLE,

@@ -86,6 +86,28 @@ def test_pack_sequences_prefix_sum_is_exact(spark, sf_dir):
     assert covered == set(range(rows[-1].seq_last + 1))
 
 
+def test_semdedup_pairs_are_genuine_near_dups(spark, sf_dir):
+    """Every reported duplicate must really sit at cosine >= TAU from
+    its keeper (recomputed independently in numpy), and the keeper id
+    must be lower (deterministic keep-lowest rule)."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    out = staged.dedup_semdedup(spark, sf_dir).collect()
+    assert out, "fixture yields no semdedup duplicates; test is vacuous"
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in out:
+        assert r.dup_of < r.vec_id
+        a, b = vecs[r.dup_of], vecs[r.vec_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= staged.SEMDEDUP_TAU - 1e-9, (r, cos)
+        assert abs(r.max_cos) <= 1.0 + 1e-9 and r.n_near >= 1
+
+
 def test_outer_join_emits_unmatched_clicks(spark, sf_dir, duck):
     """The point of the OUTER variant: clicks with no purchase inside the
     horizon must appear with sentinel-null purchase columns, and the

@@ -76,6 +76,11 @@ NONLINEAR_OK = {
     "sim_hnsw_search": "dominated by its embedded edge build —"
     " sim_hnsw_build's exemption applies; the search hops themselves"
     " touch only the EF-row frontier per query",
+    "dedup_semdedup": "within-cluster pairs grow quadratically when the"
+    " replica's cluster count stays fixed while the corpus grows (the"
+    " probe can't re-cluster); SemDeDup by construction grows k ~ N /"
+    " target-cluster-size, which holds per-cluster work constant"
+    " (x10 measured 23x vs the brute-force path's ~100x)",
 }
 
 SLACK = 2.5  # ratio/factor above this → flagged

@@ -1,16 +1,14 @@
-"""Queries STAGED for round-6 registration (implemented + oracle-proven
-now, registered later).
+"""Round-6 registrations that were built + oracle-proven in round 5.
 
-Round 5 already added 11 queries — the per-round registration budget the
-round-4 verdict set (~10/round, so the driver's 50-slot rotation keeps
-covering the proven block). These two are therefore built and pytest
-oracle-checked in round 5 but NOT ``@query``-registered; round 6 flips
-them on by adding ``operators.staged`` to ``registry.load_all`` with the
-one-line ``register_staged()`` call below. Everything here follows the
-registered-query contract (identical aliases both sides, round()-ed
-doubles, no nullable hash-bearing columns).
+Round 5 already used the ~10-query per-round registration budget the
+round-4 verdict set, so these four were staged: implemented and pytest
+hash-checked against their DuckDB oracles in round 5, then promoted to
+the graded surface in round 6 via ``register_staged()`` (called from
+``registry.load_all``). Everything here follows the registered-query
+contract (identical aliases both sides, round()-ed doubles, no nullable
+hash-bearing columns).
 
-Staged surface:
+Surface:
 
 - ``ta_bm25_topk`` — BM25 retrieval (Robertson/Sparck-Jones idf,
   k1=1.2, b=0.75): the 8 highest-document-frequency tokens act as the
@@ -472,8 +470,8 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: round 6: call this from registry.load_all() (and delete the module
-#: docstring's staging note) to promote both queries to the graded surface.
+#: registry.load_all() calls register_staged() (since round 6) to put
+#: these four on the graded surface.
 STAGED: dict[str, tuple] = {
     "ta_bm25_topk": (ta_bm25_topk, TA_BM25_ORACLE),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_ORACLE),

@@ -253,5 +253,7 @@ def load_all() -> None:
     )
     from eeecs485_p4_mapreduce_spark import mr_queries  # noqa: F401
     from eeecs485_p4_mapreduce_spark.streaming import queries  # noqa: F401
+    from eeecs485_p4_mapreduce_spark.operators import staged
 
+    staged.register_staged()
     _prioritize()

@@ -76,8 +76,14 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an encoded image to an (h, w, 3) RGB (or (h, w) grey)
-    pixel array.
+    """Decode an encoded image to a uint8 pixel array whose channel
+    count follows the SOURCE format: (h, w, 3) RGB for BMP/GIF/color
+    JPEG/PNG color types 2 and alpha-free palettes, (h, w) grey for
+    grey JPEG/PNG color type 0 — but PNG color type 4 (grey+alpha)
+    yields (h, w, 2), color type 6 (RGBA) and palettes carrying a tRNS
+    chunk yield (h, w, 4). Callers that assume 3 channels must check
+    ``arr.ndim``/``arr.shape[-1]`` and composite or strip alpha
+    themselves (the registry's mm_* queries all do).
 
     REAL for every format the header parser knows: uncompressed 24-bpp
     BMP (pure byte layout — decode_bmp_pixels), 8-bit PNG including
@@ -2150,7 +2156,14 @@ def decode_gif_frames(payload: bytes):
             frames.append(canvas.copy())
             delays.append(delay)
             if disposal == 2:
-                canvas[top:top + fh, left:left + fw] = bg_rgb
+                # "Restore to background" paints the GCT background
+                # color — unless the frame's GCE marks that very index
+                # transparent (or there is no GCT), in which case
+                # conformant renderers restore to TRANSPARENCY; on this
+                # RGB-only canvas that means leaving the prior composite
+                # in place rather than flooding it with bg_rgb.
+                if gct is not None and tidx != bg_idx:
+                    canvas[top:top + fh, left:left + fw] = bg_rgb
             elif disposal == 3 and prev is not None:
                 canvas = prev
             gce = None
@@ -2510,6 +2523,12 @@ def decode_jpeg_pixels(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes; real encoders emit them between segments.
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

@@ -1434,8 +1434,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-bucket edges — with exact-bucket candidates only, every layer is
 # partitioned by bucket and greedy search can never leave the entry
 # point's hyperplane cell (measured recall@5 = 0.04, the flat-LSH
-# baseline; multiprobe + beam takes it to 0.92 at sf0.01 / 0.76 at
-# sf0.1). One bucket-keyed shuffle per layer (probe keys fan the left
+# baseline; multiprobe + beam takes it to 0.96 at sf0.01 / 0.64 at
+# sf0.1 — re-measured 2026-08-14 with the registered M=16/EF=32/6-hop
+# configuration; the test floor is 0.6). One bucket-keyed shuffle per
+# layer (probe keys fan the left
 # side out x(planes+1)), no all-pairs anywhere.
 # ---------------------------------------------------------------------------
 HNSW_M = 16  # out-degree per node per layer

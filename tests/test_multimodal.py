@@ -1147,3 +1147,67 @@ def test_gif_animation_frames():
         mm.decode_gif_frames(
             mm.encode_gif_animation([f1], pal, offsets=[(3, 3)], screen=(4, 4))
         )
+
+
+def test_gif_disposal2_transparent_background_restores_to_prior_canvas():
+    """Disposal 2 ("restore to background") must NOT flood the rect with
+    the GCT background color when the frame's own GCE marks that index
+    transparent: conformant renderers restore to transparency, which on
+    an RGB canvas means the prior composite stays visible. The encoder
+    writes background index 0, so a frame with transparent=0 +
+    disposal=2 is exactly that case."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    pal = [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200),
+           (9, 9, 9), (77, 66, 55), (1, 2, 3), (4, 5, 6)]
+    parr = np.array(pal, dtype=np.uint8)
+    f0 = np.full((4, 4), 2, np.uint8)  # no index-0 pixels: draws fully
+    f1 = np.full((1, 1), 5, np.uint8)
+    payload = mm.encode_gif_animation(
+        [f0, f1], pal, disposals=[2, 0], transparent=[0, None],
+        offsets=[(0, 0), (3, 3)], screen=(4, 4),
+    )
+    frames, _ = mm.decode_gif_frames(payload)
+    want = parr[f0].copy()     # f0 survives the disposal (transparent bg)
+    want[3, 3] = parr[5]
+    assert np.array_equal(frames[1], want)
+    # control: the same animation WITHOUT transparency still floods the
+    # rect with the background color (the pre-existing semantics)
+    payload = mm.encode_gif_animation(
+        [f0, f1], pal, disposals=[2, 0], offsets=[(0, 0), (3, 3)],
+        screen=(4, 4),
+    )
+    frames, _ = mm.decode_gif_frames(payload)
+    assert tuple(frames[1][0, 0]) == pal[0]
+
+
+def test_jpeg_decode_skips_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; some real encoders emit them between segments. The segment
+    walk must skip them, decoding to the identical pixels."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (16, 24, 3)).astype("uint8")
+    clean = mm.encode_jpeg(img, quant=1)
+    want = mm.decode_jpeg_pixels(clean)
+
+    # fill bytes right after SOI and again before the next segment: walk
+    # the clean stream's segment starts and pad two of them.
+    starts = []
+    pos = 2
+    while pos + 4 <= len(clean) and clean[pos] == 0xFF:
+        if clean[pos + 1] == 0xDA:
+            break
+        starts.append(pos)
+        pos += 2 + int.from_bytes(clean[pos + 2:pos + 4], "big")
+    assert len(starts) >= 2
+    padded = bytearray(clean)
+    for at in sorted(starts[:2], reverse=True):
+        padded[at:at] = b"\xff" * 3
+    got = mm.decode_jpeg_pixels(bytes(padded))
+    assert np.array_equal(got, want)

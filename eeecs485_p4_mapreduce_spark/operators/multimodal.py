@@ -2894,3 +2894,111 @@ def mm_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(64)
         .mapInPandas(run, CODEC_VERIFY_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Animated-GIF composition, graded end-to-end: mm_codec_verify proves the
+# single-frame codecs; this query proves the ANIMATION semantics — GCE
+# delays, full-frame + offset sub-rectangle frames, and the disposal-2 /
+# transparent-background interaction (the canvas must keep the prior
+# composite when the background index is declared transparent, not flood
+# with the background color). Each document synthesizes a 2-frame GIF89a,
+# round-trips it through encode_gif_animation -> decode_gif_frames on the
+# executors, and emits exact integer canvas sums the oracle recomputes in
+# closed form from the same (doc_id) arithmetic.
+# ---------------------------------------------------------------------------
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("total_delay_cs", LongType(), False),
+        StructField("canvas_h", LongType(), False),
+        StructField("canvas_w", LongType(), False),
+        StructField("last_frame_sum", LongType(), False),
+        StructField("all_frames_sum", LongType(), False),
+    ]
+)
+
+# palette entry i contributes 30*i + 6 to a per-pixel RGB channel sum
+_GIF_ANIM_PAL = [(10 * i + 1, 10 * i + 2, 10 * i + 3) for i in range(8)]
+
+
+@query(
+    "mm_gif_animation_stats",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS h,
+             5 + doc_id % 4 AS w,
+             1 + doc_id % 7 AS a,
+             1 + (doc_id * 3 + 1) % 7 AS b,
+             3 + doc_id % 5 AS d0,
+             3 + (doc_id + 1) % 5 AS d1
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(d0 + d1 AS BIGINT) AS total_delay_cs,
+           CAST(h AS BIGINT) AS canvas_h,
+           CAST(w AS BIGINT) AS canvas_w,
+           CAST((h * w - 4) * (30 * a + 6) + 4 * (30 * b + 6) AS BIGINT)
+             AS last_frame_sum,
+           CAST((2 * h * w - 4) * (30 * a + 6) + 4 * (30 * b + 6)
+                AS BIGINT) AS all_frames_sum
+    FROM params
+    """,
+)
+def mm_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a 2-frame animated GIF89a — frame 0 fills the
+    (h, w) canvas with palette index a, carries disposal method 2 AND
+    declares the background index (0) transparent; frame 1 paints a 2x2
+    patch of index b at offset (1, 1) — decode it with the real LZW
+    decoder + graphic-control compositor, and emit integer channel sums
+    of the composed canvases. Because frame 0's disposal is
+    restore-to-background with a TRANSPARENT background, the spec-
+    conformant canvas keeps frame 0's pixels under frame 1 (flooding
+    with the background color instead would subtract
+    (h*w-4)*(30a+6) from last_frame_sum — a hash mismatch), so the
+    oracle pins exactly the disposal semantics that real-world animation
+    renderers rely on. Same scale shape as every mm_* query: one
+    zero-shuffle Arrow mapInPandas pass, 7 small columns out."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in GIF_ANIM_SCHEMA.fieldNames()}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 4 + d % 3, 5 + d % 4
+                a, b = 1 + d % 7, 1 + (d * 3 + 1) % 7
+                d0, d1 = 3 + d % 5, 3 + (d + 1) % 5
+                f0 = np.full((h, w), a, np.uint8)
+                f1 = np.full((2, 2), b, np.uint8)
+                payload = encode_gif_animation(
+                    [f0, f1],
+                    _GIF_ANIM_PAL,
+                    delays=[d0, d1],
+                    disposals=[2, 0],
+                    transparent=[0, None],
+                    offsets=[(0, 0), (1, 1)],
+                    screen=(w, h),
+                )
+                # the real decode IS the computation: sums come from the
+                # decoded canvases, never from f0/f1
+                frames, delays = decode_gif_frames(payload)
+                out["media_id"].append(d)
+                out["n_frames"].append(len(frames))
+                out["total_delay_cs"].append(int(sum(delays)))
+                out["canvas_h"].append(int(frames[0].shape[0]))
+                out["canvas_w"].append(int(frames[0].shape[1]))
+                out["last_frame_sum"].append(
+                    int(frames[-1].astype(np.int64).sum())
+                )
+                out["all_frames_sum"].append(
+                    int(sum(f.astype(np.int64).sum() for f in frames))
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, GIF_ANIM_SCHEMA)

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table
-from eeecs485_p4_mapreduce_spark.functions.text import STOPWORDS, count_in_list
+from eeecs485_p4_mapreduce_spark.functions.text import (
+    STOPWORDS,
+    count_in_list,
+    tokens,
+)
 from eeecs485_p4_mapreduce_spark.operators.dedup import (
     _DUCK_CLUSTER_CTES,
     _DUCK_SHINGLES,
@@ -796,5 +800,98 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_chars",
             F.round("priority_raw", 6).alias("priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+# document with the corpus unigram LM (the same scoring ta_unigram_logprob
+# registers standalone), then split each language into head/middle/tail
+# thirds by score. CCNet's trick is that the thirds are defined by LANGUAGE-
+# LOCAL score thresholds, so high-resource languages don't crowd out the
+# rest. Scale shape: thresholds come from a (lang, rounded-score) COUNT
+# histogram — the q24 two-phase trick — so the only windows run over
+# histogram rows (bounded by distinct rounded scores), never doc-sized
+# input, and the final report is a pure aggregate of the histogram itself
+# (document bodies are read once for tokenization and nothing else).
+# ---------------------------------------------------------------------------
+@query(
+    "curate_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+    scored AS (
+      SELECT d.lang, round(sum(ln(f.c / tot.t)) / count(*), 4) AS score
+      FROM toks JOIN freq f USING (token)
+           JOIN documents d USING (doc_id), tot
+      GROUP BY doc_id, d.lang
+    ),
+    hist AS (
+      SELECT lang, score, count(*) AS n FROM scored GROUP BY lang, score
+    ),
+    cum AS (
+      SELECT lang, score, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY score DESC, n)
+               - n AS cum_before,
+             sum(n) OVER (PARTITION BY lang) AS total
+      FROM hist
+    )
+    SELECT lang,
+           CASE WHEN 3 * cum_before < total THEN 'head'
+                WHEN 3 * cum_before < 2 * total THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           round(min(score), 4) + 0.0 AS worst_logprob,
+           round(max(score), 4) + 0.0 AS best_logprob
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail perplexity thirds over unigram-LM
+    document scores (higher avg logprob = more fluent = head). Ties on
+    the rounded score stay in one bucket — the boundary is drawn between
+    distinct score values by each value's cumulative count BEFORE it —
+    which keeps the bucketing deterministic on both engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tokens()).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    logp = F.log(F.col("c") / F.col("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum(logp) / F.count(F.lit(1)), 4).alias("score"))
+    )
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "n")
+    cum = hist.select(
+        "lang",
+        "score",
+        "n",
+        (
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("n")
+        ).alias("cum_before"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("total"),
+    )
+    bucket = (
+        F.when(3 * F.col("cum_before") < F.col("total"), "head")
+        .when(3 * F.col("cum_before") < 2 * F.col("total"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        cum.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.sum("n").alias("n_docs"),
+            (F.round(F.min("score"), 4) + F.lit(0.0)).alias("worst_logprob"),
+            (F.round(F.max("score"), 4) + F.lit(0.0)).alias("best_logprob"),
         )
     )

@@ -4136,3 +4136,193 @@ def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("only_a_est_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter (q74): the explicit form of Spark's
+# runtime row-level filtering. A compact bitmap built from the build
+# side's join keys is broadcast and applied map-side to the probe side
+# BEFORE the shuffle, so at 100 TB only candidate rows (true matches +
+# the bitmap's small false-positive set) ever leave the scan stage; the
+# exact semi-join then removes the false positives, making the whole
+# prefilter correctness-neutral (the oracle is the plain semi-join).
+# The bitmap is built distributed (groupBy word -> bit_or, never a
+# driver-side loop) and packed into ONE broadcast map row of
+# BLOOM_M/64 longs (16 KiB here; size m and k from the expected build
+# cardinality: m ~ 1.44 * n * log2(1/fp), k ~ m/n * ln 2).
+# ---------------------------------------------------------------------------
+BLOOM_M = 1 << 17  # bits in the filter
+BLOOM_K = 3  # hash functions (xxhash64 seeds)
+Q74_PRICE_MIN = 150_000.0
+
+
+def bloom_build(keys: DataFrame, key: str) -> DataFrame:
+    """One broadcast-sized row: map<word_index, 64-bit word> over the
+    BLOOM_K xxhash64 bit positions of every build-side key."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(BLOOM_M))
+                    for s in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.selectExpr(
+            "cast(pos / 64 as bigint) AS word",
+            "shiftleft(1L, cast(pos % 64 as int)) AS bit",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word", "bits")))
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_might_contain(key_col: str) -> "F.Column":
+    """Predicate over a probe row given the broadcast ``bloom`` map
+    column: every one of the BLOOM_K bit positions must be set."""
+    cond = F.lit(True)
+    for s in range(BLOOM_K):
+        pos = f"pmod(xxhash64({key_col}, {s}), {BLOOM_M})"
+        probe = (
+            f"coalesce(bloom[cast({pos} / 64 as bigint)], 0L)"
+            f" & shiftleft(1L, cast({pos} % 64 as int))"
+        )
+        cond = cond & (F.expr(probe) != 0)
+    return cond
+
+
+@query(
+    "q74_bloom_semi_join",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > {Q74_PRICE_MIN})
+    GROUP BY l_returnflag
+    """,
+)
+def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to big-ticket orders, computed as
+    bloom-prefilter -> exact LEFT SEMI join -> aggregate. The bitmap
+    (built by ``bloom_build``, checked by ``bloom_might_contain``) is
+    broadcast as one 16 KiB map row and evaluated inside the probe
+    side's scan stage, so the shuffle only carries candidate rows; the
+    semi-join scrubs the false positives, and the oracle (the plain IN
+    semi-join) proves the prefilter changed nothing. This is the
+    DataFrame-level twin of Catalyst's runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter), kept explicit so the
+    plan is deterministic and the filter reusable across stages."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > Q74_PRICE_MIN)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(keys, "o_orderkey")
+    candidates = (
+        lineitem.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("l_orderkey"))
+        .drop("bloom")
+    )
+    survivors = candidates.join(keys, candidates["l_orderkey"] == keys["o_orderkey"], "left_semi")
+    return survivors.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            + F.lit(0.0)
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "q75_scd2_dimension",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM e
+    ), runs AS (
+      SELECT user_id, seg, min(event_type) AS state,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY user_id, seg
+    )
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(valid_from) OVER v,
+                             '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+             AS valid_to,
+           CAST(row_number() OVER v AS BIGINT) AS version,
+           CASE WHEN lead(valid_from) OVER v IS NULL THEN 1 ELSE 0 END
+             AS is_current,
+           n_events
+    FROM runs
+    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def q75_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build (Kimball): collapse
+    each user's event_type timeline into [valid_from, valid_to) validity
+    intervals with a version counter and an is_current flag — the
+    standard warehouse dimension-history table, derived here with the
+    gaps-and-islands value-change decomposition (lag -> change flag ->
+    prefix-sum segment id -> run aggregate) instead of any self-join.
+    All three windows partition by user_id (unbounded key cardinality,
+    so parallelism scales with users, and rows per task are bounded by
+    one user's history); the run aggregate is a partial-agg-friendly
+    groupBy. At 100 TB this is one shuffle on user_id reused by every
+    window stage; the open interval is closed with the conventional
+    9999-12-31 sentinel so the output carries no NULL hash columns."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        events.withColumn(
+            "chg",
+            F.when(
+                ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "seg",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = seg.groupBy("user_id", "seg").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    v = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(v)
+    return runs.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, TS_FMT_SPARK), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.row_number().over(v).cast("long").alias("version"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )

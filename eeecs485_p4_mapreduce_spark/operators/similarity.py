@@ -1782,3 +1782,93 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantization — the third member of the module's
+# compression family (PQ: sim_pq_encode/search; JL: sim_random_projection).
+# Per-dimension min/max over the corpus -> 8-bit code per dimension ->
+# reconstruction error. SQ is the cheap, fully-vectorizable baseline every
+# vector store ships (FAISS SQ8, Lucene scalar quantization): 4x smaller
+# than float32 with one broadcast of 2*DIM doubles, no codebook training.
+# ---------------------------------------------------------------------------
+SQ_LEVELS = 255
+
+
+@query(
+    "sim_scalar_quantize",
+    oracle=f"""
+    WITH px AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, {DIM + 1}) t(i)
+    ), stats AS (
+      SELECT i, min(x) AS mn, max(x) AS mx FROM px GROUP BY i
+    ), codes AS (
+      SELECT vec_id, x, mn, mx,
+             CASE WHEN mx > mn
+                  THEN CAST(floor({SQ_LEVELS}.0 * (x - mn) / (mx - mn)
+                                  + 0.5) AS BIGINT)
+                  ELSE 0 END AS c
+      FROM px JOIN stats USING (i)
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(c) AS BIGINT) AS sum_code,
+           CAST(sum(c * c) AS BIGINT) AS sum_code_sq,
+           CAST(sum(CAST(floor(CASE WHEN mx > mn
+                 THEN pow(x - (mn + c * (mx - mn) / {SQ_LEVELS}.0), 2)
+                 ELSE 0.0 END * 1e12) AS BIGINT)) AS BIGINT) AS sq_err_e12
+    FROM codes GROUP BY vec_id
+    """,
+)
+def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantize every embedding to 8-bit codes against per-dim
+    corpus min/max, and emit exact integer summaries of the codes plus
+    the reconstruction error (floor-scaled to integers so the hash is
+    independent of float accumulation order). Plan shape: one
+    posexplode -> groupBy(pos) pass computes the 2*DIM stats (partial
+    aggregation, DIM-bounded result), which are packed into a single
+    broadcast row; quantization itself is a zero-shuffle index-aware
+    array transform inside whole-stage codegen. At 100 TB the corpus is
+    read twice (stats pass + encode pass) and nothing else moves."""
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "v")
+    stats = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    packed = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mx"),
+    )
+    lv = float(SQ_LEVELS)
+    codes = (
+        f"transform(v, (x, i) -> CASE WHEN mx[i] > mn[i]"
+        f" THEN cast(floor({lv}d * (x - mn[i]) / (mx[i] - mn[i]) + 0.5d)"
+        f" as bigint) ELSE 0L END)"
+    )
+    errs = (
+        f"transform(v, (x, i) -> CASE WHEN mx[i] > mn[i]"
+        f" THEN cast(floor(pow(x - (mn[i] + cast(codes[i] as double)"
+        f" * (mx[i] - mn[i]) / {lv}d), 2.0d) * 1e12) as bigint)"
+        f" ELSE 0L END)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("codes", F.expr(codes))
+        .select(
+            "vec_id",
+            F.expr("cast(size(codes) as bigint)").alias("n_dims"),
+            F.expr("aggregate(codes, 0L, (a, c) -> a + c)").alias("sum_code"),
+            F.expr("aggregate(codes, 0L, (a, c) -> a + c * c)").alias(
+                "sum_code_sq"
+            ),
+            F.expr(f"aggregate({errs}, 0L, (a, e) -> a + e)").alias(
+                "sq_err_e12"
+            ),
+        )
+    )

@@ -484,7 +484,10 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    from eeecs485_p4_mapreduce_spark.registry import query
+    """Idempotent: load_all() runs on every registry import, but module
+    decorators only run once — match that by skipping names already in."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, query
 
     for name, (fn, oracle) in STAGED.items():
-        query(name, oracle=oracle)(fn)
+        if name not in QUERIES:
+            query(name, oracle=oracle)(fn)

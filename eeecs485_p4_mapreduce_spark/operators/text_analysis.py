@@ -979,3 +979,130 @@ def ta_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+# frequent-items member of the engine's sketch family (HLL: q26/q59;
+# theta: q73; quantile: q26). The sketch is d x w hashed counters built
+# with ONE partial-aggregated groupBy into d*w cells (4096 longs here —
+# mergeable across partitions, shards, and days exactly like the HLL
+# sketches), and a token's estimate is the MIN over its d cells, which
+# can never undershoot the true count and overshoots by <= e*N/w with
+# probability 1 - e^-d per query. Output follows the q26 contract:
+# exact DuckDB-computable columns (the true top-K tokens by exact
+# count) plus deterministic sketch-bound booleans, so the row hash
+# proves the sketch obeyed its guarantees on this corpus.
+# ---------------------------------------------------------------------------
+CMS_D = 4  # hash rows (seeds)
+CMS_W = 1024  # counters per row
+CMS_TOP_K = 10
+
+
+@query(
+    "ta_heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), exact AS (
+      SELECT token, count(*) AS n_exact FROM toks GROUP BY token
+    )
+    SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(rnk AS BIGINT) AS rank,
+           TRUE AS cms_ge_exact, TRUE AS cms_within_bound
+    FROM (
+      SELECT token, n_exact,
+             row_number() OVER (ORDER BY n_exact DESC, token) AS rnk
+      FROM exact
+    ) WHERE rnk <= {CMS_TOP_K}
+    """,
+)
+def ta_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{CMS_TOP_K} corpus tokens, each verified against the
+    Count-Min sketch: ``cms_ge_exact`` (the estimate never undershoots —
+    a structural CMS invariant) and ``cms_within_bound`` (overshoot
+    <= e*N/{CMS_W}, the classic accuracy guarantee with d={CMS_D} rows).
+    Both booleans are deterministic for a fixed corpus + seeds, so they
+    hash-match the oracle's literals; pytest additionally pins the raw
+    estimate error. The exact top-k is orderBy().limit() over the
+    vocabulary-sized count table (TakeOrdered, no global window); the
+    sketch build is one groupBy over (seed, bucket) with map-side
+    partial aggregation — at 100 TB the sketch is {CMS_D}x{CMS_W} longs
+    per partition merged by the shuffle, the same mergeability story as
+    the HLL daily sketches in q59."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens()).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    topk = (
+        exact.orderBy(F.col("n_exact").desc(), "token")
+        .limit(CMS_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("n_exact").desc(), "token")
+            )
+            .cast("long"),
+        )
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    cms = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            F.pmod(
+                                F.xxhash64(F.col("token"), F.lit(s)),
+                                F.lit(CMS_W),
+                            ).alias("bucket"),
+                        )
+                        for s in range(CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.seed", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+    probes = topk.select(
+        "token",
+        "n_exact",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            F.xxhash64(F.col("token"), F.lit(s)),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            cms,
+            (probes["p.seed"] == cms["seed"])
+            & (probes["p.bucket"] == cms["bucket"]),
+        )
+        .groupBy("token", "n_exact", "rank")
+        .agg(F.min("cell_count").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(n_total)).select(
+        "token",
+        "n_exact",
+        "rank",
+        (F.col("cms_est") >= F.col("n_exact")).alias("cms_ge_exact"),
+        (
+            (F.col("cms_est") - F.col("n_exact")).cast("double")
+            <= F.exp(F.lit(1.0)) * F.col("n_total") / F.lit(CMS_W)
+        ).alias("cms_within_bound"),
+    )

@@ -4184,14 +4184,16 @@ def bloom_build(keys: DataFrame, key: str) -> DataFrame:
     )
 
 
-def bloom_might_contain(key_col: str) -> "F.Column":
-    """Predicate over a probe row given the broadcast ``bloom`` map
-    column: every one of the BLOOM_K bit positions must be set."""
+def bloom_might_contain(key_col: str, bloom_ref: str = "bloom") -> "F.Column":
+    """Predicate over a probe row given the bloom map (a column named
+    ``bloom`` by default, or any SQL expression — e.g. a scalar subquery
+    ``(SELECT bloom FROM v)`` — via ``bloom_ref``): every one of the
+    BLOOM_K bit positions must be set."""
     cond = F.lit(True)
     for s in range(BLOOM_K):
         pos = f"pmod(xxhash64({key_col}, {s}), {BLOOM_M})"
         probe = (
-            f"coalesce(bloom[cast({pos} / 64 as bigint)], 0L)"
+            f"coalesce(({bloom_ref})[cast({pos} / 64 as bigint)], 0L)"
             f" & shiftleft(1L, cast({pos} % 64 as int))"
         )
         cond = cond & (F.expr(probe) != 0)
@@ -4220,22 +4222,28 @@ def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's scan stage, so the shuffle only carries candidate rows; the
     semi-join scrubs the false positives, and the oracle (the plain IN
     semi-join) proves the prefilter changed nothing. This is the
-    DataFrame-level twin of Catalyst's runtime bloom pushdown
-    (spark.sql.optimizer.runtime.bloomFilter), kept explicit so the
-    plan is deterministic and the filter reusable across stages."""
+    explicit twin of Catalyst's runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter), with the same plan
+    shape: the probe is a SCALAR SUBQUERY in a filter that references
+    only probe-side columns, so predicate pushdown pins it onto the
+    lineitem scan BELOW the semi-join — a plain crossJoin(broadcast)
+    formulation gets join-reordered to semi-join-first, which runs the
+    full join before the filter and defeats the prefilter (measured on
+    this exact query; see test_bloom_filter_sits_below_semi_join)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     keys = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > Q74_PRICE_MIN)
         .select("o_orderkey")
     )
-    bloom = bloom_build(keys, "o_orderkey")
-    candidates = (
-        lineitem.crossJoin(F.broadcast(bloom))
-        .filter(bloom_might_contain("l_orderkey"))
-        .drop("bloom")
+    bloom_build(keys, "o_orderkey").createOrReplaceTempView("q74_bloom")
+    keys.createOrReplaceTempView("q74_keys")
+    candidates = lineitem.filter(
+        bloom_might_contain("l_orderkey", "SELECT bloom FROM q74_bloom")
     )
-    survivors = candidates.join(keys, candidates["l_orderkey"] == keys["o_orderkey"], "left_semi")
+    survivors = candidates.join(
+        keys, candidates["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
     return survivors.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),

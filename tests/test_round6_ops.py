@@ -232,3 +232,39 @@ def test_gif_animation_stats_matches_direct_compose(spark, sf_dir):
         assert r.last_frame_sum == canvas.sum()
         assert r.all_frames_sum == frame0_sum + canvas.sum()
         assert (r.canvas_h, r.canvas_w) == (h, w)
+
+
+def test_bloom_filter_sits_below_semi_join(spark, sf_dir):
+    """Plan-shape pin for the q74 prefilter: the scalar-subquery probe
+    must appear in a Filter on the lineitem scan side BELOW the
+    LeftSemi join — the crossJoin(broadcast) formulation gets
+    join-reordered to semi-join-first, which defeats the prefilter."""
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        q74_bloom_semi_join,
+    )
+    from eeecs485_p4_mapreduce_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q74_bloom_semi_join(spark, sf_dir))
+    semi_at = plan.index("LeftSemi")
+    # the bloom probe is the only xxhash64(..) in the plan; its Filter
+    # node must be on the probe (left/first) side: its tree line shows
+    # deeper than the join and the Condition section references the scan
+    assert "Subquery" in plan and "xxhash64" in plan
+    # structural check: the Filter carrying the subquery probes scans
+    # lineitem (l_orderkey), not the joined output
+    import re
+
+    cond = next(
+        s for s in plan.split("\n\n")
+        if s.startswith("(2) Filter") or "Subquery" in s and "Filter" in s
+    )
+    assert "l_orderkey" in cond
+    tree = plan[: plan.index("(1) Scan")]
+    filter_line = next(
+        ln for ln in tree.splitlines() if re.search(r"\bFilter\b", ln)
+    )
+    join_line = next(ln for ln in tree.splitlines() if "LeftSemi" in ln)
+    # deeper indentation = below in the plan tree
+    assert len(filter_line) - len(filter_line.lstrip(" :+-")) > len(
+        join_line
+    ) - len(join_line.lstrip(" :+-"))

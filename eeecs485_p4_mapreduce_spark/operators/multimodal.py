@@ -3002,3 +3002,141 @@ def mm_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, GIF_ANIM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RIFF AVI container with MJPEG video — the VIDEO-container story, built
+# the same way as the WAV path: AVI is pure RIFF byte structure (chunk
+# stream with LIST nesting, per the Microsoft AVI RIFF spec), and MJPEG
+# frames are plain baseline JPEGs, which this module already encodes and
+# decodes for real. encode_avi_mjpeg writes hdrl(avih + strl(strh,strf))
+# + movi with '00dc' compressed-frame chunks (odd sizes padded, as the
+# spec requires); decode_avi_frames walks the chunk stream — skipping
+# unknown chunks/LISTs rather than assuming fixed offsets — validates
+# the 'vids'/'MJPG' stream declaration, and decodes every frame with
+# decode_jpeg_pixels. Explicit decode: malformed streams raise
+# ValueError, like every other codec here.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + len(body).to_bytes(4, "little") + body + pad
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list, width: int, height: int, usec_per_frame: int
+) -> bytes:
+    """Encode pre-compressed JPEG frames as an AVI/MJPG file."""
+    n = len(jpeg_frames)
+    if n == 0:
+        raise ValueError("AVI needs at least one frame")
+    avih = (
+        int(usec_per_frame).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # max bytes/sec (advisory)
+        + (0).to_bytes(4, "little")  # padding granularity
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; 0x10=WASCAPTUREFILE-ish flags kept simple
+        + n.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # initial frames
+        + (1).to_bytes(4, "little")  # streams
+        + (0).to_bytes(4, "little")  # suggested buffer
+        + int(width).to_bytes(4, "little")
+        + int(height).to_bytes(4, "little")
+        + b"\x00" * 16  # reserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + (0).to_bytes(4, "little")  # flags
+        + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")  # prio/lang
+        + (0).to_bytes(4, "little")  # initial frames
+        + (usec_per_frame).to_bytes(4, "little")  # scale
+        + (1_000_000).to_bytes(4, "little")  # rate (frames/sec = rate/scale)
+        + (0).to_bytes(4, "little")  # start
+        + n.to_bytes(4, "little")  # length
+        + (0).to_bytes(4, "little")  # suggested buffer
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality
+        + (0).to_bytes(4, "little")  # sample size
+        + (0).to_bytes(2, "little") * 4  # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + int(width).to_bytes(4, "little", signed=False)
+        + int(height).to_bytes(4, "little", signed=False)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strl = _riff_chunk(
+        b"LIST", b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi" + b"".join(
+        _riff_chunk(b"00dc", bytes(f)) for f in jpeg_frames
+    )
+    movi = _riff_chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_frames(payload: bytes):
+    """Decode an AVI/MJPG payload: returns (frames, meta) where frames
+    is a list of decoded pixel arrays (one per '00dc' chunk, via the
+    real JPEG codec) and meta carries the avih/strh header facts
+    {usec_per_frame, total_frames, width, height, handler}."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if payload[8:12] != b"AVI ":
+        raise ValueError("RIFF form is not AVI")
+    total = int.from_bytes(payload[4:8], "little")
+    if total + 8 > len(payload) + 1:  # +1: odd-size final pad tolerance
+        raise ValueError("truncated AVI payload")
+    meta = {}
+    frames = []
+    max_frames = 4096
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = payload[pos:pos + 4]
+            ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body_start = pos + 8
+            body_end = body_start + ln
+            if body_end > end:
+                raise ValueError("AVI chunk overruns its parent")
+            if tag == b"LIST":
+                if ln < 4:
+                    raise ValueError("AVI LIST too short")
+                walk(body_start + 4, body_end)
+            elif tag == b"avih":
+                if ln < 40:
+                    raise ValueError("truncated avih header")
+                b = payload[body_start:body_end]
+                meta["usec_per_frame"] = int.from_bytes(b[0:4], "little")
+                meta["total_frames"] = int.from_bytes(b[16:20], "little")
+                meta["width"] = int.from_bytes(b[32:36], "little")
+                meta["height"] = int.from_bytes(b[36:40], "little")
+            elif tag == b"strh":
+                if ln < 8:
+                    raise ValueError("truncated strh header")
+                if payload[body_start:body_start + 4] == b"vids":
+                    meta["handler"] = payload[
+                        body_start + 4:body_start + 8
+                    ].decode("ascii", "replace")
+            elif tag[2:4] == b"dc":  # compressed video frame (e.g. 00dc)
+                if len(frames) >= max_frames:
+                    raise ValueError("AVI frame count exceeds decoder bound")
+                frames.append(
+                    decode_jpeg_pixels(payload[body_start:body_end])
+                )
+            # other chunks (strf, idx1, JUNK, ...) are skipped by size
+            pos = body_end + (body_end & 1)  # chunks are word-aligned
+
+    walk(12, min(len(payload), 8 + total))
+    if "width" not in meta:
+        raise ValueError("AVI missing avih header")
+    if meta.get("handler") != "MJPG":
+        raise ValueError("AVI video stream is not MJPG")
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames, meta

@@ -1,0 +1,762 @@
+"""Queries STAGED for round-7 registration (implemented + oracle-proven
+in round 6, registered next round).
+
+Round 6 used its ~10-query registration budget (the rotation-coverage
+cap set by the round-4 verdict: the driver's 50-slot window must keep
+cycling the proven block every ~4 rounds). This module holds the next
+batch — built, pytest hash-checked against DuckDB (tests/test_staged_r7
+.py), plan-gate compliant, and x10-probed NOW, so the round-7 flip is
+``register_staged()`` plus deleting this staging note. Same contract as
+every registered query: identical aliases both sides, round()-ed or
+integer-exact outputs, no nullable hash-bearing columns.
+
+Staged surface:
+
+- ``q76_interval_coverage`` — per-user union length of overlapping
+  activity intervals (each event opens [ts, ts+300s)): the warehouse
+  "coverage" op, via gaps-and-islands with a running max end — never an
+  interval self-join.
+- ``q77_mad_outliers`` — robust outlier detection by Median Absolute
+  Deviation (the robust twin of q63's 3-sigma z-score): both medians
+  computed EXACTLY from value-histogram prefix counts (q24's two-phase
+  trick, applied twice), with all comparisons in scaled integers so the
+  hash is arithmetic-order-proof.
+- ``ta_rake_keywords`` — RAKE keyword extraction (Rose et al. 2010):
+  stopword-delimited candidate phrases, word degree/frequency scores,
+  integer-scaled phrase scores, corpus top-25.
+- ``dedup_substring_spans`` — ExactSubstr-style duplicate-span detection
+  (Lee et al. 2022 "Deduplicating Training Data..."): every K-token
+  SLIDING window (not chunk_shared's fixed non-overlapping chunks),
+  md5-keyed, spans aggregated per hash — no quadratic pair emission.
+- ``sim_ivfpq_search`` — the FAISS-standard composed index: IVF coarse
+  cells restrict candidates, ADC table lookups score them — the two
+  registered index families (sim_ivf_*, sim_pq_*) composed into the
+  production read path.
+- ``mm_avi_mjpeg_frames`` — REAL video-container decode: a RIFF AVI
+  carrying MJPEG frames is built and then parsed chunk-by-chunk on the
+  executors, each frame decoded with the real baseline-JPEG codec;
+  exact header/count columns plus arithmetically-bounded per-frame
+  brightness booleans (the JPEG-lossy twin of mm_codec_verify's
+  contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+INTERVAL_US = 300_000_000  # 5-minute activity window, as q57
+
+
+Q76_ORACLE = f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {INTERVAL_US} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, min(s) AS ms, max(e) AS me,
+             count(*) AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(me - ms) // 1000000 AS BIGINT) AS covered_seconds,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(me - ms) // 1000000 AS BIGINT) AS longest_run_seconds
+    FROM merged GROUP BY user_id
+"""
+
+
+def q76_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user: each event opens a 5-minute
+    activity interval; overlapping/touching intervals merge into runs
+    (gaps-and-islands: an interval starts a new island iff its start
+    exceeds the RUNNING MAX of all previous ends — the running max, not
+    lag(e), is what makes nested intervals correct), and the report is
+    total covered seconds + interval counts per user. One shuffle on
+    user_id reused by both windows and the final aggregate; no
+    self-join, no per-pair overlap test — the sweep-line sibling of
+    q57's global concurrency. Integer microsecond arithmetic end to
+    end, so the hash needs no rounding."""
+    from pyspark.sql.window import Window
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(INTERVAL_US)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("sum(me - ms) div 1000000").alias("covered_seconds"),
+        F.sum("n_events").alias("n_events"),
+        F.expr("max(me - ms) div 1000000").alias("longest_run_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77: MAD outliers. All medians are EXACT, computed from (group, scaled
+# value) count histograms with prefix sums — never percentile() over raw
+# rows (unbounded per-group state; the q26-restructure lesson). Working
+# units: milli-value integers (v_m = round(value * 1000)); medians are
+# carried doubled (med2x) and the MAD doubled again (mad4x) so every
+# interpolated midpoint stays an exact integer, and the 3 * 1.4826 * MAD
+# outlier test becomes a pure integer comparison: with dev = dev2x/2
+# and mad = mad4x/4 (all in milli-units),
+#   dev > 3 * 1.4826 * mad  <=>  dev2x/2 > 4.4478 * mad4x/4
+#                           <=>  10000 * dev2x > 22239 * mad4x
+# (22239 = 44478/2, exact). A constructed-fixture test pins the fence:
+# the first cut of this inequality was mis-scaled and flagged
+# dev > 1.11*mad — hash-green against its own equally-wrong oracle,
+# caught only by the independent fixture (the q73 lesson again).
+# ---------------------------------------------------------------------------
+Q77_ORACLE = """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS vm
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             CAST(round(2 * quantile_cont(vm, 0.5), 0) AS BIGINT) AS med2x
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, vm, med2x, abs(2 * vm - med2x) AS dev2x
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             CAST(round(2 * quantile_cont(dev2x, 0.5), 0) AS BIGINT)
+               AS mad4x
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(d.med2x) AS DOUBLE) / 2000 AS median_value,
+           CAST(max(m.mad4x) AS DOUBLE) / 4000 AS mad_value,
+           CAST(sum(CASE WHEN 10000 * d.dev2x > 22239 * m.mad4x
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+def _exact_median2x(counts: DataFrame, group: str, val: str) -> DataFrame:
+    """Exact DOUBLED median per group from a (group, value, cnt)
+    histogram: interpolate ranks floor(h)+1 / floor(h)+2 at h =
+    0.5*(n-1). Returns (group, med2x: bigint). Windows run over the
+    histogram (distinct values per group), never raw rows."""
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy(group)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        counts.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(group)))
+        .withColumn("lo", F.expr("floor(0.5d * (n - 1))"))
+    )
+    agg = ranked.groupBy(group).agg(
+        F.min(F.when(F.col("cum") > F.col("lo"), F.col(val))).alias("vlo"),
+        F.min(F.when(F.col("cum") > F.col("lo") + 1, F.col(val))).alias(
+            "vhi"
+        ),
+        F.first("n").alias("n"),
+    )
+    # 2*median = 2*vlo + frac*2*(vhi-vlo); frac = 0.5*(n-1) - floor is
+    # 0 or 0.5, so med2x is an exact integer.
+    return agg.selectExpr(
+        group,
+        "cast(round(2 * vlo + (0.5d * (n - 1) - floor(0.5d * (n - 1)))"
+        " * 2 * (coalesce(vhi, vlo) - vlo), 0) as bigint) AS med2x",
+        "n",
+    )
+
+
+def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-Absolute-Deviation outliers per event_type — the robust
+    twin of q63's 3-sigma rule (one wild value can't drag the center or
+    the spread). Two histogram passes: (type, milli-value) counts give
+    the exact median; (type, |2v - med2x|) counts give the exact MAD;
+    the 3 * 1.4826 * MAD fence is evaluated as 80000*dev2x >
+    44478*mad4x, all BIGINT, so both engines agree bit-for-bit. At
+    100 TB each pass is a partial-aggregated groupBy; the only windows
+    run over histogram rows (aggregate-bounded)."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+    )
+    h1 = v.groupBy("event_type", "vm").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _exact_median2x(h1.withColumnRenamed("vm", "val"), "event_type", "val")
+    dev = v.join(F.broadcast(med.select("event_type", "med2x")), "event_type").withColumn(
+        "dev2x", F.abs(2 * F.col("vm") - F.col("med2x"))
+    )
+    h2 = dev.groupBy("event_type", "dev2x").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mad = _exact_median2x(
+        h2.withColumnRenamed("dev2x", "val"), "event_type", "val"
+    ).selectExpr("event_type", "med2x AS mad4x")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("med2x").cast("double") / 2000).alias("median_value"),
+            (F.max("mad4x").cast("double") / 4000).alias("mad_value"),
+            F.sum(
+                F.when(
+                    10000 * F.col("dev2x") > 22239 * F.col("mad4x"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010). Candidate phrases are
+# maximal stopword-free token runs; word score = degree/frequency where
+# degree sums the lengths of every phrase the word occurs in; a phrase
+# scores the sum of its words' scores. All scores are integer-scaled
+# ((1e6 * deg) div freq summed as BIGINT) so the corpus top-k is
+# hash-provable without float-accumulation caveats. Scale shape: the
+# phrase build is one posexplode + a doc_id-partitioned prefix-sum
+# window (per-task rows bounded by one document); word stats reduce
+# map-side to vocabulary size; the top-k is orderBy().limit()
+# (TakeOrdered), never a global window.
+# ---------------------------------------------------------------------------
+RAKE_TOP_K = 25
+_RAKE_STOPS = ("a", "and", "in", "is", "of", "that", "the", "to")
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+TA_RAKE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, toks[t.i] AS tok
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t]') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) t
+    ), marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_RAKE_STOPS_SQL}) OR tok = ''
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM toks
+    ), segmented AS (
+      SELECT doc_id, pos, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM marked
+    ), members AS (
+      SELECT doc_id, phrase_id, pos, tok FROM segmented WHERE is_stop = 0
+    ), phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM members GROUP BY doc_id, phrase_id
+    ), wordstats AS (
+      SELECT m.tok,
+             count(*) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM members m JOIN phrases p USING (doc_id, phrase_id)
+      GROUP BY m.tok
+    ), phrase_scores AS (
+      SELECT p.doc_id, p.phrase_id, p.phrase, p.plen,
+             CAST(sum((1000000 * w.deg) // w.freq) AS BIGINT) AS score
+      FROM phrases p
+      JOIN members m USING (doc_id, phrase_id)
+      JOIN wordstats w ON w.tok = m.tok
+      GROUP BY p.doc_id, p.phrase_id, p.phrase, p.plen
+    ), agg AS (
+      SELECT phrase, CAST(min(plen) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(score) AS BIGINT) AS score
+      FROM phrase_scores GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences, score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rnk
+          FROM agg)
+    WHERE rnk <= {RAKE_TOP_K}
+"""
+
+
+def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-{RAKE_TOP_K} RAKE keyphrases (see section comment).
+    Empty tokens (consecutive separators) delimit phrases exactly like
+    stopwords, mirroring the wc golden-file lesson that ''-tokens are
+    real. Identical phrase texts aggregate (their member-word scores are
+    identical by construction, pinned with min())."""
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "tok")
+    ).withColumn(
+        "is_stop",
+        F.when(
+            F.col("tok").isin(*_RAKE_STOPS) | (F.col("tok") == ""), 1
+        ).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        toks.withColumn("phrase_id", F.sum("is_stop").over(w))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "tok")
+    )
+    phrases = members.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wordstats = (
+        members.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    phrase_scores = (
+        members.join(F.broadcast(wordstats), "tok")
+        .withColumn("wscore", F.expr("(1000000 * deg) div freq"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore").alias("score"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    agg = phrase_scores.groupBy("phrase").agg(
+        F.min("plen").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("score").alias("score"),
+    )
+    top = agg.orderBy(F.col("score").desc(), "phrase").limit(RAKE_TOP_K)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "phrase"))
+        .cast("long"),
+    )
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicate spans (Lee et al. 2022): EVERY K-token
+# sliding window is hashed (md5 over the joined tokens) and windows
+# occurring in 2+ documents are reported, aggregated PER SPAN — never
+# exploded into doc pairs (a boilerplate span shared by 10k docs would
+# otherwise emit 10^8 pairs; the per-span row with doc-range + counts is
+# the actionable unit and is O(distinct spans)). Differs from
+# dedup_chunk_shared, which hashes fixed NON-overlapping 32-token chunks
+# and misses duplicates that straddle a chunk boundary; sliding windows
+# are the real ExactSubstr semantics. Scale: the explode factor is
+# ~n_tokens per doc (map-side), the one shuffle groups by the
+# high-entropy span hash, and document bodies never move.
+# ---------------------------------------------------------------------------
+SPAN_K = 12  # tokens per window
+
+DEDUP_SPANS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '[ \t]') AS toks
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, t.i AS pos,
+             md5(array_to_string(toks[t.i:t.i + {SPAN_K} - 1], ' ')) AS h
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, len(toks) - {SPAN_K} + 2)) AS i) t
+      WHERE len(toks) >= {SPAN_K}
+    )
+    SELECT h AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM spans
+    GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate K-token spans across documents (see section comment).
+    Spark generates each doc's windows ARRAY-SIDE (one index-aware
+    transform over the token array — no self-join of token positions),
+    then posexplodes to (doc_id, pos, hash) rows; 1-based positions to
+    match the oracle's list slicing."""
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .filter(F.expr(f"size(toks) >= {SPAN_K}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_K} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {SPAN_K}))))"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    return (
+        spans.groupBy(F.col("h").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min("pos").alias("first_pos"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composed search — the FAISS-standard billion-scale layout
+# (IVFADC, Jegou et al. 2011): the IVF coarse quantizer restricts
+# candidates to the query's NPROBE nearest cells, and each candidate is
+# scored by ADC table lookups over its PQ codes — no full-vector math on
+# the scored relation AND no full-corpus candidate set, which is what
+# neither sim_ivf_search (full vectors in-cell) nor sim_pq_search (ADC
+# over the whole corpus) demonstrates alone. Everything broadcast-sized
+# stays broadcast (centroids, probe list, distance table, codebook); the
+# corpus flows scan -> cell assign -> PQ codes with shuffles keyed on
+# vec_id only. Oracle: the two registered oracles' CTE families composed.
+# ---------------------------------------------------------------------------
+
+
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k restricted to IVF cells (see section comment). Reuses
+    the registered building blocks: _centroids_packed/_ASSIGN_SORTED for
+    the coarse cells, _pq_assignments for the codes, and sim_pq_search's
+    per-subspace broadcast distance-table joins with the identical
+    left-associated adc sum so doubles hash bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _ASSIGN_SORTED,
+        _centroids_packed,
+        _emb_with_norm,
+        _pq_assignments,
+        _pq_codebook,
+        _pq_dist_expr,
+        N_QUERIES,
+        NPROBE,
+        PQ_M,
+        TOP_K,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir)
+    packed = _centroids_packed(emb).localCheckpoint(eager=False)
+    scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
+        "vec_id",
+        "v",
+        f"slice({_ASSIGN_SORTED}, 1, {NPROBE}) AS top_cells",
+    )
+    cells = scored.selectExpr(
+        "vec_id", "element_at(top_cells, 1).c_label AS cell"
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id AS query_id", "v AS qv", "explode(top_cells) AS tc")
+        .select("query_id", "qv", F.col("tc.c_label").alias("cell"))
+    )
+    wide = _pq_assignments(emb.select("vec_id", "v")).groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    structs = ", ".join(
+        f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
+        for s in range(PQ_M)
+    )
+    dtable = (
+        probes.select("query_id", "qv")
+        .distinct()
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.expr(f"array({structs})")).alias("sd"),
+        )
+        .select(
+            "query_id",
+            F.col("sd.subspace").alias("subspace"),
+            "code",
+            F.col("sd.qdist").alias("qdist"),
+        )
+    )
+    cand = (
+        cells.join(
+            F.broadcast(probes.select("query_id", "cell")),
+            "cell",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(wide, "vec_id")
+    )
+    res = cand
+    for s in range(PQ_M):
+        dts = dtable.filter(F.col("subspace") == s).select(
+            "query_id",
+            F.col("code").alias(f"c{s}"),
+            F.col("qdist").alias(f"d{s}"),
+        )
+        res = res.join(F.broadcast(dts), ["query_id", f"c{s}"])
+    adc = (
+        ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    ).alias("adc_raw")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_raw"), F.col("vec_id")
+    )
+    return (
+        res.select("query_id", F.col("vec_id").alias("neighbor_id"), adc,
+                   F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc_raw", 4).alias("adc_dist"),
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _DUCK_IVF_CELLS,
+        _DUCK_PQ_CTES,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+    )
+
+    return f"""
+    WITH {_DUCK_IVF_CELLS},
+    {_DUCK_PQ_CTES},
+    cells2 AS (
+      SELECT vec_id, c_label AS cell FROM scored WHERE rnk = 1
+    ),
+    probes2 AS (
+      SELECT vec_id AS query_id, c_label AS cell
+      FROM scored WHERE vec_id < {N_QUERIES} AND rnk <= {NPROBE}
+    ),
+    wide AS (
+      SELECT vec_id,
+             max(CASE WHEN subspace = 0 THEN code END) AS c0,
+             max(CASE WHEN subspace = 1 THEN code END) AS c1,
+             max(CASE WHEN subspace = 2 THEN code END) AS c2,
+             max(CASE WHEN subspace = 3 THEN code END) AS c3
+      FROM pqa GROUP BY vec_id
+    ),
+    qd AS (SELECT * FROM pqd WHERE vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, rank, round(adc, 4) AS adc_dist
+    FROM (
+      SELECT p.query_id, w.vec_id AS neighbor_id,
+             q0.qerr + q1.qerr + q2.qerr + q3.qerr AS adc,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY q0.qerr + q1.qerr + q2.qerr + q3.qerr, w.vec_id
+             ) AS rank
+      FROM (SELECT DISTINCT c2.vec_id, p2.query_id
+            FROM cells2 c2 JOIN probes2 p2 ON c2.cell = p2.cell
+            WHERE c2.vec_id <> p2.query_id) p
+      JOIN wide w ON w.vec_id = p.vec_id
+      JOIN qd q0 ON q0.vec_id = p.query_id AND q0.subspace = 0
+                AND q0.code = w.c0
+      JOIN qd q1 ON q1.vec_id = p.query_id AND q1.subspace = 1
+                AND q1.code = w.c1
+      JOIN qd q2 ON q2.vec_id = p.query_id AND q2.subspace = 2
+                AND q2.code = w.c2
+      JOIN qd q3 ON q3.vec_id = p.query_id AND q3.subspace = 3
+                AND q3.code = w.c3
+    )
+    WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real VIDEO-container decode, graded: each document synthesizes an
+# AVI/MJPG file (RIFF writer + the real baseline-JPEG encoder), and the
+# registered computation parses the chunk stream and decodes every frame
+# with the real JPEG codec on the executors. Header facts (dims, frame
+# count, rate) are exact columns; frame CONTENT is constant-gray per
+# frame, whose DC-only JPEG round trip is exact at quant=1, so the
+# decoded per-frame means sum to a closed-form integer the oracle
+# recomputes — plus a tolerance boolean in case a future codec change
+# perturbs the rounding (the mm_codec_verify lossy-contract pattern).
+# ---------------------------------------------------------------------------
+AVI_SCHEMA_FIELDS = (
+    "media_id",
+    "n_frames",
+    "width",
+    "height",
+    "usec_per_frame",
+    "frames_mean_sum",
+    "frames_within_tol",
+)
+
+MM_AVI_ORACLE = """
+    WITH params AS (
+      SELECT doc_id,
+             8 + (doc_id % 4) * 4 AS w,
+             8 + (doc_id % 3) * 4 AS h,
+             2 + doc_id % 2 AS n,
+             33333 + (doc_id % 5) * 1000 AS usec
+      FROM documents
+    ), means AS (
+      SELECT doc_id,
+             CAST(sum((7 * doc_id + 31 * t.j) % 256) AS BIGINT) AS msum
+      FROM params, LATERAL (SELECT unnest(range(n)) AS j) t
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.n AS BIGINT) AS n_frames,
+           CAST(p.w AS BIGINT) AS width,
+           CAST(p.h AS BIGINT) AS height,
+           CAST(p.usec AS BIGINT) AS usec_per_frame,
+           m.msum AS frames_mean_sum,
+           TRUE AS frames_within_tol
+    FROM params p JOIN means m USING (doc_id)
+"""
+
+
+def mm_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build an AVI/MJPG of 2-3 constant-grey frames,
+    decode container + frames for real, and emit exact header columns,
+    the integer sum of rounded per-frame means, and a <=1-gray-level
+    tolerance boolean. One zero-shuffle Arrow mapInPandas pass (the
+    multimodal contract); each payload is built and decoded exactly
+    once inside its partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    schema = StructType(
+        [
+            StructField(n, LongType(), False)
+            for n in AVI_SCHEMA_FIELDS[:-1]
+        ]
+        + [StructField("frames_within_tol", BooleanType(), False)]
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in AVI_SCHEMA_FIELDS}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + (d % 4) * 4, 8 + (d % 3) * 4
+                n = 2 + d % 2
+                usec = 33333 + (d % 5) * 1000
+                # GREY constant frames: 1 JPEG component, dims <= 20px —
+                # sized so the per-doc pure-Python codec work stays in
+                # mm_codec_verify's census envelope (the first cut used
+                # 2-4 RGB frames up to 40px and cost 47 s at sf0.1)
+                jpegs = [
+                    encode_jpeg(
+                        np.full((h, w), (7 * d + 31 * j) % 256, np.uint8),
+                        quant=1,
+                    )
+                    for j in range(n)
+                ]
+                frames, meta = decode_avi_frames(
+                    encode_avi_mjpeg(jpegs, w, h, usec)
+                )
+                means = [f.astype(np.float64).mean() for f in frames]
+                ok = all(
+                    abs(m - (7 * d + 31 * j) % 256) <= 1.0
+                    for j, m in enumerate(means)
+                )
+                out["media_id"].append(d)
+                out["n_frames"].append(len(frames))
+                out["width"].append(int(meta["width"]))
+                out["height"].append(int(meta["height"]))
+                out["usec_per_frame"].append(int(meta["usec_per_frame"]))
+                out["frames_mean_sum"].append(
+                    int(sum(int(round(m)) for m in means))
+                )
+                out["frames_within_tol"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+STAGED: dict[str, tuple] = {
+    "q76_interval_coverage": (q76_interval_coverage, Q76_ORACLE),
+    "q77_mad_outliers": (q77_mad_outliers, Q77_ORACLE),
+    "ta_rake_keywords": (ta_rake_keywords, TA_RAKE_ORACLE),
+    "dedup_substring_spans": (dedup_substring_spans, DEDUP_SPANS_ORACLE),
+    "sim_ivfpq_search": (sim_ivfpq_search, _ivfpq_oracle()),
+    "mm_avi_mjpeg_frames": (mm_avi_mjpeg_frames, MM_AVI_ORACLE),
+}
+
+def register_staged() -> None:
+    """Round-7 flip: call from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, query
+
+    for name, (fn, oracle) in STAGED.items():
+        if name not in QUERIES:
+            query(name, oracle=oracle)(fn)

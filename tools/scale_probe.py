@@ -143,10 +143,11 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
     # STAGED-for-next-round queries (operators/staged.py) are probe-able
     # by name even though they are not yet registered: scale evidence
     # should exist BEFORE a query joins the graded surface.
-    from eeecs485_p4_mapreduce_spark.operators.staged import STAGED
+    from eeecs485_p4_mapreduce_spark.operators import staged, staged_r7
 
     lookup = dict(QUERIES)
-    lookup.update({n: fn for n, (fn, _oracle) in STAGED.items()})
+    for mod in (staged, staged_r7):
+        lookup.update({n: fn for n, (fn, _oracle) in mod.STAGED.items()})
     names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -3095,8 +3095,13 @@ def decode_avi_frames(payload: bytes):
     meta = {}
     frames = []
     max_frames = 4096
+    max_depth = 32  # AVI nests hdrl/strl/movi ~3 deep; bound crafted
+    # LIST-in-LIST towers so corrupt payloads raise ValueError, never
+    # RecursionError (the codec fuzz contract)
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        if depth > max_depth:
+            raise ValueError("AVI LIST nesting exceeds decoder bound")
         while pos + 8 <= end:
             tag = payload[pos:pos + 4]
             ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -3107,7 +3112,7 @@ def decode_avi_frames(payload: bytes):
             if tag == b"LIST":
                 if ln < 4:
                     raise ValueError("AVI LIST too short")
-                walk(body_start + 4, body_end)
+                walk(body_start + 4, body_end, depth + 1)
             elif tag == b"avih":
                 if ln < 40:
                     raise ValueError("truncated avih header")

@@ -854,6 +854,14 @@ def test_codec_mutation_fuzz_only_valueerror():
             mm.decode_png_pixels,
         ),
         "wav": (mm.encode_wav(samples, 8000), mm.decode_wav_samples),
+        # AVI container: RIFF LIST nesting + per-frame JPEG decode
+        "avi": (
+            mm.encode_avi_mjpeg(
+                [mm.encode_jpeg(px, quant=1), mm.encode_jpeg(px, quant=1)],
+                5, 6, 40000,
+            ),
+            lambda p: mm.decode_avi_frames(p),
+        ),
         # multi-frame animation exercises the GCE parser and compositor
         "gif_anim": (
             mm.encode_gif_animation(

@@ -4308,7 +4308,10 @@ def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS is_current,
            n_events
     FROM runs
-    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from)
+    -- seg tie-break: two adjacent runs can START at the same timestamp
+    -- when consecutive events share a ts; the segment id carries the
+    -- true event order (caught by the adversarial same-ts fixture)
+    WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, seg)
     """,
 )
 def q75_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4346,7 +4349,10 @@ def q75_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    v = Window.partitionBy("user_id").orderBy("valid_from")
+    # seg tie-break mirrors the oracle: same-ts adjacent runs share a
+    # valid_from, and version order must follow event order, not an
+    # engine-dependent tie resolution
+    v = Window.partitionBy("user_id").orderBy("valid_from", "seg")
     nxt = F.lead("valid_from").over(v)
     return runs.select(
         "user_id",

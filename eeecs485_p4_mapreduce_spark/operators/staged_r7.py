@@ -744,6 +744,251 @@ def mm_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations: bigrams whose words co-occur far more than chance
+# (Church & Hanks 1990) — the statistical step beyond ta_top_bigrams'
+# raw counts (which surface "of the", not collocations). Ranking uses
+# the INTEGER ratio (1e6 * c_ab * N) div (c_a * c_b), strictly monotone
+# in PMI = log2(N*c_ab/(c_a*c_b)), so the top-k is hash-exact with no
+# float logs anywhere. At sandbox scale the numerator stays far below
+# int64; at 100 TB (N ~ 1e12) the production form is the log-space
+# double — same ranking, stated in the docstring, not silently swapped.
+# ---------------------------------------------------------------------------
+PMI_TOP_K = 25
+PMI_MIN_COUNT = 5  # drop rare pairs whose PMI is pure noise
+
+TA_PMI_ORACLE = f"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(text), '[ 	]') AS toks FROM documents
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1])) AS w1,
+               unnest(list_transform(range(len(toks) - 1),
+                      i -> toks[i + 2])) AS w2
+        FROM toks WHERE len(toks) >= 2
+      )
+      GROUP BY w1, w2
+    ), uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM toks)
+      GROUP BY tok
+    ), tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM bi)
+    SELECT bigram, c_ab, c_a, c_b, ratio_e6,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT b.w1 || ' ' || b.w2 AS bigram,
+             CAST(b.c_ab AS BIGINT) AS c_ab,
+             CAST(ua.c AS BIGINT) AS c_a,
+             CAST(ub.c AS BIGINT) AS c_b,
+             CAST((1000000 * b.c_ab * tot.n) // (ua.c * ub.c) AS BIGINT)
+               AS ratio_e6,
+             row_number() OVER (
+               ORDER BY (1000000 * b.c_ab * tot.n) // (ua.c * ub.c) DESC,
+                        b.w1 || ' ' || b.w2) AS rnk
+      FROM bi b JOIN uni ua ON ua.tok = b.w1
+                JOIN uni ub ON ub.tok = b.w2, tot
+      WHERE b.c_ab >= {PMI_MIN_COUNT}
+    ) WHERE rnk <= {PMI_TOP_K}
+"""
+
+
+def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-{PMI_TOP_K} PMI collocations (see section comment).
+    Bigram and unigram counts reduce map-side to vocabulary size; the
+    unigram table is broadcast twice (left/right word); the top-k is
+    orderBy().limit() over the PMI-eligible bigram table. The ratio is
+    pure BIGINT arithmetic — both engines rank identically with no
+    float in sight."""
+    from pyspark.sql.window import Window
+
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens().alias("toks")).filter("size(toks) >= 2")
+    bi = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        docs.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bi.agg(F.sum("c_ab").alias("n"))
+    scored = (
+        bi.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(
+            F.broadcast(uni.selectExpr("tok AS w1", "c AS c_a")), "w1"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("tok AS w2", "c AS c_b")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "concat(w1, ' ', w2) AS bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "(1000000 * c_ab * n) div (c_a * c_b) AS ratio_e6",
+        )
+    )
+    top = scored.orderBy(
+        F.col("ratio_e6").desc(), "bigram"
+    ).limit(PMI_TOP_K)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("ratio_e6").desc(), "bigram"))
+        .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: the events stream is treated as a keyed CHANGELOG
+# (key = (user_id, event_type); every event upserts that key's current
+# value), and foreachBatch merges each micro-batch into a stored
+# snapshot parquet — read stored, union the batch's per-key latest,
+# re-argmax, overwrite — the standard "apply CDC into a serving table"
+# job. maxFilesPerTrigger forces multiple merge batches so cross-batch
+# upsert ordering is genuinely exercised; the oracle is the batch
+# last-value-per-key (row_number over ts DESC), so a hash match proves
+# the incremental merges compose to the batch answer regardless of how
+# the changelog was split into batches. Latest-row selection inside
+# each merge is max(struct(ts, event_id, value)) — ties impossible
+# (event_id unique), no window over the snapshot needed.
+# ---------------------------------------------------------------------------
+STREAM_CDC_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_updates
+      FROM events
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           round(value, 2) + 0.0 AS last_value,
+           CAST(n_updates AS BIGINT) AS n_updates
+    FROM ranked WHERE rn = 1
+"""
+
+
+def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog applied into a stored snapshot via foreachBatch
+    (see section comment). At 100 TB the merge's shuffle is keyed on
+    the snapshot key and each overwrite rewrites only the snapshot
+    (key-cardinality-sized, not history-sized) — history is never
+    re-read; production would partition the snapshot and use dynamic
+    partition overwrite exactly like the foreachBatch upsert sink in
+    streaming/jobs.py."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+
+    spool = _spool(spark, sf_dir)
+    staged = sorted(Path(spool).glob("events-000*.parquet"))
+    df_all = spark.read.parquet(*[str(p) for p in staged])
+    mid = df_all.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    df_all.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(
+        str(Path(spool) / "part-a.parquet")
+    )
+    df_all.filter(F.col("event_id") > mid).write.mode("overwrite").parquet(
+        str(Path(spool) / "part-b.parquet")
+    )
+    for pth in staged:
+        pth.unlink()
+
+    out_dir = tempfile.mkdtemp(prefix="p4spark_cdc_")
+    ckpt = tempfile.mkdtemp(prefix="p4spark_cdc_ckpt_")
+
+    def merge_batch(batch_df, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("last"),
+                F.count(F.lit(1)).alias("n_updates"),
+            )
+            .select(
+                "user_id",
+                "event_type",
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("last_event_id"),
+                F.col("last.value").alias("last_value"),
+                "n_updates",
+            )
+        )
+        # explicit filesystem first-batch check (not try/except — a
+        # transient read error must fail the stream, never silently
+        # reset the snapshot; the stream_incremental_rollup rule)
+        if any(Path(out_dir).glob("*.parquet")):
+            merged = sp.read.parquet(out_dir).unionByName(partial)
+        else:
+            merged = partial
+        (
+            merged.groupBy("user_id", "event_type")
+            .agg(
+                F.max(
+                    F.struct("last_ts", "last_event_id", "last_value")
+                ).alias("last"),
+                F.sum("n_updates").alias("n_updates"),
+            )
+            .select(
+                "user_id",
+                "event_type",
+                F.col("last.last_ts").alias("last_ts"),
+                F.col("last.last_event_id").alias("last_event_id"),
+                F.col("last.last_value").alias("last_value"),
+                "n_updates",
+            )
+            .localCheckpoint()  # out_dir is source AND target
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(str(Path(spool) / "part-a.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(spool, ignore_errors=True)
+    out = (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "last_event_id",
+            (F.round("last_value", 2) + F.lit(0.0)).alias("last_value"),
+            "n_updates",
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 STAGED: dict[str, tuple] = {
     "q76_interval_coverage": (q76_interval_coverage, Q76_ORACLE),
     "q77_mad_outliers": (q77_mad_outliers, Q77_ORACLE),
@@ -751,6 +996,8 @@ STAGED: dict[str, tuple] = {
     "dedup_substring_spans": (dedup_substring_spans, DEDUP_SPANS_ORACLE),
     "sim_ivfpq_search": (sim_ivfpq_search, _ivfpq_oracle()),
     "mm_avi_mjpeg_frames": (mm_avi_mjpeg_frames, MM_AVI_ORACLE),
+    "ta_pmi_collocations": (ta_pmi_collocations, TA_PMI_ORACLE),
+    "stream_cdc_snapshot": (stream_cdc_snapshot, STREAM_CDC_ORACLE),
 }
 
 def register_staged() -> None:

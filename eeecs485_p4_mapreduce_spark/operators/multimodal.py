@@ -3145,3 +3145,79 @@ def decode_avi_frames(payload: bytes):
     if not frames:
         raise ValueError("AVI contains no video frames")
     return frames, meta
+
+
+# ---------------------------------------------------------------------------
+# SubRip (SRT) subtitles — the caption/transcript side of a video
+# pipeline (subtitle tracks are training text with TIMING, the alignment
+# signal audio/video curation needs). SRT is a plain-text block format:
+# cue index line, "HH:MM:SS,mmm --> HH:MM:SS,mmm" timing line, 1+ text
+# lines, blank-line terminator. encode_srt/parse_srt implement it for
+# real (strict timecode grammar, multi-line cues, CRLF tolerance);
+# malformed payloads raise ValueError like every codec here.
+# ---------------------------------------------------------------------------
+
+
+def _srt_timecode(ms: int) -> str:
+    if ms < 0:
+        raise ValueError("negative SRT timecode")
+    h, rem = divmod(ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, milli = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+
+def encode_srt(cues) -> str:
+    """Encode [(start_ms, end_ms, [line, ...]), ...] as SRT text."""
+    if not cues:
+        raise ValueError("SRT needs at least one cue")
+    blocks = []
+    for i, (start_ms, end_ms, lines) in enumerate(cues, start=1):
+        if end_ms <= start_ms:
+            raise ValueError("SRT cue must end after it starts")
+        if not lines:
+            raise ValueError("SRT cue needs at least one text line")
+        blocks.append(
+            f"{i}\n{_srt_timecode(int(start_ms))} --> "
+            f"{_srt_timecode(int(end_ms))}\n" + "\n".join(lines)
+        )
+    return "\n\n".join(blocks) + "\n"
+
+
+def _parse_srt_timecode(tc: str) -> int:
+    import re
+
+    m = re.fullmatch(r"(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})", tc)
+    if not m:
+        raise ValueError(f"bad SRT timecode {tc!r}")
+    h, mi, s, ms = (int(g) for g in m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + ms
+
+
+def parse_srt(text) -> list:
+    """Parse SRT text into [(index, start_ms, end_ms, [line, ...]), ...].
+    Accepts CRLF or LF and a UTF-8 BOM; raises ValueError on malformed
+    blocks (non-numeric index, bad timecode grammar, start >= end,
+    missing text)."""
+    if isinstance(text, (bytes, bytearray)):
+        text = bytes(text).decode("utf-8", errors="strict")
+    text = text.lstrip("﻿").replace("\r\n", "\n").replace("\r", "\n")
+    cues = []
+    blocks = [b for b in text.split("\n\n") if b.strip("\n ")]
+    for block in blocks:
+        lines = [ln for ln in block.split("\n") if ln != ""]
+        if len(lines) < 3:
+            raise ValueError("SRT block needs index, timing, and text")
+        if not lines[0].strip().isdigit():
+            raise ValueError(f"bad SRT cue index {lines[0]!r}")
+        timing = lines[1].split(" --> ")
+        if len(timing) != 2:
+            raise ValueError(f"bad SRT timing line {lines[1]!r}")
+        start_ms = _parse_srt_timecode(timing[0].strip())
+        end_ms = _parse_srt_timecode(timing[1].strip())
+        if end_ms <= start_ms:
+            raise ValueError("SRT cue must end after it starts")
+        cues.append((int(lines[0]), start_ms, end_ms, lines[2:]))
+    if not cues:
+        raise ValueError("SRT contains no cues")
+    return cues

@@ -989,6 +989,98 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# SRT subtitle/caption stats: captions are the TEXT-WITH-TIMING modality
+# a video training pipeline aligns against audio/frames; each document
+# synthesizes a real SubRip file, the registered computation PARSES it
+# back (strict timecode grammar, multi-line cues) on the executors and
+# emits timing/density stats. The oracle rebuilds the same cue texts
+# with SQL string concatenation and measures their lengths — no digit
+# arithmetic duplicated, the construction itself is mirrored.
+# Reading-speed column is integer-exact: chars-per-second scaled by
+# 1000 via (total_chars * 1000000) div total_cue_ms.
+# ---------------------------------------------------------------------------
+MM_SRT_ORACLE = """
+    WITH cues AS (
+      SELECT doc_id, t.j AS j,
+             1500 + ((doc_id + t.j) % 5) * 300 AS dur_ms,
+             length('cue ' || t.j || ' of doc ' || doc_id)
+               + CASE WHEN (doc_id + t.j) % 2 = 0 THEN 8 ELSE 0 END
+               AS n_chars
+      FROM (SELECT doc_id, 3 + doc_id % 4 AS n FROM documents),
+           LATERAL (SELECT unnest(range(n)) AS j) t
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_cues,
+           CAST(sum(dur_ms) AS BIGINT) AS total_cue_ms,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(5000 * j + (doc_id % 7) * 100 + dur_ms) AS BIGINT)
+             AS last_end_ms,
+           CAST((sum(n_chars) * 1000000) // sum(dur_ms) AS BIGINT)
+             AS chars_per_sec_e3
+    FROM cues GROUP BY doc_id
+"""
+
+
+def mm_srt_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize an SRT caption track (3-6 cues, second
+    text line on alternating cues), parse it back with the real SubRip
+    parser, and emit cue counts, total caption time, character volume,
+    and the scaled reading-speed ratio — the caption-density screen a
+    video-curation pipeline runs (too-fast captions = bad alignment).
+    Zero-shuffle Arrow mapInPandas; the parse is the computation (stats
+    come from the PARSED cues, not the generation parameters)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_srt,
+        parse_srt,
+    )
+
+    fields = (
+        "media_id",
+        "n_cues",
+        "total_cue_ms",
+        "total_chars",
+        "last_end_ms",
+        "chars_per_sec_e3",
+    )
+    schema = StructType([StructField(n, LongType(), False) for n in fields])
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in fields}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 4
+                src = []
+                for j in range(n):
+                    start = 5000 * j + (d % 7) * 100
+                    dur = 1500 + ((d + j) % 5) * 300
+                    lines = [f"cue {j} of doc {d}"]
+                    if (d + j) % 2 == 0:
+                        lines.append("line two")
+                    src.append((start, start + dur, lines))
+                cues = parse_srt(encode_srt(src).encode())
+                total_ms = sum(e - st for _, st, e, _ in cues)
+                total_chars = sum(
+                    len(ln) for _, _, _, ls in cues for ln in ls
+                )
+                out["media_id"].append(d)
+                out["n_cues"].append(len(cues))
+                out["total_cue_ms"].append(total_ms)
+                out["total_chars"].append(total_chars)
+                out["last_end_ms"].append(max(e for _, _, e, _ in cues))
+                out["chars_per_sec_e3"].append(
+                    (total_chars * 1_000_000) // total_ms
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
 STAGED: dict[str, tuple] = {
     "q76_interval_coverage": (q76_interval_coverage, Q76_ORACLE),
     "q77_mad_outliers": (q77_mad_outliers, Q77_ORACLE),
@@ -998,6 +1090,7 @@ STAGED: dict[str, tuple] = {
     "mm_avi_mjpeg_frames": (mm_avi_mjpeg_frames, MM_AVI_ORACLE),
     "ta_pmi_collocations": (ta_pmi_collocations, TA_PMI_ORACLE),
     "stream_cdc_snapshot": (stream_cdc_snapshot, STREAM_CDC_ORACLE),
+    "mm_srt_subtitles": (mm_srt_subtitles, MM_SRT_ORACLE),
 }
 
 def register_staged() -> None:

@@ -255,3 +255,30 @@ def test_cdc_snapshot_keeps_latest_ts_across_batches(spark, tmp_path):
     assert out[(1, "A")].n_updates == 2
     assert out[(2, "B")].last_value == 2.0
     assert out[(2, "B")].last_event_id == 101
+
+
+def test_srt_parser_grammar_and_rejection():
+    """SubRip grammar semantics: CRLF + BOM tolerance, multi-line cues,
+    and explicit ValueError on malformed index / timecode / ordering /
+    empty payloads."""
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    srt = mm.encode_srt(
+        [(1000, 4200, ["Hello world"]), (5000, 7000, ["a", "b"])]
+    )
+    assert "00:00:01,000 --> 00:00:04,200" in srt
+    cues = mm.parse_srt(("﻿" + srt.replace("\n", "\r\n")).encode())
+    assert cues == [
+        (1, 1000, 4200, ["Hello world"]),
+        (2, 5000, 7000, ["a", "b"]),
+    ]
+    for bad in (
+        "x\n00:00:01,000 --> 00:00:02,000\nhi\n",   # non-numeric index
+        "1\n00:00:02,000 --> 00:00:01,000\nhi\n",   # end before start
+        "1\n00:00:01,00 --> 00:00:02,000\nhi\n",    # 2-digit millis
+        "1\n00:00:61,000 --> 00:01:02,000\nhi\n",   # seconds > 59
+        "1\n00:00:01,000 -> 00:00:02,000\nhi\n",    # wrong arrow
+        "",
+    ):
+        with pytest.raises(ValueError):
+            mm.parse_srt(bad)

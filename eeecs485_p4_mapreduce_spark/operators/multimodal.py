@@ -3035,7 +3035,7 @@ def encode_avi_mjpeg(
         int(usec_per_frame).to_bytes(4, "little")
         + (0).to_bytes(4, "little")  # max bytes/sec (advisory)
         + (0).to_bytes(4, "little")  # padding granularity
-        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; 0x10=WASCAPTUREFILE-ish flags kept simple
+        + (0).to_bytes(4, "little")  # dwFlags: no AVIF_HASINDEX — we emit no idx1 chunk, and a set flag would promise one
         + n.to_bytes(4, "little")
         + (0).to_bytes(4, "little")  # initial frames
         + (1).to_bytes(4, "little")  # streams

@@ -4262,7 +4262,6 @@ def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent of probe-side size — at 100 TB the saved probe
     # shuffle dominates it by orders of magnitude.
     bloom_build(keys, "o_orderkey").createOrReplaceTempView("q74_bloom")
-    keys.createOrReplaceTempView("q74_keys")
     candidates = lineitem.filter(
         bloom_might_contain("l_orderkey", "SELECT bloom FROM q74_bloom")
     )

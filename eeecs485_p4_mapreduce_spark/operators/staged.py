@@ -484,10 +484,6 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    """Idempotent: load_all() runs on every registry import, but module
-    decorators only run once — match that by skipping names already in."""
-    from eeecs485_p4_mapreduce_spark.registry import QUERIES, query
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
-    for name, (fn, oracle) in STAGED.items():
-        if name not in QUERIES:
-            query(name, oracle=oracle)(fn)
+    register_staged_dict(STAGED)

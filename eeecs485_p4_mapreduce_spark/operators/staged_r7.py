@@ -213,8 +213,8 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of q63's 3-sigma rule (one wild value can't drag the center or
     the spread). Two histogram passes: (type, milli-value) counts give
     the exact median; (type, |2v - med2x|) counts give the exact MAD;
-    the 3 * 1.4826 * MAD fence is evaluated as 80000*dev2x >
-    44478*mad4x, all BIGINT, so both engines agree bit-for-bit. At
+    the 3 * 1.4826 * MAD fence is evaluated as 10000*dev2x >
+    22239*mad4x, all BIGINT, so both engines agree bit-for-bit. At
     100 TB each pass is a partial-aggregated groupBy; the only windows
     run over histogram rows (aggregate-bounded)."""
     v = load_table(spark, sf_dir, "events").select(
@@ -1095,8 +1095,6 @@ STAGED: dict[str, tuple] = {
 
 def register_staged() -> None:
     """Round-7 flip: call from registry.load_all(). Idempotent."""
-    from eeecs485_p4_mapreduce_spark.registry import QUERIES, query
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
-    for name, (fn, oracle) in STAGED.items():
-        if name not in QUERIES:
-            query(name, oracle=oracle)(fn)
+    register_staged_dict(STAGED)

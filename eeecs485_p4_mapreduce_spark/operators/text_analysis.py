@@ -999,6 +999,26 @@ CMS_W = 1024  # counters per row
 CMS_TOP_K = 10
 
 
+def _cms_positions(col: str):
+    """Exploded (seed, bucket) cells for a token column — ONE definition
+    shared by the sketch build and the probe side, because a drifted
+    copy would silently probe the wrong cells (same hygiene as
+    relational.py's bloom_build/bloom_might_contain pair)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    F.pmod(
+                        F.xxhash64(F.col(col), F.lit(s)), F.lit(CMS_W)
+                    ).alias("bucket"),
+                )
+                for s in range(CMS_D)
+            ]
+        )
+    )
+
+
 @query(
     "ta_heavy_hitters_cms",
     oracle=f"""
@@ -1047,45 +1067,20 @@ def ta_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     cms = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("seed"),
-                            F.pmod(
-                                F.xxhash64(F.col("token"), F.lit(s)),
-                                F.lit(CMS_W),
-                            ).alias("bucket"),
-                        )
-                        for s in range(CMS_D)
-                    ]
-                )
-            ).alias("cell")
-        )
+        toks.select(_cms_positions("token").alias("cell"))
         .groupBy("cell.seed", "cell.bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))
     )
+    # every token lands in exactly one bucket per seed, so one seed's
+    # row of the sketch already sums to the corpus token count — no
+    # second corpus pass for N
+    n_total = (
+        cms.filter(F.col("seed") == 0)
+        .agg(F.sum("cell_count").alias("n_total"))
+    )
     probes = topk.select(
-        "token",
-        "n_exact",
-        "rank",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.pmod(
-                            F.xxhash64(F.col("token"), F.lit(s)),
-                            F.lit(CMS_W),
-                        ).alias("bucket"),
-                    )
-                    for s in range(CMS_D)
-                ]
-            )
-        ).alias("p"),
+        "token", "n_exact", "rank", _cms_positions("token").alias("p")
     )
     est = (
         probes.join(

@@ -175,6 +175,16 @@ DRIVER_PRIORITY = [
 ]
 
 
+def register_staged_dict(staged: dict) -> None:
+    """Idempotently register a staging module's {name: (fn, oracle)}
+    dict — load_all() runs on every registry import while module
+    decorators only run once, so staged registration must skip names
+    already present (shared by operators/staged*.py)."""
+    for name, (fn, oracle) in staged.items():
+        if name not in QUERIES:
+            query(name, oracle=oracle)(fn)
+
+
 def _driver_green_rounds() -> dict[str, int]:
     """Map query name -> round number of its MOST RECENT hash-green row
     across every committed CORRECTNESS_r{N}.json at the repo root (the

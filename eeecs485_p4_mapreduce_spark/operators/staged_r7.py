@@ -1,16 +1,16 @@
-"""Queries STAGED for round-7 registration (implemented + oracle-proven
-in round 6, registered next round).
+"""Round-7 registrations that were built + oracle-proven in round 6.
 
-Round 6 used its ~10-query registration budget (the rotation-coverage
-cap set by the round-4 verdict: the driver's 50-slot window must keep
-cycling the proven block every ~4 rounds). This module holds the next
-batch — built, pytest hash-checked against DuckDB (tests/test_staged_r7
-.py), plan-gate compliant, and x10-probed NOW, so the round-7 flip is
-``register_staged()`` plus deleting this staging note. Same contract as
-every registered query: identical aliases both sides, round()-ed or
-integer-exact outputs, no nullable hash-bearing columns.
+Round 6 had already used the ~10-query per-round registration budget
+(the rotation-coverage cap set by the round-4 verdict: the driver's
+50-slot window must keep cycling the proven block every ~4 rounds), so
+these nine were staged — implemented, pytest hash-checked against
+DuckDB (tests/test_staged_r7.py), plan-gate compliant and x10-probed in
+round 6 — then promoted to the graded surface in round 7 via
+``register_staged()`` (called from ``registry.load_all``). Same
+contract as every registered query: identical aliases both sides,
+round()-ed or integer-exact outputs, no nullable hash-bearing columns.
 
-Staged surface:
+Surface:
 
 - ``q76_interval_coverage`` — per-user union length of overlapping
   activity intervals (each event opens [ts, ts+300s)): the warehouse

@@ -3221,3 +3221,278 @@ def parse_srt(text) -> list:
     if not cues:
         raise ValueError("SRT contains no cues")
     return cues
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) box structure — the container every video pipeline
+# opens first. Boxes are [size:u32be][type:4cc][payload]; size == 1
+# switches to a 64-bit largesize after the type (the form >4 GiB mdat
+# boxes use), and container boxes (moov/trak/mdia/minf/stbl/edts) nest
+# children in their payload. encode_mp4 builds a minimal but
+# spec-shaped ftyp/moov(mvhd, trak(tkhd, mdia(mdhd, hdlr)))/free/mdat
+# tree; parse_mp4_boxes re-walks it strictly (bounds checks, 4cc
+# sanity, version-aware mvhd/mdhd/tkhd field offsets) and raises
+# ValueError on any malformed byte — never a silent partial parse.
+# ---------------------------------------------------------------------------
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts")
+)
+MP4_MAX_DEPTH = 16
+
+
+def _mp4_box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    import struct
+
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4(
+    duration_ms: int, track_dims, mdat_len: int, large_mdat: bool = False
+) -> bytes:
+    """Build a minimal MP4: ftyp + moov(mvhd + one trak per (w, h) in
+    track_dims) + free + mdat of mdat_len filler bytes (largesize form
+    when large_mdat). Timescale is 1000, so mvhd/mdhd durations are
+    milliseconds."""
+    import struct
+
+    if duration_ms < 0 or mdat_len < 0 or not track_dims:
+        raise ValueError("bad MP4 parameters")
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">hH", 0x0100, 0)  # volume 1.0, reserved
+        + b"\x00" * 8
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", len(track_dims) + 1),
+    )
+    traks = b""
+    for tid, (w, h) in enumerate(track_dims, start=1):
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIII", 0, 0, tid, 0, duration_ms)
+            + b"\x00" * 8
+            + struct.pack(">hhhH", 0, 0, 0x0100, 0)
+            + struct.pack(
+                ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            struct.pack(">B3x", 0)
+            + b"\x00" * 4
+            + b"vide"
+            + b"\x00" * 12
+            + b"\x00",
+        )
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdhd + hdlr))
+    moov = _mp4_box(b"moov", mvhd + traks)
+    free = _mp4_box(b"free", b"\x00" * 8)
+    body = bytes((7 * i + 13) % 251 for i in range(mdat_len))
+    mdat = _mp4_box(b"mdat", body, large=large_mdat)
+    return ftyp + moov + free + mdat
+
+
+def parse_mp4_boxes(payload: bytes):
+    """Strictly walk an ISO BMFF box tree. Returns (boxes, info):
+    boxes = [(type_str, total_size, depth), ...] in traversal order;
+    info = dict(n_boxes, max_depth, duration_ms, n_tracks, mdat_bytes)
+    where duration_ms is taken from mvhd normalized by its timescale.
+    Raises ValueError on truncated boxes, sizes < header size, non
+    printable 4ccs, or nesting beyond MP4_MAX_DEPTH."""
+    import struct
+
+    data = bytes(payload)
+    boxes: list = []
+    info = {
+        "duration_ms": None,
+        "n_tracks": 0,
+        "mdat_bytes": 0,
+        "max_depth": 0,
+    }
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > MP4_MAX_DEPTH:
+            raise ValueError("MP4 box nesting too deep")
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated MP4 box header")
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            if not all(0x20 <= b < 0x7F for b in btype):
+                raise ValueError(f"bad MP4 box type {btype!r}")
+            header = 8
+            if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize")
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                header = 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = hi - pos
+            if size < header or pos + size > hi:
+                raise ValueError(f"bad MP4 box size {size} for {btype!r}")
+            boxes.append((btype.decode("ascii"), size, depth))
+            info["max_depth"] = max(info["max_depth"], depth)
+            body_lo, body_hi = pos + header, pos + size
+            if btype == b"mvhd":
+                ver = data[body_lo]
+                off = body_lo + 4 + (16 if ver == 1 else 8)
+                if ver == 1:
+                    timescale, = struct.unpack_from(">I", data, off)
+                    duration, = struct.unpack_from(">Q", data, off + 4)
+                elif ver == 0:
+                    timescale, duration = struct.unpack_from(
+                        ">II", data, off
+                    )
+                else:
+                    raise ValueError(f"bad mvhd version {ver}")
+                if timescale == 0:
+                    raise ValueError("mvhd timescale 0")
+                info["duration_ms"] = duration * 1000 // timescale
+            elif btype == b"trak":
+                info["n_tracks"] += 1
+            elif btype == b"mdat":
+                info["mdat_bytes"] += body_hi - body_lo
+            if btype in _MP4_CONTAINERS:
+                walk(body_lo, body_hi, depth + 1)
+            pos += size
+
+    walk(0, len(data), 1)
+    if not boxes:
+        raise ValueError("empty MP4")
+    info["n_boxes"] = len(boxes)
+    return boxes, info
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III (MP3) frame headers — the audio twin of the MP4
+# walk: an ID3v2 tag (syncsafe 28-bit size) followed by back-to-back
+# frames, each [FF FB | bitrate/samplerate/padding byte | mode byte]
+# with length floor(144 * bitrate / samplerate) + padding. VBR streams
+# vary the bitrate index per frame, so duration/average bitrate REQUIRE
+# the walk (the header-math every audio ingest pipeline runs before
+# deciding to decode). parse_mp3_frames validates sync bits, reserved
+# bitrate/samplerate indices, and exact frame boundaries; any slack
+# byte raises ValueError.
+# ---------------------------------------------------------------------------
+MP3_BITRATES_KBPS = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def encode_id3v2(payload_len: int) -> bytes:
+    """An ID3v2.3 tag header + payload_len zero bytes (syncsafe size)."""
+    if not 0 <= payload_len < (1 << 28):
+        raise ValueError("ID3v2 payload too large")
+    size = bytes(
+        (payload_len >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    return b"ID3" + bytes((3, 0, 0)) + size + b"\x00" * payload_len
+
+
+def mp3_frame_len(bitrate_idx: int, sr_idx: int, padding: bool) -> int:
+    br = MP3_BITRATES_KBPS[bitrate_idx]
+    if br is None:
+        raise ValueError("free-format bitrate not supported")
+    return 144 * br * 1000 // MP3_SAMPLE_RATES[sr_idx] + (1 if padding else 0)
+
+
+def encode_mp3_stream(frames, id3_len: int = 0) -> bytes:
+    """Build an MP3 stream: optional ID3v2 tag + one MPEG-1 Layer III
+    frame per (bitrate_idx, padding) in frames (sample rate 44100)."""
+    out = bytearray(encode_id3v2(id3_len) if id3_len > 0 else b"")
+    for bitrate_idx, padding in frames:
+        if not 1 <= bitrate_idx <= 14:
+            raise ValueError(f"bad MP3 bitrate index {bitrate_idx}")
+        flen = mp3_frame_len(bitrate_idx, 0, padding)
+        hdr = bytes(
+            (
+                0xFF,
+                0xFB,  # MPEG-1, Layer III, no CRC
+                (bitrate_idx << 4) | (0 << 2) | (2 if padding else 0),
+                0x00,  # stereo
+            )
+        )
+        out += hdr + bytes((11 * i + 5) % 0xFE for i in range(flen - 4))
+    return bytes(out)
+
+
+def parse_mp3_frames(payload: bytes):
+    """Walk an MP3 stream (optional ID3v2 tag + MPEG-1 Layer III
+    frames). Returns dict(n_frames, n_padded, sum_bitrate_kbps,
+    frame_bytes, id3_bytes, duration_us). Strict: bad sync, reserved
+    bitrate/samplerate indices, non-MPEG-1/Layer-III headers, syncsafe
+    violations, and trailing slack all raise ValueError."""
+    data = bytes(payload)
+    pos = 0
+    id3_bytes = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size_bytes = data[6:10]
+        if any(b & 0x80 for b in size_bytes):
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        tag_len = 0
+        for b in size_bytes:
+            tag_len = (tag_len << 7) | b
+        id3_bytes = 10 + tag_len
+        if id3_bytes > len(data):
+            raise ValueError("ID3v2 tag longer than payload")
+        pos = id3_bytes
+    n_frames = n_padded = sum_br = frame_bytes = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"bad MP3 sync at byte {pos}")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III supported")
+        bitrate_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x3
+        if bitrate_idx in (0, 15):
+            raise ValueError(f"reserved MP3 bitrate index {bitrate_idx}")
+        if sr_idx == 3:
+            raise ValueError("reserved MP3 sample-rate index")
+        padding = bool(b2 & 0x2)
+        flen = mp3_frame_len(bitrate_idx, sr_idx, padding)
+        if pos + flen > len(data):
+            raise ValueError("truncated MP3 frame body")
+        n_frames += 1
+        n_padded += int(padding)
+        sum_br += MP3_BITRATES_KBPS[bitrate_idx]
+        frame_bytes += flen
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("MP3 stream contains no frames")
+    duration_us = (
+        n_frames * MP3_SAMPLES_PER_FRAME * 1_000_000
+    ) // MP3_SAMPLE_RATES[0]
+    return {
+        "n_frames": n_frames,
+        "n_padded": n_padded,
+        "sum_bitrate_kbps": sum_br,
+        "frame_bytes": frame_bytes,
+        "id3_bytes": id3_bytes,
+        "duration_us": duration_us,
+    }

@@ -605,6 +605,306 @@ def curate_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mm_mp4_boxes: REAL ISO BMFF container walk. Each document builds a
+# deterministic ftyp/moov(mvhd + traks)/free/mdat tree (every 5th doc
+# stores its mdat in the 64-bit largesize form) and the executors parse
+# it back with the strict recursive walker in multimodal.parse_mp4_boxes
+# — every emitted column comes from the PARSE, never the generation
+# params. The oracle recomputes the expected values from the same
+# arithmetic, including the exact encoder box sizes (ftyp 20, moov
+# 116 + 173/trak, free 16, mdat header 8/16): a parser or encoder that
+# drifts a single byte hash-mismatches. Pure header math, ~1 KB per
+# doc — far inside the mm census cost envelope.
+# ---------------------------------------------------------------------------
+MP4_SCHEMA_FIELDS = (
+    "media_id",
+    "n_boxes",
+    "max_depth",
+    "duration_ms",
+    "n_tracks",
+    "mdat_bytes",
+    "total_bytes",
+)
+
+MM_MP4_ORACLE = """
+    WITH params AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS n,
+             30000 + (doc_id % 10) * 1500 AS dur,
+             64 + doc_id % 128 AS mlen,
+             CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 8 END AS mhdr
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(5 + 5 * n AS BIGINT) AS n_boxes,
+           CAST(4 AS BIGINT) AS max_depth,
+           CAST(dur AS BIGINT) AS duration_ms,
+           CAST(n AS BIGINT) AS n_tracks,
+           CAST(mlen AS BIGINT) AS mdat_bytes,
+           CAST(152 + 173 * n + mhdr + mlen AS BIGINT) AS total_bytes
+    FROM params
+"""
+
+
+def mm_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize an MP4 box tree and re-walk it with the
+    real ISO BMFF parser (see section comment); emit box census,
+    nesting depth, mvhd duration, track count, and mdat payload size —
+    all read back out of the bytes. Zero-shuffle Arrow mapInPandas."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mp4,
+        parse_mp4_boxes,
+    )
+
+    schema = StructType(
+        [StructField(n, LongType(), False) for n in MP4_SCHEMA_FIELDS]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in MP4_SCHEMA_FIELDS}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1 + d % 3
+                dims = [
+                    (160 + 16 * ((d + t) % 4), 120 + 8 * (t % 3))
+                    for t in range(n)
+                ]
+                payload = encode_mp4(
+                    30000 + (d % 10) * 1500,
+                    dims,
+                    64 + d % 128,
+                    large_mdat=(d % 5 == 0),
+                )
+                _boxes, info = parse_mp4_boxes(payload)
+                out["media_id"].append(d)
+                out["n_boxes"].append(info["n_boxes"])
+                out["max_depth"].append(info["max_depth"])
+                out["duration_ms"].append(info["duration_ms"])
+                out["n_tracks"].append(info["n_tracks"])
+                out["mdat_bytes"].append(info["mdat_bytes"])
+                out["total_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# mm_mp3_frames: REAL MPEG-1 Layer III frame walk. Each document builds
+# an ID3v2-tagged VBR stream (4-7 frames, bitrate index and padding bit
+# varying per frame) and the executors re-walk it with
+# multimodal.parse_mp3_frames (syncsafe tag skip, bitrate table, frame
+# length arithmetic). The oracle mirrors the frame-length formula
+# (144 * bitrate / 44100 + padding) over a generated frame index —
+# the 14-entry bitrate list literal is small enough to dodge the
+# DuckDB per-row-literal re-eval trap (SNIPPETS gotcha: 16x64 matrix).
+# ---------------------------------------------------------------------------
+MP3_SCHEMA_FIELDS = (
+    "media_id",
+    "n_frames",
+    "n_padded",
+    "sum_bitrate_kbps",
+    "avg_bitrate_e3",
+    "id3_bytes",
+    "total_bytes",
+    "duration_us",
+)
+
+MM_MP3_ORACLE = """
+    WITH frames AS (
+      SELECT doc_id, t.j AS j,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+               [1 + (doc_id + t.j) % 14] AS br,
+             CASE WHEN (doc_id + t.j) % 3 = 0 THEN 1 ELSE 0 END AS pad
+      FROM (SELECT doc_id, 4 + doc_id % 4 AS k FROM documents),
+           LATERAL (SELECT unnest(range(k)) AS j) t
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(pad) AS BIGINT) AS n_padded,
+           CAST(sum(br) AS BIGINT) AS sum_bitrate_kbps,
+           CAST((sum(br) * 1000) // count(*) AS BIGINT) AS avg_bitrate_e3,
+           CAST(10 + 10 + doc_id % 50 AS BIGINT) AS id3_bytes,
+           CAST(10 + 10 + doc_id % 50
+                + sum((144 * br * 1000) // 44100 + pad) AS BIGINT)
+             AS total_bytes,
+           CAST((count(*) * 1152 * 1000000) // 44100 AS BIGINT)
+             AS duration_us
+    FROM frames GROUP BY doc_id
+"""
+
+
+def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize a VBR MP3 stream and re-walk it with
+    the real MPEG-1 Layer III header parser (see section comment);
+    every emitted column comes from the walk. Zero-shuffle Arrow
+    mapInPandas."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mp3_stream,
+        parse_mp3_frames,
+    )
+
+    schema = StructType(
+        [StructField(n, LongType(), False) for n in MP3_SCHEMA_FIELDS]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in MP3_SCHEMA_FIELDS}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    (1 + (d + j) % 14, (d + j) % 3 == 0)
+                    for j in range(4 + d % 4)
+                ]
+                payload = encode_mp3_stream(frames, id3_len=10 + d % 50)
+                info = parse_mp3_frames(payload)
+                out["media_id"].append(d)
+                out["n_frames"].append(info["n_frames"])
+                out["n_padded"].append(info["n_padded"])
+                out["sum_bitrate_kbps"].append(info["sum_bitrate_kbps"])
+                out["avg_bitrate_e3"].append(
+                    (info["sum_bitrate_kbps"] * 1000) // info["n_frames"]
+                )
+                out["id3_bytes"].append(info["id3_bytes"])
+                out["total_bytes"].append(len(payload))
+                out["duration_us"].append(info["duration_us"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_quantile_histogram: exact quantiles over a stream via
+# MERGEABLE state — the streaming twin of q77's histogram-median trick.
+# foreachBatch reduces each micro-batch to per-(event_type, bucket)
+# counts (bucket = round(value*1000) div 100, one-decimal buckets over
+# non-negative values) and merges them into a stored histogram snapshot
+# by summing counts; after the finite replay the exact DOUBLED bucket
+# median is interpolated from the merged histogram with the shared
+# _exact_median2x prefix-sum helper. Counts are order- and
+# batching-insensitive, so the replay is deterministic by construction
+# — no watermark sentinel needed. At 100 TB the state is histogram-
+# sized (types x buckets), never event-sized, and the merge shuffle is
+# keyed on (event_type, bucket).
+# ---------------------------------------------------------------------------
+STREAM_QH_ORACLE = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 1000, 0) AS BIGINT) // 100 AS b
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             CAST(round(2 * quantile_cont(b, 0.5), 0) AS BIGINT)
+               AS median_bucket2x
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(m.median_bucket2x) AS BIGINT) AS median_bucket2x,
+           CAST(min(v.b) AS BIGINT) AS min_bucket,
+           CAST(max(v.b) AS BIGINT) AS max_bucket
+    FROM v JOIN med m USING (event_type)
+    GROUP BY v.event_type
+"""
+
+
+def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact bucket-median per event_type from a foreachBatch-
+    merged histogram snapshot (see section comment). The spool is split
+    three ways and replayed one file per trigger so the merge path is
+    genuinely incremental across batches."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r7 import (
+        _exact_median2x,
+    )
+    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+
+    spool = _spool(spark, sf_dir)
+    staged = sorted(Path(spool).glob("events-000*.parquet"))
+    df_all = spark.read.parquet(*[str(p) for p in staged])
+    for i in range(3):
+        df_all.filter(F.col("event_id") % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
+    for pth in staged:
+        pth.unlink()
+
+    out_dir = tempfile.mkdtemp(prefix="p4spark_qh_")
+    ckpt = tempfile.mkdtemp(prefix="p4spark_qh_ckpt_")
+
+    def merge_batch(batch_df, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                "event_type",
+                F.expr(
+                    "cast(round(value * 1000, 0) as bigint) div 100"
+                ).alias("b"),
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # explicit filesystem first-batch check (the
+        # stream_incremental_rollup rule: a transient read error must
+        # fail the stream, never silently reset the snapshot)
+        if any(Path(out_dir).glob("*.parquet")):
+            merged = sp.read.parquet(out_dir).unionByName(partial)
+        else:
+            merged = partial
+        (
+            merged.groupBy("event_type", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()  # out_dir is source AND target
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(spool, ignore_errors=True)
+    hist = spark.read.parquet(out_dir)
+    med = _exact_median2x(
+        hist.withColumnRenamed("b", "val"), "event_type", "val"
+    ).selectExpr("event_type", "med2x AS median_bucket2x")
+    out = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.max("median_bucket2x").alias("median_bucket2x"),
+            F.min("b").alias("min_bucket"),
+            F.max("b").alias("max_bucket"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 STAGED: dict[str, tuple] = {
     "q78_bom_explosion": (q78_bom_explosion, Q78_ORACLE),
     "q79_event_pattern": (q79_event_pattern, Q79_ORACLE),
@@ -614,6 +914,12 @@ STAGED: dict[str, tuple] = {
     "curate_domain_temperature": (
         curate_domain_temperature,
         CURATE_MIXTURE_ORACLE,
+    ),
+    "mm_mp4_boxes": (mm_mp4_boxes, MM_MP4_ORACLE),
+    "mm_mp3_frames": (mm_mp3_frames, MM_MP3_ORACLE),
+    "stream_quantile_histogram": (
+        stream_quantile_histogram,
+        STREAM_QH_ORACLE,
     ),
 }
 

@@ -143,10 +143,14 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
     # STAGED-for-next-round queries (operators/staged.py) are probe-able
     # by name even though they are not yet registered: scale evidence
     # should exist BEFORE a query joins the graded surface.
-    from eeecs485_p4_mapreduce_spark.operators import staged, staged_r7
+    from eeecs485_p4_mapreduce_spark.operators import (
+        staged,
+        staged_r7,
+        staged_r8,
+    )
 
     lookup = dict(QUERIES)
-    for mod in (staged, staged_r7):
+    for mod in (staged, staged_r7, staged_r8):
         lookup.update({n: fn for n, (fn, _oracle) in mod.STAGED.items()})
     names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")

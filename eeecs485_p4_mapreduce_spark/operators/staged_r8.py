@@ -1,17 +1,16 @@
-"""Queries STAGED for round-8 registration (implemented + oracle-proven
-in round 7, registered next round).
+"""The round-8 registration batch (implemented + oracle-proven in
+round 7, registered via ``registry.load_all``).
 
-Round 7 used its ~10-query registration budget on the staged_r7 batch
-(the rotation-coverage cap set by the round-4 verdict: the driver's
-50-slot window must keep cycling the proven block every ~4 rounds).
-This module holds the next batch — built, pytest hash-checked against
-DuckDB (tests/test_staged_r8.py), plan-gate compliant, and x10-probed
-NOW, so the round-8 flip is ``register_staged()`` plus deleting this
-staging note. Same contract as every registered query: identical
-aliases both sides, round()-ed or integer-exact outputs, no nullable
+These nine were built, pytest hash-checked against DuckDB
+(tests/test_staged_r8.py), plan-gate compliant, and x10-probed one
+round before registration — the staging discipline the round-4 verdict
+set (≤10 new queries per round so the driver's 50-slot
+least-recently-green window keeps cycling the proven block every ~4
+rounds). Same contract as every registered query: identical aliases
+both sides, round()-ed or integer-exact outputs, no nullable
 hash-bearing columns.
 
-Staged surface:
+Batch surface:
 
 - ``q78_bom_explosion`` — recursive hierarchy roll-up (BOM explosion):
   parts form a synthetic 8-ary parent tree and per-path quantity

@@ -263,8 +263,13 @@ def load_all() -> None:
     )
     from eeecs485_p4_mapreduce_spark import mr_queries  # noqa: F401
     from eeecs485_p4_mapreduce_spark.streaming import queries  # noqa: F401
-    from eeecs485_p4_mapreduce_spark.operators import staged, staged_r7
+    from eeecs485_p4_mapreduce_spark.operators import (
+        staged,
+        staged_r7,
+        staged_r8,
+    )
 
     staged.register_staged()
     staged_r7.register_staged()
+    staged_r8.register_staged()
     _prioritize()

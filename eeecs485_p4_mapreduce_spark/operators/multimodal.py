@@ -3496,3 +3496,242 @@ def parse_mp3_frames(payload: bytes):
         "id3_bytes": id3_bytes,
         "duration_us": duration_us,
     }
+
+
+# ---------------------------------------------------------------------------
+# POSIX ustar (tar) archives — the shard container WebDataset-style
+# training pipelines use (N samples per .tar member, sequential read).
+# encode_tar writes strict POSIX.1-1988 ustar: 512-byte headers with
+# NUL-terminated octal numerics, the checksum computed over the header
+# with the chksum field blanked to spaces, member data padded to the
+# 512-byte block, and the two terminating zero blocks. parse_tar_members
+# re-walks the archive independently: it validates the ustar magic,
+# recomputes every checksum, requires zeroed padding and a proper
+# end-of-archive marker, and returns per-member (name, size) plus the
+# archive totals an ingest pipeline budgets by.
+# ---------------------------------------------------------------------------
+TAR_BLOCK = 512
+
+
+def _tar_octal(value: int, width: int) -> bytes:
+    """NUL-terminated, zero-padded octal field (POSIX numeric form)."""
+    if value < 0 or value >= 8 ** (width - 1):
+        raise ValueError(f"tar numeric {value} overflows {width}-byte field")
+    return (f"{value:0{width - 1}o}").encode("ascii") + b"\x00"
+
+
+def encode_tar(members) -> bytes:
+    """Build a ustar archive from (name, payload_bytes) pairs."""
+    out = bytearray()
+    for name, payload in members:
+        nb = name.encode("ascii")
+        if not 0 < len(nb) <= 100:
+            raise ValueError(f"tar member name length {len(nb)}")
+        hdr = bytearray(TAR_BLOCK)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = _tar_octal(0o644, 8)          # mode
+        hdr[108:116] = _tar_octal(0, 8)              # uid
+        hdr[116:124] = _tar_octal(0, 8)              # gid
+        hdr[124:136] = _tar_octal(len(payload), 12)  # size
+        hdr[136:148] = _tar_octal(0, 12)             # mtime (epoch: determinism)
+        hdr[148:156] = b" " * 8                      # chksum blank for the sum
+        hdr[156] = ord("0")                          # typeflag: regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = f"{chksum:06o}".encode("ascii") + b"\x00 "
+        out += hdr + payload
+        pad = (-len(payload)) % TAR_BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * TAR_BLOCK)
+    return bytes(out)
+
+
+def parse_tar_members(payload: bytes):
+    """Strictly walk a ustar archive. Returns (members, info): members =
+    [(name, size), ...]; info = dict(n_members, payload_bytes,
+    archive_bytes, n_checksum_ok). Raises ValueError on bad magic, bad
+    checksum, non-octal numerics, nonzero padding, truncation, or a
+    missing end-of-archive marker."""
+    data = bytes(payload)
+    if len(data) % TAR_BLOCK:
+        raise ValueError("tar length is not block-aligned")
+    members: list = []
+    n_ok = 0
+    payload_bytes = 0
+    pos = 0
+    while True:
+        if pos + TAR_BLOCK > len(data):
+            raise ValueError("tar truncated before end-of-archive marker")
+        hdr = data[pos : pos + TAR_BLOCK]
+        if hdr == b"\x00" * TAR_BLOCK:  # first of the two end blocks
+            if data[pos + TAR_BLOCK : pos + 2 * TAR_BLOCK] != b"\x00" * TAR_BLOCK:
+                raise ValueError("tar end-of-archive marker incomplete")
+            break
+        if hdr[257:263] != b"ustar\x00":
+            raise ValueError(f"bad ustar magic at block {pos // TAR_BLOCK}")
+        name = hdr[: hdr.index(b"\x00", 0, 100) if b"\x00" in hdr[:100] else 100]
+        size_field = hdr[124:136].rstrip(b"\x00 ")
+        if not size_field or any(c not in b"01234567" for c in size_field):
+            raise ValueError(f"bad tar size field {size_field!r}")
+        size = int(size_field, 8)
+        stored = int(hdr[148:156].rstrip(b"\x00 "), 8)
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blanked) != stored:
+            raise ValueError(f"tar checksum mismatch for {name!r}")
+        n_ok += 1
+        body_end = pos + TAR_BLOCK + size
+        pad = (-size) % TAR_BLOCK
+        if body_end + pad > len(data):
+            raise ValueError(f"tar member {name!r} body truncated")
+        if any(data[body_end : body_end + pad]):
+            raise ValueError(f"tar member {name!r} padding not zeroed")
+        members.append((name.decode("ascii"), size))
+        payload_bytes += size
+        pos = body_end + pad
+    if not members:
+        raise ValueError("tar archive has no members")
+    return members, {
+        "n_members": len(members),
+        "payload_bytes": payload_bytes,
+        "archive_bytes": pos + 2 * TAR_BLOCK,
+        "n_checksum_ok": n_ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# TIFF IFD walk — the metadata layout every EXIF/GeoTIFF ingest parses.
+# encode_tiff writes a strict baseline TIFF in EITHER byte order
+# ('II'*42 little-endian / 'MM'*42 big-endian): one IFD per page with 8
+# inline-valued entries (width/height LONG, bits-per-sample +
+# compression + photometric SHORT left-justified in the 4-byte value
+# field per the TIFF 6.0 rule, strip offset/rows-per-strip/byte-count
+# LONG), IFDs chained through the next-IFD pointer, strip data after
+# the IFD chain. parse_tiff_ifds re-walks the chain from the header,
+# decoding every entry under the declared byte order, and sums the
+# strip bytes it actually reads — a one-byte offset error changes the
+# strip checksum and fails the oracle hash.
+# ---------------------------------------------------------------------------
+TIFF_TYPE_SHORT = 3
+TIFF_TYPE_LONG = 4
+_TIFF_IFD_ENTRIES = 8
+_TIFF_IFD_SIZE = 2 + _TIFF_IFD_ENTRIES * 12 + 4
+
+
+def encode_tiff(pages, big_endian: bool = False, seed: int = 0) -> bytes:
+    """Build a multi-page baseline TIFF from (width, height) pairs.
+    Page p's strip is w*h bytes of the constant (seed*7 + p*13) % 251,
+    so a reader that finds the strips proves every offset."""
+    import struct
+
+    if not pages:
+        raise ValueError("TIFF needs at least one page")
+    e = ">" if big_endian else "<"
+    n = len(pages)
+    ifd_base = 8
+    strip_base = ifd_base + n * _TIFF_IFD_SIZE
+    offs, acc = [], strip_base
+    for w, h in pages:
+        if w <= 0 or h <= 0:
+            raise ValueError("bad TIFF page dims")
+        offs.append(acc)
+        acc += w * h
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_base)
+    for p, (w, h) in enumerate(pages):
+        entries = [
+            (256, TIFF_TYPE_LONG, 1, w),
+            (257, TIFF_TYPE_LONG, 1, h),
+            (258, TIFF_TYPE_SHORT, 1, 8),
+            (259, TIFF_TYPE_SHORT, 1, 1),   # uncompressed
+            (262, TIFF_TYPE_SHORT, 1, 1),   # BlackIsZero
+            (273, TIFF_TYPE_LONG, 1, offs[p]),
+            (278, TIFF_TYPE_LONG, 1, h),
+            (279, TIFF_TYPE_LONG, 1, w * h),
+        ]
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(e + "HHI", tag, typ, cnt)
+            if typ == TIFF_TYPE_SHORT:
+                # left-justified in the 4-byte value field (TIFF 6.0)
+                out += struct.pack(e + "H", val) + b"\x00\x00"
+            else:
+                out += struct.pack(e + "I", val)
+        nxt = ifd_base + (p + 1) * _TIFF_IFD_SIZE if p + 1 < n else 0
+        out += struct.pack(e + "I", nxt)
+    for p, (w, h) in enumerate(pages):
+        out += bytes([(seed * 7 + p * 13) % 251]) * (w * h)
+    return bytes(out)
+
+
+def parse_tiff_ifds(payload: bytes):
+    """Strictly walk a TIFF IFD chain. Returns dict(big_endian, n_ifds,
+    n_tags, width0, height0, strip_bytes, strip_sum) where strip_sum is
+    the integer sum of every strip byte actually read via the
+    StripOffsets/StripByteCounts entries. Raises ValueError on bad
+    magic, out-of-bounds IFDs/strips, unknown entry types, or an IFD
+    chain longer than 64 links (cycle guard)."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 8:
+        raise ValueError("TIFF too short for header")
+    if data[:2] == b"II":
+        e, big = "<", False
+    elif data[:2] == b"MM":
+        e, big = ">", True
+    else:
+        raise ValueError(f"bad TIFF byte-order mark {data[:2]!r}")
+    magic, ifd_off = struct.unpack_from(e + "HI", data, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    n_ifds = n_tags = strip_bytes = strip_sum = 0
+    width0 = height0 = None
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen or len(seen) >= 64:
+            raise ValueError("TIFF IFD chain cycle")
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            raise ValueError("TIFF IFD offset out of bounds")
+        (count,) = struct.unpack_from(e + "H", data, ifd_off)
+        end = ifd_off + 2 + count * 12 + 4
+        if end > len(data):
+            raise ValueError("TIFF IFD overruns payload")
+        n_ifds += 1
+        n_tags += count
+        tags = {}
+        for i in range(count):
+            off = ifd_off + 2 + i * 12
+            tag, typ, cnt = struct.unpack_from(e + "HHI", data, off)
+            if typ == TIFF_TYPE_SHORT and cnt == 1:
+                (val,) = struct.unpack_from(e + "H", data, off + 8)
+            elif typ == TIFF_TYPE_LONG and cnt == 1:
+                (val,) = struct.unpack_from(e + "I", data, off + 8)
+            else:
+                raise ValueError(f"unsupported TIFF entry type {typ}/{cnt}")
+            tags[tag] = val
+        if n_ifds == 1:
+            width0, height0 = tags.get(256), tags.get(257)
+            if width0 is None or height0 is None:
+                raise ValueError("first TIFF IFD missing dimensions")
+        if 273 in tags or 279 in tags:
+            so, sb = tags.get(273), tags.get(279)
+            if so is None or sb is None:
+                raise ValueError("TIFF strip offset/count must pair")
+            if so + sb > len(data):
+                raise ValueError("TIFF strip out of bounds")
+            strip_bytes += sb
+            strip_sum += sum(data[so : so + sb])
+        (ifd_off,) = struct.unpack_from(e + "I", data, end - 4)
+    if n_ifds == 0:
+        raise ValueError("TIFF has no IFDs")
+    return {
+        "big_endian": big,
+        "n_ifds": n_ifds,
+        "n_tags": n_tags,
+        "width0": width0,
+        "height0": height0,
+        "strip_bytes": strip_bytes,
+        "strip_sum": strip_sum,
+    }

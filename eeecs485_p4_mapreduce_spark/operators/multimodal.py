@@ -3735,3 +3735,252 @@ def parse_tiff_ifds(payload: bytes):
         "strip_bytes": strip_bytes,
         "strip_sum": strip_sum,
     }
+
+
+# ---------------------------------------------------------------------------
+# ZIP archives (stored entries) — the other shard container training
+# pipelines ingest (and the one with the trap tar lacks: the TRUTH
+# lives in the central directory at the END of the file, so a correct
+# reader walks backwards from the end-of-central-directory record and
+# then cross-checks each entry's local header). encode_zip writes
+# store-method (no compression) entries with real CRC-32s; the parser
+# locates the EOCD, walks the central directory, verifies every local
+# header against its central entry field-for-field, and recomputes
+# every CRC over the actual data bytes.
+# ---------------------------------------------------------------------------
+_ZIP_LOCAL_SIG = 0x04034B50
+_ZIP_CENTRAL_SIG = 0x02014B50
+_ZIP_EOCD_SIG = 0x06054B50
+
+
+def encode_zip(members) -> bytes:
+    """Build a stored-entry ZIP from (name, payload_bytes) pairs."""
+    import struct
+    import zlib
+
+    locals_blob = bytearray()
+    central = bytearray()
+    offsets = []
+    for name, payload in members:
+        nb = name.encode("ascii")
+        if not 0 < len(nb) < 0xFFFF:
+            raise ValueError(f"zip member name length {len(nb)}")
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        offsets.append(len(locals_blob))
+        locals_blob += struct.pack(
+            "<IHHHHHIIIHH",
+            _ZIP_LOCAL_SIG, 20, 0, 0, 0, 0x21,
+            crc, len(payload), len(payload), len(nb), 0,
+        ) + nb + payload
+    for (name, payload), off in zip(members, offsets):
+        nb = name.encode("ascii")
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            _ZIP_CENTRAL_SIG, 20, 20, 0, 0, 0, 0x21,
+            crc, len(payload), len(payload), len(nb), 0, 0, 0, 0, 0, off,
+        ) + nb
+    eocd = struct.pack(
+        "<IHHHHIIH",
+        _ZIP_EOCD_SIG, 0, 0, len(members), len(members),
+        len(central), len(locals_blob), 0,
+    )
+    return bytes(locals_blob) + bytes(central) + eocd
+
+
+def parse_zip_entries(payload: bytes):
+    """Strictly walk a ZIP from the EOCD backwards. Returns (members,
+    info): members = [(name, size), ...] in central-directory order;
+    info = dict(n_members, payload_bytes, central_dir_bytes,
+    archive_bytes, n_crc_ok). Raises ValueError on a missing/short
+    EOCD, signature mismatches, central/local disagreement, non-stored
+    entries, or out-of-bounds offsets. CRCs are recomputed over the
+    data; a mismatch counts the entry out of n_crc_ok (truncation-
+    tolerant ingest wants the census, not an abort)."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if len(data) < 22:
+        raise ValueError("zip too short for EOCD")
+    eocd = data[-22:]
+    (sig, _dk, _cdk, n_disk, n_total, cd_size, cd_off, clen) = struct.unpack(
+        "<IHHHHIIH", eocd
+    )
+    if sig != _ZIP_EOCD_SIG or clen != 0:
+        raise ValueError("zip EOCD not found at end of archive")
+    if n_disk != n_total:
+        raise ValueError("multi-disk zip not supported")
+    if cd_off + cd_size != len(data) - 22:
+        raise ValueError("zip central directory mis-sized")
+    members: list = []
+    payload_bytes = 0
+    n_crc_ok = 0
+    pos = cd_off
+    for _ in range(n_total):
+        if pos + 46 > cd_off + cd_size:
+            raise ValueError("zip central directory truncated")
+        (csig, _vm, _vn, _fl, method, _t, _d, crc, csize, usize,
+         nlen, xlen, cmlen, _dks, _ia, _ea, loff) = struct.unpack_from(
+            "<IHHHHHHIIIHHHHHII", data, pos
+        )
+        if csig != _ZIP_CENTRAL_SIG:
+            raise ValueError(f"bad zip central signature at {pos}")
+        if method != 0 or csize != usize:
+            raise ValueError("only stored zip entries supported")
+        name = data[pos + 46 : pos + 46 + nlen].decode("ascii")
+        pos += 46 + nlen + xlen + cmlen
+        if loff + 30 + nlen + usize > cd_off:
+            raise ValueError(f"zip local entry {name!r} out of bounds")
+        (lsig, _lv, _lf, lmethod, _lt, _ld, lcrc, lcsize, lusize,
+         lnlen, lxlen) = struct.unpack_from("<IHHHHHIIIHH", data, loff)
+        if lsig != _ZIP_LOCAL_SIG:
+            raise ValueError(f"bad zip local signature for {name!r}")
+        if (lmethod, lcrc, lcsize, lusize, lnlen) != (
+            method, crc, csize, usize, nlen
+        ):
+            raise ValueError(f"zip central/local mismatch for {name!r}")
+        lname = data[loff + 30 : loff + 30 + lnlen].decode("ascii")
+        if lname != name:
+            raise ValueError(f"zip name mismatch {lname!r} != {name!r}")
+        body = data[loff + 30 + lnlen + lxlen : loff + 30 + lnlen + lxlen + usize]
+        if (zlib.crc32(body) & 0xFFFFFFFF) == crc:
+            n_crc_ok += 1
+        members.append((name, usize))
+        payload_bytes += usize
+    if pos != cd_off + cd_size:
+        raise ValueError("zip central directory has trailing slack")
+    if not members:
+        raise ValueError("zip archive has no entries")
+    return members, {
+        "n_members": len(members),
+        "payload_bytes": payload_bytes,
+        "central_dir_bytes": cd_size,
+        "archive_bytes": len(data),
+        "n_crc_ok": n_crc_ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# FLAC metadata — the audio ingest header walk with a real-world trap:
+# metadata BLOCK headers and STREAMINFO are big-endian bit-packed
+# (sample rate is a 20-BIT field crossing byte boundaries, total
+# samples a 36-bit one), while the VORBIS_COMMENT block inside the
+# same file is LITTLE-endian length-prefixed. encode_flac/
+# parse_flac_stream implement both faithfully; every emitted number
+# requires the bit arithmetic to be exactly right.
+# ---------------------------------------------------------------------------
+def encode_flac(
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    total_samples: int,
+    comments=(),
+    padding_len: int = 0,
+) -> bytes:
+    """Build a FLAC metadata stream: fLaC magic + STREAMINFO +
+    optional VORBIS_COMMENT + optional last-flagged PADDING."""
+    import struct
+
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError("FLAC sample rate out of 20-bit range")
+    if not 1 <= channels <= 8 or not 4 <= bits <= 32:
+        raise ValueError("bad FLAC channels/bits")
+    if not 0 <= total_samples < (1 << 36):
+        raise ValueError("FLAC total_samples out of 36-bit range")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (1 << 16).to_bytes(3, "big") * 2          # min/max framesize
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                               # unset MD5
+    )
+    blocks = [(0, streaminfo)]
+    if comments:
+        vc = struct.pack("<I", 4) + b"ref0"
+        vc += struct.pack("<I", len(comments))
+        for k, v in comments:
+            kv = f"{k}={v}".encode("utf-8")
+            vc += struct.pack("<I", len(kv)) + kv
+        blocks.append((4, vc))
+    if padding_len:
+        blocks.append((1, b"\x00" * padding_len))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(body).to_bytes(3, "big") + body
+    return bytes(out)
+
+
+def parse_flac_stream(payload: bytes):
+    """Strictly walk FLAC metadata blocks. Returns dict(sample_rate,
+    channels, bits, total_samples, duration_us, n_blocks,
+    padding_bytes, n_comments). Raises ValueError on bad magic, a
+    missing/short STREAMINFO, a block that overruns the payload, a
+    missing last-block flag, or malformed vorbis comment lengths."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != b"fLaC":
+        raise ValueError(f"bad FLAC magic {data[:4]!r}")
+    pos = 4
+    info = None
+    n_blocks = padding_bytes = n_comments = 0
+    saw_last = False
+    while pos < len(data):
+        if saw_last:
+            raise ValueError("FLAC data after the last-flagged block")
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC block header")
+        flags = data[pos]
+        btype = flags & 0x7F
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if len(body) != length:
+            raise ValueError("FLAC block overruns payload")
+        saw_last = bool(flags & 0x80)
+        n_blocks += 1
+        if btype == 0:
+            if length != 34:
+                raise ValueError(f"STREAMINFO must be 34 bytes, got {length}")
+            packed = int.from_bytes(body[10:18], "big")
+            info = {
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+            }
+            if info["sample_rate"] == 0:
+                raise ValueError("FLAC sample rate 0")
+        elif btype == 1:
+            padding_bytes += length
+            if any(body):
+                raise ValueError("FLAC padding must be zeroed")
+        elif btype == 4:
+            (vlen,) = struct.unpack_from("<I", body, 0)
+            off = 4 + vlen
+            (n,) = struct.unpack_from("<I", body, off)
+            off += 4
+            for _ in range(n):
+                (clen,) = struct.unpack_from("<I", body, off)
+                off += 4 + clen
+                if off > length:
+                    raise ValueError("FLAC vorbis comment overruns block")
+            n_comments += n
+        pos += 4 + length
+    if not saw_last:
+        raise ValueError("FLAC stream missing last-block flag")
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    info["duration_us"] = (
+        info["total_samples"] * 1_000_000 // info["sample_rate"]
+    )
+    info["n_blocks"] = n_blocks
+    info["padding_bytes"] = padding_bytes
+    info["n_comments"] = n_comments
+    return info

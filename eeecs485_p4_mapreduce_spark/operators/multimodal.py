@@ -3586,7 +3586,11 @@ def parse_tar_members(payload: bytes):
             raise ValueError(f"tar member {name!r} body truncated")
         if any(data[body_end : body_end + pad]):
             raise ValueError(f"tar member {name!r} padding not zeroed")
-        members.append((name.decode("ascii"), size))
+        try:
+            name_s = name.decode("ascii")
+        except UnicodeDecodeError as exc:  # fuzz contract: ValueError only
+            raise ValueError(f"non-ascii tar member name {name!r}") from exc
+        members.append((name_s, size))
         payload_bytes += size
         pos = body_end + pad
     if not members:
@@ -3828,7 +3832,10 @@ def parse_zip_entries(payload: bytes):
             raise ValueError(f"bad zip central signature at {pos}")
         if method != 0 or csize != usize:
             raise ValueError("only stored zip entries supported")
-        name = data[pos + 46 : pos + 46 + nlen].decode("ascii")
+        try:
+            name = data[pos + 46 : pos + 46 + nlen].decode("ascii")
+        except UnicodeDecodeError as exc:  # fuzz contract: ValueError only
+            raise ValueError("non-ascii zip entry name") from exc
         pos += 46 + nlen + xlen + cmlen
         if loff + 30 + nlen + usize > cd_off:
             raise ValueError(f"zip local entry {name!r} out of bounds")
@@ -3840,7 +3847,9 @@ def parse_zip_entries(payload: bytes):
             method, crc, csize, usize, nlen
         ):
             raise ValueError(f"zip central/local mismatch for {name!r}")
-        lname = data[loff + 30 : loff + 30 + lnlen].decode("ascii")
+        lname = data[loff + 30 : loff + 30 + lnlen].decode(
+            "ascii", errors="replace"
+        )  # a non-ascii local name simply fails the equality below
         if lname != name:
             raise ValueError(f"zip name mismatch {lname!r} != {name!r}")
         body = data[loff + 30 + lnlen + lxlen : loff + 30 + lnlen + lxlen + usize]
@@ -3962,12 +3971,17 @@ def parse_flac_stream(payload: bytes):
             if any(body):
                 raise ValueError("FLAC padding must be zeroed")
         elif btype == 4:
-            (vlen,) = struct.unpack_from("<I", body, 0)
+            def _u32(buf: bytes, off: int) -> int:
+                if off + 4 > len(buf):
+                    raise ValueError("FLAC vorbis field overruns block")
+                return int.from_bytes(buf[off : off + 4], "little")
+
+            vlen = _u32(body, 0)
             off = 4 + vlen
-            (n,) = struct.unpack_from("<I", body, off)
+            n = _u32(body, off)
             off += 4
             for _ in range(n):
-                (clen,) = struct.unpack_from("<I", body, off)
+                clen = _u32(body, off)
                 off += 4 + clen
                 if off > length:
                     raise ValueError("FLAC vorbis comment overruns block")

@@ -1219,3 +1219,67 @@ def test_jpeg_decode_skips_fill_bytes_before_markers():
         padded[at:at] = b"\xff" * 3
     got = mm.decode_jpeg_pixels(bytes(padded))
     assert np.array_equal(got, want)
+
+
+def test_container_walker_mutation_fuzz_only_valueerror():
+    """The same structure-aware fuzz contract for the four archive/
+    metadata walkers (ustar, TIFF IFD, ZIP, FLAC): every single-byte
+    corruption and truncation of a valid payload must either parse or
+    raise ValueError — never UnicodeDecodeError/struct.error/
+    IndexError, and never hang."""
+    import signal
+
+    from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
+
+    walkers = {
+        "tar": (
+            mm.encode_tar([("a.txt", b"x" * 70), ("b.bin", bytes(range(90)))]),
+            mm.parse_tar_members,
+        ),
+        "tiff": (
+            mm.encode_tiff([(9, 7), (5, 4)], big_endian=True, seed=3),
+            mm.parse_tiff_ifds,
+        ),
+        "zip": (
+            mm.encode_zip([("a.txt", b"y" * 40), ("b.bin", bytes(range(60)))]),
+            mm.parse_zip_entries,
+        ),
+        "flac": (
+            mm.encode_flac(
+                44100, 2, 16, 123456,
+                comments=[("k", "v")], padding_len=17,
+            ),
+            mm.parse_flac_stream,
+        ),
+    }
+
+    class _Hang(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Hang()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    bad: list[tuple] = []
+    try:
+        for name, (base, dec) in walkers.items():
+            mutants = [
+                bytes(base[:pos]) + bytes([base[pos] ^ x]) + base[pos + 1:]
+                for pos in range(len(base))
+                for x in (0xFF, 0x01, 0x80)
+            ] + [base[:cut] for cut in range(len(base))]
+            for m in mutants:
+                signal.setitimer(signal.ITIMER_REAL, 5.0)
+                try:
+                    dec(m)
+                except ValueError:
+                    pass
+                except _Hang:
+                    bad.append((name, "hang"))
+                except Exception as e:  # noqa: BLE001 — the point of the test
+                    bad.append((name, type(e).__name__, str(e)[:50]))
+                finally:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert not bad, f"non-ValueError escapes: {bad[:10]} (total {len(bad)})"

@@ -3998,3 +3998,258 @@ def parse_flac_stream(payload: bytes):
     info["padding_bytes"] = padding_bytes
     info["n_comments"] = n_comments
     return info
+
+
+# ---------------------------------------------------------------------------
+# Ogg container pages — the streaming-media framing every audio ingest
+# walks before touching a codec. Pages carry packets via SEGMENT
+# LACING: a packet of length L becomes floor(L/255) lacing bytes of 255
+# plus one terminator byte of L % 255 (a multiple-of-255 packet ends
+# with an explicit 0), so packet boundaries are recovered purely from
+# the lacing run-lengths. Ogg's page CRC is deliberately NOT the zlib
+# CRC: polynomial 0x04C11DB7, zero init, MSB-first, no final xor,
+# computed with the CRC field zeroed. encode_ogg/parse_ogg_pages
+# implement both faithfully.
+# ---------------------------------------------------------------------------
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+                r &= 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b
+        ]
+    return crc
+
+
+def encode_ogg(pages, serial: int = 1) -> bytes:
+    """Build an Ogg stream: ``pages`` is a list of (granule,
+    [packet_len, ...]); packet j of page p is filled with byte
+    (serial + p + j) % 251. First page is flagged BOS, last EOS."""
+    import struct
+
+    if not pages:
+        raise ValueError("Ogg stream needs at least one page")
+    out = bytearray()
+    for p, (granule, packet_lens) in enumerate(pages):
+        if not packet_lens:
+            raise ValueError("Ogg page needs at least one packet")
+        lacing = bytearray()
+        body = bytearray()
+        for j, plen in enumerate(packet_lens):
+            if plen < 0:
+                raise ValueError("negative Ogg packet length")
+            lacing += b"\xff" * (plen // 255) + bytes([plen % 255])
+            body += bytes([(serial + p + j) % 251]) * plen
+        if len(lacing) > 255:
+            raise ValueError("too many Ogg segments for one page")
+        htype = (0x02 if p == 0 else 0) | (
+            0x04 if p == len(pages) - 1 else 0
+        )
+        hdr = (
+            b"OggS"
+            + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<II", serial, p)
+            + b"\x00\x00\x00\x00"  # crc placeholder
+            + bytes([len(lacing)])
+            + bytes(lacing)
+        )
+        page = bytearray(hdr + body)
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        out += page
+    return bytes(out)
+
+
+def parse_ogg_pages(payload: bytes):
+    """Strictly walk Ogg pages. Returns dict(n_pages, n_packets,
+    payload_bytes, archive_bytes, last_granule, n_crc_ok). Raises
+    ValueError on a bad capture pattern/version, truncation, a
+    non-monotone page sequence, a missing BOS/EOS flag, or a lacing
+    run that never terminates (a packet spanning past the last page)."""
+    import struct
+
+    data = bytes(payload)
+    pos = 0
+    n_pages = n_packets = payload_bytes = n_crc_ok = 0
+    last_granule = None
+    open_packet = False
+    while pos < len(data):
+        if pos + 27 > len(data):
+            raise ValueError("truncated Ogg page header")
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg capture pattern at byte {pos}")
+        if data[pos + 4] != 0:
+            raise ValueError(f"unsupported Ogg version {data[pos + 4]}")
+        htype = data[pos + 5]
+        (granule,) = struct.unpack_from("<q", data, pos + 6)
+        (_serial, seq) = struct.unpack_from("<II", data, pos + 14)
+        (stored_crc,) = struct.unpack_from("<I", data, pos + 22)
+        nseg = data[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > len(data):
+            raise ValueError("truncated Ogg lacing table")
+        lacing = data[pos + 27 : lace_end]
+        body_len = sum(lacing)
+        page_end = lace_end + body_len
+        if page_end > len(data):
+            raise ValueError("truncated Ogg page body")
+        if seq != n_pages:
+            raise ValueError(f"Ogg page sequence jump {n_pages} -> {seq}")
+        if n_pages == 0 and not htype & 0x02:
+            raise ValueError("first Ogg page missing BOS flag")
+        zeroed = bytearray(data[pos:page_end])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(zeroed)) == stored_crc:
+            n_crc_ok += 1
+        for v in lacing:
+            if v < 255:
+                n_packets += 1
+                open_packet = False
+            else:
+                open_packet = True
+        payload_bytes += body_len
+        last_granule = granule
+        n_pages += 1
+        pos = page_end
+        if htype & 0x04 and pos < len(data):
+            raise ValueError("data after the EOS-flagged Ogg page")
+    if n_pages == 0:
+        raise ValueError("empty Ogg stream")
+    if open_packet:
+        raise ValueError("Ogg packet left unterminated at EOS")
+    return {
+        "n_pages": n_pages,
+        "n_packets": n_packets,
+        "payload_bytes": payload_bytes,
+        "archive_bytes": pos,
+        "last_granule": last_granule,
+        "n_crc_ok": n_crc_ok,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PDF cross-reference tables — the document-ingest walk: a PDF is read
+# from the TAIL (startxref), the fixed-width xref table maps object
+# numbers to byte offsets, and each offset must land exactly on its
+# "N 0 obj" header. encode_pdf writes a minimal single-section PDF
+# (catalog + pages + filler dictionaries); parse_pdf_xref re-walks it
+# strictly: 20-byte xref entries, offset verification, trailer /Size.
+# ---------------------------------------------------------------------------
+def encode_pdf(n_filler: int, seed: int = 0) -> bytes:
+    """A minimal PDF: catalog, empty pages tree, and n_filler data
+    dictionaries whose padded length varies with ``seed``."""
+    if n_filler < 0:
+        raise ValueError("negative filler-object count")
+    header = b"%PDF-1.4\n"
+    bodies = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [] /Count 0 >>",
+    ]
+    for i in range(n_filler):
+        pad = b"x" * (10 + (seed * 13 + i * 7) % 40)
+        bodies.append(
+            b"<< /Type /Filler /N " + str(i).encode() + b" /Data ("
+            + pad + b") >>"
+        )
+    out = bytearray(header)
+    offsets = []
+    for num, body in enumerate(bodies, start=1):
+        offsets.append(len(out))
+        out += (
+            str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        )
+    xref_off = len(out)
+    out += b"xref\n0 " + str(len(bodies) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(bodies) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def parse_pdf_xref(payload: bytes):
+    """Strictly walk a PDF xref table from startxref. Returns
+    dict(n_objects, n_verified, xref_offset, trailer_size, file_bytes).
+    Raises ValueError on a missing header/startxref/%%EOF, malformed
+    20-byte entries, offsets not landing on "N 0 obj", or a trailer
+    /Size disagreeing with the table."""
+    data = bytes(payload)
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("missing %PDF header")
+    tail = data[-200:]
+    sx = tail.rfind(b"startxref")
+    if sx == -1 or b"%%EOF" not in tail:
+        raise ValueError("missing startxref/%%EOF tail")
+    try:
+        xref_off = int(tail[sx + 9 :].split()[0])
+    except (ValueError, IndexError) as exc:
+        raise ValueError("malformed startxref offset") from exc
+    if not 0 <= xref_off < len(data) or not data[xref_off:].startswith(
+        b"xref"
+    ):
+        raise ValueError(f"startxref {xref_off} does not point at xref")
+    pos = xref_off + 5  # past "xref\n"
+    line_end = data.find(b"\n", pos)
+    if line_end == -1:
+        raise ValueError("truncated xref subsection header")
+    try:
+        first, count = (int(x) for x in data[pos:line_end].split())
+    except ValueError as exc:
+        raise ValueError("malformed xref subsection header") from exc
+    if first != 0 or count < 1:
+        raise ValueError("xref table must start at object 0")
+    pos = line_end + 1
+    n_verified = 0
+    for num in range(count):
+        entry = data[pos : pos + 20]
+        if len(entry) != 20 or entry[17:18] not in (b"f", b"n"):
+            raise ValueError(f"malformed xref entry for object {num}")
+        try:
+            off = int(entry[:10])
+        except ValueError as exc:
+            raise ValueError(f"non-numeric xref offset, object {num}") from exc
+        if entry[17:18] == b"n":
+            want = str(num).encode() + b" 0 obj"
+            if not data[off : off + len(want)] == want:
+                raise ValueError(
+                    f"xref offset {off} does not land on object {num}"
+                )
+            n_verified += 1
+        pos += 20
+    trailer = data.find(b"trailer", pos)
+    if trailer == -1:
+        raise ValueError("missing trailer")
+    import re
+
+    m = re.search(rb"/Size\s+(\d+)", data[trailer : trailer + 200])
+    if not m:
+        raise ValueError("trailer missing /Size")
+    trailer_size = int(m.group(1))
+    if trailer_size != count:
+        raise ValueError(
+            f"trailer /Size {trailer_size} != xref count {count}"
+        )
+    return {
+        "n_objects": count - 1,  # entry 0 is the free-list head
+        "n_verified": n_verified,
+        "xref_offset": xref_off,
+        "trailer_size": trailer_size,
+        "file_bytes": len(data),
+    }

@@ -676,8 +676,11 @@ TA_BURST_ORACLE = f"""
       ORDER BY total DESC, token LIMIT {TA_BURST_TOP}
     )
     SELECT token, total, docs_with,
-           CAST(((n * sum_sq - total * total) * 1000000)
-                // ((n - 1) * total) AS BIGINT) AS vmr_e6
+           CAST((((n * sum_sq - total * total) * 1000)
+                 // ((n - 1) * total)) * 1000
+                + ((((n * sum_sq - total * total) * 1000)
+                    % ((n - 1) * total)) * 1000)
+                  // ((n - 1) * total) AS BIGINT) AS vmr_e6
     FROM stats, n_docs
 """
 
@@ -705,12 +708,17 @@ def ta_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), F.col("token"))
         .limit(TA_BURST_TOP)
     )
+    # micros in two x1000 steps with remainder carry — the single
+    # x1e6 multiply overflows BIGINT once n*sum_sq clears ~9e12 (the
+    # same overflow the x100 probe caught live in ta_char_gini)
     return stats.crossJoin(F.broadcast(n_docs)).selectExpr(
         "token",
         "total",
         "docs_with",
-        "((n * sum_sq - total * total) * 1000000) div ((n - 1) * total)"
-        " AS vmr_e6",
+        "(((n * sum_sq - total * total) * 1000)"
+        " div ((n - 1) * total)) * 1000"
+        " + ((((n * sum_sq - total * total) * 1000)"
+        " % ((n - 1) * total)) * 1000) div ((n - 1) * total) AS vmr_e6",
     )
 
 

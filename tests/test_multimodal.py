@@ -1251,6 +1251,11 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             ),
             mm.parse_flac_stream,
         ),
+        "ogg": (
+            mm.encode_ogg([(10, [100, 255]), (20, [510])], serial=3),
+            mm.parse_ogg_pages,
+        ),
+        "pdf": (mm.encode_pdf(2, seed=4), mm.parse_pdf_xref),
     }
 
     class _Hang(Exception):

@@ -3852,6 +3852,11 @@ def parse_zip_entries(payload: bytes):
         )  # a non-ascii local name simply fails the equality below
         if lname != name:
             raise ValueError(f"zip name mismatch {lname!r} != {name!r}")
+        # re-check with the LOCAL extra-field length: the first bounds
+        # check cannot see lxlen, and a crafted extra field could push
+        # the body slice past the central directory otherwise
+        if loff + 30 + lnlen + lxlen + usize > cd_off:
+            raise ValueError(f"zip local entry {name!r} out of bounds")
         body = data[loff + 30 + lnlen + lxlen : loff + 30 + lnlen + lxlen + usize]
         if (zlib.crc32(body) & 0xFFFFFFFF) == crc:
             n_crc_ok += 1
@@ -4086,6 +4091,7 @@ def parse_ogg_pages(payload: bytes):
     n_pages = n_packets = payload_bytes = n_crc_ok = 0
     last_granule = None
     open_packet = False
+    last_htype = 0
     while pos < len(data):
         if pos + 27 > len(data):
             raise ValueError("truncated Ogg page header")
@@ -4123,11 +4129,16 @@ def parse_ogg_pages(payload: bytes):
         payload_bytes += body_len
         last_granule = granule
         n_pages += 1
+        last_htype = htype
         pos = page_end
         if htype & 0x04 and pos < len(data):
             raise ValueError("data after the EOS-flagged Ogg page")
     if n_pages == 0:
         raise ValueError("empty Ogg stream")
+    if not last_htype & 0x04:
+        # truncation at a page boundary must not pass as a shorter
+        # stream — the final page carries the EOS flag or the walk fails
+        raise ValueError("Ogg stream missing EOS flag")
     if open_packet:
         raise ValueError("Ogg packet left unterminated at EOS")
     return {
@@ -4253,3 +4264,33 @@ def parse_pdf_xref(payload: bytes):
         "trailer_size": trailer_size,
         "file_bytes": len(data),
     }
+
+
+def media_walk_query(
+    spark: SparkSession, sf_dir: str, fields, per_doc
+) -> DataFrame:
+    """Shared scaffold for the per-document container-walk queries
+    (tar/TIFF/ZIP/FLAC/Ogg/PDF): ``per_doc(doc_id)`` synthesizes a
+    payload, re-parses it with the real walker, and returns a dict
+    holding every name in ``fields[1:]``; fields[0] is the id column.
+    One zero-shuffle Arrow mapInPandas over doc_id — the plan shape
+    every walker shares, defined once."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(n, LongType(), False) for n in fields]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in fields}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                info = per_doc(d)
+                out[fields[0]].append(d)
+                for k in fields[1:]:
+                    out[k].append(info[k])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema)

@@ -764,38 +764,26 @@ MM_ZIP_ORACLE = """
 def mm_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build a stored-entry ZIP shard and re-walk it from
     the EOCD with the real parser (see section comment). Zero-shuffle
-    Arrow mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    Arrow mapInPandas via the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_zip,
+        media_walk_query,
         parse_zip_entries,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in ZIP_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        members = []
+        for j in range(2 + d % 3):
+            size = 40 + (d * 11 + j * 17) % 200
+            # modulo pins the name to 8 digits: the oracle arithmetic
+            # assumes fixed-width names, and replica-probe doc_ids
+            # start at 1e8 (scale_probe KEY_OFFSET)
+            name = f"{d % 10**8:08d}.{_ZIP_EXTS[(d + j) % 4]}"
+            members.append((name, bytes([(d + j) % 251]) * size))
+        _parsed, info = parse_zip_entries(encode_zip(members))
+        return info
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in ZIP_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                members = []
-                for j in range(2 + d % 3):
-                    size = 40 + (d * 11 + j * 17) % 200
-                    name = f"{d:08d}.{_ZIP_EXTS[(d + j) % 4]}"
-                    members.append((name, bytes([(d + j) % 251]) * size))
-                blob = encode_zip(members)
-                _parsed, info = parse_zip_entries(blob)
-                out["media_id"].append(d)
-                for k in ZIP_SCHEMA_FIELDS[1:]:
-                    out[k].append(info[k])
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, ZIP_SCHEMA_FIELDS, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -846,40 +834,26 @@ MM_FLAC_ORACLE = f"""
 def mm_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build a FLAC metadata stream and re-walk it with
     the real parser (see section comment). Zero-shuffle Arrow
-    mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    mapInPandas via the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_flac,
+        media_walk_query,
         parse_flac_stream,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in FLAC_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        return parse_flac_stream(
+            encode_flac(
+                FLAC_RATES[d % 6],
+                1 + d % 2,
+                16,
+                1000 + (d * 441) % 100000,
+                comments=[(f"k{i}", "v") for i in range(1 + d % 3)],
+                padding_len=d % 128,
+            )
+        )
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in FLAC_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                blob = encode_flac(
-                    FLAC_RATES[d % 6],
-                    1 + d % 2,
-                    16,
-                    1000 + (d * 441) % 100000,
-                    comments=[(f"k{i}", "v") for i in range(1 + d % 3)],
-                    padding_len=d % 128,
-                )
-                info = parse_flac_stream(blob)
-                out["media_id"].append(d)
-                for k in FLAC_SCHEMA_FIELDS[1:]:
-                    out[k].append(info[k])
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, FLAC_SCHEMA_FIELDS, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -907,75 +881,30 @@ STREAM_NEW_USERS_ORACLE = """
 
 def stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hourly new-user counts from a foreachBatch-merged
-    per-user first-seen snapshot (see section comment). The spool is
-    split three ways and replayed one file per trigger so the min-merge
-    path is genuinely incremental across batches."""
-    import shutil
-    import tempfile
-    from pathlib import Path
+    per-user first-seen snapshot (see section comment), via the shared
+    mergeable-snapshot scaffold (streaming.queries.merged_snapshot_stream
+    holds the split/replay/first-batch/checkpoint invariants)."""
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        merged_snapshot_stream,
+    )
 
-    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
-
-    spool = _spool(spark, sf_dir)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    for i in range(3):
-        df_all.filter(F.col("event_id") % 3 == i).write.mode(
-            "overwrite"
-        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
-    for pth in staged:
-        pth.unlink()
-
-    out_dir = tempfile.mkdtemp(prefix="p4spark_newu_")
-    ckpt = tempfile.mkdtemp(prefix="p4spark_newu_ckpt_")
-
-    def merge_batch(batch_df, _batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        partial = batch_df.groupBy("user_id").agg(
+    def partial(batch_df):
+        return batch_df.groupBy("user_id").agg(
             F.min("ts").alias("first_ts")
         )
-        # explicit filesystem first-batch check (the
-        # stream_incremental_rollup rule: a transient read error must
-        # fail the stream, never silently reset the snapshot)
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
-        else:
-            merged = partial
-        (
-            merged.groupBy("user_id")
-            .agg(F.min("first_ts").alias("first_ts"))
-            .localCheckpoint()  # out_dir is source AND target
-            .write.mode("overwrite")
-            .parquet(out_dir)
-        )
 
-    q = (
-        spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool + "/*.parquet")
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
-    snapshot = spark.read.parquet(out_dir)
-    out = (
-        snapshot.groupBy(
+    def finalize(snapshot):
+        return snapshot.groupBy(
             F.date_format(
                 F.date_trunc("hour", F.col("first_ts")),
                 "yyyy-MM-dd HH:mm:ss",
             ).alias("window_start")
-        )
-        .agg(F.count(F.lit(1)).alias("new_users"))
-        .localCheckpoint()
+        ).agg(F.count(F.lit(1)).alias("new_users"))
+
+    return merged_snapshot_stream(
+        spark, sf_dir, partial, ["user_id"], {"first_ts": "min"},
+        finalize, prefix="p4spark_newu_",
     )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
 
 
 STAGED: dict[str, tuple] = {

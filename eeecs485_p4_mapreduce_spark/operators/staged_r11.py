@@ -643,40 +643,25 @@ MM_OGG_ORACLE = """
 
 def mm_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build an Ogg stream and re-walk its pages with the
-    real parser (see section comment). Zero-shuffle Arrow mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    real parser (see section comment). Zero-shuffle Arrow mapInPandas
+    via the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_ogg,
+        media_walk_query,
         parse_ogg_pages,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in OGG_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        pages = []
+        for p in range(1 + d % 3):
+            lens = [
+                80 + (d * 3 + p * 7 + j * 11) % 300
+                for j in range(1 + (d + p) % 2)
+            ]
+            pages.append(((p + 1) * (960 + d % 100), lens))
+        return parse_ogg_pages(encode_ogg(pages, serial=1 + d % 7))
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in OGG_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                pages = []
-                for p in range(1 + d % 3):
-                    lens = [
-                        80 + (d * 3 + p * 7 + j * 11) % 300
-                        for j in range(1 + (d + p) % 2)
-                    ]
-                    pages.append(((p + 1) * (960 + d % 100), lens))
-                blob = encode_ogg(pages, serial=1 + d % 7)
-                info = parse_ogg_pages(blob)
-                out["media_id"].append(d)
-                for k in OGG_SCHEMA_FIELDS[1:]:
-                    out[k].append(info[k])
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, OGG_SCHEMA_FIELDS, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -728,33 +713,17 @@ MM_PDF_ORACLE = """
 def mm_pdf_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build a minimal PDF and re-walk its xref table
     with the real parser (see section comment). Zero-shuffle Arrow
-    mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    mapInPandas via the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_pdf,
+        media_walk_query,
         parse_pdf_xref,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in PDF_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        return parse_pdf_xref(encode_pdf(1 + d % 4, seed=d))
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in PDF_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                blob = encode_pdf(1 + d % 4, seed=d)
-                info = parse_pdf_xref(blob)
-                out["media_id"].append(d)
-                for k in PDF_SCHEMA_FIELDS[1:]:
-                    out[k].append(info[k])
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, PDF_SCHEMA_FIELDS, per_doc)
 
 
 STAGED: dict[str, tuple] = {

@@ -819,34 +819,18 @@ STREAM_QH_ORACLE = """
 
 def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact bucket-median per event_type from a foreachBatch-
-    merged histogram snapshot (see section comment). The spool is split
-    three ways and replayed one file per trigger so the merge path is
-    genuinely incremental across batches."""
-    import shutil
-    import tempfile
-    from pathlib import Path
-
+    merged histogram snapshot (see section comment), via the shared
+    mergeable-snapshot scaffold (streaming.queries.merged_snapshot_stream
+    holds the split/replay/first-batch/checkpoint invariants)."""
     from eeecs485_p4_mapreduce_spark.operators.staged_r7 import (
         _exact_median2x,
     )
-    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        merged_snapshot_stream,
+    )
 
-    spool = _spool(spark, sf_dir)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    for i in range(3):
-        df_all.filter(F.col("event_id") % 3 == i).write.mode(
-            "overwrite"
-        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
-    for pth in staged:
-        pth.unlink()
-
-    out_dir = tempfile.mkdtemp(prefix="p4spark_qh_")
-    ckpt = tempfile.mkdtemp(prefix="p4spark_qh_ckpt_")
-
-    def merge_batch(batch_df, _batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        partial = (
+    def partial(batch_df):
+        return (
             batch_df.select(
                 "event_type",
                 F.expr(
@@ -856,52 +840,26 @@ def stream_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # explicit filesystem first-batch check (the
-        # stream_incremental_rollup rule: a transient read error must
-        # fail the stream, never silently reset the snapshot)
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
-        else:
-            merged = partial
-        (
-            merged.groupBy("event_type", "b")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()  # out_dir is source AND target
-            .write.mode("overwrite")
-            .parquet(out_dir)
+
+    def finalize(hist):
+        med = _exact_median2x(
+            hist.withColumnRenamed("b", "val"), "event_type", "val"
+        ).selectExpr("event_type", "med2x AS median_bucket2x")
+        return (
+            hist.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.sum("cnt").alias("n_events"),
+                F.max("median_bucket2x").alias("median_bucket2x"),
+                F.min("b").alias("min_bucket"),
+                F.max("b").alias("max_bucket"),
+            )
         )
 
-    q = (
-        spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool + "/*.parquet")
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return merged_snapshot_stream(
+        spark, sf_dir, partial, ["event_type", "b"], {"cnt": "sum"},
+        finalize, prefix="p4spark_qh_",
     )
-    q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
-    hist = spark.read.parquet(out_dir)
-    med = _exact_median2x(
-        hist.withColumnRenamed("b", "val"), "event_type", "val"
-    ).selectExpr("event_type", "med2x AS median_bucket2x")
-    out = (
-        hist.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.sum("cnt").alias("n_events"),
-            F.max("median_bucket2x").alias("median_bucket2x"),
-            F.min("b").alias("min_bucket"),
-            F.max("b").alias("max_bucket"),
-        )
-        .localCheckpoint()
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
 
 
 STAGED: dict[str, tuple] = {

@@ -541,20 +541,35 @@ def ta_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    out = None
-    for name, rank_tok, rel_tok in NDCG_QUERIES:
-        scored = docs.select(
-            "doc_id",
-            F.size(
-                F.filter(F.col("toks"), lambda x: x == F.lit(rank_tok))
-            ).alias("tf_rank"),
+    # ONE corpus scan computes every query's rank/relevance counts
+    # (6 token folds over the same split array); the checkpointed
+    # per-doc frame then feeds all six top-10 passes.
+    def _tok_eq(tok: str):
+        # closure factory, NOT a defaulted second lambda parameter:
+        # PySpark reads a 2-arg lambda as the (element, index) form
+        return lambda x: x == F.lit(tok)
+
+    count_cols = []
+    for i, (_name, rank_tok, rel_tok) in enumerate(NDCG_QUERIES):
+        count_cols.append(
+            F.size(F.filter(F.col("toks"), _tok_eq(rank_tok))).alias(
+                f"tf_{i}"
+            )
+        )
+        count_cols.append(
             F.least(
-                F.size(
-                    F.filter(F.col("toks"), lambda x: x == F.lit(rel_tok))
-                ),
+                F.size(F.filter(F.col("toks"), _tok_eq(rel_tok))),
                 F.lit(4),
-            ).alias("rel"),
-        ).localCheckpoint()  # two top-k passes share the token scan
+            ).alias(f"rel_{i}")
+        )
+    all_scored = docs.select("doc_id", *count_cols).localCheckpoint()
+    out = None
+    for i, (name, rank_tok, rel_tok) in enumerate(NDCG_QUERIES):
+        scored = all_scored.select(
+            "doc_id",
+            F.col(f"tf_{i}").alias("tf_rank"),
+            F.col(f"rel_{i}").alias("rel"),
+        )
         disc = F.array(*[F.lit(d) for d in NDCG_DISC])
 
         def _dcg(df: DataFrame, order_col: str, alias: str) -> DataFrame:
@@ -760,45 +775,28 @@ MM_TAR_ORACLE = """
 
 def mm_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build a ustar shard and re-walk it with the real
-    parser (see section comment). Zero-shuffle Arrow mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    parser (see section comment). Zero-shuffle Arrow mapInPandas via
+    the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_tar,
+        media_walk_query,
         parse_tar_members,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in TAR_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        members = []
+        for j in range(2 + d % 3):
+            size = 50 + (d * 7 + j * 13) % 300
+            # modulo pins the name to 8 digits: the oracle arithmetic
+            # assumes fixed-width names, and replica-probe doc_ids
+            # start at 1e8 (scale_probe KEY_OFFSET)
+            name = f"{d % 10**8:08d}.{_TAR_EXTS[(d + j) % 4]}"
+            members.append((name, bytes([(d + j) % 251]) * size))
+        parsed, info = parse_tar_members(encode_tar(members))
+        info["sum_name_len"] = sum(len(n) for n, _sz in parsed)
+        return info
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in TAR_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                members = []
-                for j in range(2 + d % 3):
-                    size = 50 + (d * 7 + j * 13) % 300
-                    name = f"{d:08d}.{_TAR_EXTS[(d + j) % 4]}"
-                    members.append(
-                        (name, bytes([(d + j) % 251]) * size)
-                    )
-                blob = encode_tar(members)
-                parsed, info = parse_tar_members(blob)
-                out["media_id"].append(d)
-                out["n_members"].append(info["n_members"])
-                out["payload_bytes"].append(info["payload_bytes"])
-                out["archive_bytes"].append(info["archive_bytes"])
-                out["n_checksum_ok"].append(info["n_checksum_ok"])
-                out["sum_name_len"].append(
-                    sum(len(n) for n, _sz in parsed)
-                )
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, TAR_SCHEMA_FIELDS, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -851,41 +849,25 @@ MM_TIFF_ORACLE = """
 def mm_tiff_ifd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: write a 1-2 page TIFF in the doc's byte order and
     re-walk the IFD chain with the real parser (see section comment).
-    Zero-shuffle Arrow mapInPandas."""
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
+    Zero-shuffle Arrow mapInPandas via the shared media_walk_query
+    scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
         encode_tiff,
+        media_walk_query,
         parse_tiff_ifds,
     )
 
-    schema = StructType(
-        [StructField(n, LongType(), False) for n in TIFF_SCHEMA_FIELDS]
-    )
-    docs = load_table(spark, sf_dir, "documents")
+    def per_doc(d: int) -> dict:
+        pages = [(16 + d % 16, 8 + d % 8)]
+        if d % 3 == 0:
+            pages.append((16 + (d + 5) % 16, 8 + (d + 3) % 8))
+        info = parse_tiff_ifds(
+            encode_tiff(pages, big_endian=(d % 2 == 1), seed=d)
+        )
+        info["big_endian"] = int(info["big_endian"])
+        return info
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in TIFF_SCHEMA_FIELDS}
-            for d in pdf["doc_id"]:
-                d = int(d)
-                pages = [(16 + d % 16, 8 + d % 8)]
-                if d % 3 == 0:
-                    pages.append((16 + (d + 5) % 16, 8 + (d + 3) % 8))
-                blob = encode_tiff(pages, big_endian=(d % 2 == 1), seed=d)
-                info = parse_tiff_ifds(blob)
-                out["media_id"].append(d)
-                out["big_endian"].append(int(info["big_endian"]))
-                out["n_ifds"].append(info["n_ifds"])
-                out["n_tags"].append(info["n_tags"])
-                out["width0"].append(info["width0"])
-                out["height0"].append(info["height0"])
-                out["strip_bytes"].append(info["strip_bytes"])
-                out["strip_sum"].append(info["strip_sum"])
-            yield pd.DataFrame(out)
-
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return media_walk_query(spark, sf_dir, TIFF_SCHEMA_FIELDS, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -919,33 +901,17 @@ STREAM_TOPK_ORACLE = """
 
 def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hourly top-3 event types from a foreachBatch-merged
-    count snapshot (see section comment). The spool is split three ways
-    and replayed one file per trigger so the merge path is genuinely
-    incremental across batches."""
-    import shutil
-    import tempfile
-    from pathlib import Path
-
+    count snapshot (see section comment), via the shared mergeable-
+    snapshot scaffold (streaming.queries.merged_snapshot_stream holds
+    the split/replay/first-batch/checkpoint invariants)."""
     from pyspark.sql.window import Window
 
-    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        merged_snapshot_stream,
+    )
 
-    spool = _spool(spark, sf_dir)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    for i in range(3):
-        df_all.filter(F.col("event_id") % 3 == i).write.mode(
-            "overwrite"
-        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
-    for pth in staged:
-        pth.unlink()
-
-    out_dir = tempfile.mkdtemp(prefix="p4spark_topk_")
-    ckpt = tempfile.mkdtemp(prefix="p4spark_topk_ckpt_")
-
-    def merge_batch(batch_df, _batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        partial = (
+    def partial(batch_df):
+        return (
             batch_df.select(
                 F.date_format(
                     F.date_trunc("hour", F.col("ts")),
@@ -956,49 +922,23 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("window_start", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
-        # explicit filesystem first-batch check (the
-        # stream_incremental_rollup rule: a transient read error must
-        # fail the stream, never silently reset the snapshot)
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
-        else:
-            merged = partial
-        (
-            merged.groupBy("window_start", "event_type")
-            .agg(F.sum("n_events").alias("n_events"))
-            .localCheckpoint()  # out_dir is source AND target
-            .write.mode("overwrite")
-            .parquet(out_dir)
+
+    def finalize(counts):
+        rnk = F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), F.col("event_type")
+            )
+        )
+        return (
+            counts.withColumn("rnk", rnk.cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select("window_start", "event_type", "n_events", "rnk")
         )
 
-    q = (
-        spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool + "/*.parquet")
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    return merged_snapshot_stream(
+        spark, sf_dir, partial, ["window_start", "event_type"],
+        {"n_events": "sum"}, finalize, prefix="p4spark_topk_",
     )
-    q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
-    counts = spark.read.parquet(out_dir)
-    rnk = F.row_number().over(
-        Window.partitionBy("window_start").orderBy(
-            F.col("n_events").desc(), F.col("event_type")
-        )
-    )
-    out = (
-        counts.withColumn("rnk", rnk.cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("window_start", "event_type", "n_events", "rnk")
-        .localCheckpoint()
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
 
 
 STAGED: dict[str, tuple] = {

@@ -33,6 +33,82 @@ from eeecs485_p4_mapreduce_spark.streaming.jobs import (
 )
 
 
+def merged_snapshot_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    partial_fn,
+    keys: list,
+    reducers: dict,
+    finalize_fn,
+    prefix: str = "p4spark_snap_",
+) -> DataFrame:
+    """The mergeable-snapshot streaming pattern, shared by
+    stream_quantile_histogram / stream_topk_windowed / stream_new_users
+    (one definition so the subtle invariants cannot drift):
+
+    - the event spool is split three ways on event_id and replayed one
+      file per trigger, so the merge path is genuinely incremental;
+    - each micro-batch reduces through ``partial_fn(batch_df)`` and
+      merges into a stored parquet snapshot by re-aggregating
+      ``groupBy(keys).agg(reducer(col) for col, reducer in reducers)``
+      — reducers must be associative+commutative ('sum'/'min'/'max'),
+      which is what makes the replay batching-insensitive;
+    - the FIRST batch is detected by an explicit filesystem check (the
+      stream_incremental_rollup rule: a transient read error must fail
+      the stream, never silently reset the snapshot);
+    - the merged frame is localCheckpoint-ed before the write because
+      out_dir is source AND target of the same plan;
+    - ``finalize_fn(snapshot_df)`` produces the query result, which is
+      checkpointed before the temp dirs are removed.
+    """
+    spool = _spool(spark, sf_dir)
+    staged = sorted(Path(spool).glob("events-000*.parquet"))
+    df_all = spark.read.parquet(*[str(p) for p in staged])
+    for i in range(3):
+        df_all.filter(F.col("event_id") % 3 == i).write.mode(
+            "overwrite"
+        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
+    for pth in staged:
+        pth.unlink()
+
+    out_dir = tempfile.mkdtemp(prefix=prefix)
+    ckpt = tempfile.mkdtemp(prefix=prefix + "ckpt_")
+    aggs = [getattr(F, how)(col).alias(col) for col, how in reducers.items()]
+
+    def merge_batch(batch_df, _batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = partial_fn(batch_df)
+        if any(Path(out_dir).glob("*.parquet")):
+            merged = sp.read.parquet(out_dir).unionByName(partial)
+        else:
+            merged = partial
+        (
+            merged.groupBy(*keys)
+            .agg(*aggs)
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(
+            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(spool, ignore_errors=True)
+    out = finalize_fn(spark.read.parquet(out_dir)).localCheckpoint()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def _spool(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     spool = tempfile.mkdtemp(prefix="p4spark_spool_")
     spool_events(spark, sf_dir, spool)

@@ -4294,3 +4294,69 @@ def media_walk_query(
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# WebP (VP8L lossless) headers — RIFF framing around a little-endian
+# BITSTREAM: the VP8L payload packs width-1 and height-1 as 14-bit
+# fields (plus alpha-hint and version bits) starting at bit 0 of the
+# byte after the 0x2F signature, so correct parsing requires real
+# sub-byte bit extraction, not struct unpacking. encode_webp_vp8l
+# writes the RIFF/WEBP/VP8L framing with a deterministic filler body;
+# parse_webp_vp8l re-walks RIFF sizes and unpacks the bit fields.
+# ---------------------------------------------------------------------------
+def encode_webp_vp8l(
+    width: int, height: int, alpha: bool = False, body_len: int = 16
+) -> bytes:
+    import struct
+
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dims out of 14-bit range")
+    bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
+    # version (3 bits) = 0; 32 bits total after the signature byte
+    payload = b"\x2f" + struct.pack("<I", bits) + bytes(
+        (i * 7 + 3) % 251 for i in range(body_len)
+    )
+    # RIFF rule: the declared size is the UNPADDED payload; a single
+    # pad byte follows odd-sized chunks but is not counted
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff_body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_webp_vp8l(payload: bytes):
+    """Strictly parse a RIFF/WEBP/VP8L header. Returns dict(width,
+    height, alpha, version, chunk_bytes, file_bytes). Raises ValueError
+    on bad RIFF/WEBP/VP8L framing, a mis-sized RIFF length, a bad VP8L
+    signature byte, or a reserved version."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP file")
+    (riff_len,) = struct.unpack_from("<I", data, 4)
+    if riff_len + 8 != len(data):
+        raise ValueError(f"RIFF length {riff_len} != file size - 8")
+    if data[12:16] != b"VP8L":
+        raise ValueError(f"unsupported WebP chunk {data[12:16]!r}")
+    (chunk_len,) = struct.unpack_from("<I", data, 16)
+    if 20 + chunk_len + (chunk_len % 2) > len(data):
+        raise ValueError("VP8L chunk overruns file")
+    if data[20] != 0x2F:
+        raise ValueError(f"bad VP8L signature byte {data[20]:#x}")
+    if chunk_len < 5:
+        raise ValueError("VP8L chunk too short for the header bits")
+    (bits,) = struct.unpack_from("<I", data, 21)
+    version = (bits >> 29) & 0x7
+    if version != 0:
+        raise ValueError(f"reserved VP8L version {version}")
+    return {
+        "width": (bits & 0x3FFF) + 1,
+        "height": ((bits >> 14) & 0x3FFF) + 1,
+        "alpha": (bits >> 28) & 1,
+        "version": version,
+        "chunk_bytes": chunk_len,
+        "file_bytes": len(data),
+    }

@@ -1256,6 +1256,10 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             mm.parse_ogg_pages,
         ),
         "pdf": (mm.encode_pdf(2, seed=4), mm.parse_pdf_xref),
+        "webp": (
+            mm.encode_webp_vp8l(641, 479, alpha=True, body_len=23),
+            mm.parse_webp_vp8l,
+        ),
     }
 
     class _Hang(Exception):

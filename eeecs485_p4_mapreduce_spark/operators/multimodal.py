@@ -4360,3 +4360,131 @@ def parse_webp_vp8l(payload: bytes):
         "chunk_bytes": chunk_len,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# RLE8-compressed BMP (BI_RLE8) — the real run-length branch of the BMP
+# spec: encoded mode (count, palette-index) pairs, absolute mode
+# (0x00, n>=3, n indices, word-aligned pad), and the 0x00 0x00 /
+# 0x00 0x01 end-of-line / end-of-bitmap escapes, over a bottom-up
+# 8-bit paletted image. encode_bmp_rle8 produces a spec-faithful file
+# (BITMAPINFOHEADER, biCompression=1, 256-entry BGRX palette);
+# decode_bmp_rle8_pixels re-expands it strictly — runs past the row
+# end, missing EOB, or palette overruns all raise ValueError.
+# ---------------------------------------------------------------------------
+def encode_bmp_rle8(indices, palette) -> bytes:
+    """Encode an (h, w) uint8 palette-index array as a BI_RLE8 BMP with
+    the given [(r, g, b), ...] palette (<= 256 entries)."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("RLE8 indices must be 2-D")
+    if not 0 < len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    h, w = idx.shape
+    out = bytearray()
+    for row in idx[::-1]:  # bottom-up
+        j = 0
+        while j < w:
+            run = 1
+            while (
+                j + run < w and row[j + run] == row[j] and run < 255
+            ):
+                run += 1
+            out += bytes((run, int(row[j])))
+            j += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    body = bytes(out)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((b, g, r, 0))
+    pal += b"\x00" * (4 * (256 - len(palette)))
+    offset = 14 + 40 + len(pal)
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little")  # BI_RLE8
+        + len(body).to_bytes(4, "little")
+        + bytes(8)
+        + (256).to_bytes(4, "little")  # palette entries
+        + bytes(4)
+    )
+    header = (
+        b"BM"
+        + (offset + len(body)).to_bytes(4, "little")
+        + bytes(4)
+        + offset.to_bytes(4, "little")
+    )
+    return header + dib + bytes(pal) + body
+
+
+def decode_bmp_rle8_pixels(payload: bytes):
+    """Strictly decode a BI_RLE8 BMP to an (h, w, 3) uint8 RGB array.
+    Raises ValueError on bad magic/header, a non-RLE8 compression tag,
+    runs or absolute packets overrunning a row, deltas (unsupported —
+    they leave undefined pixels), truncation, or a missing
+    end-of-bitmap escape."""
+    import numpy as np
+
+    data = bytes(payload)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = int.from_bytes(data[10:14], "little")
+    dib_size = int.from_bytes(data[14:18], "little")
+    if dib_size < 40:
+        raise ValueError("BMP header too small")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 1 or bpp != 8:
+        raise ValueError(f"not an RLE8 BMP (bpp={bpp}, comp={comp})")
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"bad RLE8 dims {w}x{h}")
+    _check_decode_dims(w, h)
+    pal_off = 14 + dib_size
+    if pal_off + 4 * 256 > offset or offset > len(data):
+        raise ValueError("RLE8 palette/offset out of bounds")
+    pal = np.frombuffer(data[pal_off : pal_off + 1024], dtype=np.uint8)
+    pal = pal.reshape(256, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+    idx = np.zeros((h, w), dtype=np.uint8)
+    pos = offset
+    row, col = 0, 0  # row 0 = bottom
+    done = False
+    while pos + 2 <= len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if row >= h or col + n > w:
+                raise ValueError("RLE8 run overruns row")
+            idx[row, col : col + n] = v
+            col += n
+        elif v == 0:  # end of line
+            row += 1
+            col = 0
+            if row > h:
+                raise ValueError("RLE8 EOL past image height")
+        elif v == 1:  # end of bitmap
+            done = True
+            break
+        elif v == 2:
+            raise ValueError("RLE8 delta escapes unsupported")
+        else:  # absolute mode: v literal indices, word-aligned
+            if row >= h or col + v > w:
+                raise ValueError("RLE8 absolute packet overruns row")
+            end = pos + v
+            if end + (v & 1) > len(data):
+                raise ValueError("RLE8 absolute packet truncated")
+            idx[row, col : col + v] = np.frombuffer(
+                data[pos:end], dtype=np.uint8
+            )
+            col += v
+            pos = end + (v & 1)
+    if not done:
+        raise ValueError("RLE8 stream missing end-of-bitmap")
+    return pal[idx[::-1]]  # bottom-up -> top-down, palette lookup

@@ -1260,6 +1260,15 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             mm.encode_webp_vp8l(641, 479, alpha=True, body_len=23),
             mm.parse_webp_vp8l,
         ),
+        "bmp_rle8": (
+            mm.encode_bmp_rle8(
+                __import__("numpy").tile(
+                    __import__("numpy").arange(6, dtype="uint8"), (4, 3)
+                ),
+                [(i, i, i) for i in range(8)],
+            ),
+            mm.decode_bmp_rle8_pixels,
+        ),
     }
 
     class _Hang(Exception):

@@ -1,17 +1,12 @@
-"""Queries STAGED for round-9 registration (implemented + oracle-proven
-in round 8, registered next round).
+"""Round-7-registered batch (implemented + oracle-proven one round
+earlier, registered via ``registry.load_all`` in round 7).
 
-Round 8 used its ~10-query registration budget on the staged_r8 batch
-(the rotation-coverage cap set by the round-4 verdict: the driver's
-50-slot window must keep cycling the proven block every ~4 rounds).
-This module holds the next batch — built, pytest hash-checked against
-DuckDB (tests/test_staged_r9.py), plan-gate compliant, and x10-probed
-NOW, so the round-9 flip is ``register_staged()`` plus deleting this
-staging note. Same contract as every registered query: identical
-aliases both sides, round()-ed or integer-exact outputs, no nullable
-hash-bearing columns.
+Built, pytest hash-checked against DuckDB (tests/test_staged_r9.py),
+plan-gate compliant, and x10/x100-probed before registration. Same
+contract as every registered query: identical aliases both sides,
+round()-ed or integer-exact outputs, no nullable hash-bearing columns.
 
-Staged surface:
+Surface:
 
 - ``q82_csv_roundtrip`` — the CSV sink/source contract end-to-end: a
   documents slice with adversarial field content (embedded quotes,

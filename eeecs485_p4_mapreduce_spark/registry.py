@@ -49,6 +49,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
+    # round-7 registrations (staged_r9 flip) — need their first driver row
+    "q82_csv_roundtrip",
+    "q83_bfs_hops",
+    "dedup_url_canonical",
+    "curate_rejection_sample",
+    "ta_ndcg_eval",
+    "sim_mips_search",
+    "mm_tar_webdataset",
+    "mm_tiff_ifd",
+    "stream_topk_windowed",
     # SURVEY §2 workloads — never driver-checked in round 1
     "mr_wordcount",
     "mr_wordcount_pipeline",
@@ -267,9 +277,11 @@ def load_all() -> None:
         staged,
         staged_r7,
         staged_r8,
+        staged_r9,
     )
 
     staged.register_staged()
     staged_r7.register_staged()
     staged_r8.register_staged()
+    staged_r9.register_staged()
     _prioritize()

@@ -1,0 +1,138 @@
+"""Exact equi-depth quantile thresholds, assembled scale-safely.
+
+The naive tiling operator — ``ntile(k) OVER (ORDER BY v)`` — funnels the
+ENTIRE relation through one task (a partitionless global-sort Window): a
+scale-killer the moment the per-key relation stops fitting one executor.
+This module provides the broadcast-threshold replacement used by the
+decile/quintile queries (q85 decile lift, q87 RFM): compute the k-1 exact
+empirical quantile boundaries
+
+    t_j = min { v : cm(v) * k >= n * j },   j = 1 .. k-1
+
+where ``cm(v)`` is the cumulative count of rows with value <= v and ``n``
+the total — then broadcast the tiny threshold array and score each row by
+counting thresholds strictly below its value. Ties share a bucket (the
+semantic difference vs ntile's arbitrary tie-splitting: here equal inputs
+ALWAYS get equal scores, which is what a segmentation actually wants).
+
+Scale design — no single-partition Window anywhere:
+
+1. value-domain histogram: ``groupBy(v) -> cnt`` (map-side combinable);
+2. within-bucket running counts: a Window PARTITIONED BY the coarse
+   bucket ``floor(v / bucket_width)`` — each partition holds at most
+   ``bucket_width`` distinct values, so no task sees unbounded input;
+3. cross-bucket prefix totals: a broadcast non-equi self-join over the
+   bucket-total relation (domain_span / bucket_width rows — tiny);
+4. every distinct value emits exactly the j's it bounds via integer
+   interval arithmetic (``(cm_prev*k) div n + 1 .. (cm*k) div n``), so
+   there is no k-way row blow-up before the final fold;
+5. the <= k-1 winners fold into ONE array row, broadcast to the scorer.
+
+BIGINT-exact throughout: the largest intermediate is ``cm * k <= n * k``
+(n ~ 1e13 rows at 100 TB, k <= 10 -> ~1e14, far below 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_thresholds(
+    df: DataFrame, value_col: str, k: int, bucket_width: int = 1 << 20
+) -> DataFrame:
+    """One-row DataFrame with ``thr``: the ascending k-1 exact equi-depth
+    boundaries of ``df[value_col]`` (BIGINT-valued). See module docstring
+    for the scale argument; ``oracle_threshold_cte`` is the DuckDB twin.
+    """
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # exact floor-division bucket id (works for negative v too)
+    hist = hist.withColumn(
+        "b",
+        F.expr(
+            f"CASE WHEN v >= 0 THEN v div {bucket_width} "
+            f"ELSE ((v + 1) div {bucket_width}) - 1 END"
+        ),
+    )
+    # The histogram feeds three branches (within-bucket cumsum, bucket
+    # totals, grand total); materializing it (it is value-domain-sized,
+    # tiny next to the input) keeps the expensive input aggregation to
+    # ONE scan instead of three recomputations — the q98 localCheckpoint
+    # precedent.
+    hist = hist.localCheckpoint()
+    wcum = hist.withColumn(
+        "wcum", F.sum("cnt").over(Window.partitionBy("b").orderBy("v"))
+    )
+    btot = hist.groupBy("b").agg(F.sum("cnt").alias("bt"))
+    # renamed copy: avoids Spark's ambiguous-self-join analysis failure
+    prior = btot.select(F.col("b").alias("pb"), F.col("bt").alias("pbt"))
+    bpre = (
+        btot.join(F.broadcast(prior), F.col("pb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.coalesce(F.sum("pbt"), F.lit(0)).alias("bpre"))
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    cm = (
+        wcum.join(F.broadcast(bpre), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cm", F.col("bpre") + F.col("wcum"))
+    )
+    bounds = cm.select(
+        "v",
+        F.expr(f"((cm - cnt) * {k}) div n + 1").alias("j_lo"),
+        F.least(F.expr(f"(cm * {k}) div n"), F.lit(k - 1)).alias("j_hi"),
+    ).filter(F.col("j_hi") >= F.col("j_lo"))
+    thr = bounds.select(
+        F.explode(F.expr("sequence(j_lo, j_hi)")).alias("j"), "v"
+    )
+    return thr.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(j, v))), x -> x.v)"
+        ).alias("thr")
+    )
+
+
+def bucket_score(
+    value: Column | str, thr_col: str, k: int, descending: bool = False
+) -> Column:
+    """Quantile-bucket score of ``value`` against a broadcast ``thr``
+    array: ascending -> 1 + #{t < value} (largest values score k);
+    descending -> k - #{t < value} (largest values score 1, the
+    ``ORDER BY v DESC`` tiling convention)."""
+    v = F.col(value) if isinstance(value, str) else value
+    below = F.size(F.filter(F.col(thr_col), lambda t: v > t))
+    score = (F.lit(k) - below) if descending else (F.lit(1) + below)
+    return score.cast("long")
+
+
+def oracle_threshold_cte(src: str, col: str, k: int, name: str) -> str:
+    """DuckDB CTE chain computing the same thresholds as
+    ``exact_thresholds`` (one LIST row named ``{name}.thr``); append to a
+    WITH list. The oracle may use the plain global window — it only runs
+    at oracle scale."""
+    return f"""{name}_hist AS (
+      SELECT {col} AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM {src} GROUP BY 1
+    ), {name}_cum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cm,
+             sum(cnt) OVER () AS n
+      FROM {name}_hist
+    ), {name}_min AS (
+      SELECT j.j, min(c.v) AS t
+      FROM {name}_cum c
+      CROSS JOIN (SELECT unnest(range(1, {k})) AS j) j
+      WHERE c.cm * {k} >= c.n * j.j
+      GROUP BY j.j
+    ), {name} AS MATERIALIZED (
+      SELECT list(t ORDER BY j) AS thr FROM {name}_min
+    )"""
+
+
+def oracle_bucket_score(value: str, thr: str, k: int, descending: bool = False) -> str:
+    """DuckDB scoring expression matching ``bucket_score``."""
+    below = f"len(list_filter({thr}, x -> {value} > x))"
+    expr = f"{k} - {below}" if descending else f"1 + {below}"
+    return f"CAST({expr} AS BIGINT)"

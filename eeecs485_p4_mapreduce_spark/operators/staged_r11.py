@@ -15,7 +15,8 @@ Staged surface:
 
 - ``q87_rfm_segmentation`` — the classic RFM (recency / frequency /
   monetary) customer segmentation: per-user quintile scores via
-  ntile(5) over per-user AGGREGATES (the fact table never reaches a
+  tie-aware broadcast exact-quantile thresholds over per-user
+  AGGREGATES (see ``operators/quantiles.py`` — no partitionless ntile
   window), combined into the 3-digit RFM code marketing stacks key on.
 - ``q88_changepoint_cusum`` — CUSUM changepoint detection over each
   event type's daily-cents series, kept exact by scaling deviations by
@@ -62,30 +63,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.operators.quantiles import (
+    bucket_score,
+    exact_thresholds,
+    oracle_bucket_score,
+    oracle_threshold_cte,
+)
 
 # ---------------------------------------------------------------------------
 # q87: RFM segmentation. Recency = whole days from the user's last
 # event to the corpus max date (one broadcast scalar), frequency =
-# event count, monetary = lifetime cents. Each dimension becomes an
-# ntile(5) score over the per-user aggregate (recent/frequent/rich =
-# 5), deterministic tie-breaks on user_id, composed into the 3-digit
-# code. Output is the per-code census — bounded at 125 rows.
+# event count, monetary = lifetime cents. Each dimension becomes a
+# quintile score via tie-aware broadcast-threshold tiling — NOT
+# ntile, whose partitionless global-sort Window (x3 here) funnels
+# every user through one task (the round-6 verdict's scale-killer).
+# The 4 exact boundaries per dimension come from
+# operators/quantiles.exact_thresholds (two-phase bucketed cumulative
+# histogram, no single-partition Window); recent/frequent/rich = 5,
+# and tied users ALWAYS share a score (what a segmentation wants).
+# Scores compose into the 3-digit code; output is the per-code census
+# — bounded at 125 rows.
 # ---------------------------------------------------------------------------
-Q87_ORACLE = """
+Q87_ORACLE = f"""
     WITH ref AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
-    per_user AS (
+    per_user AS MATERIALIZED (
       SELECT user_id,
              CAST(dmax - CAST(max(ts) AS DATE) AS BIGINT) AS rec_days,
              CAST(count(*) AS BIGINT) AS freq,
              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS cents
       FROM events, ref GROUP BY user_id, dmax
-    ), scored AS (
-      SELECT user_id, rec_days, freq, cents,
-             ntile(5) OVER (ORDER BY rec_days DESC, user_id) AS r_score,
-             ntile(5) OVER (ORDER BY freq ASC, user_id) AS f_score,
-             ntile(5) OVER (ORDER BY cents ASC, user_id) AS m_score
-      FROM per_user
+    ), {oracle_threshold_cte("per_user", "rec_days", 5, "rthr")},
+    {oracle_threshold_cte("per_user", "freq", 5, "fthr")},
+    {oracle_threshold_cte("per_user", "cents", 5, "mthr")},
+    scored AS (
+      SELECT u.user_id, u.cents,
+             {oracle_bucket_score("u.rec_days", "r.thr", 5, descending=True)}
+               AS r_score,
+             {oracle_bucket_score("u.freq", "f.thr", 5)} AS f_score,
+             {oracle_bucket_score("u.cents", "m.thr", 5)} AS m_score
+      FROM per_user u CROSS JOIN rthr r CROSS JOIN fthr f
+      CROSS JOIN mthr m
     )
     SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
              AS rfm_code,
@@ -99,8 +117,6 @@ Q87_ORACLE = """
 def q87_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile codes over per-user aggregates (see section
     comment)."""
-    from pyspark.sql.window import Window
-
     events = load_table(spark, sf_dir, "events")
     ref = events.agg(F.to_date(F.max("ts")).alias("dmax"))
     per_user = (
@@ -116,25 +132,24 @@ def q87_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    rthr = exact_thresholds(per_user, "rec_days", 5).withColumnRenamed(
+        "thr", "rthr"
+    )
+    fthr = exact_thresholds(per_user, "freq", 5).withColumnRenamed(
+        "thr", "fthr"
+    )
+    mthr = exact_thresholds(per_user, "cents", 5).withColumnRenamed(
+        "thr", "mthr"
+    )
     scored = (
-        per_user.withColumn(
-            "r_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("rec_days").desc(), F.col("user_id"))
-            ),
-        )
+        per_user.crossJoin(F.broadcast(rthr))
+        .crossJoin(F.broadcast(fthr))
+        .crossJoin(F.broadcast(mthr))
         .withColumn(
-            "f_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("freq").asc(), F.col("user_id"))
-            ),
+            "r_score", bucket_score("rec_days", "rthr", 5, descending=True)
         )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("cents").asc(), F.col("user_id"))
-            ),
-        )
+        .withColumn("f_score", bucket_score("freq", "fthr", 5))
+        .withColumn("m_score", bucket_score("cents", "mthr", 5))
     )
     return (
         scored.groupBy(

@@ -111,15 +111,40 @@ def test_trend_regression_matches_closed_form(spark, tmp_path):
 # --- q85: decile lift --------------------------------------------------------
 
 
-def test_decile_lift_ntile_remainder_and_cumulative(spark, tmp_path):
-    """12 users -> ntile(10) gives the first two deciles 2 users each
-    (SQL-standard remainder-first); conversions concentrated in the top
-    decile make the cumulative ppm curve exact by hand."""
+def _py_thresholds(values, k):
+    """Independent reference of operators/quantiles.exact_thresholds:
+    t_j = min{v : cm(v) * k >= n * j} over the sorted value multiset."""
+    vs = sorted(values)
+    n = len(vs)
+    thr = []
+    for j in range(1, k):
+        cm = 0
+        prev = None
+        for v in vs:
+            cm += 1
+            if v != prev:
+                prev = v
+            if cm * k >= n * j:
+                thr.append(v)
+                break
+    return thr
+
+
+def _py_score(v, thr, k, descending=False):
+    below = sum(1 for t in thr if v > t)
+    return k - below if descending else 1 + below
+
+
+def test_decile_lift_threshold_tiling_and_cumulative(spark, tmp_path):
+    """12 users incl. a spend tie -> tie-aware threshold deciles must
+    match an independent Python reference of the same quantile rule,
+    and conversions concentrated at the extremes make the cumulative
+    ppm curve exact by hand."""
+    spends = [120, 110, 100, 90, 80, 80, 60, 50, 40, 30, 20, 10]
     rows = []
     eid = 0
-    for u in range(12):
-        spend = (12 - u) * 10.0  # user 0 richest
-        rows.append((eid, "2024-01-01 00:00:00", u, "view", spend, "{}"))
+    for u, s in enumerate(spends):
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", float(s), "{}"))
         eid += 1
     # conversions: 3 for the richest user, 1 for the poorest
     for _ in range(3):
@@ -127,18 +152,37 @@ def test_decile_lift_ntile_remainder_and_cumulative(spark, tmp_path):
         eid += 1
     rows.append((eid, "2024-01-01 01:00:00", 11, "purchase", 0.0, "{}"))
     _write_events(spark, tmp_path, rows)
+    cents = [s * 100 for s in spends]
+    thr = _py_thresholds(cents, 10)
+    exp_decile = {
+        u: _py_score(c, thr, 10, descending=True)
+        for u, c in enumerate(cents)
+    }
+    conv = {0: 3, 11: 1}
+    exp = {}
+    for u, c in enumerate(cents):
+        d = exp_decile[u]
+        e = exp.setdefault(d, [0, 0, 0])
+        e[0] += 1
+        e[1] += c
+        e[2] += conv.get(u, 0)
+    # the tied 8000-cent users share one decile
+    assert exp_decile[4] == exp_decile[5]
     out = {
         r.decile: r
         for r in staged_r10.q85_decile_lift(spark, str(tmp_path)).collect()
     }
-    assert len(out) == 10
-    assert out[1].n_users == 2 and out[2].n_users == 2  # remainder-first
-    assert all(out[d].n_users == 1 for d in range(3, 11))
-    assert out[1].n_conversions == 3  # users 0 and 1
-    assert out[10].n_conversions == 1  # the poorest user
-    assert out[1].cum_conv_ppm == 750_000
-    assert out[9].cum_conv_ppm == 750_000
-    assert out[10].cum_conv_ppm == 1_000_000
+    assert {
+        d: (r.n_users, r.sum_cents, r.n_conversions) for d, r in out.items()
+    } == {d: tuple(e) for d, e in exp.items()}
+    cum = 0
+    total = sum(conv.values())
+    for d in sorted(exp):
+        cum += exp[d][2]
+        assert out[d].cum_conv_ppm == cum * 1_000_000 // total
+    assert "ntile" not in staged_r10.q85_decile_lift(
+        spark, str(tmp_path)
+    )._jdf.queryExecution().executedPlan().toString()
 
 
 # --- q86: point-in-time join --------------------------------------------------

@@ -64,24 +64,31 @@ def _write_events(spark, tmp_path, rows):
 # --- q87: RFM ---------------------------------------------------------------
 
 
-def _ntile(values, k=5):
-    """SQL-standard ntile over already-ordered items: the first
-    (n mod k) tiles get the extra row."""
-    n = len(values)
-    base, extra = divmod(n, k)
-    out = {}
-    pos = 0
-    for tile in range(1, k + 1):
-        size = base + (1 if tile <= extra else 0)
-        for v in values[pos : pos + size]:
-            out[v] = tile
-        pos += size
-    return out
+def _py_thresholds(values, k):
+    """Independent reference of operators/quantiles.exact_thresholds:
+    t_j = min{v : cm(v) * k >= n * j} over the sorted value multiset."""
+    vs = sorted(values)
+    n = len(vs)
+    thr = []
+    for j in range(1, k):
+        cm = 0
+        for v in vs:
+            cm += 1
+            if cm * k >= n * j:
+                thr.append(v)
+                break
+    return thr
 
 
-def test_rfm_codes_match_python_ntile_reference(spark, tmp_path):
+def _py_score(v, thr, k, descending=False):
+    below = sum(1 for t in thr if v > t)
+    return k - below if descending else 1 + below
+
+
+def test_rfm_codes_match_python_threshold_reference(spark, tmp_path):
     """7 users with distinct recency/frequency/monetary profiles: the
-    composed codes must equal an independent Python ntile."""
+    composed codes must equal an independent Python implementation of
+    the tie-aware quantile-threshold scoring rule."""
     rows = []
     eid = 0
     for u in range(7):
@@ -99,27 +106,38 @@ def test_rfm_codes_match_python_ntile_reference(spark, tmp_path):
                 )
             )
             eid += 1
+    # user 7 duplicates user 6's profile exactly (day 7, 7 events,
+    # $10 each) -> tie-aware scoring MUST give both the same code
+    for _ in range(7):
+        rows.append((eid, "2024-01-07 00:00:00", 7, "view", 10.0, "{}"))
+        eid += 1
     _write_events(spark, tmp_path, rows)
     # Python reference
     per_user = {
         u: {
             "rec": 7 - (u + 1),  # dmax = day 7
             "freq": u + 1,
-            "cents": (u + 1) * 1000 // (u + 1) * (u + 1),
+            "cents": (u + 1) * 1000,
         }
         for u in range(7)
     }
-    r_order = sorted(per_user, key=lambda u: (-per_user[u]["rec"], u))
-    f_order = sorted(per_user, key=lambda u: (per_user[u]["freq"], u))
-    m_order = sorted(per_user, key=lambda u: (per_user[u]["cents"], u))
-    r_s, f_s, m_s = _ntile(r_order), _ntile(f_order), _ntile(m_order)
+    per_user[7] = dict(per_user[6])
+    r_thr = _py_thresholds([p["rec"] for p in per_user.values()], 5)
+    f_thr = _py_thresholds([p["freq"] for p in per_user.values()], 5)
+    m_thr = _py_thresholds([p["cents"] for p in per_user.values()], 5)
     exp_codes = {}
-    for u in per_user:
-        code = r_s[u] * 100 + f_s[u] * 10 + m_s[u]
+    for u, p in per_user.items():
+        code = (
+            _py_score(p["rec"], r_thr, 5, descending=True) * 100
+            + _py_score(p["freq"], f_thr, 5) * 10
+            + _py_score(p["cents"], m_thr, 5)
+        )
         e = exp_codes.setdefault(code, [0, 0, 10**9])
         e[0] += 1
-        e[1] += per_user[u]["cents"]
+        e[1] += p["cents"]
         e[2] = min(e[2], u)
+    # users 6 and 7 are identical in every dimension -> one shared code
+    assert any(e[0] == 2 for e in exp_codes.values())
     out = {
         r.rfm_code: (r.n_users, r.sum_cents, r.first_user)
         for r in staged_r11.q87_rfm_segmentation(

@@ -3459,7 +3459,7 @@ def parse_mp3_frames(payload: bytes):
         if id3_bytes > len(data):
             raise ValueError("ID3v2 tag longer than payload")
         pos = id3_bytes
-    n_frames = n_padded = sum_br = frame_bytes = 0
+    n_frames = n_padded = sum_br = frame_bytes = duration_us = 0
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("truncated MP3 frame header")
@@ -3482,12 +3482,13 @@ def parse_mp3_frames(payload: bytes):
         n_padded += int(padding)
         sum_br += MP3_BITRATES_KBPS[bitrate_idx]
         frame_bytes += flen
+        # per-frame accumulation: frames may legally mix 44.1/48/32 kHz
+        duration_us += (
+            MP3_SAMPLES_PER_FRAME * 1_000_000 // MP3_SAMPLE_RATES[sr_idx]
+        )
         pos += flen
     if n_frames == 0:
         raise ValueError("MP3 stream contains no frames")
-    duration_us = (
-        n_frames * MP3_SAMPLES_PER_FRAME * 1_000_000
-    ) // MP3_SAMPLE_RATES[0]
     return {
         "n_frames": n_frames,
         "n_padded": n_padded,

@@ -213,8 +213,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # stream_dlq_routing: the dead-letter queue. The replay spool gets a
 # deterministic slice of RULE-VIOLATING rows (negative values, ids
-# above 1e9); each foreachBatch routes violations to an append-only
-# side parquet sink and merges the valid rows' per-type counts into
+# above 1e9); each foreachBatch routes violations to a batch-keyed
+# side parquet sink (overwrite of dlq_dir/batch=<id>, so an at-least-
+# once re-executed micro-batch rewrites its own subdirectory instead
+# of double-appending) and merges the valid rows' per-type counts into
 # the snapshot (the shared scaffold pattern, with the extra sink making
 # it bespoke). Finalization emits per-type valid counts plus one
 # '__dlq__' row — the invariant is that valid + dlq = everything that
@@ -277,7 +279,12 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # two sinks, one read
         violations = batch_df.filter(F.col("value") < 0)
-        violations.write.mode("append").parquet(dlq_dir)
+        # batch-keyed overwrite: foreachBatch is at-least-once, so a
+        # replayed micro-batch must rewrite ITS OWN subdirectory, never
+        # append a second copy (keeps valid + dlq == everything arrived)
+        violations.write.mode("overwrite").parquet(
+            f"{dlq_dir}/batch={_batch_id}"
+        )
         partial = (
             batch_df.filter(F.col("value") >= 0)
             .groupBy("event_type")

@@ -732,7 +732,7 @@ MM_MP3_ORACLE = """
            CAST(10 + 10 + doc_id % 50
                 + sum((144 * br * 1000) // 44100 + pad) AS BIGINT)
              AS total_bytes,
-           CAST((count(*) * 1152 * 1000000) // 44100 AS BIGINT)
+           CAST(count(*) * ((1152 * 1000000) // 44100) AS BIGINT)
              AS duration_us
     FROM frames GROUP BY doc_id
 """

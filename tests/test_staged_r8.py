@@ -294,7 +294,19 @@ def test_mp3_walker_grammar_and_rejection():
     # padding adds exactly one byte: 128 kbps @ 44100 -> 417 + 1
     assert mp3_frame_len(9, 0, True) == mp3_frame_len(9, 0, False) + 1
     assert info["frame_bytes"] == 417 + 418
-    assert info["duration_us"] == (2 * 1152 * 1_000_000) // 44100
+    # duration accumulates PER FRAME (frames may mix sample rates)
+    assert info["duration_us"] == 2 * ((1152 * 1_000_000) // 44100)
+
+    # hand-crafted mixed-rate stream: 44.1 kHz frame + 48 kHz frame
+    f44 = bytes((0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00)) + b"\x11" * (417 - 4)
+    f48 = bytes((0xFF, 0xFB, (9 << 4) | (1 << 2), 0x00)) + b"\x22" * (
+        144 * 128000 // 48000 - 4
+    )
+    mixed = parse_mp3_frames(f44 + f48)
+    assert mixed["n_frames"] == 2
+    assert mixed["duration_us"] == (
+        1152 * 1_000_000 // 44100 + 1152 * 1_000_000 // 48000
+    )
 
     with pytest.raises(ValueError):
         parse_mp3_frames(s + b"\x00")  # trailing slack

@@ -21,8 +21,13 @@ Scale design — no single-partition Window anywhere:
 2. within-bucket running counts: a Window PARTITIONED BY the coarse
    bucket ``floor(v / bucket_width)`` — each partition holds at most
    ``bucket_width`` distinct values, so no task sees unbounded input;
-3. cross-bucket prefix totals: a broadcast non-equi self-join over the
-   bucket-total relation (domain_span / bucket_width rows — tiny);
+3. cross-bucket prefix totals: computed HIERARCHICALLY — a second
+   window over bucket totals partitioned by the super-bucket
+   ``floor(b / super_width)`` (<= super_width rows per partition), then
+   a broadcast non-equi self-join only over the SUPER-bucket totals
+   (B / super_width rows). With B populated buckets the non-equi step
+   is O((B/super_width)^2) instead of O(B^2): at B ~ 1e6 buckets that
+   is ~1e6 pairs, not 1e12;
 4. every distinct value emits exactly the j's it bounds via integer
    interval arithmetic (``(cm_prev*k) div n + 1 .. (cm*k) div n``), so
    there is no k-way row blow-up before the final fold;
@@ -40,16 +45,24 @@ from pyspark.sql.window import Window
 
 
 def exact_thresholds(
-    df: DataFrame, value_col: str, k: int, bucket_width: int = 1 << 20
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    bucket_width: int = 1 << 20,
+    super_width: int = 1 << 10,
 ) -> DataFrame:
     """One-row DataFrame with ``thr``: the ascending k-1 exact equi-depth
-    boundaries of ``df[value_col]`` (BIGINT-valued). See module docstring
-    for the scale argument; ``oracle_threshold_cte`` is the DuckDB twin.
+    boundaries of ``df[value_col]`` (BIGINT-valued, NULLs ignored — the
+    empirical distribution is over the non-null rows, matching
+    ``oracle_threshold_cte``). See module docstring for the scale
+    argument.
     """
-    hist = df.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # exact floor-division bucket id (works for negative v too)
+    # exact floor-division bucket ids (work for negative v too)
     hist = hist.withColumn(
         "b",
         F.expr(
@@ -66,13 +79,31 @@ def exact_thresholds(
     wcum = hist.withColumn(
         "wcum", F.sum("cnt").over(Window.partitionBy("b").orderBy("v"))
     )
-    btot = hist.groupBy("b").agg(F.sum("cnt").alias("bt"))
+    # Hierarchical cross-bucket prefix: window within super-buckets
+    # (bounded partitions), non-equi join only across super-bucket
+    # totals — O((B/super_width)^2) pairs instead of O(B^2).
+    btot = hist.groupBy("b").agg(F.sum("cnt").alias("bt")).withColumn(
+        "sb",
+        F.expr(
+            f"CASE WHEN b >= 0 THEN b div {super_width} "
+            f"ELSE ((b + 1) div {super_width}) - 1 END"
+        ),
+    )
+    wb = btot.withColumn(
+        "wbt",
+        F.sum("bt").over(Window.partitionBy("sb").orderBy("b"))
+        - F.col("bt"),
+    )
+    stot = btot.groupBy("sb").agg(F.sum("bt").alias("st"))
     # renamed copy: avoids Spark's ambiguous-self-join analysis failure
-    prior = btot.select(F.col("b").alias("pb"), F.col("bt").alias("pbt"))
-    bpre = (
-        btot.join(F.broadcast(prior), F.col("pb") < F.col("b"), "left")
-        .groupBy("b")
-        .agg(F.coalesce(F.sum("pbt"), F.lit(0)).alias("bpre"))
+    sprior = stot.select(F.col("sb").alias("ps"), F.col("st").alias("pst"))
+    spre = (
+        stot.join(F.broadcast(sprior), F.col("ps") < F.col("sb"), "left")
+        .groupBy("sb")
+        .agg(F.coalesce(F.sum("pst"), F.lit(0)).alias("spre"))
+    )
+    bpre = wb.join(F.broadcast(spre), "sb").select(
+        "b", (F.col("spre") + F.col("wbt")).alias("bpre")
     )
     tot = hist.agg(F.sum("cnt").alias("n"))
     cm = (
@@ -115,7 +146,7 @@ def oracle_threshold_cte(src: str, col: str, k: int, name: str) -> str:
     at oracle scale."""
     return f"""{name}_hist AS (
       SELECT {col} AS v, CAST(count(*) AS BIGINT) AS cnt
-      FROM {src} GROUP BY 1
+      FROM {src} WHERE {col} IS NOT NULL GROUP BY 1
     ), {name}_cum AS (
       SELECT v, sum(cnt) OVER (ORDER BY v) AS cm,
              sum(cnt) OVER () AS n

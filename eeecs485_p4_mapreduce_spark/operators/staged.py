@@ -402,16 +402,24 @@ def _spool_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
 
     spool = Path(tempfile.mkdtemp(prefix="p4spark_spool_"))
     spool_events(spark, sf_dir, str(spool))
-    max_ts = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # Integer epoch-micros end to end: collect() of a TimestampType
+    # converts through the PYTHON PROCESS's local timezone (not the
+    # UTC-pinned session), so on a non-UTC host a datetime-built
+    # sentinel lands offset-hours EARLY, the watermark never clears the
+    # last clicks, and their outer rows are silently never emitted —
+    # caught live under TZ=America/New_York. unix_micros under the
+    # UTC session equals the stored NTZ wall-clock, which is exactly
+    # the frame the stream's NTZ->LTZ read uses.
+    max_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
     )
-    from datetime import timedelta
-
-    sent_ts = max_ts + timedelta(hours=_SENTINEL_LEAD_HOURS)
+    sent_us = max_us + _SENTINEL_LEAD_HOURS * 3_600_000_000
     table = pa.table(
         {
             "event_id": pa.array([-1, -2], pa.int64()),
-            "ts": pa.array([sent_ts, sent_ts], pa.timestamp("us")),
+            "ts": pa.array([sent_us, sent_us], pa.timestamp("us")),
             "user_id": pa.array([-1, -1], pa.int64()),
             "event_type": pa.array(["click", "purchase"], pa.string()),
             "value": pa.array([0.0, 0.0], pa.float64()),

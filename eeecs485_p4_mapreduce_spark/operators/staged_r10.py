@@ -1,14 +1,11 @@
-"""Queries STAGED for round-10 registration (implemented +
-oracle-proven in round 8's build session, registered after the
-staged_r9 batch ships).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows expected in CORRECTNESS_r08 — it was staged one judged round
+earlier under the staging discipline below).
 
-Same staging discipline as operators/staged_r9.py (the round-4 verdict
-cap: ≤10 new queries per round so the driver's 50-slot least-recently-
-green window keeps cycling the proven block every ~4-5 rounds). Built,
-pytest hash-checked against DuckDB (tests/test_staged_r10.py),
-plan-gate compliant, and x10-probed NOW; the round-10 flip is
-``register_staged()`` plus deleting this staging note. Same contract
-as every registered query: identical aliases both sides, round()-ed or
+Staging discipline shared with operators/staged_r9.py: built, pytest
+hash-checked against DuckDB (tests/test_staged_r10.py), plan-gate
+compliant, and x10-probed BEFORE registration. Same contract as every
+registered query: identical aliases both sides, round()-ed or
 integer-exact outputs, no nullable hash-bearing columns.
 
 Staged surface:
@@ -194,6 +191,10 @@ def q85_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("conversions"),
     )
+    # per_user feeds both the threshold computation (which eagerly
+    # materializes its histogram) and the scorer — checkpoint it so the
+    # events aggregation runs once, not twice.
+    per_user = per_user.localCheckpoint()
     thr = exact_thresholds(per_user, "spend_cents", 10)
     tiled = per_user.crossJoin(F.broadcast(thr)).withColumn(
         "decile", bucket_score("spend_cents", "thr", 10, descending=True)
@@ -935,7 +936,7 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    """Round-10 flip: call from registry.load_all(). Idempotent."""
+    """Registration hook: called from registry.load_all(). Idempotent."""
     from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
     register_staged_dict(STAGED)

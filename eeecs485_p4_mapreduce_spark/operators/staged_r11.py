@@ -1,13 +1,10 @@
-"""Queries STAGED for round-11 registration (implemented +
-oracle-proven in round 8's build session, registered after the
-staged_r10 batch ships).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows expected in CORRECTNESS_r08 — it was staged one judged round
+earlier under the staging discipline below).
 
-Same staging discipline as operators/staged_r9.py / staged_r10.py (the
-round-4 verdict cap: ≤10 new queries per round so the driver's 50-slot
-least-recently-green window keeps cycling the proven block). Built,
-pytest hash-checked against DuckDB (tests/test_staged_r11.py),
-plan-gate compliant, and x10-probed NOW; the round-11 flip is
-``register_staged()`` plus deleting this staging note. Same contract
+Staging discipline shared with operators/staged_r9.py / staged_r10.py:
+built, pytest hash-checked against DuckDB (tests/test_staged_r11.py),
+plan-gate compliant, and x10-probed BEFORE registration. Same contract
 as every registered query: identical aliases both sides, round()-ed or
 integer-exact outputs, no nullable hash-bearing columns.
 
@@ -132,6 +129,9 @@ def q87_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # per_user feeds THREE eager threshold computations plus the scorer;
+    # checkpoint it so the events aggregation runs once, not four times.
+    per_user = per_user.localCheckpoint()
     rthr = exact_thresholds(per_user, "rec_days", 5).withColumnRenamed(
         "thr", "rthr"
     )
@@ -755,7 +755,7 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    """Round-11 flip: call from registry.load_all(). Idempotent."""
+    """Registration hook: called from registry.load_all(). Idempotent."""
     from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
     register_staged_dict(STAGED)

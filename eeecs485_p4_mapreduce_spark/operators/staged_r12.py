@@ -1,14 +1,11 @@
-"""Queries STAGED for round-12 registration (implemented +
-oracle-proven in round 8's build session, registered after the
-staged_r11 batch ships).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows expected in CORRECTNESS_r08 — it was staged one judged round
+earlier under the staging discipline below).
 
-Same staging discipline as operators/staged_r9–r11 (the round-4
-verdict cap: ≤10 new queries per round so the driver's 50-slot
-least-recently-green window keeps cycling the proven block). Built,
-pytest hash-checked against DuckDB (tests/test_staged_r12.py),
-plan-gate compliant, and x10-probed NOW; the round-12 flip is
-``register_staged()`` plus deleting this staging note. Same contract
-as every registered query: identical aliases both sides, round()-ed or
+Staging discipline shared with operators/staged_r9–r11: built, pytest
+hash-checked against DuckDB (tests/test_staged_r12.py), plan-gate
+compliant, and x10-probed BEFORE registration. Same contract as every
+registered query: identical aliases both sides, round()-ed or
 integer-exact outputs, no nullable hash-bearing columns.
 
 Staged surface:
@@ -638,7 +635,7 @@ STREAM_GAPFILL_ORACLE = """
     grid AS (
       SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds
     )
-    SELECT strftime(to_timestamp(g.hr * 3600), '%Y-%m-%d %H:%M:%S')
+    SELECT strftime(make_timestamp(g.hr * 3600000000), '%Y-%m-%d %H:%M:%S')
              AS window_start,
            CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
     FROM grid g LEFT JOIN counts c ON c.hr = g.hr
@@ -767,7 +764,7 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    """Round-12 flip: call from registry.load_all(). Idempotent."""
+    """Registration hook: called from registry.load_all(). Idempotent."""
     from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
     register_staged_dict(STAGED)

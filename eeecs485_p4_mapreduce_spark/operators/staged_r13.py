@@ -1,6 +1,6 @@
-"""Queries STAGED for round-13 registration (implemented +
-oracle-proven in round 8's build session, registered after the
-staged_r12 batch ships).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows expected in CORRECTNESS_r08 — it was staged one judged round
+earlier under the shared staging discipline).
 
 This batch covers the DATA-LAYOUT and SOURCE-CONTRACT levers a 100 TB
 deployment actually pulls — partition pruning, bucketed co-located
@@ -592,7 +592,7 @@ STAGED: dict[str, tuple] = {
 
 
 def register_staged() -> None:
-    """Round-13 flip: call from registry.load_all(). Idempotent."""
+    """Registration hook: called from registry.load_all(). Idempotent."""
     from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
 
     register_staged_dict(STAGED)

@@ -1,5 +1,6 @@
-"""Round-7-registered batch (implemented + oracle-proven one round
-earlier, registered via ``registry.load_all`` in round 7).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows landed green in CORRECTNESS_r07 — it was staged one judged round
+earlier).
 
 Built, pytest hash-checked against DuckDB (tests/test_staged_r9.py),
 plan-gate compliant, and x10/x100-probed before registration. Same

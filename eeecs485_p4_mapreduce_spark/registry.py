@@ -49,7 +49,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
-    # round-7 registrations (staged_r9 flip) — need their first driver row
+    # staged_r10–r14 flips (first driver rows expected in CORRECTNESS_r08)
+    "q84_trend_regression",
+    "q85_decile_lift",
+    "q86_pit_join",
+    "curate_quota_apportion",
+    "sim_mmr_rerank",
+    "ta_burstiness",
+    "mm_zip_shards",
+    "mm_flac_streaminfo",
+    "stream_new_users",
+    "q87_rfm_segmentation",
+    "q88_changepoint_cusum",
+    "q89_jsonl_roundtrip",
+    "sim_l2_search",
+    "dedup_bucket_stats",
+    "curate_anneal_mixture",
+    "ta_char_gini",
+    "mm_ogg_pages",
+    "mm_pdf_xref",
+    "q90_ks_distance",
+    "q91_spend_gini",
+    "q92_business_days",
+    "q93_benford_digits",
+    "curate_filter_funnel",
+    "dedup_cross_source",
+    "sim_norm_quantiles",
+    "stream_gap_filled_rate",
+    "mm_webp_headers",
+    "q94_orc_roundtrip",
+    "q95_xml_roundtrip",
+    "q96_partitioned_prune",
+    "q97_bucketed_join",
+    "q98_csv_malformed_audit",
+    "curate_shard_manifest",
+    "ta_vocab_growth",
+    "q99_equi_depth_bins",
+    "dedup_minhash_calibration",
+    "stream_dlq_routing",
+    "mm_bmp_rle8",
+    # staged_r9 flip — got their first driver rows in CORRECTNESS_r07
     "q82_csv_roundtrip",
     "q83_bfs_hops",
     "dedup_url_canonical",
@@ -278,10 +317,20 @@ def load_all() -> None:
         staged_r7,
         staged_r8,
         staged_r9,
+        staged_r10,
+        staged_r11,
+        staged_r12,
+        staged_r13,
+        staged_r14,
     )
 
     staged.register_staged()
     staged_r7.register_staged()
     staged_r8.register_staged()
     staged_r9.register_staged()
+    staged_r10.register_staged()
+    staged_r11.register_staged()
+    staged_r12.register_staged()
+    staged_r13.register_staged()
+    staged_r14.register_staged()
     _prioritize()

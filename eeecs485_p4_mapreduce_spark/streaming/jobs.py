@@ -53,7 +53,15 @@ def spool_events(spark: SparkSession, sf_dir: str, spool_dir: str) -> str:
     a collector would write). The catalog's ``events.parquet`` may be a
     single file (the driver's testdata) or a directory of part files (any
     real-scale table, incl. the replica probe corpus) — a directory is
-    staged flat, one arrival file per part. Returns the spool path."""
+    staged flat, one arrival file per part. Returns the spool path.
+
+    Also pins the session timezone to UTC (catalog.load_table's rule):
+    every consumer of the spool casts the NTZ ts through the SESSION
+    timezone, and on a vanilla non-UTC session a streaming query that
+    runs before any load_table call would otherwise bucket/format
+    wall-clocks in host-local time while the DuckDB oracle stays
+    tz-free."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spool = Path(spool_dir)
     spool.mkdir(parents=True, exist_ok=True)
     src = Path(sf_dir) / "events.parquet"

@@ -1269,6 +1269,32 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             ),
             mm.decode_bmp_rle8_pixels,
         ),
+        "ico": (
+            mm.encode_ico(
+                [
+                    (16, 16, 32, "dib", b""),
+                    (
+                        16,
+                        16,
+                        32,
+                        "png",
+                        mm.encode_png(
+                            __import__("numpy").zeros(
+                                (16, 16, 3), dtype="uint8"
+                            )
+                        ),
+                    ),
+                ]
+            ),
+            mm.parse_ico,
+        ),
+        "id3": (
+            mm.encode_id3v2(
+                [("TIT2", "title-9"), ("TPE1", "a"), ("TRCK", "4")],
+                padding=7,
+            ),
+            mm.parse_id3v2,
+        ),
     }
 
     class _Hang(Exception):

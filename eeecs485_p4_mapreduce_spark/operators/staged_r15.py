@@ -1,15 +1,17 @@
-"""Queries STAGED for the next registration round (implemented +
-oracle-proven in this build session, registered after the r10–r14
-batches get their first driver rows).
+"""REGISTERED batch (promoted via ``registry.load_all``; first driver
+rows expected in CORRECTNESS_r08, same round it was built — the full
+staging discipline ran in-session before the flip).
 
-Same staging discipline as operators/staged_r9–r14: built, pytest
-hash-checked against DuckDB (tests/test_staged_r15.py), plan-gate
-compliant, and x10-probed BEFORE registration; the flip is one
-``register_staged()`` call in ``registry.load_all``. Same contract as
-every registered query: identical aliases both sides, round()-ed or
-integer-exact outputs, no nullable hash-bearing columns.
+Staging discipline shared with operators/staged_r9–r14: built, pytest
+hash-checked against DuckDB at sf0.001 AND sf0.01
+(tests/test_staged_r15.py), fixture-tested with independent
+references, plan-gate swept, x10+x100 replica-probed sub-linear, and
+vanilla-session gate-checked under TZ=America/New_York BEFORE
+registration. Same contract as every registered query: identical
+aliases both sides, round()-ed or integer-exact outputs, no nullable
+hash-bearing columns.
 
-Staged surface:
+Surface:
 
 - ``q100_user_streaks`` — longest consecutive-active-day streak per
   user (gaps-and-islands on the per-user day grid), reported as a

@@ -88,6 +88,15 @@ DRIVER_PRIORITY = [
     "dedup_minhash_calibration",
     "stream_dlq_routing",
     "mm_bmp_rle8",
+    "q100_user_streaks",
+    "q101_rolling_median",
+    "q102_independence_audit",
+    "sim_radius_search",
+    "curate_length_curriculum",
+    "ta_code_detect",
+    "mm_ico_directory",
+    "mm_id3_tags",
+    "stream_lateness_audit",
     # staged_r9 flip — got their first driver rows in CORRECTNESS_r07
     "q82_csv_roundtrip",
     "q83_bfs_hops",
@@ -322,6 +331,7 @@ def load_all() -> None:
         staged_r12,
         staged_r13,
         staged_r14,
+        staged_r15,
     )
 
     staged.register_staged()
@@ -333,4 +343,5 @@ def load_all() -> None:
     staged_r12.register_staged()
     staged_r13.register_staged()
     staged_r14.register_staged()
+    staged_r15.register_staged()
     _prioritize()

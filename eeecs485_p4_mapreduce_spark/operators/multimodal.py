@@ -4618,7 +4618,7 @@ def parse_ico(payload: bytes):
 # NOT syncsafe in v2.3, a classic implementation trap — 2 flag bytes,
 # then an encoding byte + text for T*** frames), then zero padding.
 # ---------------------------------------------------------------------------
-def encode_id3v2(frames, padding: int = 0) -> bytes:
+def encode_id3v2_tag(frames, padding: int = 0) -> bytes:
     """Build an ID3v2.3 tag from [(frame_id, text), ...] using
     ISO-8859-1 text encoding (encoding byte 0x00)."""
     body = bytearray()

@@ -633,7 +633,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser (see section comment). Zero-shuffle Arrow mapInPandas via
     the shared media_walk_query scaffold."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
-        encode_id3v2,
+        encode_id3v2_tag,
         media_walk_query,
         parse_id3v2,
     )
@@ -646,7 +646,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if d % 2:
             frames.append(("TALB", f"album-{d % 53}"))
-        return parse_id3v2(encode_id3v2(frames, padding=d % 33))
+        return parse_id3v2(encode_id3v2_tag(frames, padding=d % 33))
 
     return media_walk_query(spark, sf_dir, ID3_SCHEMA_FIELDS, per_doc)
 

@@ -1289,7 +1289,7 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             mm.parse_ico,
         ),
         "id3": (
-            mm.encode_id3v2(
+            mm.encode_id3v2_tag(
                 [("TIT2", "title-9"), ("TPE1", "a"), ("TRCK", "4")],
                 padding=7,
             ),

@@ -299,7 +299,7 @@ def test_id3_v23_frame_size_is_not_syncsafe(spark):
     from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
 
     long_title = "t" * 200
-    tag = mm.encode_id3v2([("TIT2", long_title), ("TRCK", "3")])
+    tag = mm.encode_id3v2_tag([("TIT2", long_title), ("TRCK", "3")])
     info = mm.parse_id3v2(tag)
     assert info["title_len"] == 200
     assert info["track_no"] == 3
@@ -312,7 +312,7 @@ def test_id3_v23_frame_size_is_not_syncsafe(spark):
 def test_id3_padding_and_bad_magic(spark):
     from eeecs485_p4_mapreduce_spark.operators import multimodal as mm
 
-    tag = mm.encode_id3v2([("TRCK", "7")], padding=12)
+    tag = mm.encode_id3v2_tag([("TRCK", "7")], padding=12)
     info = mm.parse_id3v2(tag)
     assert info["padding_bytes"] == 12 and info["n_frames"] == 1
     with pytest.raises(ValueError, match="magic"):

@@ -4694,3 +4694,103 @@ def parse_id3v2(payload: bytes):
         "artist_len": len(texts.get("TPE1", "")),
         "track_no": int(track_raw),
     }
+
+
+# ---------------------------------------------------------------------------
+# PNG ancillary metadata — the tEXt/pHYs/gAMA chunks image pipelines
+# read without decoding pixels. inject_png_chunks splices extra chunks
+# (with REAL CRC-32s) into an existing PNG right after IHDR;
+# parse_png_metadata re-walks the whole chunk stream, VERIFYING every
+# chunk CRC and the IHDR-first / IEND-last framing, and returns the
+# metadata facts. A corrupted CRC raises — the walk is a real parse.
+# ---------------------------------------------------------------------------
+def png_chunk(ctype: bytes, body: bytes) -> bytes:
+    """One PNG chunk with its real CRC-32 (over type + body)."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def inject_png_chunks(png: bytes, chunks) -> bytes:
+    """Splice ``chunks`` ([(type4: bytes, body: bytes), ...]) into
+    ``png`` immediately after IHDR."""
+    if png[:8] != b"\x89PNG\r\n\x1a\n" or png[12:16] != b"IHDR":
+        raise ValueError("not a PNG with leading IHDR")
+    ihdr_len = int.from_bytes(png[8:12], "big")
+    cut = 8 + 12 + ihdr_len
+    extra = b"".join(png_chunk(t, b) for t, b in chunks)
+    return png[:cut] + extra + png[cut:]
+
+
+def parse_png_metadata(payload: bytes):
+    """Strictly walk a PNG chunk stream. Returns dict(n_chunks, n_text,
+    title_len, author_len, phys_ppu, gamma_e5, file_bytes). Raises
+    ValueError on bad signature, a chunk overrunning the payload, ANY
+    CRC mismatch, IHDR not first, or a missing IEND terminator."""
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    n_chunks = n_text = title_len = author_len = 0
+    phys_ppu = gamma_e5 = 0
+    first = True
+    saw_iend = False
+    while pos < len(data):
+        if saw_iend:
+            raise ValueError("PNG data after IEND")
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(data):
+            raise ValueError("PNG chunk overruns payload")
+        body = data[pos + 8 : end]
+        crc = int.from_bytes(data[end : end + 4], "big")
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if first and ctype != b"IHDR":
+            raise ValueError("PNG IHDR must be the first chunk")
+        first = False
+        n_chunks += 1
+        if ctype == b"tEXt":
+            if b"\x00" not in body:
+                raise ValueError("tEXt chunk missing keyword separator")
+            key, _, text = body.partition(b"\x00")
+            n_text += 1
+            if key == b"Title":
+                title_len = len(text)
+            elif key == b"Author":
+                author_len = len(text)
+        elif ctype == b"pHYs":
+            if length != 9:
+                raise ValueError("pHYs chunk must be 9 bytes")
+            phys_ppu = int.from_bytes(body[0:4], "big")
+            if int.from_bytes(body[4:8], "big") != phys_ppu:
+                raise ValueError("non-square pHYs resolution unsupported")
+        elif ctype == b"gAMA":
+            if length != 4:
+                raise ValueError("gAMA chunk must be 4 bytes")
+            gamma_e5 = int.from_bytes(body, "big")
+        elif ctype == b"IEND":
+            saw_iend = True
+        pos = end + 4
+    if not saw_iend:
+        raise ValueError("PNG stream missing IEND")
+    return {
+        "n_chunks": n_chunks,
+        "n_text": n_text,
+        "title_len": title_len,
+        "author_len": author_len,
+        "phys_ppu": phys_ppu,
+        "gamma_e5": gamma_e5,
+        "file_bytes": len(data),
+    }

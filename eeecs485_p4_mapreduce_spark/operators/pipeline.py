@@ -861,7 +861,14 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.explode(tokens()).alias("token"))
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized; feeds the normalizer AND the scoring broadcast —
+    # pinning it keeps the corpus tokenization to the two passes a
+    # unigram-LM scorer actually needs (build LM, score docs)
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     tot = freq.agg(F.sum("c").cast("double").alias("t"))
     logp = F.log(F.col("c") / F.col("t"))
     scored = (

@@ -114,15 +114,24 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
+    # tf feeds BOTH the df/term selection and the scoring join; pin it
+    # so the corpus explode+shuffle runs once (at cluster scale this is
+    # the persist any BM25 build does between its two passes).
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    # dl = Σ tf per doc — exactly size(tokens()), derived from the
+    # pinned tf instead of a second documents scan
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum(F.size(tokens())).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
-    )
+    ).localCheckpoint()  # 1 row, read by two branches
     qterms = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -532,7 +532,9 @@ def curate_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "chars * (CASE WHEN 2 * n_long > n_docs THEN 3 ELSE 1 END)"
         ),
-    )
+    # source-domain-sized; feeds the normalizer AND the final select —
+    # without the checkpoint the whole docs aggregation recomputes twice
+    ).localCheckpoint()
     norm = boosted.agg(
         F.sum("chars").alias("sum_chars"), F.sum("anneal_w").alias("sum_w")
     )

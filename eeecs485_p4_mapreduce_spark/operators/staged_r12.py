@@ -449,16 +449,21 @@ def curate_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = flags.selectExpr(
         "doc_id", "fp", "r1", "r1 * r2 AS s2", "r1 * r2 * r3 AS s3"
     )
-    counts = staged.agg(
+    # ONE pass over the corpus: the survivor counts and the distinct-
+    # fingerprint count fold into a single aggregation (a CASE inside
+    # countDistinct drops non-survivors), and the 1-row result is
+    # checkpointed so the 4-branch union below cannot re-derive the
+    # whole doc-wide subtree once per stage (the old shape re-scanned
+    # documents 8 times).
+    wide = staged.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum("r1").alias("n1"),
         F.sum("s2").alias("n2"),
         F.sum("s3").alias("n3"),
-    )
-    n4 = staged.filter(F.col("s3") == 1).agg(
-        F.countDistinct("fp").alias("n4")
-    )
-    wide = counts.crossJoin(F.broadcast(n4))
+        F.countDistinct(
+            F.expr("case when s3 = 1 then fp end")
+        ).alias("n4"),
+    ).localCheckpoint()
     stages = []
     for idx, (name, col_in, col_out) in enumerate(
         [("length_band", "n0", "n1"), ("lang_allowlist", "n1", "n2"),

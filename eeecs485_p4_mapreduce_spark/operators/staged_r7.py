@@ -343,10 +343,15 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # members feeds three consumers (phrases, wordstats, the scoring
+    # join) and phrases two — pinning both keeps the posexplode +
+    # per-doc prefix window to ONE execution instead of three (the
+    # persist any multi-pass RAKE does between its passes).
     members = (
         toks.withColumn("phrase_id", F.sum("is_stop").over(w))
         .filter(F.col("is_stop") == 0)
         .select("doc_id", "phrase_id", "pos", "tok")
+        .localCheckpoint()
     )
     phrases = members.groupBy("doc_id", "phrase_id").agg(
         F.expr(
@@ -354,7 +359,7 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "struct(pos, tok))), s -> s.tok))"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    )
+    ).localCheckpoint()
     wordstats = (
         members.join(phrases, ["doc_id", "phrase_id"])
         .groupBy("tok")
@@ -495,7 +500,10 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_K,
     )
 
-    emb = _emb_with_norm(spark, sf_dir)
+    # the embedding load feeds the coarse assignment, the probe list,
+    # AND the PQ code build — pin it so the composition reads parquet
+    # once (the old plan re-scanned embeddings 12 times)
+    emb = _emb_with_norm(spark, sf_dir).localCheckpoint()
     packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",

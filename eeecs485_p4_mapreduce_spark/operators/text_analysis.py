@@ -939,15 +939,21 @@ def ta_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        # freq feeds tot, hp, AND the pair expansion: without the
+        # checkpoint the tokenize+count subtree recomputes four times
+        # (16 exchanges in the physical plan; ~4x the scan work at
+        # 100 TB). The table is vocabulary-sized — cheap to pin.
+        .localCheckpoint()
     )
     tot = freq.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
-    p = freq.join(tot, "lang").select(
+    # tot is |languages| rows — broadcast, don't shuffle the vocabulary
+    p = freq.join(F.broadcast(tot), "lang").select(
         "lang", "token", (F.col("c") * 1.0 / F.col("t")).alias("p")
     )
     hp = p.groupBy("lang").agg(
         F.sum(-F.col("p") * F.log("p")).alias("h")
-    )
-    langs = p.select("lang").distinct().select(F.col("lang").alias("lang2"))
+    ).localCheckpoint()  # |languages| rows; feeds BOTH sides of the pair join
+    langs = hp.select(F.col("lang").alias("lang2"))
     expanded = (
         p.join(F.broadcast(langs), F.col("lang2") != F.col("lang"))
         .select(

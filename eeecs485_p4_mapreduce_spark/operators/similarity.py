@@ -979,7 +979,9 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic with NO vector math — the whole point of PQ. The adc sum
     is written d0+d1+d2+d3 (left-associated) on both engines so the
     doubles are bit-identical."""
-    emb = _pq_emb(spark, sf_dir)
+    # emb feeds the code build, the query list, AND the codebook — pin
+    # it so the embedding load runs once (was 11 repeated scans)
+    emb = _pq_emb(spark, sf_dir).localCheckpoint()
     codes = _pq_assignments(emb)
     wide = codes.groupBy("vec_id").agg(
         *[
@@ -1072,6 +1074,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ann_lsh(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
+        # N_QUERIES x TOP_K rows; feeds the overlap join AND the count —
+        # pin it so the ANN search executes once
+        .localCheckpoint()
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")
@@ -1316,6 +1321,8 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ivf_search(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
+        # same pin as sim_ann_recall: one IVF search, not two
+        .localCheckpoint()
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")

@@ -224,6 +224,9 @@ def q88_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.expr("cast(round(value * 100, 0) as bigint)")).alias("y")
         )
+        # day-table sized; feeds the totals AND the cusum join — pin it
+        # so the events aggregation runs once
+        .localCheckpoint()
     )
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")

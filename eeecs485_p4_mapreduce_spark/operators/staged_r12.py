@@ -113,10 +113,12 @@ def q90_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
+    # value-domain histogram; feeds the support grid, the type list,
+    # and the densify join — pin it so the events aggregation runs once
     c = events.groupBy(
         F.col("event_type").alias("t"),
         F.expr("cast(round(value * 100, 0) as bigint)").alias("v"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     sup = c.select("v").distinct()
     types = c.select("t").distinct()
     grid = (
@@ -132,7 +134,7 @@ def q90_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(cnt) over (partition by t order by v) * 1000000)"
             " div (sum(cnt) over (partition by t))"
         ),
-    )
+    ).localCheckpoint()  # grid-sized; feeds BOTH sides of the pair join
     a = ecdf.select(
         F.col("t").alias("type_a"), "v", F.col("e_ppm").alias("ea")
     )

@@ -223,9 +223,12 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h1 = v.groupBy("event_type", "vm").agg(F.count(F.lit(1)).alias("cnt"))
     med = _exact_median2x(h1.withColumnRenamed("vm", "val"), "event_type", "val")
+    # dev feeds the MAD histogram AND the fence count — pin it so the
+    # events scan + median join run once (the persist a two-pass robust
+    # statistic does between its passes)
     dev = v.join(F.broadcast(med.select("event_type", "med2x")), "event_type").withColumn(
         "dev2x", F.abs(2 * F.col("vm") - F.col("med2x"))
-    )
+    ).localCheckpoint()
     h2 = dev.groupBy("event_type", "dev2x").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -167,3 +167,87 @@ def oracle_bucket_score(value: str, thr: str, k: int, descending: bool = False) 
     below = f"len(list_filter({thr}, x -> {value} > x))"
     expr = f"{k} - {below}" if descending else f"1 + {below}"
     return f"CAST({expr} AS BIGINT)"
+
+
+def exact_thresholds_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+    bucket_width: int = 1 << 20,
+    super_width: int = 1 << 10,
+) -> DataFrame:
+    """Per-group variant of :func:`exact_thresholds`: one row per
+    ``group_col`` value with that group's ascending k-1 exact
+    equi-depth boundaries in ``thr``. Every window below simply adds
+    the group key to its PARTITION BY, so the per-task bounds are the
+    same as the ungrouped pipeline's — and a caller with several
+    dimensions to tile (q87's R/F/M) melts them into one (dim, value)
+    relation and runs ONE pipeline instead of one per dimension (the
+    ungrouped form cost ~8 tiny exchanges per call; three calls tripled
+    every stage)."""
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = hist.withColumn(
+        "b",
+        F.expr(
+            f"CASE WHEN v >= 0 THEN v div {bucket_width} "
+            f"ELSE ((v + 1) div {bucket_width}) - 1 END"
+        ),
+    ).localCheckpoint()
+    wcum = hist.withColumn(
+        "wcum",
+        F.sum("cnt").over(Window.partitionBy("g", "b").orderBy("v")),
+    )
+    btot = hist.groupBy("g", "b").agg(F.sum("cnt").alias("bt")).withColumn(
+        "sb",
+        F.expr(
+            f"CASE WHEN b >= 0 THEN b div {super_width} "
+            f"ELSE ((b + 1) div {super_width}) - 1 END"
+        ),
+    )
+    wb = btot.withColumn(
+        "wbt",
+        F.sum("bt").over(Window.partitionBy("g", "sb").orderBy("b"))
+        - F.col("bt"),
+    )
+    stot = btot.groupBy("g", "sb").agg(F.sum("bt").alias("st"))
+    sprior = stot.select(
+        F.col("g").alias("pg"), F.col("sb").alias("ps"),
+        F.col("st").alias("pst"),
+    )
+    spre = (
+        stot.join(
+            F.broadcast(sprior),
+            (F.col("pg") == F.col("g")) & (F.col("ps") < F.col("sb")),
+            "left",
+        )
+        .groupBy("g", "sb")
+        .agg(F.coalesce(F.sum("pst"), F.lit(0)).alias("spre"))
+    )
+    bpre = wb.join(F.broadcast(spre), ["g", "sb"]).select(
+        "g", "b", (F.col("spre") + F.col("wbt")).alias("bpre")
+    )
+    tot = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    cm = (
+        wcum.join(F.broadcast(bpre), ["g", "b"])
+        .join(F.broadcast(tot), "g")
+        .withColumn("cm", F.col("bpre") + F.col("wcum"))
+    )
+    bounds = cm.select(
+        "g",
+        "v",
+        F.expr(f"((cm - cnt) * {k}) div n + 1").alias("j_lo"),
+        F.least(F.expr(f"(cm * {k}) div n"), F.lit(k - 1)).alias("j_hi"),
+    ).filter(F.col("j_hi") >= F.col("j_lo"))
+    thr = bounds.select(
+        "g", F.explode(F.expr("sequence(j_lo, j_hi)")).alias("j"), "v"
+    )
+    return thr.groupBy("g").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(j, v))), x -> x.v)"
+        ).alias("thr")
+    ).withColumnRenamed("g", group_col)

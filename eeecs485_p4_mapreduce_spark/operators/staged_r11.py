@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from eeecs485_p4_mapreduce_spark.catalog import load_table
 from eeecs485_p4_mapreduce_spark.operators.quantiles import (
     bucket_score,
-    exact_thresholds,
+    exact_thresholds_grouped,
     oracle_bucket_score,
     oracle_threshold_cte,
 )
@@ -129,22 +129,33 @@ def q87_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # per_user feeds THREE eager threshold computations plus the scorer;
-    # checkpoint it so the events aggregation runs once, not four times.
+    # per_user feeds the threshold build plus the scorer; checkpoint it
+    # so the events aggregation runs once.
     per_user = per_user.localCheckpoint()
-    rthr = exact_thresholds(per_user, "rec_days", 5).withColumnRenamed(
-        "thr", "rthr"
+    # ONE grouped threshold pipeline over the melted (dim, value)
+    # relation instead of three independent exact_thresholds calls —
+    # every histogram/window/prefix stage runs once with dim in its
+    # partition keys (same per-task bounds, a third of the stages).
+    melted = per_user.selectExpr(
+        "stack(3, 'r', rec_days, 'f', freq, 'm', cents) AS (dim, val)"
     )
-    fthr = exact_thresholds(per_user, "freq", 5).withColumnRenamed(
-        "thr", "fthr"
-    )
-    mthr = exact_thresholds(per_user, "cents", 5).withColumnRenamed(
-        "thr", "mthr"
+    thr3 = (
+        exact_thresholds_grouped(melted, "dim", "val", 5)
+        .groupBy()
+        .agg(
+            F.first(F.when(F.col("dim") == "r", F.col("thr")), True).alias(
+                "rthr"
+            ),
+            F.first(F.when(F.col("dim") == "f", F.col("thr")), True).alias(
+                "fthr"
+            ),
+            F.first(F.when(F.col("dim") == "m", F.col("thr")), True).alias(
+                "mthr"
+            ),
+        )
     )
     scored = (
-        per_user.crossJoin(F.broadcast(rthr))
-        .crossJoin(F.broadcast(fthr))
-        .crossJoin(F.broadcast(mthr))
+        per_user.crossJoin(F.broadcast(thr3))
         .withColumn(
             "r_score", bucket_score("rec_days", "rthr", 5, descending=True)
         )

@@ -203,7 +203,9 @@ def q85_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("spend_cents").alias("sum_cents"),
         F.sum("conversions").alias("n_conversions"),
-    )
+    # <= 10 rows; feeds the conversion total AND the lift table — pin it
+    # so the tiling aggregation runs once
+    ).localCheckpoint()
     tot = per_decile.agg(F.sum("n_conversions").alias("all_conv"))
     cum = F.sum("n_conversions").over(
         Window.orderBy("decile").rowsBetween(

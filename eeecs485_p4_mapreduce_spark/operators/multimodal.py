@@ -4794,3 +4794,130 @@ def parse_png_metadata(payload: bytes):
         "gamma_e5": gamma_e5,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG APP1 / EXIF — the camera-metadata modality: a TIFF IFD embedded
+# inside a JPEG APP1 segment behind the "Exif\\0\\0" header, in EITHER
+# byte order. encode_jpeg_exif builds a minimal JPEG shell (SOI + APP1
+# + EOI) around a spec-layout TIFF block (header, one IFD with
+# ascending tag ids, inline SHORT values, out-of-line ASCII values
+# with their NULs); parse_jpeg_exif walks the JPEG marker stream by
+# length fields, locates the Exif APP1, and strictly parses the IFD —
+# tag order, value offsets, and string termination all verified.
+# ---------------------------------------------------------------------------
+def encode_jpeg_exif(
+    orientation: int, make: str, software: str, big_endian: bool = False
+) -> bytes:
+    """Minimal JPEG carrying an EXIF APP1: Make (0x010F), Orientation
+    (0x0112), Software (0x0131)."""
+    import struct
+
+    if not 1 <= orientation <= 8:
+        raise ValueError("EXIF orientation must be 1..8")
+    e = ">" if big_endian else "<"
+    mk = make.encode("ascii") + b"\x00"
+    sw = software.encode("ascii") + b"\x00"
+    # header(8) + count(2) + 3 entries(36) + next(4) = 50; data follows
+    mk_off, sw_off = 50, 50 + len(mk)
+    ifd = struct.pack(e + "H", 3)
+    ifd += struct.pack(e + "HHII", 0x010F, 2, len(mk), mk_off)
+    # SHORT value sits in the FIRST TWO BYTES of the 4-byte value slot
+    ori = struct.pack(e + "H", orientation) + b"\x00\x00"
+    ifd += struct.pack(e + "HHI", 0x0112, 3, 1) + ori
+    ifd += struct.pack(e + "HHII", 0x0131, 2, len(sw), sw_off)
+    ifd += struct.pack(e + "I", 0)
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "HI", 42, 8)
+        + ifd
+        + mk
+        + sw
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def parse_jpeg_exif(payload: bytes):
+    """Strictly parse the EXIF APP1 out of a JPEG marker stream.
+    Returns dict(n_tags, orientation, make_len, software_len,
+    exif_bytes, big_endian, file_bytes). Raises ValueError on a bad
+    SOI, a marker segment overrunning the file, a missing Exif APP1,
+    a bad TIFF header, non-ascending tag ids, an out-of-bounds value
+    offset, or an unterminated ASCII value."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    pos, exif = 2, None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(data):
+            raise ValueError("JPEG segment overruns file")
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            exif = data[pos + 10 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+    if exif is None:
+        raise ValueError("no Exif APP1 segment")
+    if len(exif) < 14:
+        raise ValueError("EXIF block too short")
+    if exif[:2] == b"II":
+        order = "little"
+    elif exif[:2] == b"MM":
+        order = "big"
+    else:
+        raise ValueError(f"bad TIFF byte order {exif[:2]!r}")
+
+    def u(off: int, n: int) -> int:
+        if off + n > len(exif):
+            raise ValueError("TIFF read out of bounds")
+        return int.from_bytes(exif[off : off + n], order)
+
+    if u(2, 2) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = u(4, 4)
+    n_tags = u(ifd, 2)
+    orientation = make_len = software_len = 0
+    prev_tag = -1
+    for i in range(n_tags):
+        at = ifd + 2 + 12 * i
+        tag, typ, cnt = u(at, 2), u(at + 2, 2), u(at + 4, 4)
+        if tag <= prev_tag:
+            raise ValueError("TIFF tags must be ascending")
+        prev_tag = tag
+        if typ == 3:  # SHORT, inline
+            val = u(at + 8, 2)
+            if tag == 0x0112:
+                if not 1 <= val <= 8:
+                    raise ValueError(f"bad orientation {val}")
+                orientation = val
+        elif typ == 2:  # ASCII, out of line
+            off = u(at + 8, 4)
+            if off + cnt > len(exif):
+                raise ValueError("ASCII value overruns EXIF block")
+            raw = exif[off : off + cnt]
+            if not raw.endswith(b"\x00"):
+                raise ValueError("unterminated ASCII EXIF value")
+            if tag == 0x010F:
+                make_len = cnt - 1
+            elif tag == 0x0131:
+                software_len = cnt - 1
+    return {
+        "n_tags": n_tags,
+        "orientation": orientation,
+        "make_len": make_len,
+        "software_len": software_len,
+        "exif_bytes": len(exif) + 6,
+        "big_endian": 1 if order == "big" else 0,
+        "file_bytes": len(data),
+    }

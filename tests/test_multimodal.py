@@ -1295,6 +1295,22 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             ),
             mm.parse_id3v2,
         ),
+        "exif": (
+            mm.encode_jpeg_exif(3, "Cam9", "v2.1", big_endian=True),
+            mm.parse_jpeg_exif,
+        ),
+        "png_meta": (
+            mm.inject_png_chunks(
+                mm.encode_png(
+                    __import__("numpy").zeros((8, 8, 3), dtype="uint8")
+                ),
+                [
+                    (b"tEXt", b"Title\x00t7"),
+                    (b"pHYs", (2900).to_bytes(4, "big") * 2 + b"\x01"),
+                ],
+            ),
+            mm.parse_png_metadata,
+        ),
     }
 
     class _Hang(Exception):

@@ -2847,7 +2847,7 @@ def _rolling_distinct_exact(events: DataFrame, out_col: str) -> DataFrame:
     pair to at most 7 as-of days."""
     user_days = events.select(
         "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint()  # feeds the day list AND the fan-out
     days_present = user_days.select("day").distinct()
     contrib = user_days.select(
         "user_id",
@@ -3017,7 +3017,7 @@ def _q59_sketch_rolling(events: DataFrame) -> DataFrame:
     trailing 7-day horizon."""
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sk")
-    )
+    ).localCheckpoint()  # day-table sized; feeds the fan-out AND the day list
     contrib = daily.select(
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))

@@ -2903,7 +2903,7 @@ def q57_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = ev.select("t", F.lit(1).alias("d")).unionByName(
         ev.select((F.col("t") + horizon_us).alias("t"), F.lit(-1).alias("d"))
-    )
+    ).localCheckpoint()  # feeds the per-ts collapse AND the hour totals
     pts = (
         deltas.groupBy("t")
         .agg(F.sum("d").alias("d"))

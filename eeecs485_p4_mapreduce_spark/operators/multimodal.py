@@ -4517,6 +4517,8 @@ def encode_ico(entries) -> bytes:
         if w not in (16, 32, 64, 256) or h not in (16, 32, 64, 256):
             raise ValueError("unsupported ICO dimensions")
         if fmt == "dib":
+            if bpp != 32:
+                raise ValueError("generated DIB payloads are 32-bpp only")
             and_row = ((w + 31) // 32) * 4
             xor = (
                 (
@@ -4590,6 +4592,11 @@ def parse_ico(payload: bytes):
             if bw != w or bh != 2 * h:
                 raise ValueError(
                     f"DIB dims {bw}x{bh} contradict entry {w}x{h}"
+                )
+            dib_bpp = int.from_bytes(body[14:16], "little")
+            if dib_bpp != bpp:
+                raise ValueError(
+                    f"DIB bit depth {dib_bpp} contradicts entry {bpp}"
                 )
             n_dib += 1
         else:

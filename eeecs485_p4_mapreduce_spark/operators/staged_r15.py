@@ -291,7 +291,10 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_with_norm,
     )
 
-    emb = _emb_with_norm(spark, sf_dir)
+    # emb feeds the query side, the candidate side, and the zero-match
+    # left-join anchor — pin it so the embedding load runs once (the
+    # sim_pq_search precedent from this same module family)
+    emb = _emb_with_norm(spark, sf_dir).localCheckpoint()
     queries = emb.filter(F.col("vec_id") < RADIUS_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -315,9 +318,7 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.max("cos"), 4) + F.lit(0.0)).alias("mx"),
         )
     )
-    qids = emb.filter(F.col("vec_id") < RADIUS_N_QUERIES).select(
-        F.col("vec_id").alias("query_id")
-    )
+    qids = queries.select("query_id")
     return qids.join(matches, "query_id", "left").select(
         "query_id",
         F.coalesce("n", F.lit(0)).alias("n_in_radius"),
@@ -516,7 +517,10 @@ def _ico_png_body() -> bytes:
     return encode_png(np.zeros((16, 16, 3), dtype="uint8"))
 
 
-_ICO_PNG_LEN = len(_ico_png_body())
+# the constant-content PNG's compressed size, pinned as a literal so
+# importing this module (registry.load_all does) never runs the PNG
+# encoder; mm_ico_directory asserts the real encoder still agrees.
+_ICO_PNG_LEN = 73
 _ICO_DIB_32 = 40 + 32 * 32 * 4 + 4 * 32      # header + XOR + AND mask
 _ICO_DIB_64 = 40 + 64 * 64 * 4 + 8 * 64
 
@@ -568,6 +572,11 @@ def mm_ico_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     png_body = _ico_png_body()
+    if len(png_body) != _ICO_PNG_LEN:  # keep the oracle literal honest
+        raise AssertionError(
+            f"PNG body length {len(png_body)} != oracle literal"
+            f" {_ICO_PNG_LEN}"
+        )
 
     def per_doc(d: int) -> dict:
         entries = []
@@ -716,7 +725,13 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm_dir = tempfile.mkdtemp(prefix="p4spark_late_wm_")
     ckpt = tempfile.mkdtemp(prefix="p4spark_late_ckpt_")
 
-    def merge_batch(batch_df, _batch_id: int) -> None:
+    def merge_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: every write below is keyed by
+        # batch_id (mode overwrite into batch=<id>), so a replayed
+        # micro-batch rewrites ITS OWN partials instead of appending a
+        # second copy — the staged_r14 DLQ-sink rule. The watermark gate
+        # reads only PRIOR batches' maxima (batch < batch_id), which is
+        # replay-stable: a re-run of batch 1 never sees its own max.
         sp = batch_df.sparkSession
         b = batch_df.select(
             "event_type",
@@ -725,48 +740,46 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             ),
             F.expr("event_id % 11 = 0").alias("flagged"),
-        )
-        if any(Path(wm_dir).glob("*.parquet")):
-            prev_max = sp.read.parquet(wm_dir).collect()[0][0]
-            dropped = F.col("flagged") & (
-                F.col("us") < F.lit(prev_max - _LATE_ALLOW_US)
+        ).localCheckpoint()  # two consumers: the partial agg + the max
+        if any(Path(wm_dir).glob("batch=*")):
+            # base-dir read: partition discovery turns batch=<id> into
+            # a batch column (a glob path makes the reader log WARN
+            # FileStreamSink probes on every call)
+            prev_max = (
+                sp.read.parquet(wm_dir)
+                .filter(F.col("batch") < batch_id)
+                .agg(F.max("max_us"))
+                .collect()[0][0]
             )
         else:
             prev_max = None
+        if prev_max is None:
             dropped = F.lit(False)
-        part = b.withColumn("dropped", dropped).groupBy(
-            "event_type"
-        ).agg(
-            F.sum(F.expr("if(dropped, 0, 1)")).alias("n_accepted"),
-            F.sum(F.expr("if(dropped, 1, 0)")).alias("n_dropped_late"),
-            F.sum(F.expr("if(dropped, 0, cents)")).alias(
-                "sum_accepted_cents"
-            ),
-        )
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(part)
         else:
-            merged = part
-        (
-            merged.groupBy("event_type")
-            .agg(
-                F.sum("n_accepted").alias("n_accepted"),
-                F.sum("n_dropped_late").alias("n_dropped_late"),
-                F.sum("sum_accepted_cents").alias("sum_accepted_cents"),
+            dropped = F.col("flagged") & (
+                F.col("us") < F.lit(prev_max - _LATE_ALLOW_US)
             )
-            .localCheckpoint()
+        (
+            b.withColumn("dropped", dropped)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.expr("if(dropped, 0, 1)")).alias("n_accepted"),
+                F.sum(F.expr("if(dropped, 1, 0)")).alias(
+                    "n_dropped_late"
+                ),
+                F.sum(F.expr("if(dropped, 0, cents)")).alias(
+                    "sum_accepted_cents"
+                ),
+            )
             .write.mode("overwrite")
-            .parquet(out_dir)
+            .parquet(f"{out_dir}/batch={batch_id}")
         )
         batch_max = b.agg(F.max("us")).collect()[0][0]
-        new_max = (
-            batch_max
-            if prev_max is None
-            else max(prev_max, batch_max if batch_max is not None else prev_max)
-        )
-        sp.createDataFrame([(new_max,)], "max_us long").write.mode(
-            "overwrite"
-        ).parquet(wm_dir)
+        # batch lives in the directory name only (partition discovery
+        # surfaces it on read; storing it again would collide)
+        sp.createDataFrame(
+            [(batch_max,)], "max_us long"
+        ).write.mode("overwrite").parquet(f"{wm_dir}/batch={batch_id}")
 
     q = (
         spark.readStream.schema(
@@ -781,7 +794,18 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     shutil.rmtree(spool, ignore_errors=True)
-    out = spark.read.parquet(out_dir).localCheckpoint()
+    # fold the per-batch partials (sum-merge is associative, so the
+    # batch-keyed layout costs nothing semantically)
+    out = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_accepted").alias("n_accepted"),
+            F.sum("n_dropped_late").alias("n_dropped_late"),
+            F.sum("sum_accepted_cents").alias("sum_accepted_cents"),
+        )
+        .localCheckpoint()
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(wm_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

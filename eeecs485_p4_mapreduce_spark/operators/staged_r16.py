@@ -446,12 +446,11 @@ TA_HAPAX_ORACLE = """
 
 def ta_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax legomena share per language (see section comment)."""
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     freq = (
-        docs.select(
-            "lang",
-            F.explode(F.expr("split(lower(text), '[ \t]')")).alias("t"),
-        )
+        docs.select("lang", F.explode(tokens()).alias("t"))
         .filter(F.col("t") != "")
         .groupBy("lang", "t")
         .agg(F.count(F.lit(1)).alias("f"))
@@ -486,7 +485,9 @@ def _png_meta_base() -> bytes:
     return encode_png(np.zeros((8, 8, 3), dtype="uint8"))
 
 
-_PNG_BASE_LEN = len(_png_meta_base())
+# pinned literal (import-time encoder runs are banned in registered
+# modules — registry.load_all imports them); asserted at call time.
+_PNG_BASE_LEN = 69
 
 PNG_META_SCHEMA_FIELDS = (
     "media_id",
@@ -534,6 +535,11 @@ def mm_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _png_meta_base()
+    if len(base) != _PNG_BASE_LEN:  # keep the oracle literal honest
+        raise AssertionError(
+            f"base PNG length {len(base)} != oracle literal"
+            f" {_PNG_BASE_LEN}"
+        )
 
     def per_doc(d: int) -> dict:
         chunks = [(b"tEXt", b"Title\x00" + f"t{d}".encode())]
@@ -591,27 +597,23 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="p4spark_restart_ckpt_")
     schema = spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
 
-    def merge_batch(batch_df, _batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        part = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.expr("cast(round(value * 100, 0) as bigint)")
-            ).alias("sum_cents"),
-        )
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(part)
-        else:
-            merged = part
+    def merge_batch(batch_df, batch_id: int) -> None:
+        # batch-keyed partials (the staged_r14 DLQ-sink rule): a
+        # replayed micro-batch overwrites ITS OWN subdirectory instead
+        # of appending a second copy — the counter stays exactly-once
+        # even though foreachBatch is at-least-once. Batch ids keep
+        # counting across the restart (that is what the checkpoint
+        # stores), so pass-2 partials never collide with pass-1's.
         (
-            merged.groupBy("event_type")
+            batch_df.groupBy("event_type")
             .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_cents").alias("sum_cents"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.expr("cast(round(value * 100, 0) as bigint)")
+                ).alias("sum_cents"),
             )
-            .localCheckpoint()
             .write.mode("overwrite")
-            .parquet(out_dir)
+            .parquet(f"{out_dir}/batch={batch_id}")
         )
 
     def run_once() -> None:
@@ -634,7 +636,15 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # pass 2, same checkpoint: must process ONLY slice-1
     shutil.rmtree(spool, ignore_errors=True)
     shutil.rmtree(pending, ignore_errors=True)
-    out = spark.read.parquet(out_dir).localCheckpoint()
+    out = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .localCheckpoint()
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out

@@ -49,7 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
-    # staged_r10–r14 flips (first driver rows expected in CORRECTNESS_r08)
+    # staged_r10–r15 flips (first driver rows expected in CORRECTNESS_r08)
     "q84_trend_regression",
     "q85_decile_lift",
     "q86_pit_join",

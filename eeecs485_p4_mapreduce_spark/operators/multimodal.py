@@ -4928,3 +4928,115 @@ def parse_jpeg_exif(payload: bytes):
         "big_endian": 1 if order == "big" else 0,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# AIFF — the BIG-endian sibling of RIFF/WAV (IFF FORM container). The
+# COMM chunk stores the sample rate as an 80-bit IEEE 754 EXTENDED
+# float (1 sign + 15 exponent + 64 explicit-integer-bit mantissa) — a
+# format struct cannot unpack, so parsing it is a real codec exercise.
+# encode_aiff builds FORM/AIFF + COMM + SSND; parse_aiff_comm re-walks
+# the chunk stream (big-endian sizes, odd-size pad bytes) and decodes
+# the extended float exactly for the integer rates audio uses.
+# ---------------------------------------------------------------------------
+def _f80_encode(value: int) -> bytes:
+    """80-bit extended float of a positive integer (exact for < 2^63)."""
+    if not 1 <= value < (1 << 63):
+        raise ValueError("f80 encoder handles positive integers < 2^63")
+    e = value.bit_length() - 1
+    mant = value << (63 - e)  # explicit leading 1 in bit 63
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _f80_decode(raw: bytes) -> int:
+    """Decode an 80-bit extended float known to hold a positive
+    integer; raises on NaN/inf/negative/fractional values."""
+    if len(raw) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    se = int.from_bytes(raw[:2], "big")
+    mant = int.from_bytes(raw[2:], "big")
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    exp = se - 16383
+    if se == 0x7FFF:
+        raise ValueError("NaN/inf AIFF sample rate")
+    if not 0 <= exp <= 62:
+        raise ValueError(f"AIFF sample rate exponent {exp} out of range")
+    shift = 63 - exp
+    if mant & ((1 << shift) - 1):
+        raise ValueError("non-integer AIFF sample rate")
+    return mant >> shift
+
+
+def encode_aiff(
+    sample_rate: int, channels: int, bits: int, n_frames: int
+) -> bytes:
+    """FORM/AIFF with a COMM chunk and a deterministic SSND chunk."""
+    import struct
+
+    comm = (
+        struct.pack(">hIh", channels, n_frames, bits)
+        + _f80_encode(sample_rate)
+    )
+    ssnd_body = struct.pack(">II", 0, 0) + bytes(
+        (i * 31) % 256 for i in range(n_frames * channels * (bits // 8))
+    )
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd_body)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"  # IFF pad byte
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def parse_aiff_comm(payload: bytes):
+    """Strictly walk an AIFF FORM. Returns dict(sample_rate, channels,
+    bits, n_frames, duration_us, n_chunks, ssnd_bytes, file_bytes).
+    Raises ValueError on bad magic, a FORM size that disagrees with the
+    payload, a chunk overrun, a missing COMM, or a malformed 80-bit
+    sample rate."""
+    data = bytes(payload)
+    if data[:4] != b"FORM":
+        raise ValueError(f"bad IFF magic {data[:4]!r}")
+    if len(data) < 12 or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF FORM")
+    form_len = int.from_bytes(data[4:8], "big")
+    if 8 + form_len != len(data):
+        raise ValueError("FORM size disagrees with payload")
+    pos = 12
+    comm = None
+    n_chunks = ssnd_bytes = 0
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated AIFF chunk header")
+        cid = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("AIFF chunk overruns payload")
+        n_chunks += 1
+        if cid == b"COMM":
+            if clen != 18:
+                raise ValueError("COMM chunk must be 18 bytes")
+            comm = body
+        elif cid == b"SSND":
+            ssnd_bytes = clen
+        pos += 8 + clen + (clen % 2)  # odd chunks carry a pad byte
+    if comm is None:
+        raise ValueError("AIFF missing COMM chunk")
+    channels = int.from_bytes(comm[0:2], "big", signed=True)
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big", signed=True)
+    rate = _f80_decode(comm[8:18])
+    if channels < 1 or bits < 1:
+        raise ValueError("bad AIFF channels/bits")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // rate,
+        "n_chunks": n_chunks,
+        "ssnd_bytes": ssnd_bytes,
+        "file_bytes": len(data),
+    }

@@ -1299,6 +1299,10 @@ def test_container_walker_mutation_fuzz_only_valueerror():
             mm.encode_jpeg_exif(3, "Cam9", "v2.1", big_endian=True),
             mm.parse_jpeg_exif,
         ),
+        "aiff": (
+            mm.encode_aiff(22050, 2, 16, 25),
+            mm.parse_aiff_comm,
+        ),
         "png_meta": (
             mm.inject_png_chunks(
                 mm.encode_png(

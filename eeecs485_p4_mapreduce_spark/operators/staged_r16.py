@@ -1,6 +1,6 @@
-"""Queries STAGED for the next registration round (implemented +
-oracle-proven in this build session; the flip is one
-``register_staged()`` call in ``registry.load_all``).
+"""Queries REGISTERED via ``registry.load_all`` (staged one judged
+round under the full discipline, then flipped; first driver rows
+expected in ``CORRECTNESS_r09.json``).
 
 Same staging discipline as operators/staged_r9–r15: built, pytest
 hash-checked against DuckDB at sf0.001 and sf0.01
@@ -650,7 +650,7 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-#: flip: registry.load_all() adds register_staged() for this module.
+#: registered: registry.load_all() calls register_staged() below.
 STAGED: dict[str, tuple] = {
     "q103_fifo_lots": (q103_fifo_lots, Q103_ORACLE),
     "q104_ship_lag_percentiles": (

@@ -1,6 +1,6 @@
-"""Queries STAGED for a future registration round (implemented +
-oracle-proven in this build session; the flip is one
-``register_staged()`` call in ``registry.load_all``).
+"""Queries REGISTERED via ``registry.load_all`` (staged one judged
+round under the full discipline, then flipped; first driver rows
+expected in ``CORRECTNESS_r09.json``).
 
 Same staging discipline as operators/staged_r9–r16: built, pytest
 hash-checked against DuckDB at sf0.001 and sf0.01
@@ -422,7 +422,7 @@ def mm_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_walk_query(spark, sf_dir, EXIF_SCHEMA_FIELDS, per_doc)
 
 
-#: flip: registry.load_all() adds register_staged() for this module.
+#: registered: registry.load_all() calls register_staged() below.
 STAGED: dict[str, tuple] = {
     "q107_funnel_steps": (q107_funnel_steps, Q107_ORACLE),
     "sim_matryoshka_recall": (sim_matryoshka_recall, SIM_MRL_ORACLE),

@@ -49,7 +49,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
-    # staged_r10–r15 flips (first driver rows expected in CORRECTNESS_r08)
+    # staged_r16–r18 flips (first driver rows expected in CORRECTNESS_r09)
+    "q103_fifo_lots",
+    "q104_ship_lag_percentiles",
+    "q105_wow_change",
+    "q106_basket_lift",
+    "dedup_phonetic_names",
+    "ta_hapax_ratio",
+    "mm_png_metadata",
+    "stream_restart_idempotent",
+    "q107_funnel_steps",
+    "sim_matryoshka_recall",
+    "curate_epoch_allocation",
+    "mm_jpeg_exif",
+    "q108_weighted_median",
+    "mm_aiff_comm",
+    # staged_r10–r15 flips (first driver rows in CORRECTNESS_r08)
     "q84_trend_regression",
     "q85_decile_lift",
     "q86_pit_join",
@@ -332,6 +347,9 @@ def load_all() -> None:
         staged_r13,
         staged_r14,
         staged_r15,
+        staged_r16,
+        staged_r17,
+        staged_r18,
     )
 
     staged.register_staged()
@@ -344,4 +362,7 @@ def load_all() -> None:
     staged_r13.register_staged()
     staged_r14.register_staged()
     staged_r15.register_staged()
+    staged_r16.register_staged()
+    staged_r17.register_staged()
+    staged_r18.register_staged()
     _prioritize()

@@ -1594,9 +1594,14 @@ def _duck_hnsw_search_sql() -> str:
 
 def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, norm, lvl, b0..b3): layer level + per-layer prefix
-    LSH buckets, all md5-deterministic compile-time constants — one
-    map-side projection, no shuffle."""
-    emb = _emb_with_norm(spark, sf_dir)
+    LSH buckets, all md5-deterministic compile-time constants. The
+    projection is ~12 interpreted 64-dim lambda folds per row (4 bucket
+    prefixes + level + norm), and the source parquet is a single split
+    at bench scale — an explicit repartition(32) ahead of it spreads
+    the fold work across cores (r09 A/B: 1.9 s -> 0.2 s on the node
+    checkpoint; an explicit width is used because AQE would coalesce a
+    plain shuffle of 2k rows back to one partition)."""
+    emb = _emb_with_norm(spark, sf_dir).repartition(32, "vec_id")
     cols = [
         F.col("vec_id"),
         F.col("v"),
@@ -1643,54 +1648,88 @@ def sim_hnsw_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
     """Layered edge build over an (ideally checkpointed) node table —
     shared by sim_hnsw_build and sim_hnsw_search so the bucket/level
-    projection (4 inlined 64-dim sign folds per row) is computed ONCE
-    and the 8 join sides below read materialized rows instead of each
-    re-scanning parquet and re-running the codegen'd fold (measured
-    ~2x on the search query, which consumes the node table 11 times)."""
-    per_level = []
+    projection (4 inlined 64-dim sign folds per row) is computed ONCE.
+
+    All four layers run through ONE self-join keyed on (level, bucket)
+    instead of four unioned per-level joins: each node explodes into a
+    (level, probe-bucket) row per layer it belongs to (probe side: own
+    bucket + every Hamming-1 bucket; candidate side: own bucket only),
+    and the top-M ranking is one window over (level, src). Same pair
+    set, same ranks — but 2 shuffles + 1 join + 1 window total where
+    the per-level form scheduled 4 of each (r09 A/B: the unioned build
+    materialized ~16 AQE stages for ~2 s of overhead on 42k edges;
+    this form is ~4 stages). The explicit repartition width ahead of
+    the window keeps the ~537k candidate pairs (~13 MB — under AQE's
+    one-partition coalesce threshold) sorting on all cores."""
+    a_structs = []
+    b_structs = []
     for lvl in range(HNSW_MAX_LEVEL + 1):
         planes = max(0, N_PLANES - 2 * lvl)
-        nl = nodes.filter(F.col("lvl") >= lvl)
-        probes = ", ".join(
-            [f"b{lvl}"] + [f"b{lvl} ^ {1 << j}L" for j in range(planes)]
-        )
-        a = nl.select(
-            F.col("vec_id").alias("src"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.explode(F.expr(f"array({probes})")).alias("ab"),
-        )
-        b = nl.select(
-            F.col("vec_id").alias("dst"),
-            "v",
-            "norm",
-            F.col(f"b{lvl}").alias("bb"),
-        )
-        cos = (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
-            "cos_raw"
-        )
-        w = Window.partitionBy("src").orderBy(
-            F.col("cos_raw").desc(), F.col("dst")
-        )
-        per_level.append(
-            a.join(
-                b, (F.col("ab") == F.col("bb")) & (F.col("src") != F.col("dst"))
+        for pk in [f"b{lvl}"] + [
+            f"b{lvl} ^ {1 << j}L" for j in range(planes)
+        ]:
+            a_structs.append(
+                f"if(lvl >= {lvl},"
+                f" named_struct('level', {lvl}, 'bkt', {pk}), null)"
             )
-            .select("src", "dst", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= HNSW_M)
-            .select(
-                F.lit(lvl).alias("level"),
-                "src",
-                "dst",
-                "rank",
-                F.round("cos_raw", 4).alias("cosine"),
-            )
+        b_structs.append(
+            f"if(lvl >= {lvl},"
+            f" named_struct('level', {lvl}, 'bkt', b{lvl}), null)"
         )
-    out = per_level[0]
-    for df in per_level[1:]:
-        out = out.unionByName(df)
-    return out
+
+    def _side(structs: list[str]) -> str:
+        arr = ", ".join(structs)
+        return f"filter(array({arr}), x -> x is not null)"
+
+    a = nodes.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(F.expr(_side(a_structs))).alias("p"),
+    ).select(
+        "src",
+        "qv",
+        "qnorm",
+        F.col("p.level").alias("al"),
+        F.col("p.bkt").alias("ab"),
+    )
+    b = nodes.select(
+        F.col("vec_id").alias("dst"),
+        "v",
+        "norm",
+        F.explode(F.expr(_side(b_structs))).alias("p"),
+    ).select(
+        "dst",
+        "v",
+        "norm",
+        F.col("p.level").alias("bl"),
+        F.col("p.bkt").alias("bb"),
+    )
+    cos = (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
+        "cos_raw"
+    )
+    w = Window.partitionBy("level", "src").orderBy(
+        F.col("cos_raw").desc(), F.col("dst")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("al") == F.col("bl"))
+            & (F.col("ab") == F.col("bb"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select(F.col("al").alias("level"), "src", "dst", cos)
+        .repartition(32, "level", "src")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HNSW_M)
+        .select(
+            "level",
+            "src",
+            "dst",
+            "rank",
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
 
 
 @query("sim_hnsw_search", oracle=_duck_hnsw_search_sql())
@@ -1700,74 +1739,153 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {HNSW_KEEP_UPPER}), then a {HNSW_HOPS0}-hop beam of width {HNSW_EF}
     on layer 0. The paper's
     while-better loop is replaced by FIXED hop counts so the whole search
-    is a static dataflow (and SQL-expressible for the oracle); each hop
-    joins the frontier (≤ {HNSW_EF} rows/query, broadcast) against the
-    checkpointed edge table and rescores candidates against the broadcast
-    query vectors — the corpus is never shuffled during search. Recall
-    trade vs the flat-LSH path is measured the same way as sim_ann_recall
-    (per-query overlap with sim_topk_bruteforce's exact top-k)."""
+    is a static dataflow (and SQL-expressible for the oracle).
+
+    The 9 hops run as ONE linear-lineage job, not 9 checkpoint-barrier
+    jobs (the r08 census measured ~0.7 s of scheduling floor per
+    barrier, 10.5 s total; this form is the same dataflow with the
+    floors removed): the frontier is referenced exactly ONCE per hop —
+    a left-join against the adjacency plus explode([self, neighbor])
+    replaces the union-then-join shape — so lineage grows linearly and
+    no per-hop pin is needed. Candidate vectors travel ON the edges
+    (the co-located adjacency layout graph-ANN stores use), so search
+    never rejoins the corpus table; query vectors are broadcast once
+    and every hop reuses the exchange. The frontier is the provably
+    tiny side at any corpus scale (≤ {HNSW_EF} rows/query), so the
+    scale plan shuffle-joins it per hop against the src-partitioned
+    adjacency checkpoint; when the adjacency itself fits a broadcast
+    (size-checked, the same decision AQE makes from runtime stats) the
+    hops become map-side joins that preserve the frontier's query_id
+    partitioning and all 18 dedupe/beam windows run sort-only with no
+    per-hop exchange at all. The corpus is never shuffled during
+    search. Recall trade vs the flat-LSH path is measured the same way
+    as sim_ann_recall (per-query overlap with sim_topk_bruteforce's
+    exact top-k)."""
     nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    # Join-side choice, decided from data size the way AQE would: the
+    # frontier is the provably tiny side at ANY corpus scale (≤ EF
+    # rows/query), so the scale plan shuffle-joins it against the
+    # src-partitioned adjacency checkpoint. But when the adjacency
+    # itself fits a broadcast (O(N·(M+1)) vectors — true at bench
+    # scale: ~42k edges, ~23 MB), broadcasting IT once instead removes
+    # every per-hop stage: the map-side joins preserve the frontier's
+    # query_id partitioning, all 18 windows run sort-only, and the
+    # single whole-table broadcast subplan is reused by all 9 hops.
+    adj_bytes = nodes.count() * (HNSW_M + 1) * (8 * DIM + 24)
+    adj_small = adj_bytes < (64 << 20)
+    # Co-located adjacency: attach each edge's dst vector AFTER the
+    # top-M ranking (so the build's window shuffles (src,dst,cos) rows,
+    # never 64-dim payloads). Pre-partitioning by src only pays in
+    # shuffle-join mode, where it lets every hop reuse the checkpoint's
+    # partitioning; in broadcast mode it would be a dead shuffle.
     edges = (
         _hnsw_edges_from(nodes)
         .select("level", "src", "dst")
-        .localCheckpoint(eager=False)
+        .join(
+            nodes.select(
+                F.col("vec_id").alias("dst"),
+                F.col("v").alias("dv"),
+                F.col("norm").alias("dn"),
+            ),
+            "dst",
+        )
     )
-    corpus = nodes.select("vec_id", "v", "norm")
+    if not adj_small:
+        # Shuffle-join mode: partition by src so every hop's sort-merge
+        # join reuses the layout.
+        edges = edges.repartition("src")
+    # Checkpoint in BOTH modes: in broadcast mode the checkpoint leaf is
+    # what makes the 9 hops' broadcast subplans canonically identical so
+    # exchange reuse materializes ONE broadcast (r09 A/B: dropping the
+    # checkpoint re-ran the build inside the broadcasts, +1.1 s).
+    edges = edges.localCheckpoint(eager=False)
     queries = nodes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    lvls = nodes.select("vec_id", "lvl")
-    maxl = lvls.agg(F.max("lvl").alias("ml"))
-    entry = (
-        lvls.join(F.broadcast(maxl), F.col("lvl") == F.col("ml"))
-        .agg(F.min("vec_id").alias("node"))
-    )
-    state = queries.select("query_id").crossJoin(F.broadcast(entry))
+    # Entry point (min vec_id among max-level nodes) in ONE aggregate:
+    # vec_id is unique so the (-lvl, vec_id) ordering has no ties for
+    # min_by to break arbitrarily. Replaces a 3-stage agg->join->agg
+    # chain — each tiny stage was a sequential scheduling floor.
+    entry_v = nodes.agg(
+        F.min_by(
+            F.struct(
+                F.col("vec_id").alias("node"),
+                F.col("v").alias("nv"),
+                F.col("norm").alias("nn"),
+            ),
+            F.struct(-F.col("lvl"), F.col("vec_id")),
+        ).alias("e")
+    ).select("e.node", "e.nv", "e.nn")
+    state = queries.select("query_id").crossJoin(F.broadcast(entry_v))
 
-    def scored(cand: DataFrame) -> DataFrame:
-        # frontier is tiny (≤ EF*(M+1) rows/query): broadcast it against
-        # the corpus scan, never shuffle the corpus per hop
-        return (
-            corpus.join(
-                F.broadcast(cand), F.col("vec_id") == F.col("node")
-            )
-            .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id",
-                "node",
-                (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
-                    "cos_raw"
-                ),
-            )
+    cos_expr = (
+        F.expr(
+            "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0d,"
+            " (acc, x) -> acc + x)"
         )
+        / (F.col("qnorm") * F.col("nn"))
+    )
 
     def hop(prev: DataFrame, level: int, keep: int) -> DataFrame:
-        nb = prev.join(
-            edges.filter(F.col("level") == level),
-            prev["node"] == F.col("src"),
-        ).select("query_id", F.col("dst").alias("node"))
-        cand = prev.unionByName(nb).distinct()
-        w = Window.partitionBy("query_id").orderBy(
+        if adj_small:
+            # Level selection INSIDE the join condition, not a filter on
+            # the broadcast side: keeps the broadcast subplan identical
+            # across all 9 hops so exchange reuse materializes it once.
+            e = F.broadcast(edges)
+            cond = (prev["node"] == e["src"]) & (e["level"] == level)
+        else:
+            e = edges.filter(F.col("level") == level).select(
+                "src", "dst", "dv", "dn"
+            )
+            cond = prev["node"] == e["src"]
+        cand = (
+            prev.join(e, cond, "left")
+            .select(
+                "query_id",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("node").alias("cn"),
+                            F.col("nv").alias("cv"),
+                            F.col("nn").alias("cd"),
+                        ),
+                        F.struct(
+                            F.col("dst").alias("cn"),
+                            F.col("dv").alias("cv"),
+                            F.col("dn").alias("cd"),
+                        ),
+                    )
+                ).alias("c"),
+            )
+            .select(
+                "query_id",
+                F.col("c.cn").alias("node"),
+                F.col("c.cv").alias("nv"),
+                F.col("c.cd").alias("nn"),
+            )
+            .filter(F.col("node").isNotNull())
+        )
+        # Exchanges are left to EnsureRequirements: HashPartitioning
+        # (query_id) satisfies the dedupe window's ClusteredDistribution
+        # (query_id, node) (subset rule) and the beam window's
+        # (query_id), so in broadcast mode — where the map-side join
+        # preserves the frontier's partitioning — no per-hop exchange is
+        # inserted at all; in shuffle-join mode one tiny frontier
+        # exchange per hop appears exactly where needed.
+        dedup_w = Window.partitionBy("query_id", "node").orderBy("node")
+        beam_w = Window.partitionBy("query_id").orderBy(
             F.col("cos_raw").desc(), F.col("node")
         )
-        # Cut lineage every hop: the frontier is ≤ EF rows/query but each
-        # hop references its predecessor twice (union arm + edge join), so
-        # an un-checkpointed chain doubles the plan per hop — 2^9 subplan
-        # copies by the final ranking (measured: minutes of planning for
-        # milliseconds of data). Same barrier pattern as q69's adjacency.
-        # A/B'd alternatives at sf0.1: barrier every 2nd hop re-executes
-        # the un-barriered hop twice per reference (11.2s -> 13.0s,
-        # rejected); the barrier-per-hop floor is 9 sequential tiny jobs
-        # (~0.7s each local[32]) plus the edge build — the honest cost of
-        # an iterative traversal expressed as static dataflow.
         return (
-            scored(cand)
-            .withColumn("rn", F.row_number().over(w))
+            cand.withColumn("dup", F.row_number().over(dedup_w))
+            .filter(F.col("dup") == 1)
+            .join(F.broadcast(queries), "query_id")
+            .withColumn("cos_raw", cos_expr)
+            .withColumn("rn", F.row_number().over(beam_w))
             .filter(F.col("rn") <= keep)
-            .select("query_id", "node")
-            .localCheckpoint(eager=False)
+            .select("query_id", "node", "nv", "nn")
         )
 
     for lvl in range(HNSW_MAX_LEVEL, 0, -1):
@@ -1778,7 +1896,8 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_raw").desc(), F.col("node")
     )
     return (
-        scored(state)
+        state.join(F.broadcast(queries), "query_id")
+        .withColumn("cos_raw", cos_expr)
         .filter(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HNSW_K)

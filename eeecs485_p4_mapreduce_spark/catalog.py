@@ -32,6 +32,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def pin_utc(spark: SparkSession) -> None:
+    """THE repo-wide timezone rule, in one place: every entry point that
+    hands engine data to a session (the session factory, load_table,
+    streaming's spool_events) pins ``spark.sql.session.timeZone=UTC``
+    for the session's lifetime. Rationale: NTZ→LTZ casts interpret
+    wall-clock in the session tz, and every downstream epoch bucket
+    (unix_micros, window(), date_format) renders in it — on a non-UTC
+    host a vanilla session would shift hour/week buckets across
+    boundaries vs the DuckDB oracles' tz-free epoch math; under UTC both
+    paths agree byte-for-byte. The pin is deliberately NOT restored:
+    callers that interleave engine queries with their own timestamp work
+    would otherwise see results flip depending on which ran last."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -46,13 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver hands us its own vanilla SparkSession, which our session
         # factory never saw.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Pin the session timezone too (also runtime-settable): the NTZ→LTZ
-        # cast below interprets wall-clock in the session tz, and every
-        # downstream epoch bucket (unix_micros, window(), date_format)
-        # renders in it. On a non-UTC host a vanilla session would shift
-        # hour/week buckets across boundaries vs the DuckDB oracle's
-        # tz-free epoch math; under UTC both paths agree byte-for-byte.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pin_utc(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # Normalize ts to TIMESTAMP (LTZ) at micros precision regardless of

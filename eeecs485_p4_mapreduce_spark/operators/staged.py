@@ -117,6 +117,9 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the df/term selection and the scoring join; pin it
     # so the corpus explode+shuffle runs once (at cluster scale this is
     # the persist any BM25 build does between its two passes).
+    # corpus-sized pin (per-(doc,term) rows): at 100 TB swap to
+    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md
+    # "localCheckpoint barriers".
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

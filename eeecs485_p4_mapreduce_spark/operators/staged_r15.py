@@ -126,6 +126,13 @@ def q100_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two middle elements of the sorted in-frame list and sums them;
 # DuckDB doubles its interpolating median — (a+b)/2 * 2 == a + b in
 # IEEE because /2 is exact, so both sides emit the identical BIGINT.
+# Overflow ceiling for THAT identity: DuckDB's median computes (a+b)/2
+# in DOUBLE, so it is exact only while a + b < 2^53 (~9.0e15), i.e.
+# daily per-type cent sums below ~4.5e15 (~45 trillion dollars/day);
+# Spark's a + b stays exact BIGINT throughout, so past that bound the
+# engines silently diverge. The x100 replica audit tops out around
+# 1e11 cents/day — 4 orders of magnitude of headroom — but re-check
+# this bound (like the int64 audits elsewhere) on any future scale-up.
 # ---------------------------------------------------------------------------
 Q101_ORACLE = """
     WITH daily AS (

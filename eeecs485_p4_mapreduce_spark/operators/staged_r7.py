@@ -225,7 +225,9 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = _exact_median2x(h1.withColumnRenamed("vm", "val"), "event_type", "val")
     # dev feeds the MAD histogram AND the fence count — pin it so the
     # events scan + median join run once (the persist a two-pass robust
-    # statistic does between its passes)
+    # statistic does between its passes).
+    # corpus-sized pin (event-sized): at 100 TB swap to
+    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
     dev = v.join(F.broadcast(med.select("event_type", "med2x")), "event_type").withColumn(
         "dev2x", F.abs(2 * F.col("vm") - F.col("med2x"))
     ).localCheckpoint()
@@ -350,6 +352,8 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) and phrases two — pinning both keeps the posexplode +
     # per-doc prefix window to ONE execution instead of three (the
     # persist any multi-pass RAKE does between its passes).
+    # corpus-sized pin (corpus-token-sized members): at 100 TB swap to
+    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
     members = (
         toks.withColumn("phrase_id", F.sum("is_stop").over(w))
         .filter(F.col("is_stop") == 0)
@@ -505,7 +509,9 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the embedding load feeds the coarse assignment, the probe list,
     # AND the PQ code build — pin it so the composition reads parquet
-    # once (the old plan re-scanned embeddings 12 times)
+    # once (the old plan re-scanned embeddings 12 times).
+    # corpus-sized pin (full embedding table): at 100 TB swap to
+    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
     emb = _emb_with_norm(spark, sf_dir).localCheckpoint()
     packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(

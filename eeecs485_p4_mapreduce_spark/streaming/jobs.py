@@ -55,13 +55,15 @@ def spool_events(spark: SparkSession, sf_dir: str, spool_dir: str) -> str:
     real-scale table, incl. the replica probe corpus) — a directory is
     staged flat, one arrival file per part. Returns the spool path.
 
-    Also pins the session timezone to UTC (catalog.load_table's rule):
-    every consumer of the spool casts the NTZ ts through the SESSION
-    timezone, and on a vanilla non-UTC session a streaming query that
-    runs before any load_table call would otherwise bucket/format
-    wall-clocks in host-local time while the DuckDB oracle stays
-    tz-free."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    Also applies the repo-wide UTC pin (catalog.pin_utc — see its
+    docstring for the rule and why it is not restored): every consumer
+    of the spool casts the NTZ ts through the SESSION timezone, and a
+    streaming query on a vanilla non-UTC session that runs before any
+    load_table call would otherwise bucket/format wall-clocks in
+    host-local time while the DuckDB oracle stays tz-free."""
+    from eeecs485_p4_mapreduce_spark.catalog import pin_utc
+
+    pin_utc(spark)
     spool = Path(spool_dir)
     spool.mkdir(parents=True, exist_ok=True)
     src = Path(sf_dir) / "events.parquet"

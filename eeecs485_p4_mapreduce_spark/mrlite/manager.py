@@ -22,7 +22,10 @@ module is ONLY the network control surface, so scripts that today call
 unchanged.
 
 Malformed messages are ignored, matching the reference manager's
-behavior of discarding undecodable JSON rather than crashing.
+behavior of discarding undecodable JSON rather than crashing — but the
+drop is OBSERVABLE: ``malformed_count`` increments per discarded
+message so an operator can tell "client never sent" apart from "server
+discarded garbage" without packet captures.
 """
 
 from __future__ import annotations
@@ -59,6 +62,9 @@ class MRManagerServer:
         self.host = host
         self.port = port
         self.jobs: list[JobRecord] = []
+        #: messages discarded as undecodable JSON (observability counter;
+        #: the discard itself is reference-matching behavior)
+        self.malformed_count = 0
         self._queue: queue.Queue[JobRecord | None] = queue.Queue()
         self._sock: socket.socket | None = None
         self._threads: list[threading.Thread] = []
@@ -99,7 +105,10 @@ class MRManagerServer:
             try:
                 message = json.loads(b"".join(chunks).decode("utf-8"))
             except (ValueError, UnicodeDecodeError):
-                continue  # reference behavior: discard undecodable messages
+                # reference behavior: discard undecodable messages (but
+                # count the drop so operators can see it happening)
+                self.malformed_count += 1
+                continue
             self._dispatch(message)
         self._sock.close()
 

@@ -83,10 +83,19 @@ def test_reference_submit_client_runs_wc_job(server, tmp_path):
 def test_fifo_queueing_and_malformed_messages(server, tmp_path):
     """Two jobs submitted back-to-back run FIFO with increasing job ids
     (reference tests/test_manager_05/06 queue behavior); malformed JSON
-    is discarded without killing the server."""
+    is discarded without killing the server, and each discard increments
+    the observable malformed_count."""
+    assert server.malformed_count == 0
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
         sock.connect(("localhost", server.port))
         sock.sendall(b"this is not json {")
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.connect(("localhost", server.port))
+        sock.sendall(b"\xff\xfe not utf-8 either \x80")
+    deadline = time.monotonic() + 5
+    while server.malformed_count < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert server.malformed_count == 2
     base = {
         "message_type": "new_manager_job",
         "input_directory": str(REF_DATA / "input_small"),

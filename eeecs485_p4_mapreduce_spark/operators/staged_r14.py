@@ -241,43 +241,52 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import spool_events
+    from eeecs485_p4_mapreduce_spark.streaming.queries import cached_layout
 
-    spool = _spool(spark, sf_dir)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    for i in range(2):
-        df_all.filter(F.col("event_id") % 2 == i).write.mode(
+    def build(sp, d: str) -> None:
+        spool_events(sp, sf_dir, d)
+        staged = sorted(Path(d).glob("events-000*.parquet"))
+        df_all = sp.read.parquet(*[str(p) for p in staged])
+        # exactly ONE part file per slice so slice == micro-batch under
+        # maxFilesPerTrigger=1 (a multi-part slice at sf0.1 made TEN
+        # micro-batches out of an intended three)
+        for i in range(2):
+            df_all.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(Path(d) / f"slice-{i}.parquet"))
+        # deterministic violations: negative values, out-of-range ids
+        bad = sp.createDataFrame(
+            [
+                (10**9 + i, -1.0 - i, -1, "view")
+                for i in range(DLQ_BAD_ROWS)
+            ],
+            "event_id long, value double, user_id long, event_type string",
+        ).selectExpr(
+            "event_id",
+            "timestamp'2024-01-01 00:00:00' AS ts",
+            "user_id",
+            "event_type",
+            "value",
+            "'{}' AS props",
+        )
+        bad.select(df_all.columns).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(str(Path(spool) / f"slice-{i}.parquet"))
-    # deterministic violations: negative values, out-of-range ids
-    bad = spark.createDataFrame(
-        [
-            (10**9 + i, -1.0 - i, -1, "view")
-            for i in range(DLQ_BAD_ROWS)
-        ],
-        "event_id long, value double, user_id long, event_type string",
-    ).selectExpr(
-        "event_id",
-        "timestamp'2024-01-01 00:00:00' AS ts",
-        "user_id",
-        "event_type",
-        "value",
-        "'{}' AS props",
-    )
-    bad.select(df_all.columns).write.mode("overwrite").parquet(
-        str(Path(spool) / "slice-bad.parquet")
-    )
-    for pth in staged:
-        pth.unlink()
+        ).parquet(str(Path(d) / "slice-bad.parquet"))
+        for pth in staged:
+            pth.unlink()
+
+    spool = cached_layout(spark, sf_dir, "dlq", build)
 
     out_dir = tempfile.mkdtemp(prefix="p4spark_dlq_snap_")
     dlq_dir = tempfile.mkdtemp(prefix="p4spark_dlq_side_")
     ckpt = tempfile.mkdtemp(prefix="p4spark_dlq_ckpt_")
 
     def route_batch(batch_df, _batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # two sinks, one read
+        # two sinks over one batch: the batch is file-source-backed, so
+        # letting each sink re-scan its parquet slice is cheaper than a
+        # localCheckpoint of the full event-sized batch (r09 A/B: the
+        # per-batch pin wrote+read ~the whole slice, ~1s/batch at sf0.1)
         violations = batch_df.filter(F.col("value") < 0)
         # batch-keyed overwrite: foreachBatch is at-least-once, so a
         # replayed micro-batch must rewrite ITS OWN subdirectory, never
@@ -285,23 +294,17 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         violations.write.mode("overwrite").parquet(
             f"{dlq_dir}/batch={_batch_id}"
         )
-        partial = (
+        # valid-count sink is batch-keyed too: per-batch partials folded
+        # at finalize (count partials are sum-mergeable), which is both
+        # replay-stable under at-least-once AND one write job per batch
+        # instead of the read-union-overwrite merge (r09 A/B: ~2 fewer
+        # jobs per micro-batch on the availableNow replay)
+        (
             batch_df.filter(F.col("value") >= 0)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"))
-        )
-        # explicit filesystem first-batch check (the
-        # stream_incremental_rollup rule)
-        if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
-        else:
-            merged = partial
-        (
-            merged.groupBy("event_type")
-            .agg(F.sum("n_events").alias("n_events"))
-            .localCheckpoint()  # out_dir is source AND target
             .write.mode("overwrite")
-            .parquet(out_dir)
+            .parquet(f"{out_dir}/batch={_batch_id}")
         )
 
     q = (
@@ -316,8 +319,14 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
-    counts = spark.read.parquet(out_dir)
+    # spool is a cached layout (streaming.queries._LAYOUT_CACHE) — keep it
+    # fold the batch-keyed partials (base-dir read: partition discovery
+    # turns batch=<id> into a column; sum-merge is associative)
+    counts = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
     dlq = spark.read.parquet(dlq_dir).agg(
         F.lit("__dlq__").alias("event_type"),
         F.count(F.lit(1)).alias("n_events"),

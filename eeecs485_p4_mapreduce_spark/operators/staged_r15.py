@@ -709,24 +709,29 @@ STREAM_LATENESS_ORACLE = f"""
 def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming lateness accounting (see section comment)."""
     from eeecs485_p4_mapreduce_spark.streaming.jobs import spool_events
+    from eeecs485_p4_mapreduce_spark.streaming.queries import cached_layout
 
-    spool = tempfile.mkdtemp(prefix="p4spark_late_")
-    spool_events(spark, sf_dir, spool)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    # exactly ONE part file per slice so slice == micro-batch
-    df_all.filter(F.expr("event_id % 11 != 0")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(Path(spool) / "slice-0.parquet"))
-    df_all.filter(F.expr("event_id % 11 = 0")).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(Path(spool) / "slice-1.parquet"))
-    for pth in staged:
-        pth.unlink()
-    now = time.time()
-    for j, d in enumerate(("slice-0.parquet", "slice-1.parquet")):
-        for part in Path(spool, d).glob("*.parquet"):
-            os.utime(part, (now + 60 * j, now + 60 * j))
+    def build(sp, d_: str) -> None:
+        spool_events(sp, sf_dir, d_)
+        staged = sorted(Path(d_).glob("events-000*.parquet"))
+        df_all = sp.read.parquet(*[str(p) for p in staged])
+        # exactly ONE part file per slice so slice == micro-batch
+        df_all.filter(F.expr("event_id % 11 != 0")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(Path(d_) / "slice-0.parquet"))
+        df_all.filter(F.expr("event_id % 11 = 0")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(Path(d_) / "slice-1.parquet"))
+        for pth in staged:
+            pth.unlink()
+        now = time.time()
+        for j, sl in enumerate(("slice-0.parquet", "slice-1.parquet")):
+            for part in Path(d_, sl).glob("*.parquet"):
+                os.utime(part, (now + 60 * j, now + 60 * j))
+
+    # cached: the monotonic mtimes that pin slice order are set at build
+    # time and never change, so every reuse replays the same two batches
+    spool = cached_layout(spark, sf_dir, "late2slice", build)
 
     out_dir = tempfile.mkdtemp(prefix="p4spark_late_out_")
     wm_dir = tempfile.mkdtemp(prefix="p4spark_late_wm_")
@@ -800,7 +805,7 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
+    # spool is a cached layout (streaming.queries._LAYOUT_CACHE) — keep it
     # fold the per-batch partials (sum-merge is associative, so the
     # batch-keyed layout costs nothing semantically)
     out = (

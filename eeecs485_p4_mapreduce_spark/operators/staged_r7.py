@@ -915,20 +915,28 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    from eeecs485_p4_mapreduce_spark.streaming.queries import _spool
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import spool_events
+    from eeecs485_p4_mapreduce_spark.streaming.queries import cached_layout
 
-    spool = _spool(spark, sf_dir)
-    staged = sorted(Path(spool).glob("events-000*.parquet"))
-    df_all = spark.read.parquet(*[str(p) for p in staged])
-    mid = df_all.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
-    df_all.filter(F.col("event_id") <= mid).write.mode("overwrite").parquet(
-        str(Path(spool) / "part-a.parquet")
-    )
-    df_all.filter(F.col("event_id") > mid).write.mode("overwrite").parquet(
-        str(Path(spool) / "part-b.parquet")
-    )
-    for pth in staged:
-        pth.unlink()
+    def build(sp, d: str) -> None:
+        spool_events(sp, sf_dir, d)
+        staged = sorted(Path(d).glob("events-000*.parquet"))
+        df_all = sp.read.parquet(*[str(p) for p in staged])
+        mid = df_all.agg(
+            F.expr("percentile_approx(event_id, 0.5)")
+        ).first()[0]
+        df_all.filter(F.col("event_id") <= mid).write.mode(
+            "overwrite"
+        ).parquet(str(Path(d) / "part-a.parquet"))
+        df_all.filter(F.col("event_id") > mid).write.mode(
+            "overwrite"
+        ).parquet(str(Path(d) / "part-b.parquet"))
+        for pth in staged:
+            pth.unlink()
+
+    # own cached layout: the split is deterministic, and mutating the
+    # shared _spool layout would corrupt it for other consumers
+    spool = cached_layout(spark, sf_dir, "cdc2part", build)
 
     out_dir = tempfile.mkdtemp(prefix="p4spark_cdc_")
     ckpt = tempfile.mkdtemp(prefix="p4spark_cdc_ckpt_")
@@ -990,7 +998,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(spool, ignore_errors=True)
+    # spool is a cached layout (streaming.queries._LAYOUT_CACHE) — keep it
     out = (
         spark.read.parquet(out_dir)
         .select(

@@ -4274,14 +4274,24 @@ def media_walk_query(
     (tar/TIFF/ZIP/FLAC/Ogg/PDF): ``per_doc(doc_id)`` synthesizes a
     payload, re-parses it with the real walker, and returns a dict
     holding every name in ``fields[1:]``; fields[0] is the id column.
-    One zero-shuffle Arrow mapInPandas over doc_id — the plan shape
-    every walker shares, defined once."""
+    One Arrow mapInPandas over doc_id — the plan shape every walker
+    shares, defined once. The id column is explicitly repartitioned to
+    core width first: the per-doc codec work is the entire cost of
+    these queries, and the single-file documents.parquet otherwise
+    hands mapInPandas ONE partition, serializing every decode on one
+    core (r09 A/B on the heaviest walker: 6.1 s -> well under the
+    census bar; the shuffle moves only 8-byte ids). An explicit width
+    is used because AQE would coalesce a plain shuffle of a few
+    thousand ids back to one partition."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
         [StructField(n, LongType(), False) for n in fields]
     )
-    docs = load_table(spark, sf_dir, "documents")
+    width = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        width, "doc_id"
+    )
 
     def run(batches):
         for pdf in batches:

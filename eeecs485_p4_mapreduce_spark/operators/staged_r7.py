@@ -692,9 +692,12 @@ def mm_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per document: build an AVI/MJPG of 2-3 constant-grey frames,
     decode container + frames for real, and emit exact header columns,
     the integer sum of rounded per-frame means, and a <=1-gray-level
-    tolerance boolean. One zero-shuffle Arrow mapInPandas pass (the
-    multimodal contract); each payload is built and decoded exactly
-    once inside its partition."""
+    tolerance boolean. One Arrow mapInPandas pass over doc_id,
+    explicitly repartitioned to core width first (the media_walk_query
+    rule: the pure-Python codec work is the whole cost, and the
+    single-file documents.parquet otherwise serializes every decode on
+    one core — r09 A/B: 6.1 s -> ~1 s warm at sf0.1); each payload is
+    built and decoded exactly once inside its partition."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -758,7 +761,12 @@ def mm_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["frames_within_tol"].append(bool(ok))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    width = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .repartition(width, "doc_id")
+        .mapInPandas(run, schema)
+    )
 
 
 # ---------------------------------------------------------------------------

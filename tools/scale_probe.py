@@ -157,10 +157,11 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
         staged_r16,
         staged_r17,
         staged_r18,
+        staged_r19,
     )
 
     lookup = dict(QUERIES)
-    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18):
+    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19):
         lookup.update({n: fn for n, (fn, _oracle) in mod.STAGED.items()})
     names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")
@@ -217,13 +218,24 @@ def main() -> int:
     if cmd == "run":
         subset = sys.argv[4:]
         result = run(factor, out_dir, subset)
-        if not subset:  # subset runs must not clobber the full sweep record
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                f"SCALING_x{factor}.json",
-            )
-            with open(path, "w") as f:
-                json.dump(result, f, indent=1)
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"SCALING_x{factor}.json",
+        )
+        if subset and os.path.exists(path):
+            # subset runs MERGE into the full sweep record instead of
+            # clobbering it: refresh the probed rows, keep the rest,
+            # and recompute flagged over the union
+            with open(path) as f:
+                record = json.load(f)
+            record["queries"].update(result["queries"])
+            kept = [
+                n for n in record.get("flagged", []) if n not in subset
+            ]
+            record["flagged"] = kept + result["flagged"]
+            result = record
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
         return 0
     print(__doc__)
     return 2

@@ -1092,7 +1092,9 @@ def mm_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, BMP_THUMB_SCHEMA)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, BMP_THUMB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1255,7 +1257,9 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_abs"].append(int(np.abs(s64).max()))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, WAV_ENERGY_SCHEMA)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, WAV_ENERGY_SCHEMA)
 
 
 DIM_SCHEMA = StructType(
@@ -1456,7 +1460,9 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["longest_segment"].append(max(runs) if runs else 0)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, VAD_SCHEMA)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, VAD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3001,7 +3007,9 @@ def mm_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, GIF_ANIM_SCHEMA)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, GIF_ANIM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1113,7 +1113,9 @@ def mm_srt_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, schema)
 
 
 STAGED: dict[str, tuple] = {

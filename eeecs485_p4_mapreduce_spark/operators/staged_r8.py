@@ -690,7 +690,9 @@ def mm_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["total_bytes"].append(len(payload))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -779,7 +781,9 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["duration_us"].append(info["duration_us"])
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").mapInPandas(run, schema)
+    return docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

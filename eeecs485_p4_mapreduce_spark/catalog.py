@@ -47,6 +47,19 @@ def pin_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def spread_small_source(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition an UNDER-SPLIT source to core width so heavy per-row
+    JVM projections (md5-per-window fingerprints, 16-hash MinHash
+    signatures) parallelize — and do NOTHING when the source already
+    has real splits, so at warehouse scale no extra full-table shuffle
+    is ever added. The bench corpus is a single parquet split, which
+    otherwise serializes every pre-shuffle projection on one core."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -222,7 +222,14 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_sig) LSH band signatures for a document set
     — the MinHash front end shared by the batch dedup family and the
     incremental index. One text scan: shingle explode → md5 base → 16
-    min() aggregates (map-side combine) → band concat explode."""
+    min() aggregates (map-side combine) → band concat explode. The
+    source is spread to core width first IF under-split (a no-op on a
+    properly-split warehouse table): the md5-per-shingle base hash is
+    the family's dominant CPU and otherwise runs on one core when the
+    bench corpus is a single parquet split."""
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    docs = spread_small_source(docs)
     sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
     ex = (
         sh.filter(F.size("shingles") > 0)

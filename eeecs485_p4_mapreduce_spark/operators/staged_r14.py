@@ -159,8 +159,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
     ds = (
-        docs.selectExpr(
+        spread_small_source(docs)
+        .selectExpr(
             "doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles"
         )
         .select("doc_id", F.explode("shingles").alias("s"))

@@ -172,8 +172,12 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (md5) + winnowing-style rolling hash
     (min 32-bit hash over all 8-char windows — order-free, so it's stable
     under any partitioning; the winnowing family is public Rabin-Karp /
-    MOSS-style fingerprinting)."""
-    docs = load_table(spark, sf_dir, "documents")
+    MOSS-style fingerprinting). ~length(text) md5 calls per row, so the
+    under-split bench source is spread to core width first (no-op on a
+    properly-split table)."""
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
     win_hash = hash32("substring(text, i, 8)")
     return docs.selectExpr(
         "doc_id",

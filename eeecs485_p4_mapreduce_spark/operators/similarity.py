@@ -22,8 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, table_path
 from eeecs485_p4_mapreduce_spark.registry import query
+
+
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet footers only (no Spark job); handles both
+    a single file and a directory of part files."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.read_metadata(str(f)).num_rows for f in files)
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 10
@@ -1771,7 +1783,12 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every per-hop stage: the map-side joins preserve the frontier's
     # query_id partitioning, all 18 windows run sort-only, and the
     # single whole-table broadcast subplan is reused by all 9 hops.
-    adj_bytes = nodes.count() * (HNSW_M + 1) * (8 * DIM + 24)
+    # Corpus size from the parquet FOOTER (pyarrow metadata read, no
+    # Spark job) — the same statistic the planner's own size estimation
+    # uses; a count() here cost a full job barrier before the search.
+    adj_bytes = _parquet_row_count(table_path(sf_dir, "embeddings")) * (
+        (HNSW_M + 1) * (8 * DIM + 24)
+    )
     adj_small = adj_bytes < (64 << 20)
     # Co-located adjacency: attach each edge's dst vector AFTER the
     # top-M ranking (so the build's window shuffles (src,dst,cos) rows,

@@ -42,6 +42,14 @@ Staged surface:
   (score(d) <= sum of matched terms' maxima, and the estimate is a
   lower bound of the true top-k threshold), so the oracle is the
   unpruned scoring — all integer arithmetic, no float anywhere.
+- ``ta_decontaminate`` — benchmark-contamination detection: the
+  8-token-window collision pass every LLM pipeline runs against
+  held-out eval sets before a data release, as an inverted gram match
+  (never pairwise), reported per source in exact ppm.
+- ``q110_cohort_retention`` — the cohort-retention triangle over
+  30-day integer epoch periods (tz-free by construction), with
+  retained_ppm against each cohort's size and the offset-0 row kept
+  as the built-in self-check.
 """
 
 from __future__ import annotations
@@ -574,11 +582,177 @@ def ta_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ta_decontaminate: benchmark-contamination detection — the
+# decontamination pass every LLM training pipeline runs before a data
+# release (n-gram collision against held-out eval sets; the 8-gram
+# window is the published convention, e.g. GPT-3 appendix C / PaLM's
+# "data contamination" analyses). Here the held-out set is the
+# deterministic doc_id % 50 == 0 slice; a train document is
+# contaminated iff it shares ANY 8-token window with any benchmark
+# document. The join is an inverted match on the gram itself (only
+# docs sharing a gram ever meet — no pairwise stage, the dedup-family
+# rule), and the output is a per-source census in exact ppm.
+# ---------------------------------------------------------------------------
+DECON_N = 8
+DECON_MOD = 50
+
+TA_DECON_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '[ \t]') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {DECON_N - 2}),
+                    i -> array_to_string(t[i:i + {DECON_N - 1}], ' ')))
+               AS g
+      FROM toks WHERE len(t) >= {DECON_N}
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_MOD} = 0
+    ), hits AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN bench USING (g)
+      WHERE gr.doc_id % {DECON_MOD} != 0
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST((count(h.doc_id) * 1000000) // count(*) AS BIGINT)
+             AS contam_ppm
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {DECON_MOD} != 0
+    GROUP BY d.source
+"""
+
+
+def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination census (see section comment).
+    Scale shape: grams are distinct-ed per side before the match, the
+    join key is the gram text (only colliding docs meet — inverted
+    index, never pairs), and the flagged-doc set is doc-cardinality;
+    nothing quadratic anywhere. Integer ppm output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens().alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+                    f" i -> array_join(slice(t, i, {DECON_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % DECON_MOD != 0)
+        .join(bench, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("hit").alias("n_contaminated"),
+            F.expr("(count(hit) * 1000000) div count(1)").alias(
+                "contam_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110_cohort_retention: the cohort-retention matrix (the standard
+# product-analytics triangle). Periods are 30-day epoch buckets
+# (unix_micros div 30 days) — integer-exact and tz-free, sidestepping
+# calendar-month arithmetic divergence between engines. A user's
+# cohort is their first active period; the matrix counts distinct
+# users active at each offset, with retained_ppm against the cohort's
+# size (offset 0 row is the size itself, ppm = 1e6 by construction —
+# kept in the output as the self-check).
+# ---------------------------------------------------------------------------
+PERIOD_US = 30 * 86_400_000_000
+
+Q110_ORACLE = f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // {PERIOD_US} AS period
+      FROM events
+    ), coh AS (
+      SELECT user_id, min(period) AS cohort FROM act GROUP BY user_id
+    ), mat AS (
+      SELECT c.cohort, a.period - c.cohort AS offset_periods,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY 1, 2
+    ), size_ AS (
+      SELECT cohort, n_active AS cohort_size FROM mat
+      WHERE offset_periods = 0
+    )
+    SELECT CAST(m.cohort AS BIGINT) AS cohort_period,
+           CAST(m.offset_periods AS BIGINT) AS offset_periods,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST((m.n_active * 1000000) // s.cohort_size AS BIGINT)
+             AS retained_ppm
+    FROM mat m JOIN size_ s USING (cohort)
+"""
+
+
+def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle over 30-day integer periods (see
+    section comment). One distinct (user, period) pass feeds both the
+    cohort assignment and the matrix; the per-cohort size joins back
+    broadcast (cohort cardinality = number of periods, tiny)."""
+    events = load_table(spark, sf_dir, "events")
+    act = (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {PERIOD_US}").alias("period"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds cohort, matrix, and size
+    )
+    coh = act.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    mat = (
+        act.join(coh, "user_id")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset_periods"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    size = mat.filter(F.col("offset_periods") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return mat.join(F.broadcast(size), "cohort").select(
+        F.col("cohort").alias("cohort_period"),
+        "offset_periods",
+        "n_active",
+        "cohort_size",
+        F.expr("(n_active * 1000000) div cohort_size").alias(
+            "retained_ppm"
+        ),
+    )
+
+
 #: flip: registry.load_all() adds register_staged() for this module.
 STAGED: dict[str, tuple] = {
     "q109_avro_roundtrip": (q109_avro_roundtrip, Q109_ORACLE),
     "skew_zipf_salted_join": (skew_zipf_salted_join, SKEW_ZIPF_ORACLE),
     "ta_impact_topk": (ta_impact_topk, TA_IMPACT_ORACLE),
+    "ta_decontaminate": (ta_decontaminate, TA_DECON_ORACLE),
+    "q110_cohort_retention": (q110_cohort_retention, Q110_ORACLE),
 }
 
 

@@ -156,6 +156,76 @@ def test_zipf_salted_join_matches_plain_join(spark, sf_dir):
     assert salted == plain
 
 
+# --- ta_decontaminate -------------------------------------------------------------
+
+
+def test_decontaminate_flags_exact_window_copies(spark, tmp_path):
+    """A train doc that copies an 8-token window from a benchmark doc
+    is contaminated; a doc sharing only a 7-token run is not."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        # doc_id 0: benchmark (0 % 50 == 0)
+        (0, "web", bench_text, len(bench_text)),
+        # 1: copies tokens 1..8 of the benchmark (an 8-window) -> hit
+        (1, "web", "x alpha beta gamma delta epsilon zeta eta theta y", 10),
+        # 2: shares only a 7-token run -> clean
+        (2, "web", "alpha beta gamma delta epsilon zeta eta QQQ", 10),
+        # 3: unrelated -> clean
+        (3, "books", "one two three four five six seven eight nine", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: (r.n_train, r.n_contaminated)
+        for r in staged_r19.ta_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert out == {"web": (2, 1), "books": (1, 0)}
+
+
+# --- q110_cohort_retention --------------------------------------------------------
+
+
+def test_cohort_retention_triangle(spark, tmp_path):
+    """Two users in cohort period 0 (one retained at offset 1), one
+    user joining at period 1; offset-0 rows must be ppm == 1e6."""
+    p = staged_r19.PERIOD_US
+    rows = [
+        (1, 10, 0),          # u10 period 0
+        (2, 11, 0),          # u11 period 0
+        (3, 10, p),          # u10 retained in period 1
+        (4, 12, p),          # u12 cohort period 1
+        (5, 10, p // 2),     # still period 0 (distinct collapses)
+    ]
+    spark.createDataFrame(
+        [(e, u, t // 1000, "view", 1.0, "{}") for e, u, t in rows],
+        "event_id long, user_id long, ms long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(ms * 1000) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.cohort_period, r.offset_periods): (
+            r.n_active,
+            r.cohort_size,
+            r.retained_ppm,
+        )
+        for r in staged_r19.q110_cohort_retention(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2, 1_000_000),
+        (0, 1): (1, 2, 500_000),
+        (1, 0): (1, 1, 1_000_000),
+    }
+
+
 # --- ta_impact_topk ---------------------------------------------------------------
 
 

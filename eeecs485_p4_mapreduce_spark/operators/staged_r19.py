@@ -47,7 +47,7 @@ Staged surface:
   held-out eval sets before a data release, as an inverted gram match
   (never pairwise), reported per source in exact ppm.
 - ``q110_cohort_retention`` — the cohort-retention triangle over
-  30-day integer epoch periods (tz-free by construction), with
+  7-day integer epoch periods (tz-free by construction), with
   retained_ppm against each cohort's size and the offset-0 row kept
   as the built-in self-check.
 """
@@ -676,15 +676,15 @@ def ta_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q110_cohort_retention: the cohort-retention matrix (the standard
-# product-analytics triangle). Periods are 30-day epoch buckets
-# (unix_micros div 30 days) — integer-exact and tz-free, sidestepping
+# product-analytics triangle). Periods are 7-day epoch buckets
+# (unix_micros div 7 days) — integer-exact and tz-free, sidestepping
 # calendar-month arithmetic divergence between engines. A user's
 # cohort is their first active period; the matrix counts distinct
 # users active at each offset, with retained_ppm against the cohort's
 # size (offset 0 row is the size itself, ppm = 1e6 by construction —
 # kept in the output as the self-check).
 # ---------------------------------------------------------------------------
-PERIOD_US = 30 * 86_400_000_000
+PERIOD_US = 7 * 86_400_000_000
 
 Q110_ORACLE = f"""
     WITH act AS (
@@ -713,7 +713,7 @@ Q110_ORACLE = f"""
 
 
 def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort-retention triangle over 30-day integer periods (see
+    """Cohort-retention triangle over 7-day integer periods (see
     section comment). One distinct (user, period) pass feeds both the
     cohort assignment and the matrix; the per-cohort size joins back
     broadcast (cohort cardinality = number of periods, tiny)."""

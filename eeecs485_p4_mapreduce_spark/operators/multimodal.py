@@ -50,7 +50,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    spread_small_source,
+)
 from eeecs485_p4_mapreduce_spark.registry import query
 
 MEDIA_SCHEMA = StructType(
@@ -1092,9 +1095,7 @@ def mm_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, BMP_THUMB_SCHEMA)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, BMP_THUMB_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1257,9 +1258,7 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_abs"].append(int(np.abs(s64).max()))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, WAV_ENERGY_SCHEMA)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, WAV_ENERGY_SCHEMA)
 
 
 DIM_SCHEMA = StructType(
@@ -1460,9 +1459,7 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["longest_segment"].append(max(runs) if runs else 0)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, VAD_SCHEMA)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, VAD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2895,10 +2892,8 @@ def mm_codec_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across the cores costs a trivial shuffle and buys full parallelism
     # (measured 12.9s → ~1s at sf0.1 on local[32]); at warehouse scale
     # the source has real splits and the repartition coalesces away.
-    return (
-        docs.select("doc_id")
-        .repartition(64)
-        .mapInPandas(run, CODEC_VERIFY_SCHEMA)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(
+        run, CODEC_VERIFY_SCHEMA
     )
 
 
@@ -3007,9 +3002,7 @@ def mm_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, GIF_ANIM_SCHEMA)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, GIF_ANIM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -4296,10 +4289,7 @@ def media_walk_query(
     schema = StructType(
         [StructField(n, LongType(), False) for n in fields]
     )
-    width = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        width, "doc_id"
-    )
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"))
 
     def run(batches):
         for pdf in batches:

@@ -1786,8 +1786,15 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus size from the parquet FOOTER (pyarrow metadata read, no
     # Spark job) — the same statistic the planner's own size estimation
     # uses; a count() here cost a full job barrier before the search.
+    # Per-node edge count is the LAYERED sum, not M+1: level-l nodes
+    # keep up to M edges per layer they belong to, and populations
+    # shrink 4x per level, so E[edges/node] = M * (1 + 1/4 + 1/16 +
+    # 1/64) ~= 4M/3 ~= 21.3 — the first cut used M+1 = 17 and
+    # underestimated the broadcast by ~25% right at the boundary the
+    # check protects.
+    edges_per_node = (HNSW_M * 4 + 2) // 3  # = 22, ceil of the series
     adj_bytes = _parquet_row_count(table_path(sf_dir, "embeddings")) * (
-        (HNSW_M + 1) * (8 * DIM + 24)
+        edges_per_node * (8 * DIM + 24)
     )
     adj_small = adj_bytes < (64 << 20)
     # Co-located adjacency: attach each edge's dst vector AFTER the

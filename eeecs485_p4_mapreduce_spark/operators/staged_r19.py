@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, spread_small_source
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
 
 # ---------------------------------------------------------------------------
@@ -156,6 +156,12 @@ class _AvroReader:
                 raise ValueError("avro: varint too long")
             b = self.buf[self.pos]
             self.pos += 1
+            if shift == 63 and (b & 0x7F) > 1:
+                # 10th byte may only contribute the sign bit of an
+                # int64 zigzag; anything else decodes outside int64
+                # and must fail the strict-walker contract, not leak
+                # a >64-bit Python int into the arrow conversion
+                raise ValueError("avro: varint exceeds int64")
             u |= (b & 0x7F) << shift
             if not (b & 0x80):
                 break
@@ -269,7 +275,6 @@ def q109_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    width = spark.sparkContext.defaultParallelism
     src = docs.select(
         "doc_id",
         "source",
@@ -277,7 +282,8 @@ def q109_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(Q109_TRICKY))
         .alias("tricky"),
         (F.col("n_chars") - F.lit(3000)).alias("delta"),
-    ).repartition(width, "doc_id")
+    )
+    src = spread_small_source(src)
 
     enc_schema = StructType(
         [

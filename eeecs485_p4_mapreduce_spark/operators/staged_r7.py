@@ -45,7 +45,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    spread_small_source,
+)
 
 INTERVAL_US = 300_000_000  # 5-minute activity window, as q57
 
@@ -761,10 +764,8 @@ def mm_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["frames_within_tol"].append(bool(ok))
             yield pd.DataFrame(out)
 
-    width = spark.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id")
-        .repartition(width, "doc_id")
+        spread_small_source(docs.select("doc_id"))
         .mapInPandas(run, schema)
     )
 
@@ -1113,9 +1114,7 @@ def mm_srt_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, schema)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 STAGED: dict[str, tuple] = {

@@ -63,7 +63,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    spread_small_source,
+)
 
 # ---------------------------------------------------------------------------
 # q78: BOM explosion / recursive hierarchy roll-up. TPC-H has no
@@ -690,9 +693,7 @@ def mm_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["total_bytes"].append(len(payload))
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, schema)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -781,9 +782,7 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["duration_us"].append(info["duration_us"])
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).mapInPandas(run, schema)
+    return spread_small_source(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

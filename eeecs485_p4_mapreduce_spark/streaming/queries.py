@@ -14,6 +14,7 @@ the gate only — results are window/type-sized aggregates, not event-sized.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import uuid
@@ -111,10 +112,26 @@ def merged_snapshot_stream(
 #: arriving file) must NOT use this cache.
 _LAYOUT_CACHE: dict[tuple[str, str], tuple[str, frozenset]] = {}
 
+#: every dir this process created, removed at interpreter exit — the
+#: cache spans the process lifetime, not the machine's /tmp
+_CREATED_LAYOUTS: list[str] = []
+
+
+def _cleanup_layouts() -> None:
+    for d in _CREATED_LAYOUTS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_layouts)
+
 
 def _layout_manifest(d: str) -> frozenset:
+    # (path, size, mtime_ns) so an in-place rewrite under the same
+    # filename (truncate, utime) is caught, not just adds/removes
     return frozenset(
-        str(p.relative_to(d)) for p in Path(d).rglob("*") if p.is_file()
+        (str(p.relative_to(d)), p.stat().st_size, p.stat().st_mtime_ns)
+        for p in Path(d).rglob("*")
+        if p.is_file()
     )
 
 
@@ -126,6 +143,14 @@ def cached_layout(spark: SparkSession, sf_dir: str, key: str, build) -> str:
     motivated per-query layouts for the in-place-rewriting wrappers)
     triggers a rebuild instead of silently feeding later consumers a
     corrupted layout."""
+    from eeecs485_p4_mapreduce_spark.catalog import pin_utc
+
+    # The repo-wide UTC pin must apply on HITS too: the layout may have
+    # been built under a different SparkSession in this process, and a
+    # spool-only consumer never calls load_table — without this, a new
+    # session on a non-UTC host would bucket wall-clocks in host-local
+    # time (the exact tz-bug class the pin exists to prevent).
+    pin_utc(spark)
     k = (str(Path(sf_dir).resolve()), key)
     hit = _LAYOUT_CACHE.get(k)
     if hit is not None:
@@ -133,6 +158,7 @@ def cached_layout(spark: SparkSession, sf_dir: str, key: str, build) -> str:
         if Path(d).is_dir() and _layout_manifest(d) == manifest:
             return d
     d = tempfile.mkdtemp(prefix=f"p4spark_spool_{key}_")
+    _CREATED_LAYOUTS.append(d)
     build(spark, d)
     _LAYOUT_CACHE[k] = (d, _layout_manifest(d))
     return d

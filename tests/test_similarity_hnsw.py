@@ -86,3 +86,23 @@ def test_hnsw_recall_beats_flat_lsh(spark, sf_dir):
     recall_flat = len(bf & flat) / len(bf)
     assert recall_hnsw >= 0.6, recall_hnsw
     assert recall_hnsw > recall_flat, (recall_hnsw, recall_flat)
+
+
+def test_hnsw_shuffle_join_branch_matches_broadcast(spark, sf_dir, monkeypatch):
+    """The scale path (adjacency too big to broadcast -> src-partitioned
+    checkpoint + shuffle joins) must produce bit-identical results to
+    the broadcast path — no correctness gate exercises it otherwise,
+    since every test SF is broadcast-sized. Forced by faking the
+    footer row count above the 64 MB threshold."""
+    from eeecs485_p4_mapreduce_spark.operators import similarity as S
+
+    want = sorted(
+        map(tuple, S.sim_hnsw_search(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(
+        S, "_parquet_row_count", lambda path: 10_000_000
+    )
+    got = sorted(
+        map(tuple, S.sim_hnsw_search(spark, sf_dir).collect())
+    )
+    assert got == want

@@ -222,15 +222,35 @@ def main() -> int:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"SCALING_x{factor}.json",
         )
-        if subset and os.path.exists(path):
+        if subset:
+            if not os.path.exists(path):
+                # never write a subset-only record as if it were a full
+                # sweep — a partial file is indistinguishable from one
+                print(
+                    f"subset run not recorded: {path} does not exist; "
+                    "run a full sweep first"
+                )
+                return 0
             # subset runs MERGE into the full sweep record instead of
             # clobbering it: refresh the probed rows, keep the rest,
-            # and recompute flagged over the union
+            # and recompute flagged over the union. A prior flag is
+            # cleared ONLY by a successful sub-linear re-measurement —
+            # an errored re-probe keeps the old flag (no evidence is
+            # not exoneration).
             with open(path) as f:
                 record = json.load(f)
             record["queries"].update(result["queries"])
+            remeasured_ok = {
+                n
+                for n in subset
+                if n in result["queries"]
+                and "error" not in result["queries"][n]
+                and n not in result["flagged"]
+            }
             kept = [
-                n for n in record.get("flagged", []) if n not in subset
+                n
+                for n in record.get("flagged", [])
+                if n not in remeasured_ok and n not in result["flagged"]
             ]
             record["flagged"] = kept + result["flagged"]
             result = record

@@ -2273,7 +2273,13 @@ def _q46_zexpr() -> str:
     """,
 )
 def q46_zvalue_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # the bit-interleave is ~100 integer ops/row; spread the under-split
+    # bench source to core width first (no-op on a properly-split table)
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    li = spread_small_source(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     return li.selectExpr(
         "l_orderkey", "l_linenumber", f"{_q46_zexpr()} AS zval"
     )

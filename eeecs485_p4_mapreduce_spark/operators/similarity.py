@@ -635,8 +635,14 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most d(d+1)/2 rows per task regardless of corpus size. The oracle
     states the same math relationally (self-join on vec_id) — fine at
     oracle scale, wrong at 100 TB; the generate form is the scale path.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
+    The under-split bench source is spread to core width first (the
+    d(d+1)/2 struct fanout per row is the whole cost; no-op on a
+    properly-split table)."""
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    emb = spread_small_source(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     tri = emb.select(
         F.explode(
             F.expr(

@@ -47,7 +47,15 @@ DIM = 64
 
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # The whole sim family funnels through here, and every consumer does
+    # per-row HOF work (folds, per-dim transforms) — spread the
+    # under-split bench source to core width once (no-op on a
+    # properly-split table) so none of it serializes on one core.
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    emb = spread_small_source(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -1614,12 +1622,10 @@ def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, norm, lvl, b0..b3): layer level + per-layer prefix
     LSH buckets, all md5-deterministic compile-time constants. The
     projection is ~12 interpreted 64-dim lambda folds per row (4 bucket
-    prefixes + level + norm), and the source parquet is a single split
-    at bench scale — an explicit repartition(32) ahead of it spreads
-    the fold work across cores (r09 A/B: 1.9 s -> 0.2 s on the node
-    checkpoint; an explicit width is used because AQE would coalesce a
-    plain shuffle of 2k rows back to one partition)."""
-    emb = _emb_with_norm(spark, sf_dir).repartition(32, "vec_id")
+    prefixes + level + norm); _emb_with_norm already spreads an
+    under-split source to core width (r09 A/B: 1.9 s -> 0.2 s on the
+    node checkpoint), so no extra repartition is needed here."""
+    emb = _emb_with_norm(spark, sf_dir)
     cols = [
         F.col("vec_id"),
         F.col("v"),

@@ -50,6 +50,14 @@ Staged surface:
   7-day integer epoch periods (tz-free by construction), with
   retained_ppm against each cohort's size and the offset-0 row kept
   as the built-in self-check.
+- ``sim_binary_quantize`` — 1-bit sign quantization (the compression
+  family's most aggressive member, shipped by modern vector stores as
+  the first-pass filter): two-bigint-half signatures, integer Hamming
+  scoring via a salted exact two-phase top-k, TRUE cosine attached as
+  the exact-rerank column.
+- ``curate_split_assign`` — deterministic 80/10/10 train/val/test
+  assignment by md5 hash bucket plus the cross-split exact-text
+  LEAKAGE audit every dataset release needs, in exact ppm.
 """
 
 from __future__ import annotations
@@ -62,6 +70,7 @@ from pyspark.sql.window import Window
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table, spread_small_source
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
+from eeecs485_p4_mapreduce_spark.operators.similarity import N_QUERIES
 
 # ---------------------------------------------------------------------------
 # Avro Object Container File codec — from scratch, public spec:
@@ -752,6 +761,206 @@ def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_binary_quantize: 1-bit (sign) quantization — the most aggressive
+# member of the module's compression family (SQ8 -> PQ -> BQ), and the
+# one modern vector stores ship for first-pass filtering (binary
+# quantization + exact rerank). Each vector compresses to DIM sign
+# bits, stored as TWO bigint halves (bits 0-31 / 32-63) so no shift
+# ever touches the signed 64th bit in either engine; candidate scoring
+# is Hamming distance = bit_count(xor(lo)) + bit_count(xor(hi)), and
+# the graded output is the top-{BQ_TOP_K} per query by (hamming,
+# vec_id) with the TRUE cosine attached as the exact-rerank column —
+# the accuracy/compression tradeoff made visible. Integer Hamming,
+# round(4) cosine (the sim-family contract).
+# ---------------------------------------------------------------------------
+BQ_TOP_K = 5
+
+_DUCK_COS_QC = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    "    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+_DUCK_BQ_HALF = (
+    "CAST(sum(CASE WHEN e.embedding[i.i + 1 + {off}]::DOUBLE > 0.0"
+    " THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT)"
+)
+
+SIM_BQ_ORACLE = f"""
+    WITH sig AS (
+      SELECT e.vec_id,
+             {_DUCK_BQ_HALF.format(off=0)} AS lo,
+             {_DUCK_BQ_HALF.format(off=32)} AS hi
+      FROM embeddings e, (SELECT unnest(range(32)) AS i) i
+      GROUP BY e.vec_id
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+               AS hamming
+      FROM sig q JOIN sig c ON q.vec_id < {N_QUERIES}
+                            AND c.vec_id <> q.vec_id
+    ), topk AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT t.query_id, t.neighbor_id,
+           CAST(t.hamming AS BIGINT) AS hamming,
+           CAST(t.rank AS BIGINT) AS rank,
+           round({_DUCK_COS_QC}, 4) AS cosine
+    FROM topk t
+    JOIN embeddings a ON a.vec_id = t.query_id
+    JOIN embeddings b ON b.vec_id = t.neighbor_id
+    WHERE t.rank <= {BQ_TOP_K}
+"""
+
+
+def sim_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BQ_TOP_K} per query under 1-bit sign quantization, exact
+    cosine attached as the rerank column (see section comment). Scale
+    shape: signatures are 16 bytes/vector computed in one map-side
+    projection; the {N_QUERIES}-row query side broadcasts against the
+    signature scan (the corpus never shuffles — BQ exists to make the
+    first-pass scan this cheap), and only the winners join back to the
+    raw vectors for the exact rerank."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir).localCheckpoint(eager=False)
+    half = (
+        "aggregate(sequence(0, 31), 0L, (acc, i) ->"
+        " acc + if(element_at(v, i + 1 + {off}) > 0.0d,"
+        " shiftleft(1L, i), 0L))"
+    )
+    sig = emb.selectExpr(
+        "vec_id",
+        f"{half.format(off=0)} AS lo",
+        f"{half.format(off=32)} AS hi",
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "lo AS qlo", "hi AS qhi"
+    )
+    scored = sig.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.expr("qlo ^ lo"))
+            + F.bit_count(F.expr("qhi ^ hi"))
+        ).cast("long").alias("hamming"),
+    )
+    # two-phase top-k (the ta_bm25 salting trick): a window partitioned
+    # only by query_id would move every scored corpus row for a query
+    # to ONE task; phase 1 ranks per (query, neighbor_id % 32) salt and
+    # phase 2 ranks the <= 32*k survivors — the global top-k is a
+    # subset of the per-salt winners, so the decomposition is exact
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        "hamming", "neighbor_id"
+    )
+    w2 = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    topk = (
+        scored.withColumn("salt", F.col("neighbor_id") % 32)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= BQ_TOP_K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BQ_TOP_K)
+    )
+    qv = emb.selectExpr("vec_id AS query_id", "v AS qv", "norm AS qnorm")
+    nv = emb.selectExpr("vec_id AS neighbor_id", "v AS nv", "norm AS nn")
+    cos = F.expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0d,"
+        " (acc, x) -> acc + x)"
+    ) / (F.col("qnorm") * F.col("nn"))
+    return (
+        topk.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_split_assign: deterministic train/val/test assignment (80/10/10
+# by md5 hash bucket of doc_id — the reproducible-split rule: no RNG,
+# re-runnable on any engine) PLUS the leakage audit every release
+# needs: documents with byte-identical text landing in DIFFERENT
+# splits are leaked (a val/test answer sitting in train). Reported per
+# split: size, share, and how many of its docs belong to a text-hash
+# group that spans another split.
+# ---------------------------------------------------------------------------
+SPLIT_BUCKETS = 10  # hash buckets: 0-7 train, 8 val, 9 test
+
+_DUCK_SPLIT_HASH = (
+    "(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    f" AS UBIGINT) AS BIGINT) % {SPLIT_BUCKETS})"
+)
+
+CURATE_SPLIT_ORACLE = f"""
+    WITH assigned AS (
+      SELECT doc_id, md5(text) AS th,
+             CASE WHEN {_DUCK_SPLIT_HASH} < 8 THEN 'train'
+                  WHEN {_DUCK_SPLIT_HASH} = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), groups AS (
+      SELECT th, count(DISTINCT split) AS n_splits FROM assigned GROUP BY th
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((count(*) * 1000000)
+                // (SELECT count(*) FROM documents) AS BIGINT) AS share_ppm,
+           CAST(sum(CASE WHEN g.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaked
+    FROM assigned a JOIN groups g ON a.th = g.th
+    GROUP BY a.split
+"""
+
+
+def curate_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split with a cross-split exact-text
+    leakage audit (see section comment). One grouped pass over the
+    text hash builds the span census; the grand total is a broadcast
+    1-row aggregate (the share-of-total idiom)."""
+    from eeecs485_p4_mapreduce_spark.functions.text import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.selectExpr(
+        "doc_id",
+        "md5(text) AS th",
+        f"CASE WHEN {hash32('cast(doc_id as string)')} % {SPLIT_BUCKETS} < 8"
+        " THEN 'train'"
+        f" WHEN {hash32('cast(doc_id as string)')} % {SPLIT_BUCKETS} = 8"
+        " THEN 'val' ELSE 'test' END AS split",
+    )
+    groups = assigned.groupBy("th").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.join(groups, "th")
+        .crossJoin(F.broadcast(total))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("(count(1) * 1000000) div max(n_total)").alias(
+                "share_ppm"
+            ),
+            F.sum(
+                F.when(F.col("n_splits") > 1, 1).otherwise(0)
+            ).alias("n_leaked"),
+        )
+    )
+
+
 #: flip: registry.load_all() adds register_staged() for this module.
 STAGED: dict[str, tuple] = {
     "q109_avro_roundtrip": (q109_avro_roundtrip, Q109_ORACLE),
@@ -759,6 +968,8 @@ STAGED: dict[str, tuple] = {
     "ta_impact_topk": (ta_impact_topk, TA_IMPACT_ORACLE),
     "ta_decontaminate": (ta_decontaminate, TA_DECON_ORACLE),
     "q110_cohort_retention": (q110_cohort_retention, Q110_ORACLE),
+    "sim_binary_quantize": (sim_binary_quantize, SIM_BQ_ORACLE),
+    "curate_split_assign": (curate_split_assign, CURATE_SPLIT_ORACLE),
 }
 
 

@@ -161,8 +161,24 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
 
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint()
+    # The exact-Jaccard pass runs ONLY over docs that appear in an LSH
+    # candidate pair: the inverted-index co-count over the full corpus
+    # computed exact Jaccard for ~1.13M co-occurring pairs at sf0.1
+    # when the calibration table consumes 256 (r09 census: 3.1s ->
+    # ~1.8s warm). Candidate-bounded exact verification is also the
+    # production shape — you never exact-score pairs LSH didn't
+    # surface. Left-join semantics preserved: for candidate pairs the
+    # restricted co-count is identical (both endpoints are in the doc
+    # set), and sizes are per-doc, unchanged by the filter.
+    cand_docs = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionByName(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
     ds = (
         spread_small_source(docs)
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .selectExpr(
             "doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles"
         )
@@ -185,7 +201,6 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    pairs = minhash_candidate_pairs(spark, sf_dir)
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")
     )

@@ -49,6 +49,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
+    # staged_r19 flips (first driver rows expected in CORRECTNESS_r10)
+    "q109_avro_roundtrip",
+    "skew_zipf_salted_join",
+    "ta_impact_topk",
+    "ta_decontaminate",
+    "q110_cohort_retention",
+    "sim_binary_quantize",
+    "curate_split_assign",
     # staged_r16–r18 flips (first driver rows expected in CORRECTNESS_r09)
     "q103_fifo_lots",
     "q104_ship_lag_percentiles",
@@ -350,6 +358,7 @@ def load_all() -> None:
         staged_r16,
         staged_r17,
         staged_r18,
+        staged_r19,
     )
 
     staged.register_staged()
@@ -365,4 +374,5 @@ def load_all() -> None:
     staged_r16.register_staged()
     staged_r17.register_staged()
     staged_r18.register_staged()
+    staged_r19.register_staged()
     _prioritize()

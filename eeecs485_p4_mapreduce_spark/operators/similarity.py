@@ -18,6 +18,7 @@ candidates, never a global sort.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1006,8 +1007,10 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written d0+d1+d2+d3 (left-associated) on both engines so the
     doubles are bit-identical."""
     # emb feeds the code build, the query list, AND the codebook — pin
-    # it so the embedding load runs once (was 11 repeated scans)
-    emb = _pq_emb(spark, sf_dir).localCheckpoint()
+    # it so the embedding load runs once (was 11 repeated scans).
+    # Full-embedding-table sized: DISK_ONLY persist keeps lineage
+    # (recoverable on executor loss) — see SCALE.md.
+    emb = _pq_emb(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     codes = _pq_assignments(emb)
     wide = codes.groupBy("vec_id").agg(
         *[

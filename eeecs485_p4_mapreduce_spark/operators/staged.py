@@ -41,6 +41,7 @@ import shutil
 import uuid
 from pathlib import Path
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -117,13 +118,13 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the df/term selection and the scoring join; pin it
     # so the corpus explode+shuffle runs once (at cluster scale this is
     # the persist any BM25 build does between its two passes).
-    # corpus-sized pin (per-(doc,term) rows): at 100 TB swap to
-    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md
-    # "localCheckpoint barriers".
+    # corpus-sized: DISK_ONLY persist, not localCheckpoint — lineage is
+    # kept (recomputable on executor loss) and the pin never competes
+    # with shuffle/exec memory. See SCALE.md "localCheckpoint barriers".
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     # dl = Σ tf per doc — exactly size(tokens()), derived from the
     # pinned tf instead of a second documents scan

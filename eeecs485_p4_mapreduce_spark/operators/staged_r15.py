@@ -58,6 +58,7 @@ import tempfile
 import time
 from pathlib import Path
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -300,8 +301,9 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # emb feeds the query side, the candidate side, and the zero-match
     # left-join anchor — pin it so the embedding load runs once (the
-    # sim_pq_search precedent from this same module family)
-    emb = _emb_with_norm(spark, sf_dir).localCheckpoint()
+    # sim_pq_search precedent from this same module family). Full
+    # embedding table: DISK_ONLY persist keeps lineage — see SCALE.md.
+    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     queries = emb.filter(F.col("vec_id") < RADIUS_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -64,6 +64,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -498,12 +499,12 @@ def ta_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper bound clears it)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    # corpus-sized pin (per-(doc,term) rows): at 100 TB swap to
-    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
+    # corpus-sized: DISK_ONLY persist keeps lineage (recoverable on
+    # executor loss) and stays out of exec memory — see SCALE.md.
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rw = Window.orderBy(F.col("df").desc(), "token")
@@ -527,7 +528,9 @@ def ta_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (F.col("tf") * F.col("idf_q")).alias("imp"),
         )
-        .localCheckpoint()  # consumed by bmax, phase A, ub, and phase B
+        # consumed by bmax, phase A, ub, and phase B; postings are
+        # corpus-sized so DISK_ONLY (lineage kept), not localCheckpoint
+        .persist(StorageLevel.DISK_ONLY)
     )
     # per-term posting maxima (the "block max" table — 12 rows)
     bmax = post.groupBy("query_id", "term").agg(
@@ -829,7 +832,9 @@ def sim_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_with_norm,
     )
 
-    emb = _emb_with_norm(spark, sf_dir).localCheckpoint(eager=False)
+    # full embedding table feeds the signature scan AND the rerank
+    # join-back: DISK_ONLY persist (lineage kept), not localCheckpoint.
+    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     half = (
         "aggregate(sequence(0, 31), 0L, (acc, i) ->"
         " acc + if(element_at(v, i + 1 + {off}) > 0.0d,"

@@ -42,6 +42,7 @@ Surface:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -229,11 +230,11 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dev feeds the MAD histogram AND the fence count — pin it so the
     # events scan + median join run once (the persist a two-pass robust
     # statistic does between its passes).
-    # corpus-sized pin (event-sized): at 100 TB swap to
-    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
+    # event-sized: DISK_ONLY persist keeps lineage (recoverable on
+    # executor loss) and stays out of exec memory — see SCALE.md.
     dev = v.join(F.broadcast(med.select("event_type", "med2x")), "event_type").withColumn(
         "dev2x", F.abs(2 * F.col("vm") - F.col("med2x"))
-    ).localCheckpoint()
+    ).persist(StorageLevel.DISK_ONLY)
     h2 = dev.groupBy("event_type", "dev2x").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -355,13 +356,13 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) and phrases two — pinning both keeps the posexplode +
     # per-doc prefix window to ONE execution instead of three (the
     # persist any multi-pass RAKE does between its passes).
-    # corpus-sized pin (corpus-token-sized members): at 100 TB swap to
-    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
+    # corpus-token-sized: DISK_ONLY persist keeps lineage (recoverable
+    # on executor loss), stays out of exec memory — see SCALE.md.
     members = (
         toks.withColumn("phrase_id", F.sum("is_stop").over(w))
         .filter(F.col("is_stop") == 0)
         .select("doc_id", "phrase_id", "pos", "tok")
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     phrases = members.groupBy("doc_id", "phrase_id").agg(
         F.expr(
@@ -369,7 +370,7 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "struct(pos, tok))), s -> s.tok))"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    ).localCheckpoint()
+    ).persist(StorageLevel.DISK_ONLY)
     wordstats = (
         members.join(phrases, ["doc_id", "phrase_id"])
         .groupBy("tok")
@@ -513,9 +514,9 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embedding load feeds the coarse assignment, the probe list,
     # AND the PQ code build — pin it so the composition reads parquet
     # once (the old plan re-scanned embeddings 12 times).
-    # corpus-sized pin (full embedding table): at 100 TB swap to
-    # persist(DISK_ONLY)/reliable checkpoint — see SCALE.md.
-    emb = _emb_with_norm(spark, sf_dir).localCheckpoint()
+    # full embedding table: DISK_ONLY persist keeps lineage
+    # (recoverable on executor loss) — see SCALE.md.
+    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",

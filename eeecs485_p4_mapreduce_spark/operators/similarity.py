@@ -28,14 +28,21 @@ from eeecs485_p4_mapreduce_spark.registry import query
 
 
 def _parquet_row_count(path: str) -> int:
-    """Row count from parquet footers only (no Spark job); handles both
-    a single file and a directory of part files."""
+    """Row count from parquet footers only (no Spark job); handles a
+    single file, a flat directory of part files, and a partitioned /
+    nested layout (rglob). Raises instead of returning 0 when the glob
+    finds nothing — a silent 0 would flip every footer-based size check
+    (e.g. the HNSW adjacency broadcast gate) to "small" at any scale."""
     from pathlib import Path
 
     import pyarrow.parquet as pq
 
     p = Path(path)
-    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if not files:
+        raise FileNotFoundError(
+            f"no *.parquet files under {path!r}; cannot size the table"
+        )
     return sum(pq.read_metadata(str(f)).num_rows for f in files)
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
@@ -156,11 +163,19 @@ def _spark_bucket_expr(n_planes: int = N_PLANES) -> str:
     layers use coarser PREFIX buckets (fewer planes) at higher levels."""
     planes = []
     for j in range(n_planes):
-        proj = " + ".join(
-            f"({_SIGNS[j][i - 1]}d * element_at(v, {i}))" for i in range(1, DIM + 1)
+        # zip_with against a literal sign array, not a flat 64-term sum:
+        # the flat form's 384 interpreted terms cost ~2x the HOF's tight
+        # fold AND ~3x its codegen compile (r10 A/B: 0.58 s -> 0.33 s
+        # warm, 1.43 s -> 0.45 s cold on the bench table). Accumulation
+        # stays sequential i=1..DIM, so buckets are bit-identical to the
+        # oracle's list_sum.
+        signs = ", ".join(f"{_SIGNS[j][i]}d" for i in range(DIM))
+        dot = (
+            f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s),"
+            f" 0.0d, (acc, x) -> acc + x)"
         )
         planes.append(
-            f"(case when ({proj}) > 0.0d then {1 << j}L else 0L end)"
+            f"(case when ({dot}) > 0.0d then {1 << j}L else 0L end)"
         )
     return " + ".join(planes)
 
@@ -1629,18 +1644,24 @@ def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-split source to core width (r09 A/B: 1.9 s -> 0.2 s on the
     node checkpoint), so no extra repartition is needed here."""
     emb = _emb_with_norm(spark, sf_dir)
-    cols = [
+    # b0 carries all N_PLANES sign bits; the coarser upper-layer PREFIX
+    # buckets are exactly its low (N_PLANES - 2*lvl) bits, so derive
+    # them with a mask instead of re-evaluating the plane projections —
+    # one 6x64-term projection per row instead of three (6+4+2 planes),
+    # and a third of the codegen source to compile.
+    base = emb.select(
         F.col("vec_id"),
         F.col("v"),
         F.col("norm"),
         F.expr(_spark_level_expr()).alias("lvl"),
-    ]
-    for lvl in range(HNSW_MAX_LEVEL):
-        cols.append(
-            F.expr(_spark_bucket_expr(N_PLANES - 2 * lvl)).alias(f"b{lvl}")
-        )
+        F.expr(_spark_bucket_expr(N_PLANES)).alias("b0"),
+    )
+    cols = [F.col("vec_id"), F.col("v"), F.col("norm"), F.col("lvl"), F.col("b0")]
+    for lvl in range(1, HNSW_MAX_LEVEL):
+        mask = (1 << max(0, N_PLANES - 2 * lvl)) - 1
+        cols.append(F.col("b0").bitwiseAND(F.lit(mask)).alias(f"b{lvl}"))
     cols.append(F.lit(0).cast("bigint").alias(f"b{HNSW_MAX_LEVEL}"))
-    return emb.select(*cols)
+    return base.select(*cols)
 
 
 _HNSW_DOT = (
@@ -1746,7 +1767,13 @@ def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
             & (F.col("src") != F.col("dst")),
         )
         .select(F.col("al").alias("level"), "src", "dst", cos)
-        .repartition(32, "level", "src")
+        # core-width, not a literal: scales with the cluster (the same
+        # defaultParallelism rule spread_small_source uses)
+        .repartition(
+            nodes.sparkSession.sparkContext.defaultParallelism,
+            "level",
+            "src",
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HNSW_M)
         .select(
@@ -1788,7 +1815,15 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     search. Recall trade vs the flat-LSH path is measured the same way
     as sim_ann_recall (per-query overlap with sim_topk_bruteforce's
     exact top-k)."""
-    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    # No node-table checkpoint here (unlike sim_hnsw_build): the edges
+    # checkpoint below is the only materialization this query needs.
+    # The downstream consumers prune the node projection to what they
+    # use (queries/entry_v never evaluate the bucket columns), and the
+    # zip_with bucket fold is cheap enough to recompute on the edge
+    # build's two join sides — while the checkpoint cost two extra
+    # sequential materialization jobs per run (r10 A/B: warm census
+    # 6.0 s -> 4.4 s from deleting it).
+    nodes = _hnsw_nodes(spark, sf_dir)
     # Join-side choice, decided from data size the way AQE would: the
     # frontier is the provably tiny side at ANY corpus scale (≤ EF
     # rows/query), so the scale plan shuffle-joins it against the

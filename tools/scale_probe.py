@@ -239,7 +239,17 @@ def main() -> int:
             # not exoneration).
             with open(path) as f:
                 record = json.load(f)
-            record["queries"].update(result["queries"])
+            # Refresh only rows whose re-probe SUCCEEDED: an errored
+            # re-probe must not overwrite a prior good measurement (the
+            # flag logic below already keeps the flag; this keeps the
+            # evidence). The error is still recorded alongside so the
+            # failed attempt is visible.
+            for name, row in result["queries"].items():
+                prev = record["queries"].get(name)
+                if "error" in row and prev is not None and "error" not in prev:
+                    prev["reprobe_error"] = row["error"]
+                else:
+                    record["queries"][name] = row
             remeasured_ok = {
                 n
                 for n in subset

@@ -1795,6 +1795,20 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     while-better loop is replaced by FIXED hop counts so the whole search
     is a static dataflow (and SQL-expressible for the oracle).
 
+    Measured residual floor (r10, sf0.1 warm): the UI stage audit shows
+    the run is ~18 short AQE-materialized jobs — parquet scan, edge
+    build + checkpoint, 4 distinct broadcast materializations (edges,
+    queries, entry point; reuse already collapses the 9 hops' edge
+    broadcasts to 1), then the fused hop pipeline — each with a
+    0.1–0.3 s scheduling floor that dominates at bench scale (executor
+    compute is milliseconds on 2k vectors). After the r10 cuts (HOF
+    bucket folds, mask-derived prefix buckets, node checkpoint
+    removed: 6.0 s -> 4.4 s warm) the remaining time IS that job-floor
+    sum; at 100 TB the same floors are fixed-cost noise against
+    minutes-long stages, and the structure (zero corpus shuffles
+    during search, one edges broadcast or src-partitioned shuffle
+    join) is the part that scales — the q74-style argument.
+
     The 9 hops run as ONE linear-lineage job, not 9 checkpoint-barrier
     jobs (the r08 census measured ~0.7 s of scheduling floor per
     barrier, 10.5 s total; this form is the same dataflow with the

@@ -5048,3 +5048,147 @@ def parse_aiff_comm(payload: bytes):
         "ssnd_bytes": ssnd_bytes,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# EBML / Matroska (RFC 8794 + the public Matroska element registry):
+# every element is (VINT id, VINT size, payload), where a VINT's length
+# is announced by its own leading zero bits — one bit of structure per
+# byte of width, the container equivalent of a UTF-8 walk. encode_mkv
+# writes an EBML header (DocType "matroska") and a Segment holding an
+# Info (TimestampScale) plus Cluster elements of Timestamp +
+# SimpleBlock children; parse_mkv_ebml re-walks it with a real VINT
+# reader, recursing into master elements and validating that every
+# declared size consumes exactly. Pairs with mm_mp4_boxes (length-
+# prefixed boxes) and mm_ogg_pages (lacing runs) as the third framing
+# discipline a media pipeline meets in the wild.
+# ---------------------------------------------------------------------------
+def _ebml_size(n: int) -> bytes:
+    """Encode ``n`` as an EBML size VINT of minimal width (marker bit
+    in the first byte; all-ones 'unknown size' is never produced)."""
+    if n < 0:
+        raise ValueError("negative EBML size")
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            bits = n | (1 << (7 * length))
+            return bits.to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: bytes, payload: bytes) -> bytes:
+    """One EBML element: raw id bytes (marker embedded, per the
+    Matroska registry) + size VINT + payload."""
+    return eid + _ebml_size(len(payload)) + payload
+
+
+def encode_mkv(timescale: int, clusters) -> bytes:
+    """Minimal-but-real Matroska: EBML header (EBMLVersion=1, DocType
+    "matroska"), then a Segment with Info/TimestampScale and one
+    Cluster per (cluster_ts, [frame_len, ...]) entry; block j of a
+    cluster is a SimpleBlock (track 1, relative timestamp 40*j,
+    keyframe flag) filled with byte (cluster_ts + j) % 251."""
+    if not (0 < timescale < (1 << 24)):
+        raise ValueError("timescale must fit 3 bytes")
+    header = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x86", b"\x01")
+        + _ebml_el(b"\x42\x82", b"matroska"),
+    )
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", timescale.to_bytes(3, "big")),
+    )
+    cl_payloads = []
+    for cluster_ts, frame_lens in clusters:
+        if not (0 <= cluster_ts < (1 << 16)):
+            raise ValueError("cluster timestamp must fit 2 bytes")
+        body = _ebml_el(b"\xe7", cluster_ts.to_bytes(2, "big"))
+        for j, flen in enumerate(frame_lens):
+            if flen < 0:
+                raise ValueError("negative frame length")
+            block = (
+                b"\x81"  # track number 1 as a VINT
+                + (40 * j).to_bytes(2, "big")  # relative timestamp
+                + b"\x80"  # flags: keyframe
+                + bytes([(cluster_ts + j) % 251]) * flen
+            )
+            body += _ebml_el(b"\xa3", block)
+        cl_payloads.append(_ebml_el(b"\x1f\x43\xb6\x75", body))
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + b"".join(cl_payloads))
+    return header + segment
+
+
+_EBML_MASTERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1F43B675}
+_EBML_KNOWN = _EBML_MASTERS | {0x4286, 0x4282, 0x2AD7B1, 0xE7, 0xA3}
+
+
+def _ebml_read_vint(data: bytes, pos: int, keep_marker: bool):
+    """Read one VINT at ``pos``; returns (value, width). IDs keep the
+    marker bit (registry convention), sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML VINT")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML VINT wider than 8 bytes")
+    width = 9 - first.bit_length()
+    if pos + width > len(data):
+        raise ValueError("truncated EBML VINT body")
+    value = int.from_bytes(data[pos : pos + width], "big")
+    if not keep_marker:
+        value -= 1 << (7 * width)
+    return value, width
+
+
+def parse_mkv_ebml(payload: bytes):
+    """Strictly walk an EBML/Matroska stream. Returns dict(n_elements,
+    n_clusters, n_blocks, frame_bytes, file_bytes, timestamp_scale,
+    last_cluster_ts). Raises ValueError on an unknown element id, a
+    size overrunning its parent, a non-"matroska" DocType, a block on
+    a track other than 1, or trailing garbage."""
+    data = bytes(payload)
+    stats = {
+        "n_elements": 0,
+        "n_clusters": 0,
+        "n_blocks": 0,
+        "frame_bytes": 0,
+        "timestamp_scale": 0,
+        "last_cluster_ts": 0,
+    }
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos < end:
+            eid, w = _ebml_read_vint(data, pos, keep_marker=True)
+            pos += w
+            size, w = _ebml_read_vint(data, pos, keep_marker=False)
+            pos += w
+            if pos + size > end:
+                raise ValueError(f"EBML element 0x{eid:x} overruns parent")
+            if eid not in _EBML_KNOWN:
+                raise ValueError(f"unknown EBML id 0x{eid:x}")
+            stats["n_elements"] += 1
+            body = data[pos : pos + size]
+            if eid in _EBML_MASTERS:
+                if eid == 0x1F43B675:
+                    stats["n_clusters"] += 1
+                walk(pos, pos + size)
+            elif eid == 0x4282:
+                if body != b"matroska":
+                    raise ValueError(f"unexpected DocType {body!r}")
+            elif eid == 0x2AD7B1:
+                stats["timestamp_scale"] = int.from_bytes(body, "big")
+            elif eid == 0xE7:
+                stats["last_cluster_ts"] = int.from_bytes(body, "big")
+            elif eid == 0xA3:
+                track, tw = _ebml_read_vint(body, 0, keep_marker=False)
+                if track != 1:
+                    raise ValueError(f"unexpected track {track}")
+                if len(body) < tw + 3:
+                    raise ValueError("truncated SimpleBlock header")
+                stats["n_blocks"] += 1
+                stats["frame_bytes"] += len(body) - tw - 3
+            pos += size
+
+    walk(0, len(data))
+    stats["file_bytes"] = len(data)
+    return stats

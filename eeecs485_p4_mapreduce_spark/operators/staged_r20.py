@@ -1,0 +1,710 @@
+"""Queries STAGED for a future registration round (implemented +
+oracle-proven in this build session; the flip is one
+``register_staged()`` call in ``registry.load_all``).
+
+Same staging discipline as operators/staged_r9–r19: built, pytest
+hash-checked against DuckDB at sf0.001 and sf0.01
+(tests/test_staged_r20.py), fixture-tested with independent
+references, plan-gate swept, and x10/x100 replica-probed BEFORE
+registration. Same contract as every registered query: identical
+aliases both sides, round()-ed or integer-exact outputs, no nullable
+hash-bearing columns.
+
+Staged surface:
+
+- ``mm_mkv_ebml`` — the third container-framing discipline alongside
+  mm_mp4_boxes (length-prefixed boxes) and mm_ogg_pages (lacing
+  runs): Matroska/EBML, where element IDs AND sizes are
+  variable-length integers whose width is announced by their own
+  leading zero bits (RFC 8794). Each document synthesizes a real
+  minimal Matroska file (EBML header, Segment, Info/TimestampScale,
+  Clusters of Timestamp + SimpleBlock) and re-walks it with a strict
+  recursive VINT reader; the oracle mirrors the VINT width arithmetic
+  byte-for-byte, so one byte of drift in either the writer or the
+  walker breaks file_bytes.
+- ``ta_fertility_census`` — per-language tokenizer-fertility /
+  compression census (tokens-per-word, bytes-per-token — the two
+  numbers a multilingual pretraining mix is balanced against, cf.
+  the fertility tables in multilingual-tokenizer papers): one
+  map-side regex pass per doc, one |languages|-row aggregate, exact
+  two-step ppm arithmetic (no doubles anywhere).
+- ``ta_zipf_rank_mass`` — Zipf-law diagnostic without logarithms:
+  bucket the corpus vocabulary by rank OCTAVE (rank in [2^o,
+  2^(o+1))) and report exact token counts and probability mass per
+  octave. Under Zipf (freq ∝ 1/rank) every octave carries roughly
+  equal mass, so the ppm column IS the goodness-of-fit read-out —
+  fully integer-exact where a log-log OLS slope would hash-drift on
+  float summation order.
+- ``sim_ivfpq_rerank_recall`` — the quality curve for the two-stage
+  ANN pipeline every vector store ships (FAISS IVF-PQ + refine):
+  IVF-restricted ADC candidates, exact-cosine rerank of the ADC
+  top-R, recall@k against the exact brute force, for R on a 3-point
+  curve. Pairs sim_ivfpq_search (which returns the ADC ranking) with
+  sim_ann_recall's overlap metric, and answers the operational
+  question those two leave open: how much rerank budget buys how
+  much recall.
+- ``q111_sessionize`` — classic 30-minute-gap sessionization over the
+  events stream (the canonical pre-aggregation for engagement/funnel
+  work): per-user session ids from a lag window over microsecond
+  timestamps, then per-user session stats. All integer (epoch
+  microseconds), tz-free by construction.
+- ``q112_dow_profile`` — day-of-week × event-type activity profile
+  with exact per-type ppm shares: the seasonality fingerprint used
+  to sanity-check event pipelines after timezone or clock changes.
+  DOW is computed from the epoch DAY NUMBER (1970-01-01 was a
+  Thursday), not an engine dow() builtin, so both engines share one
+  integer definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# mm_mkv_ebml: REAL Matroska/EBML walk (see encode_mkv/parse_mkv_ebml
+# in multimodal.py). Doc d writes timescale 500000 + (d%10)*100000,
+# 1 + d%3 clusters at timestamps (c+1)*(100 + d%50); cluster c holds
+# 1 + (d+c)%4 SimpleBlocks; block j carries 40 + (d*5 + c*11 + j*17)
+# % 200 frame bytes. The oracle mirrors the EBML size-VINT widths:
+# a payload of s bytes costs 1 lacing^W size byte when s < 127 and 2
+# when s < 16383 (nothing here exceeds that), so every element is
+# id_bytes + vint(s) + s — the file_bytes column re-derives the whole
+# layout arithmetic relationally.
+# ---------------------------------------------------------------------------
+MKV_SCHEMA_FIELDS = (
+    "media_id",
+    "n_elements",
+    "n_clusters",
+    "n_blocks",
+    "frame_bytes",
+    "file_bytes",
+    "timestamp_scale",
+    "last_cluster_ts",
+)
+
+MM_MKV_ORACLE = """
+    WITH blk AS (
+      SELECT doc_id, c.c AS c, j.j AS j,
+             40 + (doc_id * 5 + c.c * 11 + j.j * 17) % 200 AS flen
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS nc FROM documents),
+           LATERAL (SELECT unnest(range(nc)) AS c) c,
+           LATERAL (SELECT unnest(range(1 + (doc_id + c.c) % 4)) AS j) j
+    ), clusters AS (
+      SELECT doc_id, c,
+             CAST(count(*) AS BIGINT) AS n_blk,
+             CAST(sum(flen) AS BIGINT) AS fbytes,
+             -- block element: 1 id + vint(4+flen) + (4+flen)
+             CAST(sum(1 + CASE WHEN 4 + flen < 127 THEN 1 ELSE 2 END
+                          + 4 + flen) AS BIGINT) AS blk_bytes
+      FROM blk GROUP BY 1, 2
+    ), cl_sized AS (
+      SELECT doc_id, c, n_blk, fbytes,
+             -- cluster content: Timestamp element (4) + blocks
+             4 + blk_bytes AS content
+      FROM clusters
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n_blk) AS BIGINT) AS n_blocks,
+             CAST(sum(fbytes) AS BIGINT) AS frame_bytes,
+             -- cluster element: 4 id + vint(content) + content
+             CAST(sum(4 + CASE WHEN content < 127 THEN 1 ELSE 2 END
+                          + content) AS BIGINT) AS cl_bytes,
+             CAST(sum(2 + n_blk) AS BIGINT) AS inner_elems
+      FROM cl_sized GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           6 + p.inner_elems AS n_elements,
+           p.n_clusters,
+           p.n_blocks,
+           p.frame_bytes,
+           -- header(20) + segment: 4 id + vint(12 + clusters) + content
+           20 + 4 + CASE WHEN 12 + p.cl_bytes < 127 THEN 1 ELSE 2 END
+              + 12 + p.cl_bytes AS file_bytes,
+           CAST(500000 + (d.doc_id % 10) * 100000 AS BIGINT)
+             AS timestamp_scale,
+           CAST(p.n_clusters * (100 + d.doc_id % 50) AS BIGINT)
+             AS last_cluster_ts
+    FROM documents d JOIN per_doc p USING (doc_id)
+"""
+
+
+def mm_mkv_ebml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a Matroska/EBML file and re-walk it with the
+    real recursive VINT parser (see section comment). Zero-shuffle
+    Arrow mapInPandas via the shared media_walk_query scaffold."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mkv,
+        media_walk_query,
+        parse_mkv_ebml,
+    )
+
+    def per_doc(d: int) -> dict:
+        base = 100 + d % 50
+        clusters = []
+        for c in range(1 + d % 3):
+            lens = [
+                40 + (d * 5 + c * 11 + j * 17) % 200
+                for j in range(1 + (d + c) % 4)
+            ]
+            clusters.append(((c + 1) * base, lens))
+        info = parse_mkv_ebml(
+            encode_mkv(500_000 + (d % 10) * 100_000, clusters)
+        )
+        return info
+
+    return media_walk_query(spark, sf_dir, MKV_SCHEMA_FIELDS, per_doc)
+
+
+# ---------------------------------------------------------------------------
+# ta_fertility_census: per-language tokenizer fertility + compression.
+# fertility_ppm = BPE-ish tokens per whitespace word (how many pieces
+# the tokenizer shatters a word into — the metric multilingual
+# tokenizer papers tabulate per language); bytes_per_token_ppm = UTF-8
+# bytes per token (the compression read-out that decides per-language
+# sampling budgets). Both in exact ppm via the two-step x1000 split
+# (same overflow discipline as ta_char_gini: a direct *1e6 would
+# overflow BIGINT near ~9e12 tokens per language).
+# ---------------------------------------------------------------------------
+_BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]"
+
+TA_FERTILITY_ORACLE = f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+               AS bpe,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+               AS words,
+             CAST(n_chars AS BIGINT) AS chars,
+             CAST(strlen(text) AS BIGINT) AS bytes
+      FROM documents
+    ), agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(words) AS BIGINT) AS n_words,
+             CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(sum(bytes) AS BIGINT) AS n_bytes
+      FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars, n_bytes,
+           CAST(((n_bpe_tokens * 1000) // n_words) * 1000
+                + (((n_bpe_tokens * 1000) % n_words) * 1000) // n_words
+             AS BIGINT) AS fertility_ppm,
+           CAST(((n_bytes * 1000) // n_bpe_tokens) * 1000
+                + (((n_bytes * 1000) % n_bpe_tokens) * 1000)
+                  // n_bpe_tokens AS BIGINT) AS bytes_per_token_ppm
+    FROM agg
+"""
+
+
+def ta_fertility_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility / compression census in exact ppm (see
+    section comment). One regex projection per doc (map-side), one
+    |languages|-row aggregate — at 100 TB the only exchange is the
+    partial-aggregated lang shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.selectExpr(
+        "lang",
+        f"cast(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) as bigint)"
+        " AS bpe",
+        "cast(size(regexp_extract_all(text, '[a-z0-9]+', 0)) as bigint)"
+        " AS words",
+        "cast(n_chars as bigint) AS chars",
+        "cast(octet_length(text) as bigint) AS bytes",
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("n_words"),
+        F.sum("bpe").alias("n_bpe_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("bytes").alias("n_bytes"),
+    )
+    return agg.selectExpr(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        "n_bytes",
+        "((n_bpe_tokens * 1000) div n_words) * 1000"
+        " + (((n_bpe_tokens * 1000) % n_words) * 1000) div n_words"
+        " AS fertility_ppm",
+        "((n_bytes * 1000) div n_bpe_tokens) * 1000"
+        " + (((n_bytes * 1000) % n_bpe_tokens) * 1000) div n_bpe_tokens"
+        " AS bytes_per_token_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_zipf_rank_mass: Zipf diagnostic by rank octave. Ranks come from
+# row_number over (freq DESC, token) — the repo's standard total
+# order; the octave assignment rank ∈ [2^o, 2^(o+1)) is a range join
+# against a 31-row generated table (no log2() anywhere: floor(log2)
+# of an integer via float log is exactly the kind of last-ulp hazard
+# the oracle contract bans). mass_ppm uses the two-step x1000 split.
+# Scale: the vocabulary aggregate is the only corpus-sized exchange;
+# ranking the vocabulary is a single-dimension sort of |V| rows and
+# the output is <= 31 rows.
+# ---------------------------------------------------------------------------
+TA_ZIPF_ORACLE = """
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '[ \t]'))
+              AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM counts
+    ), octaves AS (
+      SELECT CAST(o AS BIGINT) AS octave,
+             CAST(1 << o AS BIGINT) AS rank_lo,
+             CAST((1 << (o + 1)) - 1 AS BIGINT) AS rank_hi
+      FROM (SELECT unnest(range(31)) AS o)
+    ), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts)
+    SELECT o.octave, o.rank_lo,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.freq) AS BIGINT) AS mass,
+           CAST(((sum(r.freq) * 1000) // t.total) * 1000
+                + (((sum(r.freq) * 1000) % t.total) * 1000) // t.total
+             AS BIGINT) AS mass_ppm
+    FROM ranked r
+    JOIN octaves o ON r.rank >= o.rank_lo AND r.rank <= o.rank_hi
+    CROSS JOIN tot t
+    GROUP BY o.octave, o.rank_lo, t.total
+"""
+
+
+def ta_zipf_rank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact probability mass per vocabulary rank octave (see section
+    comment)."""
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "token")),
+    )
+    octaves = spark.range(31).selectExpr(
+        "cast(id as bigint) AS octave",
+        "cast(shiftleft(1L, cast(id as int)) as bigint) AS rank_lo",
+        "cast(shiftleft(1L, cast(id as int) + 1) - 1 as bigint) AS rank_hi",
+    )
+    tot = counts.agg(F.sum("freq").alias("total"))
+    return (
+        ranked.join(
+            F.broadcast(octaves),
+            (F.col("rank") >= F.col("rank_lo"))
+            & (F.col("rank") <= F.col("rank_hi")),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("octave", "rank_lo", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("mass"),
+        )
+        .selectExpr(
+            "octave",
+            "rank_lo",
+            "n_tokens",
+            "mass",
+            "((mass * 1000) div total) * 1000"
+            " + (((mass * 1000) % total) * 1000) div total AS mass_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_rerank_recall: the IVF-PQ + exact-refine quality curve.
+# Stage 1 (shared with sim_ivfpq_search): candidates = vectors whose
+# IVF cell is among each query's NPROBE probed cells, ranked by the
+# 4-subspace ADC distance. Stage 2: for each rerank budget R on the
+# curve, take the ADC top-R, score them with TRUE cosine, keep the
+# exact top-k, and measure overlap against sim_topk_bruteforce's
+# exact top-k. recall is exact ppm (integer), so the only floats in
+# the query are the orderings both engines already hash elsewhere.
+# Scale: candidates are |corpus|·NPROBE/|cells| rows of code columns
+# (never raw vectors); only the ≤ max(R)·|queries| winners rejoin the
+# vector table for the exact rerank — which is the entire point of
+# the two-stage design this query grades.
+# ---------------------------------------------------------------------------
+RERANK_RS = (10, 25, 50)
+
+
+def _ivfpq_rerank_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _DUCK_COS,
+        _DUCK_IVF_CELLS,
+        _DUCK_PQ_CTES,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+    )
+    from eeecs485_p4_mapreduce_spark.registry import ORACLES
+
+    rs = ", ".join(f"({r})" for r in RERANK_RS)
+    return f"""
+    WITH {_DUCK_IVF_CELLS},
+    {_DUCK_PQ_CTES},
+    cells2 AS (
+      SELECT vec_id, c_label AS cell FROM scored WHERE rnk = 1
+    ),
+    probes2 AS (
+      SELECT vec_id AS query_id, c_label AS cell
+      FROM scored WHERE vec_id < {N_QUERIES} AND rnk <= {NPROBE}
+    ),
+    wide AS (
+      SELECT vec_id,
+             max(CASE WHEN subspace = 0 THEN code END) AS c0,
+             max(CASE WHEN subspace = 1 THEN code END) AS c1,
+             max(CASE WHEN subspace = 2 THEN code END) AS c2,
+             max(CASE WHEN subspace = 3 THEN code END) AS c3
+      FROM pqa GROUP BY vec_id
+    ),
+    qd AS (SELECT * FROM pqd WHERE vec_id < {N_QUERIES}),
+    adc_ranked AS (
+      SELECT p.query_id, w.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY q0.qerr + q1.qerr + q2.qerr + q3.qerr, w.vec_id
+             ) AS adc_rank
+      FROM (SELECT DISTINCT c2.vec_id, p2.query_id
+            FROM cells2 c2 JOIN probes2 p2 ON c2.cell = p2.cell
+            WHERE c2.vec_id <> p2.query_id) p
+      JOIN wide w ON w.vec_id = p.vec_id
+      JOIN qd q0 ON q0.vec_id = p.query_id AND q0.subspace = 0
+                AND q0.code = w.c0
+      JOIN qd q1 ON q1.vec_id = p.query_id AND q1.subspace = 1
+                AND q1.code = w.c1
+      JOIN qd q2 ON q2.vec_id = p.query_id AND q2.subspace = 2
+                AND q2.code = w.c2
+      JOIN qd q3 ON q3.vec_id = p.query_id AND q3.subspace = 3
+                AND q3.code = w.c3
+    ),
+    rs(rerank_r) AS (VALUES {rs}),
+    reranked AS (
+      SELECT rerank_r, query_id, neighbor_id
+      FROM (
+        SELECT rs.rerank_r, ar.query_id, ar.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY rs.rerank_r, ar.query_id
+                 ORDER BY {_DUCK_COS} DESC, ar.neighbor_id
+               ) AS rr
+        FROM adc_ranked ar
+        JOIN rs ON ar.adc_rank <= rs.rerank_r
+        JOIN embeddings a ON a.vec_id = ar.query_id
+        JOIN embeddings b ON b.vec_id = ar.neighbor_id
+      ) WHERE rr <= {TOP_K}
+    ),
+    bf AS ({ORACLES["sim_topk_bruteforce"]})
+    SELECT CAST(rs.rerank_r AS BIGINT) AS rerank_r, bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(rk.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST((count(rk.neighbor_id) * 1000000) // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM bf CROSS JOIN rs
+    LEFT JOIN reranked rk
+      ON rk.rerank_r = rs.rerank_r AND rk.query_id = bf.query_id
+     AND rk.neighbor_id = bf.neighbor_id
+    GROUP BY rs.rerank_r, bf.query_id
+"""
+
+
+def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ + exact top-R rerank, for R on the
+    {RERANK_RS} curve (see section comment). Reuses the registered
+    building blocks: _centroids_packed/_ASSIGN_SORTED for the coarse
+    cells, _pq_assignments/_pq_codebook for the codes, and
+    sim_topk_bruteforce as the exact reference."""
+    from pyspark import StorageLevel
+
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _ASSIGN_SORTED,
+        _centroids_packed,
+        _emb_with_norm,
+        _pq_assignments,
+        _pq_codebook,
+        _pq_dist_expr,
+        N_QUERIES,
+        NPROBE,
+        PQ_M,
+        TOP_K,
+        sim_topk_bruteforce,
+    )
+
+    # full embedding table feeds the coarse assignment, the code build,
+    # the rerank join-back AND the brute-force reference: DISK_ONLY
+    # persist (lineage kept) per SCALE.md.
+    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    packed = _centroids_packed(emb).localCheckpoint(eager=False)
+    scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
+        "vec_id",
+        "v",
+        "norm",
+        f"slice({_ASSIGN_SORTED}, 1, {NPROBE}) AS top_cells",
+    )
+    cells = scored.selectExpr(
+        "vec_id", "element_at(top_cells, 1).c_label AS cell"
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id", "v AS qv", "norm AS qnorm",
+            "explode(top_cells) AS tc",
+        )
+        .select("query_id", "qv", "qnorm", F.col("tc.c_label").alias("cell"))
+    )
+    wide = _pq_assignments(emb.select("vec_id", "v")).groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
+            for s in range(PQ_M)
+        ]
+    )
+    structs = ", ".join(
+        f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
+        for s in range(PQ_M)
+    )
+    dtable = (
+        probes.select("query_id", "qv")
+        .distinct()
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .select(
+            "query_id",
+            "code",
+            F.explode(F.expr(f"array({structs})")).alias("sd"),
+        )
+        .select(
+            "query_id",
+            F.col("sd.subspace").alias("subspace"),
+            "code",
+            F.col("sd.qdist").alias("qdist"),
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(wide, "vec_id")
+    )
+    res = cand
+    for s in range(PQ_M):
+        dts = dtable.filter(F.col("subspace") == s).select(
+            "query_id",
+            F.col("code").alias(f"c{s}"),
+            F.col("qdist").alias(f"d{s}"),
+        )
+        res = res.join(F.broadcast(dts), ["query_id", f"c{s}"])
+    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_raw"), F.col("neighbor_id")
+    )
+    adc_ranked = (
+        res.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   adc.alias("adc_raw"))
+        .withColumn("adc_rank", F.row_number().over(adc_w))
+        .select("query_id", "neighbor_id", "adc_rank")
+    )
+    rs = spark.createDataFrame(
+        [(r,) for r in RERANK_RS], "rerank_r int"
+    ).selectExpr("cast(rerank_r as int) AS rerank_r")
+    # exact rerank of each budget's ADC winners: only <= max(R) rows
+    # per (query, R) rejoin the vector table
+    cos = (
+        F.expr(
+            "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d,"
+            " (acc, x) -> acc + x)"
+        )
+        / (F.col("qnorm") * F.col("norm"))
+    )
+    rr_w = Window.partitionBy("rerank_r", "query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    reranked = (
+        adc_ranked.join(F.broadcast(rs), F.col("adc_rank") <= F.col("rerank_r"))
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "v", "norm"),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                probes.select("query_id", "qv", "qnorm").distinct()
+            ),
+            "query_id",
+        )
+        .withColumn("cos_raw", cos)
+        .withColumn("rr", F.row_number().over(rr_w))
+        .filter(F.col("rr") <= TOP_K)
+        .select("rerank_r", "query_id", "neighbor_id",
+                F.lit(1).alias("hit"))
+        # N_QUERIES x |RERANK_RS| x TOP_K rows; feeds the overlap join —
+        # pin it so the two-stage search executes once
+        .localCheckpoint()
+    )
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        bf.crossJoin(F.broadcast(rs))
+        .join(reranked, ["rerank_r", "query_id", "neighbor_id"], "left")
+        .groupBy("rerank_r", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .selectExpr(
+            "cast(rerank_r as bigint) AS rerank_r",
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            "(n_overlap * 1000000) div n_exact AS recall_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111_sessionize: 30-minute-gap sessionization. Everything is epoch
+# MICROSECONDS (unix_micros / epoch_us — both BIGINT, both tz-free),
+# ordered by (ts_us, event_id) so simultaneous events are totally
+# ordered. Scale: one user-keyed exchange feeds both windows AND the
+# session aggregate (the partitioning is reused); session count per
+# user is bounded by events per user, never materialized corpus-wide.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+Q111_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(max(us) - min(us) AS BIGINT) AS span_us
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events,
+           CAST(sum(span_us) AS BIGINT) AS active_us
+    FROM per_sess GROUP BY user_id
+"""
+
+
+def q111_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats under 30-minute-gap sessionization (see
+    section comment)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(cum_w))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.sum("n_ev").alias("n_events"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("span_us").alias("active_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112_dow_profile: day-of-week x event-type profile. DOW from the
+# integer epoch day — (epoch_day + 4) % 7 maps 1970-01-01 (Thursday)
+# to 4 with Monday=0 — so neither engine's dow()/dayofweek() builtin
+# (they disagree on week start AND on Sunday's index) touches the
+# hash. share_ppm is each (type, dow) cell's exact ppm of its type's
+# total. Scale: pure two-key partial aggregation, one exchange of
+# |types| x 7 rows.
+# ---------------------------------------------------------------------------
+Q112_ORACLE = """
+    WITH cells AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n,
+           CAST((c.n * 1000000) // t.t AS BIGINT) AS share_ppm
+    FROM cells c JOIN tot t USING (event_type)
+"""
+
+
+def q112_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week activity profile per event type with exact ppm
+    shares (see section comment)."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.selectExpr(
+        "event_type",
+        "(unix_micros(ts) div 86400000000 + 4) % 7 AS dow",
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return cells.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type",
+        "dow",
+        "n",
+        "(n * 1000000) div t AS share_ppm",
+    )
+
+
+def _staged() -> dict:
+    return {
+        "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
+        "ta_fertility_census": (ta_fertility_census, TA_FERTILITY_ORACLE),
+        "ta_zipf_rank_mass": (ta_zipf_rank_mass, TA_ZIPF_ORACLE),
+        "sim_ivfpq_rerank_recall": (
+            sim_ivfpq_rerank_recall,
+            _ivfpq_rerank_oracle(),
+        ),
+        "q111_sessionize": (q111_sessionize, Q111_ORACLE),
+        "q112_dow_profile": (q112_dow_profile, Q112_ORACLE),
+    }
+
+
+#: flip: registry.load_all() adds register_staged() for this module.
+STAGED: dict[str, tuple] = _staged()
+
+
+def register_staged() -> None:
+    """Registration hook: called from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
+
+    register_staged_dict(STAGED)

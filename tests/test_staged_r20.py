@@ -1,0 +1,250 @@
+"""Oracle + semantics tests for the STAGED r20 queries
+(operators/staged_r20.py), with independent references per the
+staging discipline: the EBML codec gets a hand-computed byte layout,
+VINT width-boundary cases, and strictness fuzz; sessionization gets a
+brute-force Python sessionizer over the same parquet; the Zipf octave
+masses get a collections.Counter reference; the fertility census gets
+a pure-Python regex recount; and the IVF-PQ rerank curve gets a
+monotonicity invariant (more rerank budget can never lose recall)."""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.operators import staged_r20
+from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+    _ebml_size,
+    encode_mkv,
+    parse_mkv_ebml,
+)
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.parametrize("name", sorted(staged_r20.STAGED))
+def test_staged_r20_matches_oracle(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged_r20.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    s_lines, d_lines = canon_lines(s_pd), canon_lines(d_pd)
+    assert lines_hash(s_lines) == lines_hash(d_lines), name
+
+
+# --- EBML / Matroska codec ---------------------------------------------------
+
+
+def test_ebml_vint_width_boundaries():
+    """Size VINT widths turn over at 2^(7k)-1 (the all-ones pattern is
+    reserved for 'unknown size' and never emitted)."""
+    assert len(_ebml_size(0)) == 1
+    assert len(_ebml_size(126)) == 1
+    assert len(_ebml_size(127)) == 2  # 127 would be the 1-byte all-ones
+    assert len(_ebml_size(16382)) == 2
+    assert len(_ebml_size(16383)) == 3
+    # round trip through the parser's reader
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _ebml_read_vint,
+    )
+
+    for n in (0, 1, 126, 127, 128, 16382, 16383, 2**28 - 2):
+        v, w = _ebml_read_vint(_ebml_size(n), 0, keep_marker=False)
+        assert (v, w) == (n, len(_ebml_size(n)))
+
+
+def test_ebml_hand_computed_layout():
+    """Byte-for-byte layout check: header(20) + segment(4 + vint +
+    info(12) + clusters). One cluster of one 30-byte frame: block
+    payload 34 -> block el 1+1+34=36, cluster content 4+36=40, cluster
+    el 4+1+40=45, segment content 12+45=57 (<127 -> 1-byte vint),
+    file = 20 + 4 + 1 + 57 = 82."""
+    b = encode_mkv(1_000_000, [(500, [30])])
+    assert len(b) == 82
+    info = parse_mkv_ebml(b)
+    # elements: EBML header + EBMLVersion + DocType + Segment + Info +
+    # TimestampScale + Cluster + Timestamp + SimpleBlock = 9
+    assert info == {
+        "n_elements": 9,
+        "n_clusters": 1,
+        "n_blocks": 1,
+        "frame_bytes": 30,
+        "timestamp_scale": 1_000_000,
+        "last_cluster_ts": 500,
+        "file_bytes": 82,
+    }
+
+
+def test_ebml_strictness():
+    b = encode_mkv(1_000_000, [(100, [40, 50]), (200, [60])])
+    # truncation anywhere in the tail overruns a declared size
+    with pytest.raises(ValueError):
+        parse_mkv_ebml(b[:-1])
+    # unknown element id
+    with pytest.raises(ValueError):
+        parse_mkv_ebml(b"\xec\x81\x00")  # Void element: real but unknown here
+    # a block on a track other than 1
+    bad = bytearray(b)
+    idx = b.find(b"\xa3")  # first SimpleBlock id
+    # block payload starts after id + 1-byte size; patch the track VINT
+    bad[idx + 2] = 0x82  # track 2
+    with pytest.raises(ValueError):
+        parse_mkv_ebml(bytes(bad))
+    # garbage appended after the segment
+    with pytest.raises(ValueError):
+        parse_mkv_ebml(b + b"\x00")
+
+
+def test_ebml_fuzz_single_byte_flips_never_parse_silently_wrong():
+    """Every single-byte flip either raises or changes a reported
+    stat — the walker never returns the original stats from a
+    corrupted file (frame fill bytes are the only don't-care bytes,
+    and flipping one changes nothing the walker reports, so those
+    flips must still PARSE; structural bytes must raise or shift)."""
+    b = encode_mkv(700_000, [(120, [10])])
+    ref = parse_mkv_ebml(b)
+    silent_wrong = 0
+    for i in range(len(b)):
+        q = bytearray(b)
+        q[i] ^= 0x01
+        try:
+            got = parse_mkv_ebml(bytes(q))
+        except ValueError:
+            continue
+        if got == ref and q != bytearray(b):
+            # the only bytes allowed to be don't-care: frame fill (10),
+            # the block's relative timestamp (2, not reported), the
+            # block flags byte (1), and the EBMLVersion payload (1)
+            silent_wrong += 1
+    assert silent_wrong <= 14, silent_wrong
+
+
+# --- sessionization: brute-force Python reference ---------------------------
+
+
+def test_sessionize_against_python_reference(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id, event_id, epoch_us(ts) AS us "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user: dict = {}
+    for u, e, us in rows:
+        by_user.setdefault(u, []).append((us, e))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for us, _ in evs:
+            if not sessions or us - sessions[-1][-1] > staged_r20.SESSION_GAP_US:
+                sessions.append([us])
+            else:
+                sessions[-1].append(us)
+        expect[u] = (
+            len(evs),
+            len(sessions),
+            max(len(s) for s in sessions),
+            sum(s[-1] - s[0] for s in sessions),
+        )
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_sessions"],
+            r["max_session_events"],
+            r["active_us"],
+        )
+        for r in staged_r20.q111_sessionize(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == expect
+
+
+# --- Zipf octaves: Counter reference ----------------------------------------
+
+
+def test_zipf_rank_mass_against_counter(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    c: Counter = Counter()
+    for (t,) in texts:
+        for tok in re.split(r"[ \t]", t.lower()):
+            if tok:
+                c[tok] += 1
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    octs: dict = {}
+    for i, (_, freq) in enumerate(ranked):
+        o = (i + 1).bit_length() - 1
+        n, m = octs.get(o, (0, 0))
+        octs[o] = (n + 1, m + freq)
+    got = {
+        r["octave"]: (r["n_tokens"], r["mass"])
+        for r in staged_r20.ta_zipf_rank_mass(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == octs
+    df = staged_r20.ta_zipf_rank_mass(spark, sf_dir).toPandas()
+    assert int(df["mass"].sum()) == total  # octaves partition the ranks
+
+
+# --- fertility census: pure-Python regex recount -----------------------------
+
+
+def test_fertility_census_against_python(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT lang, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    bpe_pat = re.compile(r"[a-z0-9]+|[^a-z0-9 ]")
+    word_pat = re.compile(r"[a-z0-9]+")
+    agg: dict = {}
+    for lang, text in rows:
+        d = agg.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(word_pat.findall(text))
+        d[2] += len(bpe_pat.findall(text))
+        d[3] += len(text.encode("utf-8"))
+    got = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_bpe_tokens"], r["n_bytes"])
+        for r in staged_r20.ta_fertility_census(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# --- IVF-PQ rerank curve: monotonicity invariant -----------------------------
+
+
+def test_rerank_recall_monotone_in_budget(spark, sf_dir):
+    """A bigger exact-rerank budget can only add candidates the exact
+    scorer may promote, so recall@k is non-decreasing in R — the
+    invariant that makes the curve a tuning instrument."""
+    df = (
+        staged_r20.sim_ivfpq_rerank_recall(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rerank_r"])
+    )
+    assert set(df["rerank_r"]) == set(staged_r20.RERANK_RS)
+    for _, grp in df.groupby("query_id"):
+        overlaps = grp.sort_values("rerank_r")["n_overlap"].tolist()
+        assert overlaps == sorted(overlaps), overlaps
+        assert all(0 <= o <= 10 for o in overlaps)

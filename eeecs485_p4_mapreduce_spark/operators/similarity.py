@@ -1040,23 +1040,35 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
         for s in range(PQ_M)
     )
-    dtable = (
+    # The whole distance table packs to one |queries|-row broadcast
+    # (PQ_M x PQ_K doubles per query at position subspace*PQ_K + code),
+    # so ADC is a map-side array lookup per candidate — one broadcast
+    # join where the per-subspace formulation scheduled 4 sequential
+    # broadcast materializations (r10 A/B on the rerank twin: 4.9 s ->
+    # 3.4 s warm). qdist values and the d0+d1+d2+d3 association are
+    # unchanged, so the doubles stay bit-identical to the oracle.
+    dpacked = (
         queries.crossJoin(F.broadcast(_pq_codebook(emb)))
         .select(
             "query_id",
-            "code",
             F.explode(F.expr(f"array({structs})")).alias("sd"),
+            "code",
         )
-        .select("query_id", F.col("sd.subspace").alias("subspace"), "code", F.col("sd.qdist").alias("qdist"))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct("
+                f"sd.subspace * {PQ_K} + code AS pos, sd.qdist AS qd))),"
+                f" s -> s.qd)"
+            ).alias("dt")
+        )
     )
-    res = wide.crossJoin(F.broadcast(queries.select("query_id")))
+    res = wide.crossJoin(F.broadcast(dpacked))
     for s in range(PQ_M):
-        dts = dtable.filter(F.col("subspace") == s).select(
-            "query_id",
-            F.col("code").alias(f"c{s}"),
-            F.col("qdist").alias(f"d{s}"),
+        res = res.withColumn(
+            f"d{s}",
+            F.expr(f"element_at(dt, cast({s} * {PQ_K} + c{s} + 1 as int))"),
         )
-        res = res.join(F.broadcast(dts), ["query_id", f"c{s}"])
     adc = (
         ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
     ).alias("adc_raw")

@@ -541,38 +541,45 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
         for s in range(PQ_M)
     )
-    dtable = (
+    # One packed |queries|-row broadcast of the whole distance table
+    # (position subspace*PQ_K + code) replaces 4 sequential
+    # per-subspace broadcast joins; same qdist doubles, same
+    # d0+d1+d2+d3 association — see sim_pq_search (r10 A/B on the
+    # rerank twin: 4.9 s -> 3.4 s warm).
+    from eeecs485_p4_mapreduce_spark.operators.similarity import PQ_K
+
+    dpacked = (
         probes.select("query_id", "qv")
         .distinct()
         .crossJoin(F.broadcast(_pq_codebook(emb)))
         .select(
             "query_id",
-            "code",
             F.explode(F.expr(f"array({structs})")).alias("sd"),
-        )
-        .select(
-            "query_id",
-            F.col("sd.subspace").alias("subspace"),
             "code",
-            F.col("sd.qdist").alias("qdist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct("
+                f"sd.subspace * {PQ_K} + code AS pos, sd.qdist AS qd))),"
+                f" s -> s.qd)"
+            ).alias("dt")
         )
     )
-    cand = (
+    res = (
         cells.join(
             F.broadcast(probes.select("query_id", "cell")),
             "cell",
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(wide, "vec_id")
+        .join(F.broadcast(dpacked), "query_id")
     )
-    res = cand
     for s in range(PQ_M):
-        dts = dtable.filter(F.col("subspace") == s).select(
-            "query_id",
-            F.col("code").alias(f"c{s}"),
-            F.col("qdist").alias(f"d{s}"),
+        res = res.withColumn(
+            f"d{s}",
+            F.expr(f"element_at(dt, cast({s} * {PQ_K} + c{s} + 1 as int))"),
         )
-        res = res.join(F.broadcast(dts), ["query_id", f"c{s}"])
     adc = (
         ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
     ).alias("adc_raw")

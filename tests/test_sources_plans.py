@@ -403,8 +403,12 @@ def test_no_python_udfs_outside_multimodal(spark, sf_dir):
     load_all()
     # Justified Arrow-batched Python outside multimodal: dense all-pairs
     # cosine is BLAS-shaped math (vectorized numpy kernel, 27x faster
-    # than per-pair JVM array folds — see its docstring).
-    allowed = {"dedup_embedding_cosine"}
+    # than per-pair JVM array folds — see its docstring); the Avro OCF
+    # roundtrip is a byte-level container codec — the mm_ walker class
+    # under a q-number (neither engine ships an Avro reader, so the
+    # from-scratch codec IS the query; see staged_r19's section
+    # comment).
+    allowed = {"dedup_embedding_cosine", "q109_avro_roundtrip"}
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("mm_") or name in allowed:

@@ -48,6 +48,15 @@ Staged surface:
   work): per-user session ids from a lag window over microsecond
   timestamps, then per-user session stats. All integer (epoch
   microseconds), tz-free by construction.
+- ``skew_partition_histogram`` — the shuffle-skew diagnosis read-out:
+  per-partition row/key counts under the repo's hash32 md5 routing
+  (the 32-bit cousin of mrlite's M2 full-digest router — md5 is the
+  one hash family both engines can mirror exactly, unlike Spark's
+  murmur3 ``hash()``), with each partition's
+  load as exact ppm of the even share. This is the table you read
+  BEFORE reaching for salting/AQE — it tells you whether imbalance
+  is key-skew (n_keys small, n_rows big) or hash-unluck (n_keys
+  even, n_rows off).
 - ``q112_dow_profile`` — day-of-week × event-type activity profile
   with exact per-type ppm shares: the seasonality fingerprint used
   to sanity-check event pipelines after timezone or clock changes.
@@ -694,6 +703,60 @@ def q112_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# skew_partition_histogram: per-partition load under md5 routing (see
+# module docstring). W matches the session's shuffle width; the hash
+# is the repo's hash32 convention (functions/text.py:35 — first 8 md5
+# hex chars; mrlite's M2 router at mrlite/partitioner.py:20 is the
+# full-digest variant of the same family), which DuckDB mirrors
+# bit-exactly via UBIGINT hex parse — Spark's murmur3 hash() has no
+# cross-engine mirror, which is why the diagnostic is defined over
+# the md5 router. Scale: one partial-aggregated exchange of W
+# rows; count(DISTINCT) per partition is a two-level aggregate.
+# ---------------------------------------------------------------------------
+SKEW_HIST_W = 32
+
+SKEW_HIST_ORACLE = f"""
+    WITH parts AS (
+      SELECT CAST(CAST(concat('0x',
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % {SKEW_HIST_W} AS BIGINT) AS partition_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+      FROM events GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM parts)
+    SELECT p.partition_id, p.n_rows, p.n_keys,
+           CAST((p.n_rows * {SKEW_HIST_W} * 1000000) // t.t AS BIGINT)
+             AS load_ppm_of_even
+    FROM parts p CROSS JOIN tot t
+"""
+
+
+def skew_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition rows/keys + exact ppm-of-even-share load under the
+    md5 router (see section comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = (
+        ev.selectExpr(
+            f"cast(conv(substring(md5(cast(user_id as string)), 1, 8),"
+            f" 16, 10) % {SKEW_HIST_W} as bigint) AS partition_id",
+            "user_id",
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+    tot = parts.agg(F.sum("n_rows").alias("t"))
+    return parts.crossJoin(F.broadcast(tot)).selectExpr(
+        "partition_id",
+        "n_rows",
+        "n_keys",
+        f"(n_rows * {SKEW_HIST_W} * 1000000) div t AS load_ppm_of_even",
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
@@ -705,6 +768,10 @@ def _staged() -> dict:
         ),
         "q111_sessionize": (q111_sessionize, Q111_ORACLE),
         "q112_dow_profile": (q112_dow_profile, Q112_ORACLE),
+        "skew_partition_histogram": (
+            skew_partition_histogram,
+            SKEW_HIST_ORACLE,
+        ),
     }
 
 

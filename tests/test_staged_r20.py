@@ -248,3 +248,37 @@ def test_rerank_recall_monotone_in_budget(spark, sf_dir):
         overlaps = grp.sort_values("rerank_r")["n_overlap"].tolist()
         assert overlaps == sorted(overlaps), overlaps
         assert all(0 <= o <= 10 for o in overlaps)
+
+
+# --- partition histogram: hashlib reference ----------------------------------
+
+
+def test_partition_histogram_against_hashlib(spark, sf_dir):
+    """The partition assignment must agree with a hashlib recount of
+    the repo's hash32 routing (first 8 md5 hex chars mod W — the same
+    32-bit convention every fingerprint in functions/text.py uses)
+    key for key, and the loads must sum to the table size."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT user_id FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    expect: dict = {}
+    keys: dict = {}
+    for (u,) in rows:
+        p = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % (
+            staged_r20.SKEW_HIST_W
+        )
+        expect[p] = expect.get(p, 0) + 1
+        keys.setdefault(p, set()).add(u)
+    got = {
+        r["partition_id"]: (r["n_rows"], r["n_keys"])
+        for r in staged_r20.skew_partition_histogram(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == {p: (n, len(keys[p])) for p, n in expect.items()}
+    assert sum(n for n, _ in got.values()) == len(rows)

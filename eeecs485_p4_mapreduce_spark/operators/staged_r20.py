@@ -57,6 +57,15 @@ Staged surface:
   BEFORE reaching for salting/AQE — it tells you whether imbalance
   is key-skew (n_keys small, n_rows big) or hash-unluck (n_keys
   even, n_rows off).
+- ``q113_scd2_dimension`` — a type-2 slowly-changing dimension built
+  from the event stream (the warehouse op every dimension pipeline
+  runs nightly): the tracked attribute is a tier parsed out of the
+  JSON ``props`` column (exercising get_json_object /
+  json_extract_string on the two engines), versions are
+  gaps-and-islands runs per user, and each version carries
+  [valid_from_us, valid_to_us) with a -1 open-end sentinel and an
+  is_current flag — no nullable hash columns. Pairs with q86_pit_join
+  (which consumes exactly this interval shape).
 - ``q112_dow_profile`` — day-of-week × event-type activity profile
   with exact per-type ppm shares: the seasonality fingerprint used
   to sanity-check event pipelines after timezone or clock changes.
@@ -704,6 +713,98 @@ def q112_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q113_scd2_dimension: SCD type 2 from an event stream. Attribute =
+# tier (props JSON ->> 'k', integer-div 25); a version is a maximal
+# run of equal tier per user in (epoch_us, event_id) order (classic
+# gaps-and-islands: run id = cumsum of change flags); validity is
+# [valid_from_us, valid_to_us) where valid_to is the NEXT version's
+# start and the open current version carries the -1 sentinel +
+# is_current=1. Scale: one user-keyed exchange feeds the change
+# window, the run aggregate, and the interval lead — the same
+# partitioning throughout; output is versions, not events.
+# ---------------------------------------------------------------------------
+Q113_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS tier
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                    OR tier <> lag(tier) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), runs AS (
+      SELECT user_id, us, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ), versions AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             CAST(any_value(tier) AS BIGINT) AS tier,
+             CAST(min(us) AS BIGINT) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, version, tier, valid_from_us,
+           CAST(coalesce(lead(valid_from_us) OVER v, -1) AS BIGINT)
+             AS valid_to_us,
+           n_events,
+           CAST(CASE WHEN lead(valid_from_us) OVER v IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM versions
+    WINDOW v AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+def q113_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD versions per user from the event stream (see section
+    comment)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(ts) AS us",
+        "cast(get_json_object(props, '$.k') as bigint) div 25 AS tier",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.col("tier") != F.lag("tier").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.withColumn("version", F.sum("chg").over(cum_w))
+    versions = runs.groupBy("user_id", "version").agg(
+        F.first("tier").alias("tier"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    v_w = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(v_w)
+    return versions.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(-1)).cast("long").alias("valid_to_us"),
+        "n_events",
+        F.when(nxt.isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # skew_partition_histogram: per-partition load under md5 routing (see
 # module docstring). W matches the session's shuffle width; the hash
 # is the repo's hash32 convention (functions/text.py:35 — first 8 md5
@@ -768,6 +869,7 @@ def _staged() -> dict:
         ),
         "q111_sessionize": (q111_sessionize, Q111_ORACLE),
         "q112_dow_profile": (q112_dow_profile, Q112_ORACLE),
+        "q113_scd2_dimension": (q113_scd2_dimension, Q113_ORACLE),
         "skew_partition_histogram": (
             skew_partition_histogram,
             SKEW_HIST_ORACLE,

@@ -282,3 +282,38 @@ def test_partition_histogram_against_hashlib(spark, sf_dir):
     }
     assert got == {p: (n, len(keys[p])) for p, n in expect.items()}
     assert sum(n for n, _ in got.values()) == len(rows)
+
+
+# --- SCD2: structural invariants ---------------------------------------------
+
+
+def test_scd2_interval_invariants(spark, sf_dir):
+    """Per user: versions are 1..n contiguous, intervals chain exactly
+    (valid_to == next valid_from, -1 only on the single current row),
+    adjacent versions change tier, and version event counts sum to the
+    user's event count."""
+    import duckdb
+
+    df = (
+        staged_r20.q113_scd2_dimension(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+    )
+    con = duckdb.connect()
+    totals = dict(
+        con.sql(
+            f"SELECT user_id, count(*) FROM "
+            f"read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"
+        ).fetchall()
+    )
+    for uid, grp in df.groupby("user_id"):
+        assert grp["version"].tolist() == list(range(1, len(grp) + 1))
+        assert grp["is_current"].sum() == 1
+        assert grp.iloc[-1]["is_current"] == 1
+        assert grp.iloc[-1]["valid_to_us"] == -1
+        for i in range(len(grp) - 1):
+            assert grp.iloc[i]["valid_to_us"] == grp.iloc[i + 1][
+                "valid_from_us"
+            ]
+            assert grp.iloc[i]["tier"] != grp.iloc[i + 1]["tier"]
+        assert grp["n_events"].sum() == totals[uid]

@@ -57,6 +57,16 @@ Staged surface:
   BEFORE reaching for salting/AQE — it tells you whether imbalance
   is key-skew (n_keys small, n_rows big) or hash-unluck (n_keys
   even, n_rows off).
+- ``q114_protobuf_roundtrip`` — completes the varint-serialization
+  trilogy (Avro's zigzag block format in q109, EBML's
+  leading-bit-width VINTs in mm_mkv_ebml): Protocol Buffers wire
+  format from the public spec — LEB128 varints with the 10-byte
+  two's-complement negative-int64 path, (field_number << 3 |
+  wire_type) tags, length-delimited strings, sint64 zigzag, packed
+  repeated varints, and optional-field presence — encoded into
+  per-partition length-prefixed blobs, strictly decoded back, and
+  aggregated. Neither engine ships a protobuf reader, so the
+  from-scratch codec IS the query, same as q109.
 - ``q113_scd2_dimension`` — a type-2 slowly-changing dimension built
   from the event stream (the warehouse op every dimension pipeline
   runs nightly): the tracked attribute is a tier parsed out of the
@@ -713,6 +723,250 @@ def q112_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Protocol Buffers wire format, from the public spec
+# (https://protobuf.dev/programming-guides/encoding/): a message is a
+# sequence of (tag, value) where tag = (field_number << 3) | wire_type
+# as a LEB128 varint. Negative int64 costs the full 10-byte varint
+# (two's complement), sint64 zigzags first — this codec exercises BOTH
+# paths, plus length-delimited UTF-8, packed repeated varints, and
+# optional-field presence. The decoder is strict: unknown fields,
+# wrong wire types, truncated or >10-byte varints, missing mandatory
+# fields, and trailing bytes all raise.
+#
+# Schema (field -> type): 1 raw_id int64, 2 source string,
+# 3 tricky optional string, 4 delta sint64, 5 packed repeated uint64.
+# ---------------------------------------------------------------------------
+_PB_U64 = (1 << 64) - 1
+
+
+def _pb_varint(n: int) -> bytes:
+    """Unsigned LEB128 of n interpreted as a 64-bit value (negative
+    ints take the two's-complement 10-byte form, per the spec)."""
+    n &= _PB_U64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_read_varint(buf: bytes, pos: int):
+    val = 0
+    for i in range(10):
+        if pos >= len(buf):
+            raise ValueError("truncated protobuf varint")
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            if i == 9 and b > 1:
+                raise ValueError("varint overflows 64 bits")
+            return val, pos
+    raise ValueError("varint longer than 10 bytes")
+
+
+def _pb_zigzag(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & _PB_U64
+
+
+def _pb_unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _pb_signed(v: int) -> int:
+    """Reinterpret an unsigned 64-bit varint value as int64."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def encode_pb_blob(rows) -> bytes:
+    """rows: iterable of (raw_id, source, tricky_or_None, delta,
+    packed_list). Returns length-prefixed concatenated messages."""
+    out = bytearray()
+    for raw_id, source, tricky, delta, packed in rows:
+        msg = bytearray()
+        msg += _pb_varint(1 << 3 | 0) + _pb_varint(int(raw_id))
+        s = source.encode("utf-8")
+        msg += _pb_varint(2 << 3 | 2) + _pb_varint(len(s)) + s
+        if tricky is not None:
+            t = tricky.encode("utf-8")
+            msg += _pb_varint(3 << 3 | 2) + _pb_varint(len(t)) + t
+        msg += _pb_varint(4 << 3 | 0) + _pb_varint(_pb_zigzag(int(delta)))
+        body = b"".join(_pb_varint(int(p)) for p in packed)
+        msg += _pb_varint(5 << 3 | 2) + _pb_varint(len(body)) + body
+        out += _pb_varint(len(msg)) + msg
+    return bytes(out)
+
+
+def decode_pb_blob(payload: bytes):
+    """Strictly decode a length-prefixed message stream; returns the
+    row tuples. Raises ValueError on any malformation (see section
+    comment)."""
+    buf = bytes(payload)
+    pos = 0
+    rows = []
+    while pos < len(buf):
+        mlen, pos = _pb_read_varint(buf, pos)
+        end = pos + mlen
+        if end > len(buf):
+            raise ValueError("message overruns blob")
+        fields: dict = {}
+        while pos < end:
+            tag, pos = _pb_read_varint(buf, pos)
+            fnum, wt = tag >> 3, tag & 7
+            if fnum in (1, 4):
+                if wt != 0:
+                    raise ValueError(f"field {fnum}: expected varint")
+                v, pos = _pb_read_varint(buf, pos)
+                if pos > end:
+                    raise ValueError("varint overruns message")
+                fields[fnum] = v
+            elif fnum in (2, 3, 5):
+                if wt != 2:
+                    raise ValueError(f"field {fnum}: expected len-delim")
+                ln, pos = _pb_read_varint(buf, pos)
+                if pos + ln > end:
+                    raise ValueError("length-delimited field overruns")
+                fields[fnum] = buf[pos : pos + ln]
+                pos += ln
+            else:
+                raise ValueError(f"unknown field number {fnum}")
+        if pos != end:
+            raise ValueError("message underruns its declared length")
+        for req in (1, 2, 4, 5):
+            if req not in fields:
+                raise ValueError(f"missing mandatory field {req}")
+        packed = []
+        p = 0
+        body = fields[5]
+        while p < len(body):
+            v, p = _pb_read_varint(body, p)
+            packed.append(v)
+        rows.append(
+            (
+                _pb_signed(fields[1]),
+                fields[2].decode("utf-8"),
+                fields[3].decode("utf-8") if 3 in fields else None,
+                _pb_unzigzag(fields[4]),
+                packed,
+            )
+        )
+    return rows
+
+
+Q114_TRICKY = (
+    """concat('próto ✓ "', substr(text, 1, 10), '" ,', chr(39), source)"""
+)
+
+Q114_ORACLE = f"""
+    WITH src AS (
+      SELECT source,
+             doc_id - 250 AS raw_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE {Q114_TRICKY} END
+               AS tricky,
+             n_chars - 3000 AS delta,
+             n_chars % 7 + n_chars % 11 + n_chars % 13 AS packed_sum
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(tricky) AS BIGINT) AS n_null_tricky,
+           CAST(coalesce(sum(len(tricky)), 0) AS BIGINT) AS sum_tricky_len,
+           CAST(sum(raw_id) AS BIGINT) AS sum_raw,
+           CAST(sum(delta) AS BIGINT) AS sum_delta,
+           CAST(sum(packed_sum) AS BIGINT) AS sum_packed
+    FROM src GROUP BY source
+"""
+
+
+def q114_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode an adversarial documents slice into per-partition
+    protobuf wire-format blobs with the from-scratch codec, strictly
+    decode them back, and aggregate (see section comment). raw_id is
+    negative for half the corpus (10-byte varints), delta is negative
+    for short documents (zigzag on both signs), doc_id % 5 == 0 rows
+    exercise optional-field absence, and the multi-byte-UTF-8 tricky
+    string exercises byte-vs-char length accounting."""
+    import pandas as pd
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        (F.col("doc_id") - 250).alias("raw_id"),
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.expr(Q114_TRICKY))
+        .alias("tricky"),
+        (F.col("n_chars") - 3000).alias("delta"),
+        F.expr(
+            "array(n_chars % 7, n_chars % 11, n_chars % 13)"
+        ).alias("packed"),
+    )
+    src = spread_small_source(src)
+
+    def encode(batches):
+        rows = []
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                rows.append(
+                    (
+                        int(t.raw_id),
+                        str(t.source),
+                        None if pd.isna(t.tricky) else str(t.tricky),
+                        int(t.delta),
+                        [int(x) for x in t.packed],
+                    )
+                )
+        payload = encode_pb_blob(rows)
+        if decode_pb_blob(payload) != rows:  # encoder self-check
+            raise ValueError("protobuf: roundtrip mismatch at encode time")
+        yield pd.DataFrame({"payload": [payload], "n_rows": [len(rows)]})
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "raw_id": [],
+                "source": [],
+                "tricky": [],
+                "delta": [],
+                "packed_sum": [],
+            }
+            for payload in pdf["payload"]:
+                for raw_id, source, tricky, delta, packed in decode_pb_blob(
+                    bytes(payload)
+                ):
+                    out["raw_id"].append(raw_id)
+                    out["source"].append(source)
+                    out["tricky"].append(tricky)
+                    out["delta"].append(delta)
+                    out["packed_sum"].append(sum(packed))
+            yield pd.DataFrame(out)
+
+    decoded = src.mapInPandas(
+        encode, "payload binary, n_rows bigint"
+    ).mapInPandas(
+        decode,
+        "raw_id bigint, source string, tricky string, delta bigint,"
+        " packed_sum bigint",
+    )
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count("tricky")).alias("n_null_tricky"),
+        F.coalesce(F.sum(F.length("tricky")), F.lit(0)).alias(
+            "sum_tricky_len"
+        ),
+        F.sum("raw_id").alias("sum_raw"),
+        F.sum("delta").alias("sum_delta"),
+        F.sum("packed_sum").alias("sum_packed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q113_scd2_dimension: SCD type 2 from an event stream. Attribute =
 # tier (props JSON ->> 'k', integer-div 25); a version is a maximal
 # run of equal tier per user in (epoch_us, event_id) order (classic
@@ -870,6 +1124,7 @@ def _staged() -> dict:
         "q111_sessionize": (q111_sessionize, Q111_ORACLE),
         "q112_dow_profile": (q112_dow_profile, Q112_ORACLE),
         "q113_scd2_dimension": (q113_scd2_dimension, Q113_ORACLE),
+        "q114_protobuf_roundtrip": (q114_protobuf_roundtrip, Q114_ORACLE),
         "skew_partition_histogram": (
             skew_partition_histogram,
             SKEW_HIST_ORACLE,

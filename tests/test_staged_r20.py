@@ -317,3 +317,95 @@ def test_scd2_interval_invariants(spark, sf_dir):
             ]
             assert grp.iloc[i]["tier"] != grp.iloc[i + 1]["tier"]
         assert grp["n_events"].sum() == totals[uid]
+
+
+# --- protobuf wire codec ------------------------------------------------------
+
+PB_EDGE_ROWS = [
+    (0, "web", None, 0, [0]),
+    (-1, "web", "", -1, [1, 127, 128, 16383, 16384]),
+    (2**62, "books", 'pró ✓ "q"', -(2**40), [2**63, 2**64 - 1]),
+    (-(2**63), "s", "line\nbreak", 2**62, []),
+    (63, "x" * 300, "y" * 300, -63, [5] * 40),  # 2-byte length varints
+]
+
+
+def test_pb_roundtrip_edge_values():
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        decode_pb_blob,
+        encode_pb_blob,
+    )
+
+    b = encode_pb_blob(PB_EDGE_ROWS)
+    assert decode_pb_blob(b) == PB_EDGE_ROWS
+
+
+def test_pb_negative_int64_is_ten_bytes():
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import _pb_varint
+
+    for n in (-1, -(2**40), -(2**63)):
+        assert len(_pb_varint(n)) == 10  # the spec's two's-complement rule
+    assert len(_pb_varint(0)) == 1
+    assert len(_pb_varint(127)) == 1
+    assert len(_pb_varint(128)) == 2
+
+
+def test_pb_zigzag_sign_boundaries():
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        _pb_unzigzag,
+        _pb_zigzag,
+    )
+
+    # spec examples: 0->0, -1->1, 1->2, -2->3
+    assert [_pb_zigzag(n) for n in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+    for n in (0, -1, 1, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert _pb_unzigzag(_pb_zigzag(n)) == n
+
+
+def test_pb_strictness():
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        _pb_varint,
+        decode_pb_blob,
+        encode_pb_blob,
+    )
+
+    b = encode_pb_blob(PB_EDGE_ROWS)
+    with pytest.raises(ValueError):
+        decode_pb_blob(b[:-1])  # truncation
+    # unknown field number 6 (varint 0x30)
+    msg = _pb_varint(6 << 3 | 0) + _pb_varint(1)
+    with pytest.raises(ValueError):
+        decode_pb_blob(_pb_varint(len(msg)) + msg)
+    # missing mandatory field (only field 1 present)
+    msg = _pb_varint(1 << 3 | 0) + _pb_varint(7)
+    with pytest.raises(ValueError):
+        decode_pb_blob(_pb_varint(len(msg)) + msg)
+    # wrong wire type for field 2
+    msg = _pb_varint(2 << 3 | 0) + _pb_varint(7)
+    with pytest.raises(ValueError):
+        decode_pb_blob(_pb_varint(len(msg)) + msg)
+    # varint longer than 10 bytes
+    with pytest.raises(ValueError):
+        decode_pb_blob(b"\xff" * 11)
+
+
+def test_pb_single_byte_mutation_fuzz():
+    """Corruption must raise or change decoded data — never return the
+    original rows from different bytes (string payload bytes decode to
+    different strings, caught by the data comparison)."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        decode_pb_blob,
+        encode_pb_blob,
+    )
+
+    b = encode_pb_blob(PB_EDGE_ROWS[:3])
+    silent = 0
+    for i in range(len(b)):
+        q = bytearray(b)
+        q[i] ^= 0xFF
+        try:
+            if decode_pb_blob(bytes(q)) == PB_EDGE_ROWS[:3]:
+                silent += 1
+        except (ValueError, UnicodeDecodeError):
+            continue
+    assert silent == 0, silent

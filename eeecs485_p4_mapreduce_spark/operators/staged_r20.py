@@ -76,6 +76,14 @@ Staged surface:
   [valid_from_us, valid_to_us) with a -1 open-end sentinel and an
   is_current flag — no nullable hash columns. Pairs with q86_pit_join
   (which consumes exactly this interval shape).
+- ``stream_scd2_incremental`` — nightly-feed dimension maintenance:
+  the event history streams in three time-range slices
+  (maxFilesPerTrigger=1) and each micro-batch MERGES into the running
+  SCD2 dimension (extend the open version on equal tier, close+append
+  on change, carry untouched users forward). The oracle is the batch
+  rebuild (Q113_ORACLE verbatim): incremental maintenance must be
+  exactly equivalent to rebuild-from-scratch — the invariant that
+  makes nightly dimension merges trustworthy.
 - ``q112_dow_profile`` — day-of-week × event-type activity profile
   with exact per-type ppm shares: the seasonality fingerprint used
   to sanity-check event pipelines after timezone or clock changes.
@@ -1012,16 +1020,21 @@ Q113_ORACLE = """
 """
 
 
-def q113_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 SCD versions per user from the event stream (see section
-    comment)."""
-    events = load_table(spark, sf_dir, "events")
-    ev = events.selectExpr(
+def _scd2_events(events: DataFrame) -> DataFrame:
+    """(user_id, event_id, us, tier) projection shared by the batch
+    build and the streaming merge."""
+    return events.selectExpr(
         "user_id",
         "event_id",
         "unix_micros(ts) AS us",
         "cast(get_json_object(props, '$.k') as bigint) div 25 AS tier",
     )
+
+
+def _scd2_versions(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands runs: (user_id, version 1.., tier,
+    valid_from_us, n_events) over (us, event_id) order. tier is
+    constant within a run, so first() is deterministic."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.withColumn(
         "chg",
@@ -1037,11 +1050,17 @@ def q113_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     runs = flagged.withColumn("version", F.sum("chg").over(cum_w))
-    versions = runs.groupBy("user_id", "version").agg(
+    return runs.groupBy("user_id", "version").agg(
         F.first("tier").alias("tier"),
         F.min("us").alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def _scd2_chain(versions: DataFrame) -> DataFrame:
+    """Attach [valid_from, valid_to) chaining + is_current to a
+    per-user versions table (valid_to = next version's start; the open
+    current version carries -1)."""
     v_w = Window.partitionBy("user_id").orderBy("version")
     nxt = F.lead("valid_from_us").over(v_w)
     return versions.select(
@@ -1056,6 +1075,166 @@ def q113_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_current"),
     )
+
+
+def q113_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD versions per user from the event stream (see section
+    comment)."""
+    events = load_table(spark, sf_dir, "events")
+    return _scd2_chain(_scd2_versions(_scd2_events(events)))
+
+
+# ---------------------------------------------------------------------------
+# stream_scd2_incremental: nightly-feed dimension maintenance, graded.
+# The event table is split into three TIME-RANGE slices (an
+# append-only daily feed — each user's new events are at or after all
+# their previous ones), streamed with maxFilesPerTrigger=1, and each
+# micro-batch MERGES into the running SCD2 dimension: a batch run
+# whose tier matches the user's open version EXTENDS it (same version
+# number, same valid_from, summed n_events); a differing tier CLOSES
+# the open version at the new run's start and appends; unseen users
+# append from version 1; untouched users carry forward. The oracle is
+# the whole-history batch build (Q113_ORACLE) — incremental
+# maintenance must be EXACTLY equivalent to rebuild-from-scratch,
+# which is the invariant that makes nightly merges trustworthy.
+# State lives in the foreachBatch closure (per-batch localCheckpoint
+# cuts lineage); the availableNow pass is single-run — the
+# replay/exactly-once contract is stream_restart_idempotent's file.
+# ---------------------------------------------------------------------------
+def _scd2_merge(dim: DataFrame | None, bver: DataFrame) -> DataFrame:
+    """Merge one time-ordered batch's runs into the chained dimension."""
+    if dim is None:
+        return _scd2_chain(bver)
+    cur = dim.filter(F.col("is_current") == 1).select(
+        "user_id",
+        F.col("version").alias("c_ver"),
+        F.col("tier").alias("c_tier"),
+        F.col("valid_from_us").alias("c_from"),
+        F.col("n_events").alias("c_n"),
+    )
+    busers = bver.select("user_id").distinct()
+    untouched = dim.join(busers, "user_id", "left_anti")
+    hist_touched = (
+        dim.filter(F.col("is_current") == 0)
+        .join(busers, "user_id", "left_semi")
+    )
+    b1 = bver.filter(F.col("version") == 1).select(
+        "user_id",
+        F.col("tier").alias("b_tier"),
+        F.col("valid_from_us").alias("b_from"),
+        F.col("n_events").alias("b_n"),
+    )
+    j = b1.join(cur, "user_id", "left")
+    merged = F.col("c_tier").isNotNull() & (
+        F.col("c_tier") == F.col("b_tier")
+    )
+    first_rows = j.select(
+        "user_id",
+        F.when(merged, F.col("c_ver"))
+        .when(F.col("c_ver").isNull(), F.lit(1))
+        .otherwise(F.col("c_ver") + 1)
+        .cast("long")
+        .alias("version"),
+        F.col("b_tier").alias("tier"),
+        F.when(merged, F.col("c_from"))
+        .otherwise(F.col("b_from"))
+        .alias("valid_from_us"),
+        F.when(merged, F.col("c_n") + F.col("b_n"))
+        .otherwise(F.col("b_n"))
+        .alias("n_events"),
+    )
+    closed = (
+        j.filter(F.col("c_tier").isNotNull() & ~merged)
+        .select(
+            "user_id",
+            F.col("c_ver").alias("version"),
+            F.col("c_tier").alias("tier"),
+            F.col("c_from").alias("valid_from_us"),
+            F.col("b_from").cast("long").alias("valid_to_us"),
+            F.col("c_n").alias("n_events"),
+            F.lit(0).cast("long").alias("is_current"),
+        )
+    )
+    offsets = j.select(
+        "user_id",
+        F.when(merged, F.col("c_ver") - 1)
+        .when(F.col("c_ver").isNull(), F.lit(0))
+        .otherwise(F.col("c_ver"))
+        .alias("off"),
+    )
+    rest = (
+        bver.filter(F.col("version") >= 2)
+        .join(offsets, "user_id")
+        .select(
+            "user_id",
+            (F.col("off") + F.col("version")).cast("long").alias("version"),
+            "tier",
+            "valid_from_us",
+            "n_events",
+        )
+    )
+    fresh = _scd2_chain(first_rows.unionByName(rest))
+    return (
+        untouched.unionByName(hist_touched)
+        .unionByName(closed)
+        .unionByName(fresh)
+    )
+
+
+def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the SCD2 dimension incrementally over a 3-slice
+    time-ordered feed; must equal the batch rebuild exactly (see
+    section comment)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.catalog import pin_utc
+    from eeecs485_p4_mapreduce_spark.streaming.jobs import EVENT_SCHEMA
+
+    pin_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    bounds = events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    ).first()
+    d0, d1 = bounds[0], bounds[1]
+    span = max(1, d1 - d0 + 1)
+    spool = tempfile.mkdtemp(prefix="p4spark_scd2_spool_")
+    for s in range(3):
+        (
+            events.filter(((day - d0) * 3 / span).cast("long") == s)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(Path(spool) / f"slice-{s:03d}.parquet"))
+        )
+
+    state: dict = {"dim": None}
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        bver = _scd2_versions(_scd2_events(batch_df))
+        # per-batch pin: cuts the O(batches) lineage the loop would
+        # otherwise grow (the CC-loop rule, SCALE.md)
+        state["dim"] = _scd2_merge(state["dim"], bver).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one time slice per batch
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="p4spark_scd2_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(spool, ignore_errors=True)
+    out = state["dim"]
+    if out is None:
+        raise ValueError("scd2 stream produced no batches")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1125,6 +1304,7 @@ def _staged() -> dict:
         "q112_dow_profile": (q112_dow_profile, Q112_ORACLE),
         "q113_scd2_dimension": (q113_scd2_dimension, Q113_ORACLE),
         "q114_protobuf_roundtrip": (q114_protobuf_roundtrip, Q114_ORACLE),
+        "stream_scd2_incremental": (stream_scd2_incremental, Q113_ORACLE),
         "skew_partition_histogram": (
             skew_partition_histogram,
             SKEW_HIST_ORACLE,

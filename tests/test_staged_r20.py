@@ -409,3 +409,26 @@ def test_pb_single_byte_mutation_fuzz():
         except (ValueError, UnicodeDecodeError):
             continue
     assert silent == 0, silent
+
+
+# --- streaming SCD2: merge really happens incrementally ----------------------
+
+
+def test_stream_scd2_processes_multiple_batches(spark, sf_dir, monkeypatch):
+    """The batch-equivalence oracle is only meaningful if the stream
+    actually merged MULTIPLE time slices — a degenerate single batch
+    would make the test vacuous. Count merge invocations."""
+    calls = []
+    orig = staged_r20._scd2_merge
+
+    def spy(dim, bver):
+        calls.append(dim is None)
+        return orig(dim, bver)
+
+    monkeypatch.setattr(staged_r20, "_scd2_merge", spy)
+    df = staged_r20.stream_scd2_incremental(spark, sf_dir)
+    n = df.count()
+    assert n > 0
+    assert len(calls) >= 3, f"expected >=3 micro-batches, got {len(calls)}"
+    assert calls[0] is True  # first batch initializes
+    assert all(c is False for c in calls[1:])  # the rest truly merge

@@ -33,8 +33,9 @@ Staged surface:
   2^(o+1))) and report exact token counts and probability mass per
   octave. Under Zipf (freq ∝ 1/rank) every octave carries roughly
   equal mass, so the ppm column IS the goodness-of-fit read-out —
-  fully integer-exact where a log-log OLS slope would hash-drift on
-  float summation order.
+  fully integer-exact. Complements the registered ``ta_zipf_slope``
+  (the point-estimate fit): the octave table shows WHERE on the rank
+  axis the corpus departs from the law, which one slope cannot.
 - ``sim_ivfpq_rerank_recall`` — the quality curve for the two-stage
   ANN pipeline every vector store ships (FAISS IVF-PQ + refine):
   IVF-restricted ADC candidates, exact-cosine rerank of the ADC

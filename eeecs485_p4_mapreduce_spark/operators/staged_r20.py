@@ -85,6 +85,15 @@ Staged surface:
   rebuild (Q113_ORACLE verbatim): incremental maintenance must be
   exactly equivalent to rebuild-from-scratch — the invariant that
   makes nightly dimension merges trustworthy.
+- ``q115_supplier_skyline`` — the SKYLINE (Pareto-frontier) operator
+  from the classic DB literature (Börzsönyi et al., ICDE 2001): the
+  suppliers not dominated on (revenue, shipped-line count). The Spark
+  plan is the O(n log n) sort + strict-greater RANGE-frame running
+  max over the aggregated (dimension-sized) relation — never the
+  naive O(n²) self-join — while the DuckDB oracle deliberately IS the
+  quadratic NOT EXISTS definition, so the window formulation is
+  proven against the textbook semantics including ties (equal points
+  both survive; equal-revenue lower-count rows are dominated).
 - ``q112_dow_profile`` — day-of-week × event-type activity profile
   with exact per-type ppm shares: the seasonality fingerprint used
   to sanity-check event pipelines after timezone or clock changes.
@@ -976,6 +985,79 @@ def q114_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q115_supplier_skyline: 2-D skyline. Dominance: s' dominates s iff
+# rev' >= rev AND cnt' >= cnt with at least one strict. Window form:
+# a row survives iff (a) no strictly-higher-revenue row has cnt >= its
+# cnt (running max over a RANGE frame starting at rev+1 — integer
+# cents make the strict frame exact), and (b) it has the max cnt
+# within its equal-revenue group (equal-rev ties with equal cnt both
+# survive; lower cnt is dominated). The oracle is the independent
+# quadratic NOT EXISTS textbook definition. Scale: the corpus-sized
+# work is the partial-aggregated supplier rollup; the skyline itself
+# sorts |suppliers| rows once.
+# ---------------------------------------------------------------------------
+Q115_ORACLE = """
+    WITH s AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.suppkey, sup.s_name, s.rev_cents, s.n_lines
+    FROM s JOIN supplier sup ON sup.s_suppkey = s.suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s o
+      WHERE o.rev_cents >= s.rev_cents AND o.n_lines >= s.n_lines
+        AND (o.rev_cents > s.rev_cents OR o.n_lines > s.n_lines)
+    )
+"""
+
+
+def _skyline_2d(s: DataFrame, x: str, y: str) -> DataFrame:
+    """Rows not dominated on integer columns (x, y): survive iff no
+    strictly-higher-x row has y >= theirs (RANGE frame from x+1 — the
+    strict frame is exact on integers) AND they carry the max y within
+    their equal-x group (equal points all survive; lower y in the
+    same x group is dominated)."""
+    higher = Window.orderBy(x).rangeBetween(1, Window.unboundedFollowing)
+    same = Window.partitionBy(x)
+    return (
+        s.withColumn("_max_y_higher", F.max(y).over(higher))
+        .withColumn("_max_y_same", F.max(y).over(same))
+        .filter(
+            (
+                F.col("_max_y_higher").isNull()
+                | (F.col(y) > F.col("_max_y_higher"))
+            )
+            & (F.col(y) == F.col("_max_y_same"))
+        )
+        .drop("_max_y_higher", "_max_y_same")
+    )
+
+
+def q115_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal suppliers on (revenue, line count) via the
+    sort + range-frame running-max skyline (see section comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+                " as bigint)"
+            )
+        ).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    survivors = _skyline_2d(s, "rev_cents", "n_lines")
+    return survivors.join(
+        F.broadcast(sup.select(F.col("s_suppkey").alias("suppkey"), "s_name")),
+        "suppkey",
+    ).select("suppkey", "s_name", "rev_cents", "n_lines")
+
+
+# ---------------------------------------------------------------------------
 # q113_scd2_dimension: SCD type 2 from an event stream. Attribute =
 # tier (props JSON ->> 'k', integer-div 25); a version is a maximal
 # run of equal tier per user in (epoch_us, event_id) order (classic
@@ -1307,6 +1389,7 @@ def _staged() -> dict:
         "q113_scd2_dimension": (q113_scd2_dimension, Q113_ORACLE),
         "q114_protobuf_roundtrip": (q114_protobuf_roundtrip, Q114_ORACLE),
         "stream_scd2_incremental": (stream_scd2_incremental, Q113_ORACLE),
+        "q115_supplier_skyline": (q115_supplier_skyline, Q115_ORACLE),
         "skew_partition_histogram": (
             skew_partition_histogram,
             SKEW_HIST_ORACLE,

@@ -432,3 +432,47 @@ def test_stream_scd2_processes_multiple_batches(spark, sf_dir, monkeypatch):
     assert len(calls) >= 3, f"expected >=3 micro-batches, got {len(calls)}"
     assert calls[0] is True  # first batch initializes
     assert all(c is False for c in calls[1:])  # the rest truly merge
+
+
+# --- skyline: brute-force dominance reference on adversarial points ---------
+
+
+def test_skyline_dominance_edge_cases(spark):
+    """Synthetic point set exercising every tie shape: duplicate points
+    (both survive), equal-x lower-y (dominated), equal-y lower-x
+    (dominated), a staircase frontier, and an interior point. Checked
+    against the quadratic textbook dominance definition."""
+    pts = [
+        (1, 10, 1),  # staircase member (highest y)
+        (2, 10, 1),  # duplicate x,y of id 1's coords? no: unique ids
+        (3, 8, 3),
+        (4, 8, 3),   # exact duplicate of id 3 -> BOTH survive
+        (5, 8, 2),   # equal-x lower-y -> dominated by 3/4
+        (6, 5, 3),   # equal-y lower-x -> dominated by 3/4
+        (7, 12, 0),  # staircase member (highest x)
+        (8, 6, 1),   # interior -> dominated
+        (9, 10, 1),  # duplicate of (10,1): survives iff (10,1) is on
+                     # the frontier and nothing dominates it
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        r["id"]
+        for r in staged_r20._skyline_2d(df, "x", "y").toPandas().to_dict(
+            "records"
+        )
+    }
+    # quadratic reference
+    def dominated(p, q):
+        return (
+            q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+        )
+
+    expect = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q != p)
+    }
+    assert got == expect
+    # the adversarial shapes really are present
+    assert {3, 4} <= expect  # duplicates both survive
+    assert 5 not in expect and 6 not in expect and 8 not in expect

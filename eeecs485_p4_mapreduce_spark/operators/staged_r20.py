@@ -1016,11 +1016,22 @@ Q115_ORACLE = """
 
 def _skyline_2d(s: DataFrame, x: str, y: str) -> DataFrame:
     """Rows not dominated on integer columns (x, y): survive iff no
-    strictly-higher-x row has y >= theirs (RANGE frame from x+1 — the
-    strict frame is exact on integers) AND they carry the max y within
-    their equal-x group (equal points all survive; lower y in the
-    same x group is dominated)."""
-    higher = Window.orderBy(x).rangeBetween(1, Window.unboundedFollowing)
+    strictly-higher-x row has y >= theirs (RANGE frame ending at x+1 —
+    the strict frame is exact on integers) AND they carry the max y
+    within their equal-x group (equal points all survive; lower y in
+    the same x group is dominated).
+
+    The strict-greater frame is expressed as [unboundedPreceding, -1]
+    over DESCENDING x, not [+1, unboundedFollowing] over ascending x:
+    Spark computes unbounded-PRECEDING frames incrementally (one
+    running aggregate per partition) while unbounded-FOLLOWING frames
+    with a sliding start rebuild the aggregate per row — O(n^2), which
+    the x100 replica probe measured at 36 s vs 1.4 s for this form on
+    a 100k-row input."""
+    higher = (
+        Window.orderBy(F.col(x).desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     same = Window.partitionBy(x)
     return (
         s.withColumn("_max_y_higher", F.max(y).over(higher))

@@ -94,6 +94,16 @@ Staged surface:
   quadratic NOT EXISTS definition, so the window formulation is
   proven against the textbook semantics including ties (equal points
   both survive; equal-revenue lower-count rows are dominated).
+- ``curate_survivorship_report`` — the per-(source, lang) dedup
+  funnel read-out every corpus release ships: how many documents each
+  slice loses to exact dedup (non-min doc_id within an md5(text)
+  group) and to near-dup clustering (non-representative members of
+  MinHash-LSH connected components, the registered
+  dedup_near_survivors rule), and the exact-ppm survival rate. The
+  oracle recomputes both stages relationally (window-min for exact,
+  the recursive-CTE closure for near) — the report is provably the
+  same decision the dedup operators make, sliced for the data-mix
+  dashboard.
 - ``q112_dow_profile`` — day-of-week × event-type activity profile
   with exact per-type ppm shares: the seasonality fingerprint used
   to sanity-check event pipelines after timezone or clock changes.
@@ -1333,6 +1343,115 @@ def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_survivorship_report: the dedup funnel per (source, lang).
+# Stage flags per doc: exact loser = not the min doc_id of its
+# md5(text) group; near loser = a non-representative member of a
+# MinHash-LSH connected component (dedup_near_survivors' rule,
+# computed over the full corpus so the report matches the registered
+# operators' decisions); survivor = neither. Scale: the exact flag is
+# one (fp, doc_id) shuffle; the near flag reuses the LSH-sparse
+# candidate graph (never all-pairs); the report aggregate is
+# |source|x|lang| rows.
+# ---------------------------------------------------------------------------
+def _curate_survivorship_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _DUCK_CLUSTER_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_DUCK_CLUSTER_CTES},
+    flags AS (
+      SELECT d.source, d.lang, d.doc_id,
+             CASE WHEN d.doc_id <> min(d.doc_id) OVER (
+                    PARTITION BY md5(d.text)) THEN 1 ELSE 0 END
+               AS exact_loser,
+             CASE WHEN l.cluster_id IS NOT NULL
+                    AND l.cluster_id <> d.doc_id THEN 1 ELSE 0 END
+               AS near_loser
+      FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(exact_loser) AS BIGINT) AS n_exact_dropped,
+           CAST(sum(CASE WHEN exact_loser = 0 AND near_loser = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+           CAST(sum(CASE WHEN exact_loser = 0 AND near_loser = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST((sum(CASE WHEN exact_loser = 0 AND near_loser = 0
+                          THEN 1 ELSE 0 END) * 1000000) // count(*)
+             AS BIGINT) AS survival_ppm
+    FROM flags GROUP BY source, lang
+"""
+
+
+def curate_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-funnel survivorship per (source, lang) in exact ppm (see
+    section comment)."""
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _propagate_min_labels,
+        _symmetric_edges,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_w = Window.partitionBy(F.md5("text"))
+    losers = (
+        _propagate_min_labels(
+            _symmetric_edges(
+                minhash_candidate_pairs(spark, sf_dir).select(
+                    "doc_a", "doc_b"
+                )
+            )
+        )
+        .filter(F.col("lbl") != F.col("doc_id"))
+        .select("doc_id", F.lit(1).alias("near_loser"))
+    )
+    flags = (
+        docs.withColumn(
+            "exact_loser",
+            F.when(
+                F.col("doc_id") != F.min("doc_id").over(exact_w), 1
+            ).otherwise(0),
+        )
+        .join(F.broadcast(losers), "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "exact_loser",
+            F.coalesce("near_loser", F.lit(0)).alias("near_loser"),
+        )
+    )
+    return (
+        flags.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("exact_loser").alias("n_exact_dropped"),
+            F.sum(
+                F.when(
+                    (F.col("exact_loser") == 0) & (F.col("near_loser") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_near_dropped"),
+            F.sum(
+                F.when(
+                    (F.col("exact_loser") == 0) & (F.col("near_loser") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_survivors"),
+        )
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "n_exact_dropped",
+            "n_near_dropped",
+            "n_survivors",
+            "(n_survivors * 1000000) div n_docs AS survival_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # skew_partition_histogram: per-partition load under md5 routing (see
 # module docstring). W matches the session's shuffle width; the hash
 # is the repo's hash32 convention (functions/text.py:35 — first 8 md5
@@ -1401,6 +1520,10 @@ def _staged() -> dict:
         "q114_protobuf_roundtrip": (q114_protobuf_roundtrip, Q114_ORACLE),
         "stream_scd2_incremental": (stream_scd2_incremental, Q113_ORACLE),
         "q115_supplier_skyline": (q115_supplier_skyline, Q115_ORACLE),
+        "curate_survivorship_report": (
+            curate_survivorship_report,
+            _curate_survivorship_oracle(),
+        ),
         "skew_partition_histogram": (
             skew_partition_histogram,
             SKEW_HIST_ORACLE,

@@ -476,3 +476,43 @@ def test_skyline_dominance_edge_cases(spark):
     # the adversarial shapes really are present
     assert {3, 4} <= expect  # duplicates both survive
     assert 5 not in expect and 6 not in expect and 8 not in expect
+
+
+# --- survivorship: consistency with the registered dedup operators -----------
+
+
+def test_survivorship_consistent_with_registered_dedup(spark, sf_dir):
+    """The report's totals must reconcile with the registered operators
+    it composes: exact-dropped = docs minus distinct md5 fingerprints,
+    and survivors = |dedup_near_survivors ∩ exact keepers| computed
+    from the registered near-survivor query itself."""
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        dedup_near_survivors,
+    )
+    from pyspark.sql import functions as F
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    rep = staged_r20.curate_survivorship_report(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_fp = docs.select(F.md5("text")).distinct().count()
+    assert int(rep["n_docs"].sum()) == n_docs
+    assert int(rep["n_exact_dropped"].sum()) == n_docs - n_fp
+    near_surv = dedup_near_survivors(spark, sf_dir).select("doc_id")
+    keepers = (
+        docs.withColumn(
+            "k",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    __import__("pyspark").sql.window.Window.partitionBy(
+                        F.md5("text")
+                    )
+                )
+            ).cast("int"),
+        )
+        .filter("k = 1")
+        .select("doc_id")
+    )
+    expected_survivors = near_surv.join(keepers, "doc_id", "left_semi").count()
+    assert int(rep["n_survivors"].sum()) == expected_survivors

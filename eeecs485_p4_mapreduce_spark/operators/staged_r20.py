@@ -1413,7 +1413,10 @@ def curate_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") != F.min("doc_id").over(exact_w), 1
             ).otherwise(0),
         )
-        .join(F.broadcast(losers), "doc_id", "left")
+        # no broadcast hint: the loser set is corpus-density-
+        # proportional (a 50%-dup corpus makes it corpus-sized), so the
+        # join side is AQE's runtime-stats call, not a compile-time bet
+        .join(losers, "doc_id", "left")
         .select(
             "source",
             "lang",

@@ -11,8 +11,22 @@ sends ONE JSON message, and closes without waiting for a response
   ``num_mappers``, ``num_reducers`` — exactly the dict the reference
   client builds (submit.py:70-78).
 - ``shutdown`` — stop accepting work, finish the in-flight job, drop the
-  queue, exit (reference: tests/test_manager_00 sends shutdown as the
-  clean exit path).
+  queue, fan the shutdown out to every registered worker, exit
+  (reference: tests/test_manager_00 sends shutdown as the clean exit
+  path; its ``test_shutdown_workers`` pins the fan-out).
+- ``register`` — record the worker and reply ``register_ack`` on the
+  worker's own TCP socket (reference: tests/test_manager_02.py:13-17,
+  :126-133 — C3).
+- ``finished`` — a worker reporting task completion; recorded in
+  ``self.task_events`` (the dispatch side consumes these).
+
+Heartbeats (C4): when constructed with ``hb_port`` not ``None``, a UDP
+socket bound to ``(host, hb_port)`` receives the workers' 2-second
+``heartbeat`` datagrams (reference: tests/test_manager_00.py asserts the
+SOCK_DGRAM bind; cadence tests/utils/__init__.py:21-22). A worker that
+misses 5 consecutive intervals is considered dead — the spec's
+liveness rule — computed on read by ``alive_workers()`` so there is no
+reaper thread to race the tests.
 
 Jobs run FIFO on a single runner thread — the reference manager also
 serializes jobs (FIFO ids from 0; tests/test_manager_05/06 queue a second
@@ -34,9 +48,25 @@ import json
 import queue
 import socket
 import threading
+import time
 from dataclasses import dataclass, field
 
 from eeecs485_p4_mapreduce_spark.mrlite.engine import MREngine, MRJobResult
+from eeecs485_p4_mapreduce_spark.mrlite.worker import (
+    TIME_BETWEEN_HEARTBEATS,
+    send_json,
+)
+
+
+@dataclass
+class WorkerRecord:
+    """One registered worker's liveness state (C3/C4 bookkeeping)."""
+
+    host: str
+    port: int
+    #: monotonic seconds of the last heartbeat (or the register, which
+    #: counts as proof-of-life until the first heartbeat lands)
+    last_seen: float = field(default_factory=time.monotonic)
 
 
 @dataclass
@@ -57,16 +87,33 @@ class MRManagerServer:
     a shutdown message (or ``stop()``) has been processed.
     """
 
-    def __init__(self, engine: MREngine, host: str = "localhost", port: int = 6000):
+    def __init__(
+        self,
+        engine: MREngine | None,
+        host: str = "localhost",
+        port: int = 6000,
+        hb_port: int | None = None,
+        heartbeat_interval: float = TIME_BETWEEN_HEARTBEATS,
+    ):
         self.engine = engine
         self.host = host
         self.port = port
+        #: UDP heartbeat port; None disables the C3/C4 worker surface,
+        #: 0 binds ephemeral (read back after start())
+        self.hb_port = hb_port
+        self.heartbeat_interval = heartbeat_interval
         self.jobs: list[JobRecord] = []
+        #: registered workers keyed by (host, port) — C3
+        self.workers: dict[tuple[str, int], WorkerRecord] = {}
+        #: finished messages received from workers, in arrival order
+        self.task_events: list[dict] = []
+        self.task_event = threading.Condition()
         #: messages discarded as undecodable JSON (observability counter;
         #: the discard itself is reference-matching behavior)
         self.malformed_count = 0
         self._queue: queue.Queue[JobRecord | None] = queue.Queue()
         self._sock: socket.socket | None = None
+        self._hb_sock: socket.socket | None = None
         self._threads: list[threading.Thread] = []
         self._shutdown = threading.Event()
 
@@ -78,7 +125,16 @@ class MRManagerServer:
         sock.listen()
         sock.settimeout(0.5)  # so the accept loop notices shutdown
         self._sock = sock
-        for target in (self._accept_loop, self._runner_loop):
+        targets = [self._accept_loop, self._runner_loop]
+        if self.hb_port is not None:
+            hb = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            hb.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            hb.bind((self.host, self.hb_port))
+            self.hb_port = hb.getsockname()[1]
+            hb.settimeout(0.5)
+            self._hb_sock = hb
+            targets.append(self._heartbeat_loop)
+        for target in targets:
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)
@@ -124,9 +180,71 @@ class MRManagerServer:
                 rec.done.set()
             else:
                 self._queue.put(rec)
+        elif mtype == "register":
+            # C3: record the worker, ack on the worker's own TCP socket
+            # (reference: tests/test_manager_02.py:126-133).
+            whost = str(message["worker_host"])
+            wport = int(message["worker_port"])
+            self.workers[(whost, wport)] = WorkerRecord(whost, wport)
+            try:
+                send_json(
+                    whost,
+                    wport,
+                    {
+                        "message_type": "register_ack",
+                        "worker_host": whost,
+                        "worker_port": wport,
+                    },
+                )
+            except OSError:
+                # Worker vanished between register and ack; forget it.
+                self.workers.pop((whost, wport), None)
+        elif mtype == "finished":
+            with self.task_event:
+                self.task_events.append(message)
+                self.task_event.notify_all()
         elif mtype == "shutdown":
             self._shutdown.set()
             self._queue.put(None)  # wake the runner
+            self._shutdown_workers()
+
+    def _shutdown_workers(self) -> None:
+        """C6 fan-out: forward shutdown to every registered worker
+        (reference: tests/test_manager_00.py test_shutdown_workers)."""
+        for rec in list(self.workers.values()):
+            try:
+                send_json(rec.host, rec.port, {"message_type": "shutdown"})
+            except OSError:
+                pass  # already gone — the goal state anyway
+
+    def _heartbeat_loop(self) -> None:
+        """C4: receive worker heartbeat datagrams, refresh liveness."""
+        assert self._hb_sock is not None
+        while not self._shutdown.is_set():
+            try:
+                data, _addr = self._hb_sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                message = json.loads(data.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                self.malformed_count += 1
+                continue
+            if message.get("message_type") != "heartbeat":
+                continue
+            key = (str(message["worker_host"]), int(message["worker_port"]))
+            rec = self.workers.get(key)
+            if rec is not None:  # heartbeats from unregistered hosts: drop
+                rec.last_seen = time.monotonic()
+        self._hb_sock.close()
+
+    def alive_workers(self) -> list[WorkerRecord]:
+        """Workers seen within 5 heartbeat intervals — the spec's
+        liveness rule, computed on read (no reaper thread)."""
+        cutoff = time.monotonic() - 5 * self.heartbeat_interval
+        return [w for w in self.workers.values() if w.last_seen >= cutoff]
 
     # -- job side ----------------------------------------------------------
 
@@ -167,6 +285,7 @@ class MRManagerServer:
         """Local equivalent of receiving a shutdown message."""
         self._shutdown.set()
         self._queue.put(None)
+        self._shutdown_workers()
 
     def join(self, timeout: float | None = None) -> None:
         for t in self._threads:

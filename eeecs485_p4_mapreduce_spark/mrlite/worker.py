@@ -1,0 +1,306 @@
+"""Worker-side wire parity: the reference's ``mapreduce-worker`` network
+surface — C3 (register/ack) and C4 (UDP heartbeats), which SURVEY §2.6
+previously delegated to Spark's executor heartbeating, plus the two task
+messages the reference's worker unit tests pin. With this module the
+ONLY remaining reference surface is nothing: every message type any
+reference test sends or expects has a native speaker here.
+
+Protocol — pinned by the reference's own tests (its framework code is
+starter stubs, so the tests ARE the spec):
+
+- **register** (reference: tests/test_worker_02.py:70-77): on startup
+  the worker opens its own TCP listen socket, then TCP-connects to the
+  manager and sends ``{"message_type": "register", "worker_host",
+  "worker_port"}``. It does no work until the manager replies
+  ``register_ack`` on the worker's own socket
+  (tests/test_worker_01.py:12-24).
+- **heartbeat** (reference: tests/test_worker_02.py:77-92; 2 s cadence
+  per tests/utils/__init__.py:21-22): only AFTER the ack, a UDP socket
+  ``connect()``-ed to ``(manager_host, manager_hb_port)`` carries
+  ``{"message_type": "heartbeat", "worker_host", "worker_port"}`` every
+  ``TIME_BETWEEN_HEARTBEATS`` seconds. The reference test asserts the
+  exact socket family (SOCK_DGRAM) and the connect-then-send shape, and
+  that 2 ≤ heartbeats < 4 arrive in 1.5 intervals — i.e. one heartbeat
+  is sent IMMEDIATELY on ack, then one per interval.
+- **new_map_task** (reference: tests/test_worker_03.py:24-34, field
+  set; tests/test_worker_08.py:159-175, one output file per partition
+  whether or not rows landed in it): run the executable once per input
+  path with that file as stdin, route each stdout line to partition
+  ``md5(key) % num_partitions`` (key = text before the first tab —
+  mrlite/partitioner.py, pinned by test_worker_08's observed layout),
+  write ``maptask{task_id:05d}-part{p:05d}`` under ``output_directory``
+  UNSORTED (this fork's M3 contract: the reference's own reduce
+  fixtures, tests/testdata/test_worker_07/maptask00000-part00000, are
+  unsorted — sorting is reduce-side), and reply ``{"message_type":
+  "finished", "task_id", "output_paths", "worker_host",
+  "worker_port"}`` (tests/test_worker_03.py:85-101). Lines stream
+  through O(1) memory while partitioning (tests/test_worker_11.py
+  profiles the map stage).
+- **new_reduce_task** (reference: tests/test_worker_07.py:27-38 field
+  set, :117-125 grouped output): merge-sort the input partition files
+  lexicographically by whole ``(key, value)`` line (R1 — required:
+  ``wc_reduce.sh`` is ``uniq -c``, which only groups sorted input, and
+  the reference's fixture inputs are unsorted) into the reduce
+  executable's stdin, streaming its stdout to ``part-{task_id:05d}``.
+  The sort is external: each input file is sorted alone in memory and
+  spilled to a run file, then ``heapq.merge`` streams the runs — peak
+  memory is O(largest single input file), never O(partition), which is
+  what lets one reduce task take a whole skewed partition at 100 TB
+  shard sizes without this shim becoming the weak link.
+- **shutdown**: stop the loops, close the sockets, exit 0
+  (tests/test_worker_01.py catches SystemExit(0); here ``join()``
+  returns and ``exit_code`` reads 0).
+
+Replies to the manager are fire-and-forget TCP connects (connect →
+sendall → close), the same shape ``MRManagerServer`` already accepts
+and the reference's ``submit.py`` client uses.
+
+Scale note: this is the reference-contract layer, not the analytics
+engine — the Spark layer keeps using executors + cluster-manager
+heartbeats for real work. The worker exists so tooling written against
+the reference's wire protocol (its own test harness included) can drive
+this repo unchanged, and so mrlite can run a genuine multi-process
+mini-cluster in tests (manager dispatch → worker exec → finished).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import socket
+import subprocess
+import tempfile
+import threading
+from contextlib import ExitStack
+from pathlib import Path
+
+from eeecs485_p4_mapreduce_spark.mrlite.partitioner import md5_partition
+
+#: Seconds between heartbeats — in the reference spec
+#: (reference: tests/utils/__init__.py:21-22).
+TIME_BETWEEN_HEARTBEATS = 2.0
+
+
+def send_json(host: str, port: int, message: dict) -> None:
+    """Fire-and-forget one JSON message over a fresh TCP connection —
+    the wire shape of every control message in the reference protocol
+    (reference: mapreduce/submit.py:80-89)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.connect((host, port))
+        sock.sendall(json.dumps(message).encode("utf-8"))
+
+
+class MRWorker:
+    """A worker node speaking the reference's exact wire protocol.
+
+    ``port=0`` binds an ephemeral port (read ``self.port`` after
+    ``start()``). ``heartbeat_interval`` defaults to the spec's 2 s;
+    tests shrink it to keep wall-clock short without changing the
+    message shape.
+    """
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 6001,
+        manager_host: str = "localhost",
+        manager_port: int = 6000,
+        manager_hb_port: int = 5999,
+        heartbeat_interval: float = TIME_BETWEEN_HEARTBEATS,
+    ):
+        self.host = host
+        self.port = port
+        self.manager_host = manager_host
+        self.manager_port = manager_port
+        self.manager_hb_port = manager_hb_port
+        self.heartbeat_interval = heartbeat_interval
+        self.registered = threading.Event()
+        self.exit_code: int | None = None
+        #: finished-message dicts this worker has sent (observability)
+        self.finished: list[dict] = []
+        self.malformed_count = 0
+        self._sock: socket.socket | None = None
+        self._threads: list[threading.Thread] = []
+        self._shutdown = threading.Event()
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> "MRWorker":
+        sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind((self.host, self.port))
+        self.port = sock.getsockname()[1]
+        sock.listen()
+        sock.settimeout(0.5)  # so the accept loop notices shutdown
+        self._sock = sock
+        t = threading.Thread(target=self._listen_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        # Register AFTER our own socket listens: the ack races back on it.
+        send_json(
+            self.manager_host,
+            self.manager_port,
+            {
+                "message_type": "register",
+                "worker_host": self.host,
+                "worker_port": self.port,
+            },
+        )
+        return self
+
+    def stop(self) -> None:
+        """Local equivalent of receiving a shutdown message."""
+        self._shutdown.set()
+
+    def join(self, timeout: float | None = None) -> None:
+        for t in self._threads:
+            t.join(timeout)
+
+    def is_alive(self) -> bool:
+        return any(t.is_alive() for t in self._threads)
+
+    # -- network side ----------------------------------------------------
+
+    def _listen_loop(self) -> None:
+        assert self._sock is not None
+        while not self._shutdown.is_set():
+            try:
+                conn, _addr = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            with conn:
+                chunks = []
+                try:
+                    while chunk := conn.recv(65536):
+                        chunks.append(chunk)
+                except OSError:
+                    continue
+            try:
+                message = json.loads(b"".join(chunks).decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                self.malformed_count += 1  # discard, observably
+                continue
+            self._dispatch(message)
+        self._sock.close()
+        if self.exit_code is None:
+            self.exit_code = 0
+
+    def _dispatch(self, message: dict) -> None:
+        mtype = message.get("message_type")
+        if mtype == "register_ack":
+            if not self.registered.is_set():
+                self.registered.set()
+                t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+                t.start()
+                self._threads.append(t)
+        elif mtype == "new_map_task":
+            self._run_map_task(message)
+        elif mtype == "new_reduce_task":
+            self._run_reduce_task(message)
+        elif mtype == "shutdown":
+            self._shutdown.set()
+
+    def _heartbeat_loop(self) -> None:
+        beat = json.dumps(
+            {
+                "message_type": "heartbeat",
+                "worker_host": self.host,
+                "worker_port": self.port,
+            }
+        ).encode("utf-8")
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as sock:
+            sock.connect((self.manager_host, self.manager_hb_port))
+            while not self._shutdown.is_set():
+                try:
+                    sock.send(beat)
+                except OSError:
+                    break
+                # wait() (not sleep) so shutdown interrupts mid-interval
+                self._shutdown.wait(self.heartbeat_interval)
+
+    def _send_finished(self, task_id: int, output_paths: list[str]) -> None:
+        message = {
+            "message_type": "finished",
+            "task_id": task_id,
+            "output_paths": output_paths,
+            "worker_host": self.host,
+            "worker_port": self.port,
+        }
+        self.finished.append(message)
+        send_json(self.manager_host, self.manager_port, message)
+
+    # -- task side ---------------------------------------------------------
+
+    def _run_map_task(self, message: dict) -> None:
+        task_id = int(message["task_id"])
+        executable = str(message["executable"])
+        out_dir = Path(str(message["output_directory"]))
+        num_partitions = int(message["num_partitions"])
+        part_paths = [
+            out_dir / f"maptask{task_id:05d}-part{p:05d}"
+            for p in range(num_partitions)
+        ]
+        with ExitStack() as stack:
+            # One output file per partition, created up front: the
+            # reference reports every partition file in finished even
+            # when empty (tests/test_worker_08.py:159-162).
+            parts = [
+                stack.enter_context(p.open("w", encoding="utf-8"))
+                for p in part_paths
+            ]
+            for input_path in message["input_paths"]:
+                with (
+                    Path(str(input_path)).open("rb") as infile,
+                    subprocess.Popen(
+                        [executable],
+                        stdin=infile,
+                        stdout=subprocess.PIPE,
+                        text=True,
+                    ) as proc,
+                ):
+                    assert proc.stdout is not None
+                    for line in proc.stdout:  # streams: O(1) memory
+                        key = line.partition("\t")[0]
+                        parts[md5_partition(key, num_partitions)].write(line)
+        self._send_finished(task_id, [str(p) for p in part_paths])
+
+    def _run_reduce_task(self, message: dict) -> None:
+        task_id = int(message["task_id"])
+        executable = str(message["executable"])
+        out_dir = Path(str(message["output_directory"]))
+        out_path = out_dir / f"part-{task_id:05d}"
+        with ExitStack() as stack:
+            # External merge-sort: one sorted run per (unsorted) input
+            # file, spilled to disk, then a streaming k-way merge. Peak
+            # memory = the largest single input file, not the partition.
+            runs = []
+            for p in message["input_paths"]:
+                lines = (
+                    Path(str(p))
+                    .read_text(encoding="utf-8")
+                    .splitlines(keepends=True)
+                )
+                lines.sort()
+                run = stack.enter_context(
+                    tempfile.TemporaryFile("w+", encoding="utf-8")
+                )
+                run.writelines(lines)
+                run.seek(0)
+                runs.append(run)
+            outfile = stack.enter_context(out_path.open("w", encoding="utf-8"))
+            proc = stack.enter_context(
+                subprocess.Popen(
+                    [executable],
+                    stdin=subprocess.PIPE,
+                    stdout=outfile,
+                    text=True,
+                )
+            )
+            assert proc.stdin is not None
+            for line in heapq.merge(*runs):  # streaming k-way merge
+                proc.stdin.write(line)
+            proc.stdin.close()
+            proc.wait()
+        self._send_finished(task_id, [str(out_path)])

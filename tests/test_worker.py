@@ -1,0 +1,398 @@
+"""Worker wire-protocol parity tests (C3/C4 + task execution).
+
+Each test replays a reference worker unit test over REAL sockets (the
+reference mocks socket.socket; here a live fake-manager harness listens
+on ephemeral TCP/UDP ports), using the reference's OWN executables and
+fixtures read from /root/reference/tests/testdata — never copied into
+this repo. The goldens asserted are the reference tests' own expected
+values (cited per test).
+
+No Spark needed: the worker is a pure control/exec shim. The final test
+wires a real MRManagerServer and real MRWorkers together to prove the
+two halves of the protocol interoperate (register → ack → heartbeats →
+liveness → shutdown fan-out) — the hop the reference can never test
+because its framework is starter stubs.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.mrlite.worker import MRWorker, send_json
+
+REF_DATA = Path("/root/reference/tests/testdata")
+
+pytestmark = pytest.mark.skipif(
+    not REF_DATA.is_dir(), reason="reference testdata not available"
+)
+
+# Fast heartbeats for tests: shape-identical to the spec's 2 s cadence.
+HB = 0.2
+
+
+class FakeManager:
+    """Test harness playing the manager's side of the wire: a TCP
+    listener that records every JSON message (acking registers), and a
+    UDP listener that records heartbeat datagrams with receive times."""
+
+    def __init__(self, ack_registers: bool = True):
+        self.ack_registers = ack_registers
+        self.tcp_messages: list[dict] = []
+        self.heartbeats: list[tuple[float, dict]] = []
+        self.ack_time: float | None = None
+        self._stop = threading.Event()
+        self._cond = threading.Condition()
+
+        self._tcp = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._tcp.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._tcp.bind(("localhost", 0))
+        self.port = self._tcp.getsockname()[1]
+        self._tcp.listen()
+        self._tcp.settimeout(0.2)
+
+        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._udp.bind(("localhost", 0))
+        self.hb_port = self._udp.getsockname()[1]
+        self._udp.settimeout(0.2)
+
+        self._threads = [
+            threading.Thread(target=self._tcp_loop, daemon=True),
+            threading.Thread(target=self._udp_loop, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _tcp_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._tcp.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                chunks = []
+                while chunk := conn.recv(65536):
+                    chunks.append(chunk)
+            message = json.loads(b"".join(chunks).decode("utf-8"))
+            with self._cond:
+                self.tcp_messages.append(message)
+                self._cond.notify_all()
+            if (
+                self.ack_registers
+                and message.get("message_type") == "register"
+            ):
+                self.ack_time = time.monotonic()
+                send_json(
+                    message["worker_host"],
+                    message["worker_port"],
+                    {
+                        "message_type": "register_ack",
+                        "worker_host": message["worker_host"],
+                        "worker_port": message["worker_port"],
+                    },
+                )
+        self._tcp.close()
+
+    def _udp_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data, _ = self._udp.recvfrom(65536)
+            except socket.timeout:
+                continue
+            self.heartbeats.append(
+                (time.monotonic(), json.loads(data.decode("utf-8")))
+            )
+        self._udp.close()
+
+    def wait_for(self, predicate, timeout: float = 10.0) -> None:
+        with self._cond:
+            assert self._cond.wait_for(
+                lambda: predicate(self.tcp_messages), timeout=timeout
+            ), f"timed out; got {self.tcp_messages}"
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=5)
+
+
+@pytest.fixture()
+def fake_manager():
+    mgr = FakeManager()
+    yield mgr
+    mgr.stop()
+
+
+@pytest.fixture()
+def worker(fake_manager):
+    w = MRWorker(
+        port=0,
+        manager_port=fake_manager.port,
+        manager_hb_port=fake_manager.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    yield w
+    w.stop()
+    w.join(timeout=5)
+
+
+def _non_heartbeat(messages):
+    return [m for m in messages if m.get("message_type") != "heartbeat"]
+
+
+def test_register_then_heartbeats(fake_manager, worker):
+    """Reference test_worker_01 + test_worker_02: the worker registers
+    with the exact message shape, starts heartbeating only AFTER the
+    ack, at one per interval, and exits 0 on shutdown."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    assert _non_heartbeat(fake_manager.tcp_messages) == [
+        {
+            "message_type": "register",
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        }
+    ]
+    # 1.5 intervals after the ack the reference expects 2-3 heartbeats
+    # (one immediate + one per interval) — tests/test_worker_02.py:92.
+    # The upper bound is computed from MEASURED elapsed time so a loaded
+    # CI box that overslept can't flake it (cadence, not wall clock).
+    time.sleep(1.5 * HB)
+    beats = list(fake_manager.heartbeats)
+    assert fake_manager.ack_time is not None
+    elapsed = time.monotonic() - fake_manager.ack_time
+    assert 2 <= len(beats) <= elapsed / HB + 2
+    for when, beat in beats:
+        assert beat == {
+            "message_type": "heartbeat",
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        }
+        assert fake_manager.ack_time is not None
+        assert when >= fake_manager.ack_time  # none before the ack
+    send_json("localhost", worker.port, {"message_type": "shutdown"})
+    worker.join(timeout=5)
+    assert not worker.is_alive()
+    assert worker.exit_code == 0
+    # Heartbeats stop after shutdown.
+    n = len(fake_manager.heartbeats)
+    time.sleep(2 * HB)
+    assert len(fake_manager.heartbeats) == n
+
+
+def test_no_heartbeat_without_ack():
+    """The worker must stay silent on the UDP port until the manager
+    acks its registration (reference test_worker_01 sequencing)."""
+    mgr = FakeManager(ack_registers=False)
+    w = MRWorker(
+        port=0,
+        manager_port=mgr.port,
+        manager_hb_port=mgr.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    try:
+        mgr.wait_for(lambda ms: len(ms) >= 1)
+        time.sleep(3 * HB)
+        assert mgr.heartbeats == []
+        assert not w.registered.is_set()
+    finally:
+        w.stop()
+        w.join(timeout=5)
+        mgr.stop()
+
+
+def test_map_task(fake_manager, worker, tmp_path):
+    """Reference test_worker_03/04: a map task runs the reference's own
+    wc_map.sh, md5-routes by the pre-tab key, writes one file per
+    partition, and reports finished with the exact message shape."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    out = tmp_path / "output"
+    out.mkdir()
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_map_task",
+            "task_id": 0,
+            "executable": str(REF_DATA / "exec/wc_map.sh"),
+            "input_paths": [str(REF_DATA / "input/file01")],
+            "output_directory": str(out),
+            "num_partitions": 2,
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: any(m.get("message_type") == "finished" for m in ms)
+    )
+    finished = [
+        m
+        for m in fake_manager.tcp_messages
+        if m.get("message_type") == "finished"
+    ]
+    assert finished == [
+        {
+            "message_type": "finished",
+            "task_id": 0,
+            "output_paths": [
+                str(out / "maptask00000-part00000"),
+                str(out / "maptask00000-part00001"),
+            ],
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        }
+    ]
+    # Reference goldens (tests/test_worker_08.py:196-209): md5 routing
+    # sends {"", bye, hello} to part 0 and {world} to part 1.
+    part0 = (out / "maptask00000-part00000").read_text().splitlines()
+    part1 = (out / "maptask00000-part00001").read_text().splitlines()
+    assert sorted(part0) == ["\t1", "bye\t1", "hello\t1"]
+    assert sorted(part1) == ["world\t1", "world\t1"]
+
+
+def test_reduce_task(fake_manager, worker, tmp_path):
+    """Reference test_worker_07: reduce over the reference's own
+    (unsorted!) intermediate fixtures through its own wc_reduce.sh must
+    produce its exact golden part-00000 — proving the worker sorts
+    reduce input rather than trusting map-side order."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    out = tmp_path / "output"
+    out.mkdir()
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_reduce_task",
+            "task_id": 0,
+            "executable": str(REF_DATA / "exec/wc_reduce.sh"),
+            "input_paths": [
+                str(REF_DATA / "test_worker_07/maptask00000-part00000"),
+                str(REF_DATA / "test_worker_07/maptask00001-part00000"),
+            ],
+            "output_directory": str(out),
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: any(m.get("message_type") == "finished" for m in ms)
+    )
+    # Golden from reference tests/test_worker_07.py:120-125.
+    assert (out / "part-00000").read_text() == "\t2\nbye\t1\nhello\t2\n"
+
+
+def test_map_then_reduce_end_to_end(fake_manager, worker, tmp_path):
+    """Reference test_worker_08: two map tasks then two reduce tasks on
+    the worker's own intermediates reproduce the reference's golden
+    per-partition word counts byte-for-byte."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    inter = tmp_path / "intermediate"
+    out = tmp_path / "output"
+    inter.mkdir()
+    out.mkdir()
+
+    def wait_finished(n: int) -> None:
+        fake_manager.wait_for(
+            lambda ms: sum(
+                m.get("message_type") == "finished" for m in ms
+            )
+            >= n
+        )
+
+    for task_id, infile in enumerate(["input/file01", "input/file02"]):
+        send_json(
+            "localhost",
+            worker.port,
+            {
+                "message_type": "new_map_task",
+                "task_id": task_id,
+                "executable": str(REF_DATA / "exec/wc_map.sh"),
+                "input_paths": [str(REF_DATA / infile)],
+                "output_directory": str(inter),
+                "num_partitions": 2,
+                "worker_host": "localhost",
+                "worker_port": worker.port,
+            },
+        )
+        wait_finished(task_id + 1)
+    for task_id in (0, 1):
+        send_json(
+            "localhost",
+            worker.port,
+            {
+                "message_type": "new_reduce_task",
+                "task_id": task_id,
+                "executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "input_paths": [
+                    str(inter / f"maptask00000-part{task_id:05d}"),
+                    str(inter / f"maptask00001-part{task_id:05d}"),
+                ],
+                "output_directory": str(out),
+                "worker_host": "localhost",
+                "worker_port": worker.port,
+            },
+        )
+        wait_finished(3 + task_id)
+    # Goldens from reference tests/test_worker_08.py:226-242.
+    assert (out / "part-00000").read_text() == "\t2\nbye\t1\nhello\t2\n"
+    assert (
+        out / "part-00001"
+    ).read_text() == "goodbye\t1\nhadoop\t2\nworld\t2\n"
+
+
+def test_manager_worker_cluster():
+    """Both halves interoperate live: workers register with a real
+    MRManagerServer (which acks — reference test_manager_02:126-133),
+    heartbeat over UDP into its liveness table, die out of it after 5
+    missed intervals, and receive the shutdown fan-out (reference
+    test_manager_00 test_shutdown_workers)."""
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    # engine=None: no jobs are submitted in this test, only control.
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    workers = [
+        MRWorker(
+            port=0,
+            manager_port=server.port,
+            manager_hb_port=server.hb_port,
+            heartbeat_interval=HB,
+        ).start()
+        for _ in range(2)
+    ]
+    try:
+        for w in workers:
+            assert w.registered.wait(timeout=10)
+        deadline = time.monotonic() + 10
+        while len(server.alive_workers()) < 2:
+            assert time.monotonic() < deadline
+            time.sleep(0.05)
+        assert {w.port for w in workers} == {
+            r.port for r in server.alive_workers()
+        }
+
+        # Kill one worker silently: after 5 missed intervals it must
+        # drop out of the liveness table (C4's miss-5-and-dead rule).
+        workers[0].stop()
+        workers[0].join(timeout=5)
+        time.sleep(6 * HB)
+        alive = server.alive_workers()
+        assert [r.port for r in alive] == [workers[1].port]
+
+        # Shutdown via the manager's public TCP endpoint must fan out
+        # to the surviving registered worker, which exits 0.
+        send_json("localhost", server.port, {"message_type": "shutdown"})
+        workers[1].join(timeout=10)
+        assert not workers[1].is_alive()
+        assert workers[1].exit_code == 0
+        server.join(timeout=10)
+        assert not server.is_alive()
+    finally:
+        for w in workers:
+            w.stop()
+        server.stop()

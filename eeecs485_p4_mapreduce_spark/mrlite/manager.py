@@ -30,10 +30,19 @@ reaper thread to race the tests.
 
 Jobs run FIFO on a single runner thread — the reference manager also
 serializes jobs (FIFO ids from 0; tests/test_manager_05/06 queue a second
-job behind the first). The data plane is Spark via ``MREngine``; this
-module is ONLY the network control surface, so scripts that today call
+job behind the first). The data plane is Spark via ``MREngine`` when no
+workers are registered; when live registered workers exist the job is
+instead DISPATCHED to them exactly as the reference manager would (C5):
+input files dealt round-robin into ``new_map_task`` messages to idle
+workers, map ``finished`` events collected, intermediate partition files
+grouped into ``new_reduce_task`` messages, final ``part-%05d`` files in
+the job's output directory. A worker that stops heartbeating (C4's
+miss-5 rule) or refuses a connection has its in-flight task requeued to
+the survivors (C7 fault tolerance — untested in the reference fork, so
+the semantics here are the published spec's: tasks are idempotent file
+writes, so reassignment is safe). Scripts that today call
 ``mapreduce-submit`` against the reference can point at this endpoint
-unchanged.
+unchanged, with or without a worker fleet.
 
 Malformed messages are ignored, matching the reference manager's
 behavior of discarding undecodable JSON rather than crashing — but the
@@ -46,10 +55,13 @@ from __future__ import annotations
 
 import json
 import queue
+import shutil
 import socket
+import tempfile
 import threading
 import time
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from eeecs485_p4_mapreduce_spark.mrlite.engine import MREngine, MRJobResult
 from eeecs485_p4_mapreduce_spark.mrlite.worker import (
@@ -246,6 +258,133 @@ class MRManagerServer:
         cutoff = time.monotonic() - 5 * self.heartbeat_interval
         return [w for w in self.workers.values() if w.last_seen >= cutoff]
 
+    # -- worker dispatch (C5/C7) --------------------------------------------
+
+    def _dispatch_wave(self, tasks: list[dict]) -> list[dict]:
+        """Run one stage's tasks across the live worker fleet: send each
+        task to an idle worker, collect its ``finished`` event, requeue
+        tasks whose worker died (C7). Returns finished messages in
+        task_id order. Raises if the fleet empties or shutdown arrives —
+        a queued job must never hang its submitter."""
+        from collections import deque
+
+        pending = deque(tasks)
+        inflight: dict[int, tuple[tuple[str, int], dict]] = {}
+        done: dict[int, dict] = {}
+        busy: set[tuple[str, int]] = set()
+        with self.task_event:
+            cursor = len(self.task_events)
+            while len(done) < len(tasks):
+                if self._shutdown.is_set():
+                    raise RuntimeError("shutdown during job dispatch")
+                # Consume finished events that arrived since last look.
+                while cursor < len(self.task_events):
+                    ev = self.task_events[cursor]
+                    cursor += 1
+                    tid = int(ev["task_id"])
+                    if tid in inflight and tid not in done:
+                        done[tid] = ev
+                        busy.discard(inflight.pop(tid)[0])
+                # C7: requeue tasks whose worker fell out of liveness.
+                alive = {(w.host, w.port) for w in self.alive_workers()}
+                for tid, (wkey, task) in list(inflight.items()):
+                    if wkey not in alive:
+                        del inflight[tid]
+                        busy.discard(wkey)
+                        self.workers.pop(wkey, None)  # dead until re-register
+                        pending.append(task)
+                # C5: deal pending tasks to idle live workers.
+                idle = [k for k in sorted(alive - busy) if k in self.workers]
+                while pending and idle:
+                    wkey = idle.pop()
+                    task = pending.popleft()
+                    try:
+                        send_json(
+                            wkey[0],
+                            wkey[1],
+                            {
+                                **task,
+                                "worker_host": wkey[0],
+                                "worker_port": wkey[1],
+                            },
+                        )
+                    except OSError:
+                        # Connection refused = dead now, don't wait 5 beats.
+                        self.workers.pop(wkey, None)
+                        pending.appendleft(task)
+                        continue
+                    busy.add(wkey)
+                    inflight[int(task["task_id"])] = (wkey, task)
+                if pending and not inflight and not self.alive_workers():
+                    raise RuntimeError("no live workers left for dispatch")
+                self.task_event.wait(timeout=0.2)
+        return [done[int(t["task_id"])] for t in tasks]
+
+    def _run_job_on_workers(self, message: dict, job_id: int) -> MRJobResult:
+        """Execute one new_manager_job by dispatching to registered
+        workers — the reference manager's own execution model: S2
+        round-robin file splits, map wave, partition-grouped reduce
+        wave, ``part-%05d`` output (same stage contract MREngine.
+        submit_job implements on Spark)."""
+        in_dir = Path(message["input_directory"])
+        if not in_dir.is_dir():
+            raise FileNotFoundError(f"input directory {in_dir} not found")
+        files = sorted(
+            str(p)
+            for p in in_dir.iterdir()
+            if p.is_file() and not p.name.startswith((".", "_"))
+        )
+        if not files:
+            raise FileNotFoundError(f"no input files in {in_dir}")
+        num_mappers = int(message.get("num_mappers", 2))
+        num_reducers = int(message.get("num_reducers", 2))
+        out_dir = Path(message["output_directory"])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        # Shared scratch, the reference's tmp layout (assumes a filesystem
+        # all workers see — true for localhost fleets and NFS-style tmp).
+        inter = Path(
+            tempfile.mkdtemp(prefix=f"mapreduce-shared-job{job_id:05d}-")
+        )
+        try:
+            n_map = min(num_mappers, len(files))
+            map_finished = self._dispatch_wave(
+                [
+                    {
+                        "message_type": "new_map_task",
+                        "task_id": i,
+                        "executable": str(message["mapper_executable"]),
+                        "input_paths": files[i::n_map],  # S2 round-robin
+                        "output_directory": str(inter),
+                        "num_partitions": num_reducers,
+                    }
+                    for i in range(n_map)
+                ]
+            )
+            by_partition: dict[str, list[str]] = {}
+            for ev in map_finished:
+                for path in ev["output_paths"]:
+                    by_partition.setdefault(path[-5:], []).append(path)
+            reduce_finished = self._dispatch_wave(
+                [
+                    {
+                        "message_type": "new_reduce_task",
+                        "task_id": r,
+                        "executable": str(message["reducer_executable"]),
+                        "input_paths": sorted(
+                            by_partition.get(f"{r:05d}", [])
+                        ),
+                        "output_directory": str(out_dir),
+                    }
+                    for r in range(num_reducers)
+                ]
+            )
+            output_paths = sorted(
+                p for ev in reduce_finished for p in ev["output_paths"]
+            )
+            return MRJobResult(job_id, str(out_dir), output_paths)
+        finally:
+            shutil.rmtree(inter, ignore_errors=True)
+
     # -- job side ----------------------------------------------------------
 
     def _runner_loop(self) -> None:
@@ -266,14 +405,25 @@ class MRManagerServer:
                         dropped.done.set()
                 break
             try:
-                rec.result = self.engine.submit_job(
-                    input_directory=rec.message["input_directory"],
-                    output_directory=rec.message["output_directory"],
-                    mapper_executable=rec.message["mapper_executable"],
-                    reducer_executable=rec.message["reducer_executable"],
-                    num_mappers=int(rec.message.get("num_mappers", 2)),
-                    num_reducers=int(rec.message.get("num_reducers", 2)),
-                )
+                if self.alive_workers():
+                    # C5: a live registered fleet executes the job the
+                    # reference way; Spark is the no-fleet data plane.
+                    rec.result = self._run_job_on_workers(
+                        rec.message, job_id=self.jobs.index(rec)
+                    )
+                elif self.engine is None:
+                    raise RuntimeError(
+                        "no live workers registered and no Spark engine"
+                    )
+                else:
+                    rec.result = self.engine.submit_job(
+                        input_directory=rec.message["input_directory"],
+                        output_directory=rec.message["output_directory"],
+                        mapper_executable=rec.message["mapper_executable"],
+                        reducer_executable=rec.message["reducer_executable"],
+                        num_mappers=int(rec.message.get("num_mappers", 2)),
+                        num_reducers=int(rec.message.get("num_reducers", 2)),
+                    )
             except Exception as exc:  # noqa: BLE001 — survive bad jobs
                 rec.error = f"{type(exc).__name__}: {exc}"
             finally:

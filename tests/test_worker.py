@@ -396,3 +396,159 @@ def test_manager_worker_cluster():
         for w in workers:
             w.stop()
         server.stop()
+
+
+def _golden_wordcount() -> list[str]:
+    return (
+        (REF_DATA / "correct/word_count_correct.txt")
+        .read_text()
+        .splitlines()
+    )
+
+
+def _wait_job_done(server, timeout: float = 60.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if server.jobs and server.jobs[0].done.is_set():
+            return server.jobs[0]
+        time.sleep(0.05)
+    raise TimeoutError(f"job not finished: {server.jobs}")
+
+
+def test_cluster_runs_reference_wc_job(tmp_path):
+    """C5 end-to-end: a manager with a live registered fleet executes a
+    new_manager_job by dispatching map/reduce tasks to the workers —
+    the reference's own execution model — and the union of part files
+    equals the reference's word_count_correct.txt golden multiset
+    (reference test_integration_02's check)."""
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    workers = [
+        MRWorker(
+            port=0,
+            manager_port=server.port,
+            manager_hb_port=server.hb_port,
+            heartbeat_interval=HB,
+        ).start()
+        for _ in range(2)
+    ]
+    try:
+        for w in workers:
+            assert w.registered.wait(timeout=10)
+        out = tmp_path / "out"
+        send_json(
+            "localhost",
+            server.port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": str(REF_DATA / "input"),
+                "output_directory": str(out),
+                "mapper_executable": str(REF_DATA / "exec/wc_map.sh"),
+                "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "num_mappers": 2,
+                "num_reducers": 2,
+            },
+        )
+        rec = _wait_job_done(server)
+        assert rec.error is None
+        assert rec.result is not None
+        assert [Path(p).name for p in rec.result.output_paths] == [
+            "part-00000",
+            "part-00001",
+        ]
+        lines = [
+            line
+            for p in rec.result.output_paths
+            for line in Path(p).read_text().splitlines()
+        ]
+        assert sorted(lines) == sorted(_golden_wordcount())
+        # Both workers did map work (2 tasks, 2 idle workers).
+        assert {ev["worker_port"] for ev in server.task_events[:2]} == {
+            w.port for w in workers
+        }
+    finally:
+        for w in workers:
+            w.stop()
+            w.join(timeout=5)
+        server.stop()
+        server.join(timeout=10)
+
+
+class _ZombieWorker(MRWorker):
+    """Registers and heartbeats like a real worker, then 'crashes'
+    (stops heartbeating, never replies) on its first map task — the C7
+    failure the reference fork never tests."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.got_task = threading.Event()
+
+    def _run_map_task(self, message: dict) -> None:
+        self.got_task.set()
+        self._shutdown.set()  # silent death: no finished, no heartbeats
+
+
+def test_dead_worker_task_reassigned(tmp_path):
+    """C7: a worker that takes a task and dies silently falls out of
+    liveness after 5 missed heartbeats; the manager requeues its task
+    to the survivor and the job still completes with the golden
+    output."""
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    zombie = _ZombieWorker(
+        port=0,
+        manager_port=server.port,
+        manager_hb_port=server.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    worker = MRWorker(
+        port=0,
+        manager_port=server.port,
+        manager_hb_port=server.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    try:
+        assert zombie.registered.wait(timeout=10)
+        assert worker.registered.wait(timeout=10)
+        out = tmp_path / "out"
+        send_json(
+            "localhost",
+            server.port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": str(REF_DATA / "input"),
+                "output_directory": str(out),
+                "mapper_executable": str(REF_DATA / "exec/wc_map.sh"),
+                "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "num_mappers": 2,
+                "num_reducers": 2,
+            },
+        )
+        rec = _wait_job_done(server)
+        assert zombie.got_task.is_set()  # the zombie really took a task
+        assert rec.error is None
+        lines = [
+            line
+            for p in rec.result.output_paths
+            for line in Path(p).read_text().splitlines()
+        ]
+        assert sorted(lines) == sorted(_golden_wordcount())
+        # The zombie was evicted from the fleet when its task requeued.
+        assert (zombie.host, zombie.port) not in server.workers
+        # Every finished event came from the survivor.
+        assert {ev["worker_port"] for ev in server.task_events} == {
+            worker.port
+        }
+    finally:
+        zombie.stop()
+        worker.stop()
+        for w in (zombie, worker):
+            w.join(timeout=5)
+        server.stop()
+        server.join(timeout=10)

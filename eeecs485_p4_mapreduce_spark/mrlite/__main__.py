@@ -27,8 +27,27 @@ def main(argv: list[str] | None = None) -> int:
         "start) instead of an in-process job; blocks until a shutdown "
         "message arrives",
     )
+    parser.add_argument(
+        "--worker",
+        action="store_true",
+        help="run a worker daemon (reference: mapreduce-worker): register "
+        "with the manager, heartbeat over UDP, execute dispatched "
+        "map/reduce tasks; blocks until a shutdown message arrives",
+    )
     parser.add_argument("--host", default="localhost")
     parser.add_argument("--port", type=int, default=6000)
+    parser.add_argument(
+        "--manager-host", default="localhost", help="(--worker) manager host"
+    )
+    parser.add_argument(
+        "--manager-port", type=int, default=6000, help="(--worker) manager TCP port"
+    )
+    parser.add_argument(
+        "--manager-hb-port",
+        type=int,
+        default=5999,
+        help="(--worker / --serve) UDP heartbeat port",
+    )
     parser.add_argument("-i", "--input", dest="input_directory")
     parser.add_argument("-o", "--output", dest="output_directory")
     parser.add_argument("-m", "--mapper", default=None)
@@ -37,15 +56,46 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--nreducers", type=int, default=2)
     args = parser.parse_args(argv)
 
+    if args.worker:
+        from eeecs485_p4_mapreduce_spark.mrlite import MRWorker
+
+        # The reference's worker CLI defaults its own port to 6001
+        # (mapreduce/worker/__main__.py:45); our shared --port default is
+        # the manager's 6000, so shift unless the user chose one.
+        port = args.port if args.port != 6000 else 6001
+        try:
+            w = MRWorker(
+                host=args.host,
+                port=port,
+                manager_host=args.manager_host,
+                manager_port=args.manager_port,
+                manager_hb_port=args.manager_hb_port,
+            ).start()
+        except OSError as exc:
+            print(f"mrlite: error: cannot register with manager at "
+                  f"{args.manager_host}:{args.manager_port}: {exc}",
+                  file=sys.stderr)
+            return 1
+        print(f"mrlite worker on {w.host}:{w.port} -> manager "
+              f"{w.manager_host}:{w.manager_port} (hb {w.manager_hb_port})")
+        w.join()  # returns once a shutdown message is processed
+        return w.exit_code or 0
+
     if args.serve:
         from eeecs485_p4_mapreduce_spark import get_spark
         from eeecs485_p4_mapreduce_spark.mrlite import MREngine, MRManagerServer
 
         spark = get_spark("mrlite-manager")
         server = MRManagerServer(
-            MREngine(spark), host=args.host, port=args.port
+            MREngine(spark),
+            host=args.host,
+            port=args.port,
+            hb_port=args.manager_hb_port,
         ).start()
-        print(f"mrlite manager listening on {server.host}:{server.port}")
+        print(
+            f"mrlite manager listening on {server.host}:{server.port} "
+            f"(worker heartbeats on udp:{server.hb_port})"
+        )
         server.join()  # returns once a shutdown message is processed
         spark.stop()
         return 0

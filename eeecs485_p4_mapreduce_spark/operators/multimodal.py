@@ -5192,3 +5192,161 @@ def parse_mkv_ebml(payload: bytes):
     walk(0, len(data))
     stats["file_bytes"] = len(data)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org — public single-page spec): the
+# byte-level image CODEC that complements the container walkers above:
+# where MP4/EBML/Ogg test framing disciplines, QOI tests a stateful
+# pixel codec — a running 64-entry color index (hash r*3+g*5+b*7+a*11
+# mod 64), delta ops against the previous pixel, and run-length ops,
+# all in one flat pixel stream with no row structure. encode_qoi is a
+# real spec-complete encoder (op priority run > index > diff > luma >
+# rgb/rgba, runs capped at 62 because 63/64 collide with the RGB/RGBA
+# tags); parse_qoi is a strict decoder that re-derives the pixels and
+# fails loudly on bad magic, bad tags, overruns, or a wrong end marker.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(width: int, height: int, pixels) -> bytes:
+    """Spec-complete QOI encode of an RGB pixel iterable (r, g, b
+    tuples, row-major, alpha fixed 255 / channels=3)."""
+    out = bytearray(b"qoif")
+    out += width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    out += bytes((3, 0))  # channels=3, colorspace=sRGB+linear-alpha
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in pixels:
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:  # 63/64 would collide with the RGB/RGBA tags
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(*px)
+        if index[h] == px:
+            out.append(h)  # QOI_OP_INDEX (00xxxxxx)
+        else:
+            index[h] = px
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                # QOI_OP_DIFF (01xxxxxx), biased +2
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                # QOI_OP_LUMA (10xxxxxx + 1 byte), biases +32/+8
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))  # QOI_OP_RGB
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"  # end marker
+    return bytes(out)
+
+
+def parse_qoi(data: bytes) -> dict:
+    """Strict QOI decode: walks every chunk, re-derives the pixel
+    stream, and returns chunk-census stats plus a pixel checksum. Any
+    malformed byte raises — same strictness contract as the other
+    walkers (parse_mkv_ebml, parse_ogg_pages)."""
+    if len(data) < 22 or data[:4] != b"qoif":
+        raise ValueError("bad QOI magic")
+    width = int.from_bytes(data[4:8], "big")
+    height = int.from_bytes(data[8:12], "big")
+    channels, colorspace = data[12], data[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(f"bad QOI header ({channels=}, {colorspace=})")
+    if data[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    n_pixels = width * height
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    decoded = 0
+    checksum = 0  # sum of r+g+b over the decoded stream
+    stats = {
+        "n_rgb": 0,
+        "n_rgba": 0,
+        "n_index": 0,
+        "n_diff": 0,
+        "n_luma": 0,
+        "n_run": 0,
+    }
+    pos = 14
+    end = len(data) - 8
+    while decoded < n_pixels:
+        if pos >= end:
+            raise ValueError("QOI chunk stream truncated")
+        tag = data[pos]
+        if tag == 0xFE:  # RGB
+            px = (data[pos + 1], data[pos + 2], data[pos + 3], px[3])
+            pos += 4
+            stats["n_rgb"] += 1
+        elif tag == 0xFF:  # RGBA
+            px = tuple(data[pos + 1 : pos + 5])
+            pos += 5
+            stats["n_rgba"] += 1
+        elif tag >> 6 == 0b00:  # INDEX
+            px = index[tag]
+            pos += 1
+            stats["n_index"] += 1
+        elif tag >> 6 == 0b01:  # DIFF
+            px = (
+                (px[0] + ((tag >> 4) & 3) - 2) % 256,
+                (px[1] + ((tag >> 2) & 3) - 2) % 256,
+                (px[2] + (tag & 3) - 2) % 256,
+                px[3],
+            )
+            pos += 1
+            stats["n_diff"] += 1
+        elif tag >> 6 == 0b10:  # LUMA
+            dg = (tag & 0x3F) - 32
+            second = data[pos + 1]
+            px = (
+                (px[0] + dg + (second >> 4) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (second & 0x0F) - 8) % 256,
+                px[3],
+            )
+            pos += 2
+            stats["n_luma"] += 1
+        else:  # RUN (11xxxxxx), bias -1; 62 max by construction
+            run = (tag & 0x3F) + 1
+            if run > 62:
+                raise ValueError(f"QOI run tag collides with RGB/RGBA: {run}")
+            if decoded + run > n_pixels:
+                raise ValueError("QOI run overruns the pixel count")
+            checksum += (run - 1) * (px[0] + px[1] + px[2])
+            decoded += run - 1
+            pos += 1
+            stats["n_run"] += 1
+            # the tag ALSO repeats the current pixel once more below
+        index[_qoi_hash(*px)] = px
+        checksum += px[0] + px[1] + px[2]
+        decoded += 1
+    if pos != end:
+        raise ValueError("trailing bytes after the pixel stream")
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n_pixels,
+        "n_chunks": sum(stats.values()),
+        "pixel_checksum": checksum,
+        "file_bytes": len(data),
+        **stats,
+    }

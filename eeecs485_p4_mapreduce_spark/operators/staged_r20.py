@@ -110,6 +110,27 @@ Staged surface:
   DOW is computed from the epoch DAY NUMBER (1970-01-01 was a
   Thursday), not an engine dow() builtin, so both engines share one
   integer definition.
+- ``mm_qoi_decode`` — the QOI image codec (qoiformat.org): the
+  stateful PIXEL codec complementing the container walkers — running
+  64-entry color index, delta ops, run-length ops over one flat pixel
+  stream. Real spec-complete encoder + strict decoder; the fixture
+  image is chosen so the chunk census has a closed form the oracle
+  mirrors (see section comment).
+- ``q116_gini_split`` — the decision-stump split finder: weighted
+  Gini impurity per candidate order-value threshold for predicting
+  urgent priority — the inner loop of tree learners and label-quality
+  audits, in overflow-safe exact-ppm arithmetic (shares first, never
+  squared counts).
+- ``q117_autocorrelation`` — lag-1..7 sample ACF of the daily revenue
+  series with the mean-free (n·x − S) deviation trick and sign-split
+  two-step ppm division (integer division on negatives floors
+  differently across engines). The day axis is calendar-bounded, so
+  every post-aggregation relation stays dimension-sized at any sf.
+- ``skew_isolated_hot_join`` — hot-key ISOLATION, completing the skew
+  family next to salting and the partition histogram: the synthetic
+  degenerate user (half the fact table) takes a broadcast map-side
+  path that never shuffles its rows; the cold rest takes the ordinary
+  shuffle join; the oracle is the plain join.
 """
 
 from __future__ import annotations
@@ -1508,6 +1529,408 @@ def skew_partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# mm_qoi_decode: QOI image codec (qoiformat.org) — the stateful PIXEL
+# codec complementing the container walkers: a running 64-entry color
+# index, delta ops, and run-length ops over one flat pixel stream.
+# Doc d synthesizes a W×H RGB image (W = 8 + d%9, H = 8 + d%7) whose
+# rows alternate color A = (100, 8 + d%30, 50 + d%60) and
+# B = A + (0, 1, 0); encode_qoi compresses it (real spec-complete
+# encoder) and parse_qoi strictly re-decodes. The pattern is chosen so
+# the chunk census has a closed form the oracle can mirror:
+#   row 0 first pixel: never DIFF (dr=100) nor LUMA (dr-dg ≥ 63) → RGB;
+#   row 1 first pixel: (0,+1,0) → DIFF;
+#   rows ≥ 2 first pixel: color already in the index, and hash(B) =
+#     hash(A)+5 mod 64 ≠ hash(A) so neither evicts the other → INDEX;
+#   each row then runs W-1 ≤ 15 < 62 equal pixels → exactly one RUN.
+# n_rgb=1, n_diff=1, n_index=H-2, n_run=H, n_chunks=2H,
+# file_bytes = 14 header + 4 + 1 + (H-2) + H + 8 marker = 25 + 2H,
+# checksum = W*(H*(r+g+b) + H//2)  (odd rows add +1 per pixel).
+# The decoder itself is generic (all 6 op types incl. RGBA/LUMA — see
+# tests/test_staged_r20.py fuzz); only the FIXTURE has a closed form.
+# ---------------------------------------------------------------------------
+QOI_SCHEMA_FIELDS = (
+    "media_id",
+    "width",
+    "height",
+    "n_pixels",
+    "n_chunks",
+    "n_rgb",
+    "n_rgba",
+    "n_index",
+    "n_diff",
+    "n_luma",
+    "n_run",
+    "file_bytes",
+    "pixel_checksum",
+)
+
+MM_QOI_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h,
+             CAST(158 + doc_id % 30 + doc_id % 60 AS BIGINT) AS rgb_sum
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           w AS width,
+           h AS height,
+           w * h AS n_pixels,
+           2 * h AS n_chunks,
+           CAST(1 AS BIGINT) AS n_rgb,
+           CAST(0 AS BIGINT) AS n_rgba,
+           h - 2 AS n_index,
+           CAST(1 AS BIGINT) AS n_diff,
+           CAST(0 AS BIGINT) AS n_luma,
+           h AS n_run,
+           25 + 2 * h AS file_bytes,
+           w * (h * rgb_sum + h // 2) AS pixel_checksum
+    FROM dims
+"""
+
+
+def mm_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize the alternating-row image, QOI-encode
+    it, strictly re-decode, and report the chunk census (see section
+    comment). Zero-shuffle Arrow mapInPandas via media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_qoi,
+        media_walk_query,
+        parse_qoi,
+    )
+
+    def per_doc(d: int) -> dict:
+        w, h = 8 + d % 9, 8 + d % 7
+        a = (100, 8 + d % 30, 50 + d % 60)
+        b = (a[0], a[1] + 1, a[2])
+        pixels = [
+            (a if y % 2 == 0 else b) for y in range(h) for _ in range(w)
+        ]
+        return parse_qoi(encode_qoi(w, h, pixels))
+
+    return media_walk_query(spark, sf_dir, QOI_SCHEMA_FIELDS, per_doc)
+
+
+# ---------------------------------------------------------------------------
+# q116_gini_split: the decision-stump split finder — for every
+# candidate threshold over the $25k order-value buckets, the weighted
+# Gini impurity of predicting "urgent priority" by value-above/below.
+# This is the inner loop of tree learners and of feature-quality
+# audits on training labels. Exact ppm arithmetic throughout, with the
+# overflow discipline stated in SCALE.md: shares first (pos*1e6 div n,
+# never pos²), so every intermediate stays ≤ 2e12 even at 1e12 rows —
+# gini_ppm = 2·p·(1-p) in ppm = (2·p_ppm·(1e6-p_ppm)) div 1e6.
+# Plan: one partial-agg shuffle to ~20 bucket rows, then an
+# unpartitioned running-sum window over that DIMENSION-SIZED relation
+# (bucket count is price-range-bounded, not volume-bounded) and a
+# broadcast of the 1-row total. Survives any scale-up: only the
+# bucket table ever leaves the map side.
+# ---------------------------------------------------------------------------
+Q116_ORACLE = """
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), g AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM b GROUP BY bucket
+    ), c AS (
+      SELECT bucket,
+             CAST(sum(n) OVER w AS BIGINT) AS nl,
+             CAST(sum(p) OVER w AS BIGINT) AS pl,
+             CAST(sum(n) OVER () AS BIGINT) AS nt,
+             CAST(sum(p) OVER () AS BIGINT) AS pt
+      FROM g
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), sides AS (
+      SELECT bucket, nl, pl, nt - nl AS nr, pt - pl AS pr, nt
+      FROM c WHERE nl < nt
+    ), ppm AS (
+      SELECT bucket, nl, pl, nr, pr, nt,
+             pl * 1000000 // nl AS ppl,
+             pr * 1000000 // nr AS ppr
+      FROM sides
+    )
+    SELECT bucket AS split_bucket,
+           nl AS n_left, pl AS pos_left,
+           nr AS n_right, pr AS pos_right,
+           2 * ppl * (1000000 - ppl) // 1000000 AS gini_left_ppm,
+           2 * ppr * (1000000 - ppr) // 1000000 AS gini_right_ppm,
+           ((2 * ppl * (1000000 - ppl) // 1000000) * (nl * 1000000 // nt)
+            + (2 * ppr * (1000000 - ppr) // 1000000) * (nr * 1000000 // nt))
+             // 1000000 AS weighted_gini_ppm
+    FROM ppm
+"""
+
+
+def q116_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Gini impurity per candidate split threshold (see
+    section comment). The unpartitioned window is over the ~20-row
+    bucket table — dimension-sized by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.selectExpr(
+            "cast(round(o_totalprice * 100) as bigint) div 2500000"
+            " AS bucket",
+            "case when o_orderpriority = '1-URGENT' then 1 else 0 end"
+            " AS pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("p"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"), F.sum("p").alias("pt")
+    )
+    c = (
+        g.select(
+            "bucket",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("p").over(w).alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where("nl < nt")
+        .selectExpr(
+            "bucket",
+            "nl",
+            "pl",
+            "nt - nl AS nr",
+            "pt - pl AS pr",
+            "nt",
+        )
+        .selectExpr(
+            "bucket",
+            "nl",
+            "pl",
+            "nr",
+            "pr",
+            "nt",
+            "pl * 1000000 div nl AS ppl",
+            "pr * 1000000 div nr AS ppr",
+        )
+    )
+    return c.selectExpr(
+        "bucket AS split_bucket",
+        "nl AS n_left",
+        "pl AS pos_left",
+        "nr AS n_right",
+        "pr AS pos_right",
+        "2 * ppl * (1000000 - ppl) div 1000000 AS gini_left_ppm",
+        "2 * ppr * (1000000 - ppr) div 1000000 AS gini_right_ppm",
+        "((2 * ppl * (1000000 - ppl) div 1000000) * (nl * 1000000 div nt)"
+        " + (2 * ppr * (1000000 - ppr) div 1000000)"
+        "   * (nr * 1000000 div nt)) div 1000000 AS weighted_gini_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117_autocorrelation: lag-1..7 sample autocorrelation of the daily
+# revenue series — the seasonality/memory fingerprint read before
+# fitting any forecast (lag-7 spikes = weekly cycle; all-lags-high =
+# trend leakage). Exactness discipline: the series is quantized to a
+# 0..100 per-mille-of-max grid, deviations are computed as
+# (n·x_t − S) so the mean never becomes a fraction, and the ACF ratio
+# is emitted via sign-split two-step ppm division (integer div on
+# negatives floors differently across engines, so both sides compute
+# sign(num) · two_step(|num|, den)). Bounds: the day axis is
+# CALENDAR-bounded (~2,526 ship days at every sf — more volume adds
+# rows per day, not days), so dev ≤ 2526·100, den ≤ 2526·(2.5e5)² ≈
+# 1.6e14, and |num|·1000 ≤ 1.6e17 — BIGINT-safe at any corpus size.
+# Plan: one partial-agg shuffle to the ~2.5k-row day table; the lag
+# pairing is a broadcast self-join on t+k (7 lags × 2.5k rows).
+# ---------------------------------------------------------------------------
+Q117_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ), norm AS (
+      SELECT day,
+             cents * 100 // (SELECT max(cents) FROM daily) AS x
+      FROM daily
+    ), seq AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x FROM norm
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM seq
+    ), dev AS (
+      SELECT t, (SELECT n FROM stats) * x - (SELECT s FROM stats) AS d
+      FROM seq
+    ), den AS (
+      SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev
+    ), pairs AS (
+      SELECT k.lag AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.d * b.d) AS BIGINT) AS num
+      FROM (SELECT unnest(range(1, 8)) AS lag) k
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.t = a.t + k.lag
+      GROUP BY k.lag
+    )
+    SELECT lag, n_pairs, num, (SELECT den FROM den) AS den,
+           CASE WHEN num < 0 THEN -1 ELSE 1 END
+             * (((abs(num) * 1000) // (SELECT den FROM den)) * 1000
+                + (((abs(num) * 1000) % (SELECT den FROM den)) * 1000)
+                  // (SELECT den FROM den)) AS acf_ppm
+    FROM pairs
+"""
+
+
+def q117_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 ACF of daily revenue (see section comment). Every
+    relation past the first aggregation is day-table-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            " AS day",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    mx = daily.agg(F.max("cents").alias("mx"))
+    seq = (
+        daily.crossJoin(F.broadcast(mx))
+        .selectExpr("day", "cents * 100 div mx AS x")
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"), "x"
+        )
+    )
+    stats = seq.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = seq.crossJoin(F.broadcast(stats)).selectExpr(
+        "t", "n * x - s AS d"
+    )
+    den = dev.agg(F.sum(F.expr("d * d")).alias("den"))
+    lags = spark.range(1, 8).withColumnRenamed("id", "lag")
+    a = dev.crossJoin(F.broadcast(lags))
+    b = dev.selectExpr("t AS t2", "d AS d2")
+    pairs = (
+        a.join(F.broadcast(b), F.expr("t2 = t + lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("d * d2")).alias("num"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).selectExpr(
+        "lag",
+        "n_pairs",
+        "num",
+        "den",
+        "(case when num < 0 then -1 else 1 end)"
+        " * (((abs(num) * 1000) div den) * 1000"
+        "    + (((abs(num) * 1000) % den) * 1000) div den) AS acf_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew_isolated_hot_join: the OTHER classic skew-join mitigation,
+# completing the family (skew_salted_enrich/skew_zipf_salted_join =
+# salting; skew_partition_histogram = diagnosis): HOT-KEY ISOLATION.
+# The generated events table is deliberately near-uniform (max/avg
+# per-user count ≈ 1.3), so the degenerate key is synthesized the same
+# way skew_zipf_salted_join synthesizes its zipfian key: every
+# even-event_id row is remapped to user 0, making one user carry ~half
+# the fact table at every sf. The hot rule is engine-mirrorable
+# integer arithmetic (cnt·n_users > 3·n_events — i.e. 3× the per-user
+# average, which only the synthetic hot user passes). Hot users take
+# the broadcast path: their few DIMENSION rows are broadcast and
+# map-side joined, so the hot fact rows NEVER shuffle; everyone else
+# takes the ordinary shuffle join. The union is aggregated per
+# (segment, is_hot) so the report shows what each path carried. At
+# 100 TB isolation beats salting when the hot set is small-but-extreme:
+# salting still shuffles the hot rows (n_salts ways); isolation ships
+# only the hot dimension rows. The oracle is the PLAIN join + the same
+# hot rule — isolation is correctness-neutral by construction.
+# ---------------------------------------------------------------------------
+SKEW_ISO_ORACLE = """
+    WITH ev AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END
+               AS user_id,
+             value
+      FROM events
+    ), cnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cnt) AS BIGINT) AS n_events
+      FROM cnt
+    ), hot AS (
+      SELECT user_id FROM cnt, tot WHERE cnt * n_users > 3 * n_events
+    )
+    SELECT c_mktsegment,
+           CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_hot,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) + 0.0 AS total_value
+    FROM ev e
+    JOIN customer ON e.user_id = c_custkey
+    LEFT JOIN hot h ON e.user_id = h.user_id
+    GROUP BY 1, 2
+"""
+
+
+def skew_isolated_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-path hot-key-isolation join (see section comment): hot rows
+    broadcast-join, cold rows shuffle-join, union, aggregate."""
+    events = load_table(spark, sf_dir, "events").selectExpr(
+        "case when event_id % 2 = 0 then 0 else user_id end AS user_id",
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cnt = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("n_events"),
+    )
+    hot_keys = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where("cnt * n_users > 3 * n_events")
+        .select("user_id")
+    )
+    # Hot path: only the hot users' DIMENSION rows ship (broadcast);
+    # the hot fact rows are joined map-side and never shuffle.
+    hot_dim = cust.join(F.broadcast(hot_keys), "user_id")
+    hot_part = events.join(F.broadcast(hot_dim), "user_id").withColumn(
+        "is_hot", F.lit(1)
+    )
+    # Cold path: ordinary shuffle join, hot keys excluded via
+    # broadcast anti-join (no shuffle added by the exclusion).
+    cold_part = (
+        events.join(F.broadcast(hot_keys), "user_id", "left_anti")
+        .join(cust, "user_id")
+        .withColumn("is_hot", F.lit(0))
+    )
+    return (
+        hot_part.unionByName(cold_part)
+        .groupBy("c_mktsegment", "is_hot")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
@@ -1531,6 +1954,10 @@ def _staged() -> dict:
             skew_partition_histogram,
             SKEW_HIST_ORACLE,
         ),
+        "mm_qoi_decode": (mm_qoi_decode, MM_QOI_ORACLE),
+        "q116_gini_split": (q116_gini_split, Q116_ORACLE),
+        "q117_autocorrelation": (q117_autocorrelation, Q117_ORACLE),
+        "skew_isolated_hot_join": (skew_isolated_hot_join, SKEW_ISO_ORACLE),
     }
 
 

@@ -516,3 +516,231 @@ def test_survivorship_consistent_with_registered_dedup(spark, sf_dir):
     )
     expected_survivors = near_surv.join(keepers, "doc_id", "left_semi").count()
     assert int(rep["n_survivors"].sum()) == expected_survivors
+
+
+# --- QOI codec (r10 additions) -----------------------------------------------
+
+
+def test_qoi_hand_computed_layout():
+    """Byte-for-byte: 4x3 alternating-row image -> RGB + RUN(3) + DIFF
+    + RUN(3) + INDEX + RUN(3) = 6 chunks; file = 14 header + 4 (RGB) +
+    1 (DIFF) + 1 (INDEX) + 3 (RUNs) + 8 marker = 31 bytes."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    a, b = (10, 20, 30), (10, 21, 30)
+    pixels = [(a if y % 2 == 0 else b) for y in range(3) for _ in range(4)]
+    data = encode_qoi(4, 3, pixels)
+    assert len(data) == 31
+    info = parse_qoi(data)
+    assert info["n_chunks"] == 6
+    assert (info["n_rgb"], info["n_diff"], info["n_index"], info["n_run"]) \
+        == (1, 1, 1, 3)
+    assert info["pixel_checksum"] == sum(sum(p) for p in pixels)
+
+
+def test_qoi_roundtrip_fuzz_all_ops():
+    """Pseudo-random images must decode to the exact source checksum,
+    and across the corpus every RGB-image op type (RGB, INDEX, DIFF,
+    LUMA, RUN) must fire at least once — proving the encoder emits and
+    the decoder handles the full op set, not just the fixture's."""
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    seen = {"n_rgb": 0, "n_index": 0, "n_diff": 0, "n_luma": 0, "n_run": 0}
+    for seed in range(12):
+        rng = random.Random(seed)
+        w, h = rng.randint(1, 40), rng.randint(1, 20)
+        pixels = []
+        px = (0, 0, 0)
+        for _ in range(w * h):
+            mode = rng.randrange(5)
+            if mode == 0:  # exact repeat -> RUN material
+                pass
+            elif mode == 1:  # tiny delta -> DIFF material
+                px = tuple((c + rng.randint(-2, 1)) % 256 for c in px)
+            elif mode == 2:  # luma-range delta -> LUMA material
+                dg = rng.randint(-32, 31)
+                px = (
+                    (px[0] + dg + rng.randint(-8, 7)) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + rng.randint(-8, 7)) % 256,
+                )
+            elif mode == 3:  # revisit an old color -> INDEX material
+                px = pixels[rng.randrange(len(pixels))] if pixels else px
+            else:  # jump -> RGB material
+                px = tuple(rng.randrange(256) for _ in range(3))
+            pixels.append(px)
+        info = parse_qoi(encode_qoi(w, h, pixels))
+        assert info["n_pixels"] == w * h
+        assert info["pixel_checksum"] == sum(sum(p) for p in pixels)
+        assert info["n_rgba"] == 0
+        for k in seen:
+            seen[k] += info[k]
+    assert all(v > 0 for v in seen.values()), seen
+
+
+def test_qoi_long_run_splits_at_62():
+    """Runs cap at 62 (63/64 collide with the RGB/RGBA tags): 200
+    identical pixels after the first = 199 run-pixels -> runs of
+    62+62+62+13 = 4 RUN chunks."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    # (200, 5, 100) from the seed pixel (0,0,0): dr wraps to -56, far
+    # outside LUMA's dr-dg range -> forced QOI_OP_RGB first.
+    info = parse_qoi(encode_qoi(20, 10, [(200, 5, 100)] * 200))
+    assert info["n_run"] == 4
+    assert info["n_rgb"] == 1
+    assert info["n_pixels"] == 200
+
+
+def test_qoi_strictness():
+    """Malformed payloads must raise, never return partial stats."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_qoi,
+        parse_qoi,
+    )
+
+    good = encode_qoi(4, 3, [(1, 2, 3)] * 12)
+    with pytest.raises(ValueError):
+        parse_qoi(b"qoix" + good[4:])  # bad magic
+    with pytest.raises(ValueError):
+        parse_qoi(good[:-8] + b"\x00" * 7 + b"\x02")  # bad end marker
+    with pytest.raises(ValueError):
+        parse_qoi(good[:14] + good[-8:])  # pixel stream missing
+    with pytest.raises(ValueError):
+        parse_qoi(good[:-8] + b"\x00" + good[-8:])  # trailing junk
+
+
+# --- q116 gini split ---------------------------------------------------------
+
+
+def test_gini_split_float_reference(spark, duck, sf_dir):
+    """Independent reference: recompute every split's weighted Gini in
+    float arithmetic from the raw orders rows; the integer-ppm column
+    must agree within the quantization bound (p is floored to ppm and
+    the weighted mix floors twice -> a few-ppm slack), and the BEST
+    split must be the same bucket."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        q116_gini_split,
+    )
+
+    got = q116_gini_split(spark, sf_dir).toPandas()
+    rows = duck.sql(
+        "SELECT CAST(round(o_totalprice*100) AS BIGINT)//2500000 AS bucket,"
+        " count(*) AS n,"
+        " sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS p"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).df()
+    cum_n = cum_p = 0
+    nt, pt = int(rows.n.sum()), int(rows.p.sum())
+    ref = {}
+    for _, r in rows.iterrows():
+        cum_n += int(r.n)
+        cum_p += int(r.p)
+        if cum_n == nt:
+            continue
+        gl = 2 * (cum_p / cum_n) * (1 - cum_p / cum_n)
+        pr, nr = pt - cum_p, nt - cum_n
+        gr = 2 * (pr / nr) * (1 - pr / nr)
+        ref[int(r.bucket)] = (cum_n / nt) * gl + (nr / nt) * gr
+    assert set(got.split_bucket) == set(ref)
+    for _, r in got.iterrows():
+        assert abs(r.weighted_gini_ppm / 1e6 - ref[r.split_bucket]) < 5e-6
+    best_int = got.loc[got.weighted_gini_ppm.idxmin(), "split_bucket"]
+    best_ref = min(ref, key=ref.get)
+    assert best_int == best_ref
+
+
+# --- q117 autocorrelation ----------------------------------------------------
+
+
+def test_autocorrelation_pure_python_reference(spark, duck, sf_dir):
+    """Independent reference: rebuild the normalized daily series in
+    pure Python from the parquet and mirror the integer two-step ppm
+    arithmetic exactly — every acf_ppm value must match bit-for-bit,
+    and lag-0 sanity: den > 0 and |acf| <= 1e6 (Cauchy-Schwarz)."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        q117_autocorrelation,
+    )
+
+    got = (
+        q117_autocorrelation(spark, sf_dir)
+        .toPandas()
+        .sort_values("lag")
+        .reset_index(drop=True)
+    )
+    daily = duck.sql(
+        "SELECT CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000 AS day,"
+        " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
+        "  AS cents"
+        " FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).df()
+    cents = [int(c) for c in daily.cents]
+    mx = max(cents)
+    x = [c * 100 // mx for c in cents]
+    n, s = len(x), sum(x)
+    dev = [n * xi - s for xi in x]
+    den = sum(d * d for d in dev)
+    assert den > 0
+    for _, r in got.iterrows():
+        k = int(r.lag)
+        num = sum(dev[t] * dev[t + k] for t in range(n - k))
+        assert int(r.n_pairs) == n - k
+        assert int(r.num) == num
+        assert int(r.den) == den
+        sign = -1 if num < 0 else 1
+        a = abs(num)
+        expect = sign * (
+            ((a * 1000) // den) * 1000 + (((a * 1000) % den) * 1000) // den
+        )
+        assert int(r.acf_ppm) == expect
+        assert abs(int(r.acf_ppm)) <= 1_000_000
+
+
+# --- skew isolated hot join --------------------------------------------------
+
+
+def test_isolated_hot_join_paths_and_totals(spark, duck, sf_dir):
+    """The hot path must actually carry the synthetic hot key (~half
+    the fact rows), and collapsing is_hot must reproduce the plain
+    join's per-segment totals (isolation is correctness-neutral)."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        skew_isolated_hot_join,
+    )
+
+    got = skew_isolated_hot_join(spark, sf_dir).toPandas()
+    hot = int(got[got.is_hot == 1].n_events.sum())
+    total = int(got.n_events.sum())
+    assert 0.4 * total < hot < 0.6 * total
+    plain = duck.sql(
+        "WITH ev AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0"
+        "  ELSE user_id END AS user_id, value FROM events)"
+        " SELECT c_mktsegment, count(*) AS n"
+        " FROM ev JOIN customer ON user_id = c_custkey GROUP BY 1"
+    ).df()
+    merged = got.groupby("c_mktsegment").n_events.sum()
+    for _, r in plain.iterrows():
+        assert int(merged[r.c_mktsegment]) == int(r.n)
+
+
+def test_isolated_hot_join_plan_shape(spark, sf_dir):
+    """Plan gate: the hot path's customer join must be broadcast (the
+    whole point — hot fact rows never shuffle). At least one broadcast
+    hash join over the dimension appears in the physical plan."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        skew_isolated_hot_join,
+    )
+
+    plan = skew_isolated_hot_join(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

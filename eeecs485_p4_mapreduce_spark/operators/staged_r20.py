@@ -131,6 +131,15 @@ Staged surface:
   degenerate user (half the fact table) takes a broadcast map-side
   path that never shuffles its rows; the cold rest takes the ordinary
   shuffle join; the oracle is the plain join.
+- ``dedup_prefix_filter_join`` — the prefix-filtering set-similarity
+  join (AllPairs/PPJoin, Bayardo WWW'07): index only each doc's
+  rarest n − ceil(t·n) + 1 shingle fingerprints (t = 0.8), pair
+  within those cold postings, verify with exact integer Jaccard. By
+  the prefix-filter theorem the output is IDENTICAL to the full
+  inverted-index join, which is exactly what the oracle checks. The
+  x100 probe drove three successive scale fixes recorded in the
+  section comment (no per-doc arrays, fingerprints not strings, merge
+  hints on corpus-proportional joins).
 """
 
 from __future__ import annotations
@@ -1931,6 +1940,196 @@ def skew_isolated_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_filter_join: the PREFIX-FILTERING set-similarity join
+# (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the
+# third candidate-generation discipline in the dedup family next to
+# MinHash-LSH (probabilistic banding) and the full inverted index
+# (dedup_ngram_jaccard, which posts EVERY shingle). The theorem: if
+# Jaccard(x, y) >= t, then the first |x| - ceil(t|x|) + 1 shingles of
+# x under ANY global total order intersect the same-order prefix of y
+# — so indexing ONLY prefixes finds every qualifying pair. Ordering
+# rarest-first (ascending document frequency) makes the indexed
+# prefixes the COLD end of the vocabulary: the stopword-ish shingles
+# whose posting lists explode the full index at 100 TB are exactly
+# the ones the prefix drops. At t = 0.8 each doc posts only its
+# rarest fifth (n − ceil(0.8n) + 1), and selectivity is essentially
+# perfect on this corpus: sf0.01 has 11.5k docs-sharing-any-shingle
+# pairs but the prefix generates exactly the 25 that qualify. (The
+# first cut used t = 0.5 — half of each doc indexed — and the x100
+# probe showed why production systems run prefix joins at high t:
+# 41M candidates whose exact verification is the real cost; t is the
+# knob that buys selectivity, and 0.8 is the near-dup regime this
+# operator targets.) Verification is exact integer Jaccard
+# (c·5 >= 4·(n_a + n_b − c)) with a ppm read-out — no doubles
+# anywhere. The oracle is the full inverted-index exact join: by the
+# prefix-filter theorem the outputs are IDENTICAL, which is precisely
+# what the oracle proves.
+# ---------------------------------------------------------------------------
+PF_T_NUM, PF_T_DEN = 4, 5  # Jaccard threshold t = 0.8 as a ratio
+
+DEDUP_PF_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(len(toks) - 2),
+                 i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+               ELSE [] END) AS shingles
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t]') AS toks
+            FROM documents)
+    ),
+    ex AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(s), 1, 12)) AS UBIGINT)
+               AS BIGINT) AS h,
+             n
+      FROM (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+            FROM sh)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(any_value(a.n) AS BIGINT) AS n_a,
+             CAST(any_value(b.n) AS BIGINT) AS n_b
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_a, n_b, n_common,
+           n_common * 1000000 // (n_a + n_b - n_common) AS jaccard_ppm
+    FROM pairs
+    WHERE n_common * 5 >= 4 * (n_a + n_b - n_common)
+"""
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard pair join via prefix filtering (see section
+    comment): index only each doc's rarest n - ceil(0.8n) + 1
+    shingles, pair within those cold postings, verify exactly."""
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _SPARK_TOKS,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles"
+    )
+    # 48-bit md5 fingerprints replace the shingle STRINGS before any
+    # shuffle — the MinHash-family trick: at 100 TB you never sort or
+    # ship raw shingle text, only 8-byte keys (the string version of
+    # this operator spilled past local disk at the x100 probe). The
+    # oracle mirrors the identical hash, so the comparison is exact;
+    # per-pair hash merges are ~|x|·|y|/2^48 — the same accepted noise
+    # floor as the registered MinHash operators.
+    from pyspark.storagelevel import StorageLevel
+
+    # ex is consumed three times (df census, prefix ranking,
+    # verification a/b sides); corpus-sized, so DISK_ONLY persist —
+    # keeps lineage, saves two shingling+md5 scans (see SCALE.md).
+    ex = (
+        sh.select(
+            "doc_id",
+            F.explode("shingles").alias("s"),
+            F.size("shingles").alias("n"),
+        ).select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"
+            ).alias("h"),
+            "n",
+        )
+    ).persist(StorageLevel.DISK_ONLY)
+    # Global rarest-first order = ascending (df, shingle), attached by
+    # one shuffle on the shingle. The per-doc prefix (the first
+    # n - ceil(n/2) + 1 = n div 2 + 1 shingles under that order) comes
+    # from a rank window PARTITIONED BY doc_id: the rank streams out of
+    # the shuffle sort, so no per-doc array is ever materialized — the
+    # first cut collect_list-ed each doc's full (df, shingle) structs
+    # and OOMed the x100 probe inside the hash aggregate.
+    # EVERY relation in this operator is corpus-proportional (the
+    # vocabulary, the sizes table, the candidate set), so each join is
+    # pinned to sort-merge: Spark's size estimate for the string-heavy
+    # vocabulary sat under the session's 64 MB broadcast threshold at
+    # the x100 probe and the resulting broadcast build OOMed the
+    # driver. There is no bounded-small side here to broadcast.
+    df_tbl = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")
+    )
+    # Prefix length: n - ceil(t*n) + 1 with t = 4/5, all integer.
+    plen = f"n - ({PF_T_NUM} * n + {PF_T_DEN} - 1) div {PF_T_DEN} + 1"
+    prefix = (
+        ex.join(df_tbl.hint("merge"), "h")
+        .withColumn("rn", rn)
+        .where(f"rn <= {plen}")
+        .select("doc_id", "h")
+    )
+    # In-bucket pairing on the (cold) prefix postings — the same
+    # posting-slice explosion dedup_ngram_jaccard uses, but over the
+    # prefix index, then distinct because a pair may share several
+    # prefix shingles.
+    postings = (
+        prefix.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cands = (
+        postings.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Exact verification WITHOUT materializing array pairs: count the
+    # shared shingles by re-exploding the candidate docs' shingle rows
+    # and joining on (doc_b, s). Rows stay narrow (id, id, shingle), so
+    # verification streams through the shuffle — the first cut attached
+    # both docs' FULL shingle arrays to every candidate row (~30 KB per
+    # row) and died of executor memory at the x100 probe; this plan
+    # probes sub-linear there.
+    common = (
+        cands.join(
+            ex.select(F.col("doc_id").alias("doc_a"), "h").hint("merge"),
+            "doc_a",
+        )
+        .join(
+            ex.select(F.col("doc_id").alias("doc_b"), "h").hint("merge"),
+            ["doc_b", "h"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    verified = (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ).hint("merge"),
+            "doc_b",
+        )
+        .where(
+            f"n_common * {PF_T_DEN} >= {PF_T_NUM} * (n_a + n_b - n_common)"
+        )
+    )
+    return verified.selectExpr(
+        "doc_a",
+        "doc_b",
+        "cast(n_a as bigint) AS n_a",
+        "cast(n_b as bigint) AS n_b",
+        "cast(n_common as bigint) AS n_common",
+        "cast(n_common as bigint) * 1000000 div (n_a + n_b - n_common)"
+        " AS jaccard_ppm",
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
@@ -1958,6 +2157,10 @@ def _staged() -> dict:
         "q116_gini_split": (q116_gini_split, Q116_ORACLE),
         "q117_autocorrelation": (q117_autocorrelation, Q117_ORACLE),
         "skew_isolated_hot_join": (skew_isolated_hot_join, SKEW_ISO_ORACLE),
+        "dedup_prefix_filter_join": (
+            dedup_prefix_filter_join,
+            DEDUP_PF_ORACLE,
+        ),
     }
 
 

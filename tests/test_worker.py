@@ -552,3 +552,57 @@ def test_dead_worker_task_reassigned(tmp_path):
             w.join(timeout=5)
         server.stop()
         server.join(timeout=10)
+
+
+def test_reference_submit_client_drives_worker_fleet(tmp_path):
+    """Full drop-in parity with ZERO Spark: the reference's OWN
+    mapreduce-submit client (run as a subprocess) submits to our
+    manager, which dispatches to our workers over the reference wire
+    protocol, producing the reference's golden word count. This is the
+    reference's entire deployment story — client, manager, workers —
+    spoken end-to-end by this repo's native control plane."""
+    import subprocess
+    import sys
+
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    workers = [
+        MRWorker(
+            port=0,
+            manager_port=server.port,
+            manager_hb_port=server.hb_port,
+            heartbeat_interval=HB,
+        ).start()
+        for _ in range(2)
+    ]
+    try:
+        for w in workers:
+            assert w.registered.wait(timeout=10)
+        out = tmp_path / "out"
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "/root/reference/mapreduce/submit.py",
+                "--port", str(server.port),
+                "--input", str(REF_DATA / "input"),
+                "--output", str(out),
+                "--mapper", str(REF_DATA / "exec/wc_map.sh"),
+                "--reducer", str(REF_DATA / "exec/wc_reduce.sh"),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode == 0, proc.stderr
+        rec = _wait_job_done(server)
+        assert rec.error is None
+        assert sorted(rec.result.read_lines()) == sorted(_golden_wordcount())
+    finally:
+        for w in workers:
+            w.stop()
+            w.join(timeout=5)
+        server.stop()
+        server.join(timeout=10)

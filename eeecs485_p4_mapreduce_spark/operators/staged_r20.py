@@ -1694,6 +1694,9 @@ def q116_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("pos").alias("p"),
         )
+        # ~20 rows, feeds the running-sum window AND the total: pin so
+        # orders is scanned+aggregated once, not twice (PLANS gate).
+        .localCheckpoint()
     )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1808,6 +1811,10 @@ def q117_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").alias("cents"))
+        # day-table-sized (~2.5k rows, calendar-bounded) and consumed
+        # by max, stats, deviations, and 7 lag joins: pin it — without
+        # this the plan scans lineitem 12 times (PLANS gate audit).
+        .localCheckpoint()
     )
     mx = daily.agg(F.max("cents").alias("mx"))
     seq = (
@@ -1822,7 +1829,7 @@ def q117_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = seq.crossJoin(F.broadcast(stats)).selectExpr(
         "t", "n * x - s AS d"
-    )
+    ).localCheckpoint()  # feeds den + both sides of every lag join
     den = dev.agg(F.sum(F.expr("d * d")).alias("den"))
     lags = spark.range(1, 8).withColumnRenamed("id", "lag")
     a = dev.crossJoin(F.broadcast(lags))
@@ -1913,6 +1920,10 @@ def skew_isolated_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.crossJoin(F.broadcast(tot))
         .where("cnt * n_users > 3 * n_events")
         .select("user_id")
+        # tiny by the hot rule's nature; consumed by the hot-dim join
+        # AND the cold anti-join — pin so the per-user count aggregate
+        # over the fact table runs once, not twice.
+        .localCheckpoint()
     )
     # Hot path: only the hot users' DIMENSION rows ship (broadcast);
     # the hot fact rows are joined map-side and never shuffle.

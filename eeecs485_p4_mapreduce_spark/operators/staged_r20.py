@@ -131,6 +131,13 @@ Staged surface:
   degenerate user (half the fact table) takes a broadcast map-side
   path that never shuffles its rows; the cold rest takes the ordinary
   shuffle join; the oracle is the plain join.
+- ``q118_theil_sen`` / ``q119_mann_kendall`` — the classic robust
+  trend duo over the daily revenue series: median-of-pairwise-slopes
+  (quartiles as exact order statistics) and the Mann–Kendall S / 
+  Kendall's tau sign test. O(days²) by definition, but the day axis
+  is calendar-bounded, so the pair relation is a constant ~3.2M rows
+  at every corpus size; slopes use the 0..10,000 quantization +
+  sign-split floor division discipline.
 - ``dedup_prefix_filter_join`` — the prefix-filtering set-similarity
   join (AllPairs/PPJoin, Bayardo WWW'07): index only each doc's
   rarest n − ceil(t·n) + 1 shingle fingerprints (t = 0.8), pair
@@ -2141,6 +2148,198 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# q118_theil_sen + q119_mann_kendall: the classic ROBUST trend duo
+# over the daily revenue series — Theil–Sen (median of all pairwise
+# slopes; the 29%-breakdown robust alternative to q84's OLS fit) and
+# the Mann–Kendall monotone-trend test with Kendall's tau. Both are
+# O(days²) BY DEFINITION — and the day axis is CALENDAR-bounded
+# (~2,526 ship days at every sf), so the pair relation is a constant
+# ~3.2M rows however big the corpus gets: the only corpus-sized work
+# is the first partial-agg shuffle to the day table. Exactness:
+# y is quantized to a 0..10,000 per-mille-of-max grid (slope
+# numerators then fit ppm arithmetic with room to spare), slopes use
+# sign-split floor division (negative int division floors differently
+# across engines), quartiles are EXACT order statistics picked by
+# row_number at mirrored integer positions (no interpolation), and
+# Mann–Kendall needs only signs, so it runs on raw cents.
+# ---------------------------------------------------------------------------
+_DAILY_CENTS = """
+      SELECT CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+"""
+
+Q118_ORACLE = f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    norm AS (
+      SELECT day, cents * 10000 // (SELECT max(cents) FROM daily) AS y
+      FROM daily
+    ), seq AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, y FROM norm
+    ), slopes AS (
+      SELECT CASE WHEN b.y < a.y THEN -1 ELSE 1 END
+               * ((abs(b.y - a.y) * 1000000) // (b.t - a.t)) AS slope_ppm
+      FROM seq a JOIN seq b ON b.t > a.t
+    ), ranked AS (
+      SELECT slope_ppm,
+             row_number() OVER (ORDER BY slope_ppm) AS rn,
+             count(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT CAST((SELECT count(*) FROM seq) AS BIGINT) AS n_days,
+           CAST(max(np) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = (np + 1) // 4 THEN slope_ppm END)
+             AS BIGINT) AS slope_p25_ppm,
+           CAST(max(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+             AS BIGINT) AS slope_median_ppm,
+           CAST(max(CASE WHEN rn = (3 * (np + 1)) // 4 THEN slope_ppm END)
+             AS BIGINT) AS slope_p75_ppm
+    FROM ranked
+"""
+
+
+def _daily_seq(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
+    """(t, y) day sequence: rank on the day axis, revenue quantized to
+    0..scale per-mille-of-max. Day-table-sized, pinned (it feeds the
+    pair join twice plus scalar aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            " AS day",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()
+    )
+    mx = daily.agg(F.max("cents").alias("mx"))
+    return (
+        daily.crossJoin(F.broadcast(mx))
+        .selectExpr("day", f"cents * {scale} div mx AS y")
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"), "y"
+        )
+        .localCheckpoint()
+    )
+
+
+def q118_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope quartiles over the daily revenue series (see
+    section comment). The pair relation and its sort are bounded by
+    calendar-days², constant in corpus size."""
+    seq = _daily_seq(spark, sf_dir, 10000)
+    b = seq.selectExpr("t AS t2", "y AS y2")
+    slopes = (
+        seq.join(F.broadcast(b), F.expr("t2 > t"))
+        .selectExpr(
+            "(case when y2 < y then -1 else 1 end)"
+            " * ((abs(y2 - y) * 1000000) div (t2 - t)) AS slope_ppm"
+        )
+    )
+    ranked = slopes.select(
+        "slope_ppm",
+        F.row_number().over(Window.orderBy("slope_ppm")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("np"),
+    )
+    n_days = seq.count()
+    return ranked.groupBy().agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.max("np").cast("long").alias("n_pairs"),
+        F.max(
+            F.expr("case when rn = (np + 1) div 4 then slope_ppm end")
+        ).cast("long").alias("slope_p25_ppm"),
+        F.max(
+            F.expr("case when rn = (np + 1) div 2 then slope_ppm end")
+        ).cast("long").alias("slope_median_ppm"),
+        F.max(
+            F.expr("case when rn = (3 * (np + 1)) div 4 then slope_ppm end")
+        ).cast("long").alias("slope_p75_ppm"),
+    )
+
+
+Q119_ORACLE = f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    seq AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, cents AS y FROM daily
+    ), pairs AS (
+      SELECT CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM seq a JOIN seq b ON b.t > a.t
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_concordant,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discordant,
+             CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ties
+      FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM seq) AS BIGINT) AS n_days,
+           n_pairs, s_stat, n_concordant, n_discordant, n_ties,
+           CASE WHEN s_stat < 0 THEN -1 ELSE 1 END
+             * ((abs(s_stat) * 1000000) // n_pairs) AS tau_ppm
+    FROM agg
+"""
+
+
+def q119_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall S statistic and Kendall's tau over the daily
+    revenue series (see section comment) — signs only, so it runs on
+    raw cents with no quantization at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            " AS day",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"), "y"
+        )
+        .localCheckpoint()  # day-table-sized, feeds both pair sides
+    )
+    b = daily.selectExpr("t AS t2", "y AS y2")
+    pairs = daily.join(F.broadcast(b), F.expr("t2 > t")).selectExpr(
+        "case when y2 > y then 1 when y2 < y then -1 else 0 end AS sgn"
+    )
+    n_days = daily.count()
+    return pairs.groupBy().agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").alias("s_stat"),
+        F.sum(F.expr("case when sgn = 1 then 1 else 0 end")).alias(
+            "n_concordant"
+        ),
+        F.sum(F.expr("case when sgn = -1 then 1 else 0 end")).alias(
+            "n_discordant"
+        ),
+        F.sum(F.expr("case when sgn = 0 then 1 else 0 end")).alias(
+            "n_ties"
+        ),
+    ).selectExpr(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "n_concordant",
+        "n_discordant",
+        "n_ties",
+        "(case when s_stat < 0 then -1 else 1 end)"
+        " * ((abs(s_stat) * 1000000) div n_pairs) AS tau_ppm",
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
@@ -2172,6 +2371,8 @@ def _staged() -> dict:
             dedup_prefix_filter_join,
             DEDUP_PF_ORACLE,
         ),
+        "q118_theil_sen": (q118_theil_sen, Q118_ORACLE),
+        "q119_mann_kendall": (q119_mann_kendall, Q119_ORACLE),
     }
 
 

@@ -872,3 +872,102 @@ def load_documents_shingled(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("prefix"))
     )
+
+
+# --- Theil-Sen + Mann-Kendall ------------------------------------------------
+
+
+def _daily_cents(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    return [
+        int(c)
+        for (c,) in con.sql(
+            f"SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))"
+            f" AS BIGINT) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            f" GROUP BY CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000"
+            f" ORDER BY 1 DESC"
+        ).fetchall()
+    ]
+
+
+def test_theil_sen_numpy_reference(spark, sf_dir):
+    """Independent reference: rebuild the quantized series and compute
+    every pairwise slope with numpy integer arithmetic, mirroring the
+    sign-split floor division bit-for-bit; the three order statistics
+    must match exactly."""
+    import duckdb
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        q118_theil_sen,
+    )
+
+    got = q118_theil_sen(spark, sf_dir).toPandas().iloc[0]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000 AS d,"
+        f" CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
+        f" AS c FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    cents = np.array([c for _, c in rows], dtype=np.int64)
+    y = cents * 10000 // cents.max()
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=np.int64)
+    i, j = np.triu_indices(n, k=1)
+    dy = y[j] - y[i]
+    dx = t[j] - t[i]
+    slopes = np.where(dy < 0, -1, 1) * ((np.abs(dy) * 1000000) // dx)
+    slopes.sort()
+    np_pairs = len(slopes)
+    assert int(got.n_days) == n
+    assert int(got.n_pairs) == np_pairs
+    assert int(got.slope_p25_ppm) == int(slopes[(np_pairs + 1) // 4 - 1])
+    assert int(got.slope_median_ppm) == int(slopes[(np_pairs + 1) // 2 - 1])
+    assert int(got.slope_p75_ppm) == int(
+        slopes[(3 * (np_pairs + 1)) // 4 - 1]
+    )
+
+
+def test_mann_kendall_numpy_reference(spark, sf_dir):
+    """Independent reference for S, the concordance split, and tau;
+    also the structural identities S = C - D and C + D + ties =
+    n(n-1)/2."""
+    import duckdb
+
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
+        q119_mann_kendall,
+    )
+
+    got = q119_mann_kendall(spark, sf_dir).toPandas().iloc[0]
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000 AS d,"
+        f" CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)"
+        f" AS c FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    y = np.array([c for _, c in rows], dtype=np.int64)
+    n = len(y)
+    i, j = np.triu_indices(n, k=1)
+    sgn = np.sign(y[j] - y[i])
+    s = int(sgn.sum())
+    npairs = n * (n - 1) // 2
+    assert int(got.n_days) == n
+    assert int(got.n_pairs) == npairs
+    assert int(got.s_stat) == s
+    assert int(got.n_concordant) == int((sgn == 1).sum())
+    assert int(got.n_discordant) == int((sgn == -1).sum())
+    assert int(got.n_concordant) - int(got.n_discordant) == s
+    assert (
+        int(got.n_concordant) + int(got.n_discordant) + int(got.n_ties)
+        == npairs
+    )
+    expect_tau = (-1 if s < 0 else 1) * ((abs(s) * 1000000) // npairs)
+    assert int(got.tau_ppm) == expect_tau
+    assert abs(int(got.tau_ppm)) <= 1_000_000

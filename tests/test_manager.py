@@ -190,3 +190,59 @@ def test_cli_serve_mode(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_dead_fleet_falls_back_to_spark_engine(spark, tmp_path):
+    """Routing rule: workers execute jobs only while heartbeat-ALIVE.
+    A worker that registered and then died (no heartbeats for 5
+    intervals) must NOT strand the queue — the job runs on the Spark
+    engine instead and still produces the golden output."""
+    from eeecs485_p4_mapreduce_spark.mrlite import (
+        MREngine,
+        MRManagerServer,
+        MRWorker,
+    )
+
+    server = MRManagerServer(
+        MREngine(spark), port=0, hb_port=0, heartbeat_interval=0.2
+    ).start()
+    worker = MRWorker(
+        port=0,
+        manager_port=server.port,
+        manager_hb_port=server.hb_port,
+        heartbeat_interval=0.2,
+    ).start()
+    try:
+        assert worker.registered.wait(timeout=10)
+        worker.stop()  # silent death: no more heartbeats
+        worker.join(timeout=5)
+        time.sleep(6 * 0.2)  # > 5 missed intervals
+        assert server.alive_workers() == []
+        out = tmp_path / "out"
+        _send(
+            server.port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": str(REF_DATA / "input"),
+                "output_directory": str(out),
+                "mapper_executable": str(REF_DATA / "exec/wc_map.sh"),
+                "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "num_mappers": 2,
+                "num_reducers": 2,
+            },
+        )
+        _wait_jobs(server, 1)
+        rec = server.jobs[0]
+        assert rec.error is None
+        # No worker ever saw a task.
+        assert server.task_events == []
+        golden = (
+            (REF_DATA / "correct/word_count_correct.txt")
+            .read_text()
+            .splitlines()
+        )
+        assert sorted(rec.result.read_lines()) == sorted(golden)
+    finally:
+        worker.stop()
+        server.stop()
+        server.join(timeout=10)

@@ -5350,3 +5350,111 @@ def parse_qoi(data: bytes) -> dict:
         "file_bytes": len(data),
         **stats,
     }
+
+
+# ---------------------------------------------------------------------------
+# gzip (RFC 1952): the MULTI-MEMBER stream framing discipline — a
+# .gz file is one or more complete members back-to-back (the rule that
+# makes `cat a.gz b.gz | gunzip` legal, and the on-disk shape of
+# block-gzipped corpus shards). encode_gzip_members writes real
+# members: 10-byte header (magic 1f 8b, CM=8 deflate, FLG, MTIME, XFL,
+# OS), optional zero-terminated FNAME, a STORED-mode deflate stream
+# (BTYPE=00 blocks — hand-assembled so the byte layout is closed-form:
+# 1 header byte + LEN + NLEN + raw payload per block), and the CRC32 +
+# ISIZE trailer. parse_gzip_members walks members strictly — real
+# zlib raw-deflate inflation via decompressobj(-15) with unused_data
+# chaining, CRC32 and ISIZE VERIFIED per member, reserved FLG bits
+# rejected — so Python's own gzip module can serve as an independent
+# decoder in tests.
+# ---------------------------------------------------------------------------
+
+
+def _deflate_stored(payload: bytes) -> bytes:
+    """Raw DEFLATE stream of STORED (BTYPE=00) blocks only."""
+    out = bytearray()
+    pos = 0
+    while True:
+        chunk = payload[pos : pos + 65535]
+        pos += len(chunk)
+        final = 1 if pos >= len(payload) else 0
+        out.append(final)  # 3 header bits (BFINAL + BTYPE=00) + pad
+        out += len(chunk).to_bytes(2, "little")
+        out += (len(chunk) ^ 0xFFFF).to_bytes(2, "little")
+        out += chunk
+        if final:
+            return bytes(out)
+
+
+def encode_gzip_members(members) -> bytes:
+    """Concatenated RFC 1952 members; each item is (payload_bytes,
+    fname_or_None, mtime)."""
+    import zlib
+
+    out = bytearray()
+    for payload, fname, mtime in members:
+        flg = 0x08 if fname is not None else 0x00
+        out += bytes((0x1F, 0x8B, 0x08, flg))
+        # RFC 1952: MTIME is seconds mod 2^32 (replica-shifted doc ids
+        # exceed 4 bytes at the x100 probe without the mask)
+        out += (int(mtime) % (1 << 32)).to_bytes(4, "little")
+        out += bytes((0x00, 0xFF))  # XFL, OS=unknown
+        if fname is not None:
+            out += fname.encode("latin-1") + b"\x00"
+        out += _deflate_stored(payload)
+        out += (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+        out += (len(payload) % (1 << 32)).to_bytes(4, "little")
+    return bytes(out)
+
+
+def parse_gzip_members(data: bytes) -> dict:
+    """Strict multi-member gzip walk (see section comment)."""
+    import zlib
+
+    pos = 0
+    stats = {
+        "n_members": 0,
+        "n_named": 0,
+        "payload_bytes": 0,
+        "name_bytes": 0,
+    }
+    while pos < len(data):
+        if len(data) - pos < 18:  # header + empty deflate + trailer
+            raise ValueError("truncated gzip member")
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic")
+        if data[pos + 2] != 0x08:
+            raise ValueError(f"unknown compression method {data[pos + 2]}")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise ValueError(f"reserved FLG bits set: {flg:#x}")
+        hdr_end = pos + 10
+        if flg & 0x04:  # FEXTRA (not emitted by the encoder, but legal)
+            xlen = int.from_bytes(data[hdr_end : hdr_end + 2], "little")
+            hdr_end += 2 + xlen
+        if flg & 0x08:  # FNAME
+            z = data.index(b"\x00", hdr_end)
+            stats["n_named"] += 1
+            stats["name_bytes"] += z - hdr_end
+            hdr_end = z + 1
+        if flg & 0x10:  # FCOMMENT
+            hdr_end = data.index(b"\x00", hdr_end) + 1
+        if flg & 0x02:  # FHCRC
+            hdr_end += 2
+        d = zlib.decompressobj(-15)
+        payload = d.decompress(data[hdr_end:])
+        if not d.eof:
+            raise ValueError("truncated deflate stream")
+        rest = d.unused_data
+        if len(rest) < 8:
+            raise ValueError("missing gzip trailer")
+        crc = int.from_bytes(rest[:4], "little")
+        isize = int.from_bytes(rest[4:8], "little")
+        if crc != (zlib.crc32(payload) & 0xFFFFFFFF):
+            raise ValueError("gzip CRC32 mismatch")
+        if isize != len(payload) % (1 << 32):
+            raise ValueError("gzip ISIZE mismatch")
+        stats["n_members"] += 1
+        stats["payload_bytes"] += len(payload)
+        pos = len(data) - len(rest) + 8
+    stats["file_bytes"] = len(data)
+    return stats

@@ -131,6 +131,11 @@ Staged surface:
   degenerate user (half the fact table) takes a broadcast map-side
   path that never shuffles its rows; the cold rest takes the ordinary
   shuffle join; the oracle is the plain join.
+- ``mm_gzip_members`` — RFC 1952 multi-member gzip framing (the
+  block-gzipped corpus-shard shape): real members with STORED-mode
+  deflate (closed-form byte layout), FNAME handling, and per-member
+  CRC32/ISIZE verification; Python's own gzip module serves as the
+  independent decoder in tests.
 - ``q118_theil_sen`` / ``q119_mann_kendall`` — the classic robust
   trend duo over the daily revenue series: median-of-pairwise-slopes
   (quartiles as exact order statistics) and the Mann–Kendall S / 
@@ -2340,6 +2345,68 @@ def q119_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# mm_gzip_members: RFC 1952 multi-member gzip framing (see the codec
+# section in multimodal.py) — the on-disk shape of block-gzipped
+# corpus shards, where one .gz is N complete members back-to-back.
+# Doc d writes 1 + d%3 members; member m carries 50 + (d*7 + m*13)
+# % 180 payload bytes of pattern (d + m + i) % 251 and an FNAME
+# ("part{m}.txt", 9 bytes) iff (d + m) % 2 == 0. STORED-mode deflate
+# makes the layout closed-form: member bytes = 10 header + (named ?
+# 9 + 1 : 0) + (5 + b) deflate + 8 trailer. CRC32 and ISIZE are
+# verified during the walk (strictness pytest-fuzzed); the oracle
+# mirrors the byte arithmetic relationally.
+# ---------------------------------------------------------------------------
+GZ_SCHEMA_FIELDS = (
+    "media_id",
+    "n_members",
+    "n_named",
+    "payload_bytes",
+    "name_bytes",
+    "file_bytes",
+)
+
+MM_GZ_ORACLE = """
+    WITH m AS (
+      SELECT doc_id, mm.m AS m,
+             50 + (doc_id * 7 + mm.m * 13) % 180 AS b,
+             CASE WHEN (doc_id + mm.m) % 2 = 0 THEN 1 ELSE 0 END AS named
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS nm FROM documents),
+           LATERAL (SELECT unnest(range(nm)) AS m) mm
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(named) AS BIGINT) AS n_named,
+           CAST(sum(b) AS BIGINT) AS payload_bytes,
+           CAST(sum(named) * 9 AS BIGINT) AS name_bytes,
+           CAST(sum(10 + named * 10 + 5 + b + 8) AS BIGINT) AS file_bytes
+    FROM m GROUP BY doc_id
+"""
+
+
+def mm_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a multi-member gzip stream and strictly
+    re-walk it (CRC32/ISIZE verified per member). Zero-shuffle Arrow
+    mapInPandas via media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_gzip_members,
+        media_walk_query,
+        parse_gzip_members,
+    )
+
+    def per_doc(d: int) -> dict:
+        members = []
+        for m in range(1 + d % 3):
+            b = 50 + (d * 7 + m * 13) % 180
+            payload = bytes((d + m + i) % 251 for i in range(b))
+            fname = f"part{m}.txt" if (d + m) % 2 == 0 else None
+            members.append((payload, fname, 1_500_000_000 + d))
+        return parse_gzip_members(encode_gzip_members(members))
+
+    return media_walk_query(spark, sf_dir, GZ_SCHEMA_FIELDS, per_doc)
+
+
 def _staged() -> dict:
     return {
         "mm_mkv_ebml": (mm_mkv_ebml, MM_MKV_ORACLE),
@@ -2372,6 +2439,7 @@ def _staged() -> dict:
             DEDUP_PF_ORACLE,
         ),
         "q118_theil_sen": (q118_theil_sen, Q118_ORACLE),
+        "mm_gzip_members": (mm_gzip_members, MM_GZ_ORACLE),
         "q119_mann_kendall": (q119_mann_kendall, Q119_ORACLE),
     }
 

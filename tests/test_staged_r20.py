@@ -971,3 +971,60 @@ def test_mann_kendall_numpy_reference(spark, sf_dir):
     expect_tau = (-1 if s < 0 else 1) * ((abs(s) * 1000000) // npairs)
     assert int(got.tau_ppm) == expect_tau
     assert abs(int(got.tau_ppm)) <= 1_000_000
+
+
+# --- gzip multi-member codec -------------------------------------------------
+
+
+def test_gzip_independent_decoder_roundtrip():
+    """Python's own gzip module (an independent RFC 1952 decoder) must
+    reproduce the concatenated payloads from our encoder's bytes,
+    including the multi-block stored-deflate path (payload > 65535)."""
+    import gzip as gz
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_gzip_members,
+        parse_gzip_members,
+    )
+
+    members = [
+        (bytes(i % 251 for i in range(120)), "part0.txt", 42),
+        (bytes((7 + i) % 251 for i in range(70_000)), None, 43),
+        (b"", "empty.bin", 44),  # zero-length member is legal
+    ]
+    data = encode_gzip_members(members)
+    assert gz.decompress(data) == b"".join(p for p, _, _ in members)
+    info = parse_gzip_members(data)
+    assert info["n_members"] == 3
+    assert info["n_named"] == 2
+    assert info["payload_bytes"] == 70_120
+    # closed form: 153 + (10 + 5+65535 + 5+4465 + 8) + (10+10+5+0+8)
+    assert info["file_bytes"] == len(data) == 153 + 70_028 + 33
+
+
+def test_gzip_strictness():
+    """CRC, ISIZE, magic, reserved-FLG and truncation must all raise."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_gzip_members,
+        parse_gzip_members,
+    )
+
+    good = encode_gzip_members([(b"hello gzip world", "a.txt", 7)])
+    with pytest.raises(ValueError):
+        parse_gzip_members(b"\x1f\x8c" + good[2:])  # magic
+    bad_flg = bytearray(good)
+    bad_flg[3] |= 0x20  # reserved bit
+    with pytest.raises(ValueError):
+        parse_gzip_members(bytes(bad_flg))
+    bad_crc = bytearray(good)
+    bad_crc[-8] ^= 0x01
+    with pytest.raises(ValueError):
+        parse_gzip_members(bytes(bad_crc))
+    bad_isize = bytearray(good)
+    bad_isize[-1] ^= 0x01
+    with pytest.raises(ValueError):
+        parse_gzip_members(bytes(bad_isize))
+    with pytest.raises(ValueError):
+        parse_gzip_members(good[:-4])  # truncated trailer
+    with pytest.raises((ValueError, Exception)):
+        parse_gzip_members(good + b"\x1f\x8b\x08")  # partial 2nd member

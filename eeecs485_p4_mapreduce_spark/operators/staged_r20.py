@@ -1,16 +1,20 @@
-"""Queries STAGED for a future registration round (implemented +
-oracle-proven in this build session; the flip is one
-``register_staged()`` call in ``registry.load_all``).
+"""The r10-session query additions — built under the staging
+discipline and REGISTERED within the same round once every query had
+its full evidence set (the r9 verdict ranked "exists but not yet
+driver-graded" as the only gap worth closing, so the flip no longer
+waits for the next round).
 
-Same staging discipline as operators/staged_r9–r19: built, pytest
+Same discipline as operators/staged_r9–r19: built, pytest
 hash-checked against DuckDB at sf0.001 and sf0.01
 (tests/test_staged_r20.py), fixture-tested with independent
-references, plan-gate swept, and x10/x100 replica-probed BEFORE
+references, plan-gate swept, x10/x100 replica-probed, and — new for
+this flip — re-checked under a VANILLA driver-style session
+(SPARK_VANILLA=1 tools/oracle_check.py, 20/20 green at sf0.01) before
 registration. Same contract as every registered query: identical
 aliases both sides, round()-ed or integer-exact outputs, no nullable
 hash-bearing columns.
 
-Staged surface:
+Registered surface (flipped in r10):
 
 - ``mm_mkv_ebml`` — the third container-framing discipline alongside
   mm_mp4_boxes (length-prefixed boxes) and mm_ogg_pages (lacing
@@ -1706,23 +1710,25 @@ def q116_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("pos").alias("p"),
         )
-        # ~20 rows, feeds the running-sum window AND the total: pin so
-        # orders is scanned+aggregated once, not twice (PLANS gate).
-        .localCheckpoint()
     )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = g.agg(
-        F.sum("n").alias("nt"), F.sum("p").alias("pt")
+    # Window over the LIVE aggregate (the unpartitioned-window gate
+    # must see the bounding aggregate in the window's subtree — a pin
+    # below the window would hide it), THEN pin the ~20-row cumulative
+    # table; the totals are its last row, so orders is scanned and
+    # aggregated exactly once.
+    cum = g.select(
+        "bucket",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    ).localCheckpoint()
+    tot = cum.agg(
+        F.max("nl").alias("nt"), F.max("pl").alias("pt")
     )
     c = (
-        g.select(
-            "bucket",
-            F.sum("n").over(w).alias("nl"),
-            F.sum("p").over(w).alias("pl"),
-        )
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .where("nl < nt")
         .selectExpr(
             "bucket",
@@ -2208,8 +2214,12 @@ Q118_ORACLE = f"""
 
 def _daily_seq(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
     """(t, y) day sequence: rank on the day axis, revenue quantized to
-    0..scale per-mille-of-max. Day-table-sized, pinned (it feeds the
-    pair join twice plus scalar aggregates)."""
+    0..scale per-mille-of-max. Deliberately LIVE lineage (no pin): the
+    pair join consumes it twice and the downstream slope window is
+    unpartitioned, so the plan gate must find the bounding day
+    aggregate inside every window's subtree — a pin would hide it.
+    The cost is re-running a column-pruned scan + partial agg per
+    consumer, which stays embarrassingly parallel at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     daily = (
         li.selectExpr(
@@ -2219,7 +2229,6 @@ def _daily_seq(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("cents").alias("cents"))
-        .localCheckpoint()
     )
     mx = daily.agg(F.max("cents").alias("mx"))
     return (
@@ -2228,7 +2237,6 @@ def _daily_seq(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
         .select(
             F.row_number().over(Window.orderBy("day")).alias("t"), "y"
         )
-        .localCheckpoint()
     )
 
 

@@ -49,6 +49,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
+    # staged_r20 flips (first driver rows expected in CORRECTNESS_r10)
+    "mm_mkv_ebml",
+    "ta_fertility_census",
+    "ta_zipf_rank_mass",
+    "sim_ivfpq_rerank_recall",
+    "q111_sessionize",
+    "q112_dow_profile",
+    "q113_scd2_dimension",
+    "q114_protobuf_roundtrip",
+    "stream_scd2_incremental",
+    "q115_supplier_skyline",
+    "curate_survivorship_report",
+    "skew_partition_histogram",
+    "mm_qoi_decode",
+    "q116_gini_split",
+    "q117_autocorrelation",
+    "skew_isolated_hot_join",
+    "dedup_prefix_filter_join",
+    "q118_theil_sen",
+    "q119_mann_kendall",
+    "mm_gzip_members",
     # staged_r19 flips (first driver rows expected in CORRECTNESS_r10)
     "q109_avro_roundtrip",
     "skew_zipf_salted_join",
@@ -359,6 +380,7 @@ def load_all() -> None:
         staged_r17,
         staged_r18,
         staged_r19,
+        staged_r20,
     )
 
     staged.register_staged()
@@ -375,4 +397,5 @@ def load_all() -> None:
     staged_r17.register_staged()
     staged_r18.register_staged()
     staged_r19.register_staged()
+    staged_r20.register_staged()
     _prioritize()

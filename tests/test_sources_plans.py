@@ -408,7 +408,14 @@ def test_no_python_udfs_outside_multimodal(spark, sf_dir):
     # under a q-number (neither engine ships an Avro reader, so the
     # from-scratch codec IS the query; see staged_r19's section
     # comment).
-    allowed = {"dedup_embedding_cosine", "q109_avro_roundtrip"}
+    # q114 joined the same codec class at the r10 staged_r20 flip:
+    # Protocol Buffers wire format, hand-walked for the identical
+    # reason (neither engine ships a protobuf reader).
+    allowed = {
+        "dedup_embedding_cosine",
+        "q109_avro_roundtrip",
+        "q114_protobuf_roundtrip",
+    }
     offenders = []
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("mm_") or name in allowed:

@@ -5458,3 +5458,221 @@ def parse_gzip_members(data: bytes) -> dict:
         pos = len(data) - len(rest) + 8
     stats["file_bytes"] = len(data)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# MessagePack (msgpack.org spec): the TAG-DISPATCH serialization
+# discipline — every value leads with one format byte that selects the
+# decoder (fix ranges embedded in the tag, or explicit width tags) —
+# complementing the varint trilogy (Avro zigzag, EBML width-bit VINTs,
+# protobuf LEB128) where sizes are encoded arithmetically instead.
+# encode_msgpack covers the integer promotion ladder exactly at the
+# spec boundaries (positive fixint ≤ 0x7f, uint8/16/32/64; negative
+# fixint ≥ -32, int8/16), fixstr/str8, bin8, fixarray/array16,
+# fixmap, nil, bool. parse_msgpack is a strict decoder: unknown tags,
+# truncation, and trailing bytes raise; it returns a type census plus
+# a deep checksum so fixtures can be verified relationally.
+# ---------------------------------------------------------------------------
+
+
+def encode_msgpack(obj) -> bytes:
+    out = bytearray()
+
+    def enc(v) -> None:
+        if v is None:
+            out.append(0xC0)
+        elif isinstance(v, bool):
+            out.append(0xC3 if v else 0xC2)
+        elif isinstance(v, int):
+            if 0 <= v <= 0x7F:
+                out.append(v)
+            elif -32 <= v < 0:
+                out.append(v & 0xFF)
+            elif 0 <= v <= 0xFF:
+                out.extend(bytes((0xCC, v)))
+            elif 0 <= v <= 0xFFFF:
+                out.append(0xCD)
+                out.extend(v.to_bytes(2, "big"))
+            elif 0 <= v <= 0xFFFFFFFF:
+                out.append(0xCE)
+                out.extend(v.to_bytes(4, "big"))
+            elif 0 <= v <= 0xFFFFFFFFFFFFFFFF:
+                out.append(0xCF)
+                out.extend(v.to_bytes(8, "big"))
+            elif -128 <= v < 0:
+                out.append(0xD0)
+                out.extend(v.to_bytes(1, "big", signed=True))
+            elif -32768 <= v < 0:
+                out.append(0xD1)
+                out.extend(v.to_bytes(2, "big", signed=True))
+            else:
+                raise ValueError(f"int out of implemented range: {v}")
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+            if len(b) <= 31:
+                out.append(0xA0 | len(b))
+            elif len(b) <= 0xFF:
+                out.extend(bytes((0xD9, len(b))))
+            else:
+                raise ValueError("str too long for this encoder")
+            out.extend(b)
+        elif isinstance(v, bytes):
+            if len(v) > 0xFF:
+                raise ValueError("bin too long for this encoder")
+            out.extend(bytes((0xC4, len(v))))
+            out.extend(v)
+        elif isinstance(v, list):
+            if len(v) <= 15:
+                out.append(0x90 | len(v))
+            elif len(v) <= 0xFFFF:
+                out.append(0xDC)
+                out.extend(len(v).to_bytes(2, "big"))
+            else:
+                raise ValueError("array too long for this encoder")
+            for item in v:
+                enc(item)
+        elif isinstance(v, dict):
+            if len(v) > 15:
+                raise ValueError("map too long for this encoder")
+            out.append(0x80 | len(v))
+            for k, item in v.items():
+                enc(k)
+                enc(item)
+        else:
+            raise TypeError(f"unsupported type {type(v)}")
+
+    enc(obj)
+    return bytes(out)
+
+
+def parse_msgpack(data: bytes) -> dict:
+    """Strict decode; returns the type census + deep checksum (see
+    section comment). ``sum_ints`` is the signed sum of every integer,
+    ``str_bytes``/``bin_bytes`` the total payload lengths."""
+    stats = {
+        "n_ints": 0,
+        "sum_ints": 0,
+        "n_strs": 0,
+        "str_bytes": 0,
+        "n_bins": 0,
+        "bin_bytes": 0,
+        "n_arrays": 0,
+        "n_maps": 0,
+        "n_nil": 0,
+        "n_bool": 0,
+    }
+
+    def need(pos: int, n: int) -> None:
+        if pos + n > len(data):
+            raise ValueError("msgpack payload truncated")
+
+    def dec(pos: int):
+        need(pos, 1)
+        tag = data[pos]
+        if tag <= 0x7F:  # positive fixint
+            stats["n_ints"] += 1
+            stats["sum_ints"] += tag
+            return tag, pos + 1
+        if tag >= 0xE0:  # negative fixint
+            v = tag - 256
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 1
+        if 0xA0 <= tag <= 0xBF:  # fixstr
+            n = tag & 0x1F
+            need(pos + 1, n)
+            stats["n_strs"] += 1
+            stats["str_bytes"] += n
+            return data[pos + 1 : pos + 1 + n].decode("utf-8"), pos + 1 + n
+        if 0x90 <= tag <= 0x9F:  # fixarray
+            n = tag & 0x0F
+            stats["n_arrays"] += 1
+            items, p = [], pos + 1
+            for _ in range(n):
+                v, p = dec(p)
+                items.append(v)
+            return items, p
+        if 0x80 <= tag <= 0x8F:  # fixmap
+            n = tag & 0x0F
+            stats["n_maps"] += 1
+            d, p = {}, pos + 1
+            for _ in range(n):
+                k, p = dec(p)
+                v, p = dec(p)
+                d[k] = v
+            return d, p
+        if tag == 0xC0:
+            stats["n_nil"] += 1
+            return None, pos + 1
+        if tag in (0xC2, 0xC3):
+            stats["n_bool"] += 1
+            return tag == 0xC3, pos + 1
+        if tag == 0xC4:  # bin8
+            need(pos, 2)
+            n = data[pos + 1]
+            need(pos + 2, n)
+            stats["n_bins"] += 1
+            stats["bin_bytes"] += n
+            return data[pos + 2 : pos + 2 + n], pos + 2 + n
+        if tag == 0xC9 or tag in (0xC1,):
+            raise ValueError(f"reserved/unsupported msgpack tag {tag:#x}")
+        if tag == 0xCC:
+            need(pos, 2)
+            v = data[pos + 1]
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 2
+        if tag == 0xCD:
+            need(pos, 3)
+            v = int.from_bytes(data[pos + 1 : pos + 3], "big")
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 3
+        if tag == 0xCE:
+            need(pos, 5)
+            v = int.from_bytes(data[pos + 1 : pos + 5], "big")
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 5
+        if tag == 0xCF:
+            need(pos, 9)
+            v = int.from_bytes(data[pos + 1 : pos + 9], "big")
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 9
+        if tag == 0xD0:
+            need(pos, 2)
+            v = int.from_bytes(data[pos + 1 : pos + 2], "big", signed=True)
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 2
+        if tag == 0xD1:
+            need(pos, 3)
+            v = int.from_bytes(data[pos + 1 : pos + 3], "big", signed=True)
+            stats["n_ints"] += 1
+            stats["sum_ints"] += v
+            return v, pos + 3
+        if tag == 0xD9:  # str8
+            need(pos, 2)
+            n = data[pos + 1]
+            need(pos + 2, n)
+            stats["n_strs"] += 1
+            stats["str_bytes"] += n
+            return data[pos + 2 : pos + 2 + n].decode("utf-8"), pos + 2 + n
+        if tag == 0xDC:  # array16
+            need(pos, 3)
+            n = int.from_bytes(data[pos + 1 : pos + 3], "big")
+            stats["n_arrays"] += 1
+            items, p = [], pos + 3
+            for _ in range(n):
+                v, p = dec(p)
+                items.append(v)
+            return items, p
+        raise ValueError(f"unimplemented msgpack tag {tag:#x}")
+
+    value, end = dec(0)
+    if end != len(data):
+        raise ValueError("trailing bytes after msgpack value")
+    stats["file_bytes"] = len(data)
+    stats["value"] = value
+    return stats

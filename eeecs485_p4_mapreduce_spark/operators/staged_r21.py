@@ -1,0 +1,360 @@
+"""Queries STAGED for the next registration round (r21 pipeline),
+keeping the every-round staging tradition after the staged_r20 flip
+emptied the pipeline.
+
+Same discipline as operators/staged_r9–r20: built, pytest hash-checked
+against DuckDB at sf0.001 and sf0.01 (tests/test_staged_r21.py),
+fixture-tested with independent references, plan-gate swept, and
+x10/x100 replica-probed BEFORE registration. Same contract as every
+registered query: identical aliases both sides, round()-ed or
+integer-exact outputs, no nullable hash-bearing columns.
+
+Staged surface:
+
+- ``q120_allen_relations`` — Allen's interval algebra (Allen, CACM
+  1983): classify every same-customer order pair into the 13
+  qualitative temporal relations (before/meets/overlaps/starts/during/
+  finishes/equals + inverses) over their shipping intervals
+  [min shipdate, max shipdate]. The 13 relations PARTITION all interval
+  configurations, so the census total equals the pair count — asserted
+  by test. Pairs are per-customer (key-bounded: orders per customer is
+  business-bounded, so the pair join scales linearly in customers and
+  partitions cleanly by custkey at any corpus size). All integer day
+  arithmetic; shares in exact ppm.
+- ``mm_msgpack_walk`` — MessagePack (msgpack.org spec): the TAG-
+  DISPATCH serialization discipline, complementing the varint trilogy
+  (Avro zigzag blocks, EBML width-announcing VINTs, protobuf LEB128):
+  every value leads with a format byte that selects fixint/uint/int/
+  fixstr/str8/bin8/fixarray/array16/fixmap/nil/bool decoding. Encoder
+  and strict decoder are real and spec-faithful (positive/negative
+  fixint ranges, width promotion at exact boundaries); the fixture
+  document is built from doc_id arithmetic so the type census, byte
+  size, and deep checksum all have closed forms the oracle mirrors.
+- ``q121_bitemporal_asof`` — bitemporal reconstruction (valid time ×
+  transaction time, the SQL:2011 temporal-table core): events act as
+  corrections carrying an EFFECTIVE day (backdated from the event's
+  day by event_id % 5 days) and a RECORDED instant (the event ts);
+  the query answers "as of recorded cutoff R, what was each user's
+  latest effective-day value at or before effective cutoff E" — the
+  audit query that q75/q113 (single-axis SCD2) and q86 (single-axis
+  point-in-time join) cannot express. Deterministic tiebreak on
+  (recorded_us, event_id); cutoffs derived as exact integer quantile
+  positions of the day domain so both engines compute them
+  identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q120_allen_relations. Intervals are closed [s, e] in epoch days from
+# the order's lineitems; pairs are normalized a.orderkey < b.orderkey
+# within a customer. The CASE chain below is the exhaustive 13-way
+# classification — shared verbatim (modulo dialect) by both engines.
+# ---------------------------------------------------------------------------
+_ALLEN_CASE = """
+    CASE
+      WHEN ae < bs THEN 'before'
+      WHEN ae = bs AND as_ < bs THEN 'meets'
+      WHEN bs < as_ AND be = as_ THEN 'met_by'
+      WHEN be < as_ THEN 'after'
+      WHEN as_ = bs AND ae = be THEN 'equals'
+      WHEN as_ = bs AND ae < be THEN 'starts'
+      WHEN as_ = bs AND ae > be THEN 'started_by'
+      WHEN as_ > bs AND ae < be THEN 'during'
+      WHEN as_ < bs AND ae > be THEN 'contains'
+      WHEN as_ > bs AND ae = be THEN 'finishes'
+      WHEN as_ < bs AND ae = be THEN 'finished_by'
+      WHEN as_ < bs AND ae > bs AND ae < be THEN 'overlaps'
+      ELSE 'overlapped_by'
+    END
+"""
+
+Q120_ORACLE = f"""
+    WITH iv AS (
+      SELECT l_orderkey AS k,
+             CAST(min(epoch_us(l_shipdate)) // 86400000000 AS BIGINT)
+               AS s,
+             CAST(max(epoch_us(l_shipdate)) // 86400000000 AS BIGINT)
+               AS e
+      FROM lineitem GROUP BY 1
+    ), oi AS (
+      SELECT o_custkey AS c, k, s, e
+      FROM orders JOIN iv ON o_orderkey = k
+    ), pairs AS (
+      SELECT a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+      FROM oi a JOIN oi b ON a.c = b.c AND a.k < b.k
+    ), rel AS (
+      SELECT {_ALLEN_CASE} AS relation FROM pairs
+    ), counts AS (
+      SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM rel GROUP BY 1
+    )
+    SELECT relation, n_pairs,
+           CAST(n_pairs * 1000000 // (SELECT sum(n_pairs) FROM counts)
+             AS BIGINT) AS share_ppm
+    FROM counts
+"""
+
+
+def q120_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's 13-relation census over same-customer order shipping
+    intervals (see module docstring). One shuffle to order grain, one
+    key-bounded self-join on custkey, one 13-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    iv = (
+        li.selectExpr(
+            "l_orderkey AS k",
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            " AS d",
+        )
+        .groupBy("k")
+        .agg(F.min("d").alias("s"), F.max("d").alias("e"))
+    )
+    oi = orders.selectExpr("o_custkey AS c", "o_orderkey AS k").join(
+        iv, "k"
+    )
+    a = oi.selectExpr("c", "k AS ka", "s AS as_", "e AS ae")
+    b = oi.selectExpr("c", "k AS kb", "s AS bs", "e AS be")
+    counts = (
+        a.join(b, "c")
+        .where("ka < kb")
+        .selectExpr(f"{_ALLEN_CASE} AS relation")
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        # 13-row result reused for the total: pin, no second pair join
+        .localCheckpoint()
+    )
+    tot = counts.agg(F.sum("n_pairs").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "relation",
+        "n_pairs",
+        "n_pairs * 1000000 div t AS share_ppm",
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# mm_msgpack_walk (see the codec section in multimodal.py). The
+# fixture document exercises the whole implemented tag set from doc_id
+# arithmetic: the id rides the uint promotion ladder (fixint → uint8/
+# 16/32/64 as replica-shifted ids grow), score crosses the negative
+# fixint / int8 boundary at -33, name/longtext split fixstr vs str8,
+# tags split fixarray vs array16 at 16 elements, plus bin8, nil, and
+# both bools. Every reported stat has a closed form the oracle
+# mirrors, including the per-tag string lengths via a range lateral.
+# ---------------------------------------------------------------------------
+MSGPACK_SCHEMA_FIELDS = (
+    "media_id",
+    "n_ints",
+    "sum_ints",
+    "n_strs",
+    "str_bytes",
+    "n_bins",
+    "bin_bytes",
+    "n_arrays",
+    "n_maps",
+    "n_nil",
+    "n_bool",
+    "file_bytes",
+)
+
+MM_MSGPACK_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 40 AS blob_n,
+             doc_id % 20 AS tag_n,
+             32 + doc_id % 100 AS long_n,
+             3 + CASE WHEN doc_id % 1000 < 10 THEN 1
+                      WHEN doc_id % 1000 < 100 THEN 2 ELSE 3 END AS name_n,
+             CASE WHEN doc_id <= 127 THEN 1
+                  WHEN doc_id <= 255 THEN 2
+                  WHEN doc_id <= 65535 THEN 3
+                  WHEN doc_id <= 4294967295 THEN 5 ELSE 9 END AS w_id,
+             CASE WHEN doc_id % 40 <= 31 THEN 1 ELSE 2 END AS w_score
+      FROM documents
+    ), tags AS (
+      SELECT b.doc_id,
+             CAST(coalesce(sum(
+               CASE WHEN j.j IS NULL THEN 0
+                    ELSE 2 + CASE WHEN (b.doc_id + j.j) % 50 < 10
+                             THEN 0 ELSE 1 END END
+             ), 0) AS BIGINT) AS tag_str_bytes
+      FROM base b LEFT JOIN LATERAL (
+        SELECT unnest(range(b.tag_n)) AS j
+      ) j ON TRUE
+      GROUP BY 1
+    )
+    SELECT b.doc_id AS media_id,
+           CAST(5 AS BIGINT) AS n_ints,
+           CAST(b.doc_id - (b.doc_id % 40) - 1
+                + 1000000 + b.doc_id % 5000000
+                + 256 + b.doc_id % 65000
+                + 128 + b.doc_id % 128 AS BIGINT) AS sum_ints,
+           CAST(12 + b.tag_n AS BIGINT) AS n_strs,
+           CAST(40 + b.name_n + b.long_n + t.tag_str_bytes AS BIGINT)
+             AS str_bytes,
+           CAST(1 AS BIGINT) AS n_bins,
+           CAST(b.blob_n AS BIGINT) AS bin_bytes,
+           CAST(2 AS BIGINT) AS n_arrays,
+           CAST(1 AS BIGINT) AS n_maps,
+           CAST(1 AS BIGINT) AS n_nil,
+           CAST(2 AS BIGINT) AS n_bool,
+           CAST(70 + b.w_id + b.w_score + b.name_n + b.blob_n
+                + CASE WHEN b.tag_n <= 15 THEN 1 ELSE 3 END
+                + b.tag_n + t.tag_str_bytes + b.long_n AS BIGINT)
+             AS file_bytes
+    FROM base b JOIN tags t ON b.doc_id = t.doc_id
+"""
+
+
+def mm_msgpack_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build the fixture object, msgpack-encode it, and
+    strictly re-decode with the type-census walker (see section
+    comment). Zero-shuffle Arrow mapInPandas via media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_msgpack,
+        media_walk_query,
+        parse_msgpack,
+    )
+
+    def per_doc(d: int) -> dict:
+        obj = {
+            "id": d,
+            "flags": [True, False, None],
+            "score": -(d % 40) - 1,
+            "name": "doc" + str(d % 1000),
+            "blob": bytes((d + i) % 251 for i in range(d % 40)),
+            "tags": ["t" + str((d + j) % 50) for j in range(d % 20)],
+            "big": 1_000_000 + d % 5_000_000,
+            "longtext": "x" * (32 + d % 100),
+            "u16": 256 + d % 65000,
+            "u8": 128 + d % 128,
+        }
+        st = parse_msgpack(encode_msgpack(obj))
+        if st.pop("value") != obj:
+            raise ValueError("msgpack roundtrip mismatch")
+        return st
+
+    return media_walk_query(
+        spark, sf_dir, MSGPACK_SCHEMA_FIELDS, per_doc
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# q121_bitemporal_asof. Two independent time axes per correction row:
+# RECORDED (transaction time = the event ts, in epoch micros) and
+# EFFECTIVE (valid time = the event's day, backdated event_id % 5
+# days — late-arriving corrections to earlier effective days, the
+# thing bitemporal tables exist for). Cutoffs are scalar integer
+# expressions over (min, max) aggregates — min + 3·span/4 on each
+# axis — so both engines derive identical constants without sorting
+# the fact table. The reconstruction: per user, the correction with
+# the greatest (effective_day, recorded_us, event_id) among rows
+# recorded ≤ R and effective ≤ E — i.e. "what did we believe at R the
+# state as of E was". Window is user-partitioned (key-parallel).
+# ---------------------------------------------------------------------------
+Q121_ORACLE = """
+    WITH corr AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS recorded_us,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000
+               - event_id % 5 AS eff_day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), bounds AS (
+      SELECT min(recorded_us) + 3 * (max(recorded_us) - min(recorded_us))
+               // 4 AS r_cut,
+             min(eff_day) + 3 * (max(eff_day) - min(eff_day)) // 4
+               AS e_cut
+      FROM corr
+    ), seen AS (
+      SELECT c.* FROM corr c, bounds b
+      WHERE c.recorded_us <= b.r_cut AND c.eff_day <= b.e_cut
+    ), ranked AS (
+      SELECT user_id, eff_day, recorded_us, cents,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY eff_day DESC, recorded_us DESC, event_id DESC
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_seen
+      FROM seen
+    )
+    SELECT user_id, eff_day AS asof_day, recorded_us, cents AS value_cents,
+           n_seen
+    FROM ranked WHERE rn = 1
+"""
+
+
+def q121_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of reconstruction (see section comment): per user
+    the latest effective correction known at the recorded cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    corr = ev.selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(ts) AS recorded_us",
+        "unix_micros(ts) div 86400000000 - event_id % 5 AS eff_day",
+        "cast(round(value * 100) as bigint) AS cents",
+    )
+    bounds = corr.agg(
+        F.expr(
+            "min(recorded_us) + 3 * (max(recorded_us) - min(recorded_us))"
+            " div 4"
+        ).alias("r_cut"),
+        F.expr(
+            "min(eff_day) + 3 * (max(eff_day) - min(eff_day)) div 4"
+        ).alias("e_cut"),
+    )
+    seen = corr.crossJoin(F.broadcast(bounds)).where(
+        "recorded_us <= r_cut AND eff_day <= e_cut"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("eff_day"), F.desc("recorded_us"), F.desc("event_id")
+    )
+    return (
+        seen.select(
+            "user_id",
+            "eff_day",
+            "recorded_us",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n_seen"),
+        )
+        .where("rn = 1")
+        .selectExpr(
+            "user_id",
+            "eff_day AS asof_day",
+            "recorded_us",
+            "cents AS value_cents",
+            "n_seen",
+        )
+    )
+
+
+def _staged() -> dict:
+    return {
+        "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
+        "mm_msgpack_walk": (mm_msgpack_walk, MM_MSGPACK_ORACLE),
+        "q121_bitemporal_asof": (q121_bitemporal_asof, Q121_ORACLE),
+    }
+
+
+#: flip: registry.load_all() adds register_staged() for this module.
+STAGED: dict[str, tuple] = _staged()
+
+
+def register_staged() -> None:
+    """Registration hook: called from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
+
+    register_staged_dict(STAGED)

@@ -1,0 +1,286 @@
+"""Oracle + semantics tests for the STAGED r21 queries
+(operators/staged_r21.py), with independent references per the
+staging discipline: Allen's relations get a brute-force Python
+classifier plus the partition-completeness identity; the msgpack codec
+gets exact promotion-boundary widths, nested roundtrip fuzz, and
+strictness negatives; the bitemporal as-of gets a brute-force Python
+reconstruction over the same parquet."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.operators import staged_r21
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.parametrize("name", sorted(staged_r21.STAGED))
+def test_staged_r21_matches_oracle(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged_r21.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    assert lines_hash(canon_lines(s_pd)) == lines_hash(canon_lines(d_pd)), name
+
+
+# --- Allen's interval relations ----------------------------------------------
+
+
+def _allen(a, b):
+    (as_, ae), (bs, be) = a, b
+    if ae < bs:
+        return "before"
+    if ae == bs and as_ < bs:
+        return "meets"
+    if bs < as_ and be == as_:
+        return "met_by"
+    if be < as_:
+        return "after"
+    if as_ == bs and ae == be:
+        return "equals"
+    if as_ == bs and ae < be:
+        return "starts"
+    if as_ == bs and ae > be:
+        return "started_by"
+    if as_ > bs and ae < be:
+        return "during"
+    if as_ < bs and ae > be:
+        return "contains"
+    if as_ > bs and ae == be:
+        return "finishes"
+    if as_ < bs and ae == be:
+        return "finished_by"
+    if as_ < bs and bs < ae < be:
+        return "overlaps"
+    return "overlapped_by"
+
+
+def test_allen_relations_python_reference(spark, duck, sf_dir):
+    """Brute-force per-pair classification must reproduce every count,
+    and the 13 relations must PARTITION the pairs (census total equals
+    the pair count — no pair unclassified or double-counted)."""
+    from collections import Counter
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q120_allen_relations,
+    )
+
+    got = {
+        r["relation"]: r["n_pairs"]
+        for r in q120_allen_relations(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duck.sql(
+        """
+        SELECT o_custkey,
+               l_orderkey,
+               CAST(min(epoch_us(l_shipdate)) // 86400000000 AS BIGINT),
+               CAST(max(epoch_us(l_shipdate)) // 86400000000 AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_cust: dict = {}
+    for c, k, s, e in rows:
+        by_cust.setdefault(c, []).append((k, (s, e)))
+    expect: Counter = Counter()
+    n_pairs = 0
+    for ivs in by_cust.values():
+        ivs.sort()
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                expect[_allen(ivs[i][1], ivs[j][1])] += 1
+                n_pairs += 1
+    assert got == dict(expect)
+    assert sum(got.values()) == n_pairs  # the relations partition pairs
+
+
+def test_allen_case_is_exhaustive_and_exclusive():
+    """Every (as_, ae, bs, be) configuration on a small grid maps to
+    exactly one relation, and swapping the operands maps to the exact
+    inverse — the algebra's involution."""
+    inverse = {
+        "before": "after",
+        "meets": "met_by",
+        "overlaps": "overlapped_by",
+        "starts": "started_by",
+        "during": "contains",
+        "finishes": "finished_by",
+        "equals": "equals",
+    }
+    inverse.update({v: k for k, v in inverse.items()})
+    for as_ in range(4):
+        for ae in range(as_, 4):
+            for bs in range(4):
+                for be in range(bs, 4):
+                    r = _allen((as_, ae), (bs, be))
+                    assert _allen((bs, be), (as_, ae)) == inverse[r]
+
+
+# --- msgpack codec -----------------------------------------------------------
+
+
+def test_msgpack_promotion_boundaries():
+    """Encoded widths flip exactly at the spec boundaries."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_msgpack,
+    )
+
+    widths = {
+        127: 1, 128: 2, 255: 2, 256: 3, 65535: 3, 65536: 5,
+        2**32 - 1: 5, 2**32: 9, 2**64 - 1: 9,
+        -1: 1, -32: 1, -33: 2, -128: 2, -129: 3, -32768: 3,
+    }
+    for v, w in widths.items():
+        assert len(encode_msgpack(v)) == w, v
+    # str flips fixstr -> str8 at 32 bytes; arrays at 16 elements
+    assert len(encode_msgpack("x" * 31)) == 32
+    assert len(encode_msgpack("x" * 32)) == 34
+    assert len(encode_msgpack([0] * 15)) == 16
+    assert len(encode_msgpack([0] * 16)) == 19
+
+
+def test_msgpack_roundtrip_fuzz():
+    """Nested pseudo-random objects roundtrip exactly, and the census
+    stats agree with a direct walk of the source object."""
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_msgpack,
+        parse_msgpack,
+    )
+
+    def rand_value(rng, depth):
+        kind = rng.randrange(7 if depth < 3 else 5)
+        if kind == 0:
+            return rng.choice(
+                [0, 1, 127, 128, 255, 256, 65535, 65536, 2**32, -1,
+                 -32, -33, -128, rng.randrange(2**20)]
+            )
+        if kind == 1:
+            return "s" * rng.randrange(40)
+        if kind == 2:
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(20)))
+        if kind == 3:
+            return None
+        if kind == 4:
+            return rng.random() < 0.5
+        if kind == 5:
+            return [rand_value(rng, depth + 1) for _ in range(rng.randrange(20))]
+        return {
+            f"k{i}": rand_value(rng, depth + 1)
+            for i in range(rng.randrange(10))
+        }
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        obj = rand_value(rng, 0)
+        st = parse_msgpack(encode_msgpack(obj))
+        assert st["value"] == obj, seed
+
+        def walk(v, acc):
+            if isinstance(v, bool):
+                acc["n_bool"] += 1
+            elif v is None:
+                acc["n_nil"] += 1
+            elif isinstance(v, int):
+                acc["n_ints"] += 1
+                acc["sum_ints"] += v
+            elif isinstance(v, str):
+                acc["n_strs"] += 1
+                acc["str_bytes"] += len(v.encode())
+            elif isinstance(v, bytes):
+                acc["n_bins"] += 1
+                acc["bin_bytes"] += len(v)
+            elif isinstance(v, list):
+                acc["n_arrays"] += 1
+                for x in v:
+                    walk(x, acc)
+            else:
+                acc["n_maps"] += 1
+                for k, x in v.items():
+                    walk(k, acc)
+                    walk(x, acc)
+
+        acc = {k: 0 for k in st if k not in ("value", "file_bytes")}
+        walk(obj, acc)
+        for k, v in acc.items():
+            assert st[k] == v, (seed, k)
+
+
+def test_msgpack_strictness():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_msgpack,
+        parse_msgpack,
+    )
+
+    good = encode_msgpack({"a": [1, "xy", None], "b": 300})
+    with pytest.raises(ValueError):
+        parse_msgpack(good[:-1])  # truncated
+    with pytest.raises(ValueError):
+        parse_msgpack(good + b"\x00")  # trailing bytes
+    with pytest.raises(ValueError):
+        parse_msgpack(b"\xc1")  # reserved tag
+    with pytest.raises(ValueError):
+        parse_msgpack(b"\xd9\x05ab")  # str8 length overruns payload
+
+
+# --- bitemporal as-of --------------------------------------------------------
+
+
+def test_bitemporal_python_reference(spark, duck, sf_dir):
+    """Brute-force Python reconstruction: identical cutoffs, identical
+    per-user winner under the (eff_day, recorded_us, event_id)
+    tiebreak, identical seen-counts."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q121_bitemporal_asof,
+    )
+
+    got = {
+        r["user_id"]: (
+            r["asof_day"],
+            r["recorded_us"],
+            r["value_cents"],
+            r["n_seen"],
+        )
+        for r in q121_bitemporal_asof(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duck.sql(
+        f"""
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT),
+               CAST(round(value * 100) AS BIGINT)
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    corr = [
+        (u, e, rec, rec // 86400000000 - e % 5, cents)
+        for u, e, rec, cents in rows
+    ]
+    recs = [c[2] for c in corr]
+    effs = [c[3] for c in corr]
+    r_cut = min(recs) + 3 * (max(recs) - min(recs)) // 4
+    e_cut = min(effs) + 3 * (max(effs) - min(effs)) // 4
+    expect: dict = {}
+    counts: dict = {}
+    for u, e, rec, eff, cents in corr:
+        if rec > r_cut or eff > e_cut:
+            continue
+        counts[u] = counts.get(u, 0) + 1
+        key = (eff, rec, e)
+        if u not in expect or key > expect[u][0]:
+            expect[u] = (key, cents)
+    assert got == {
+        u: (k[0], k[1], cents, counts[u])
+        for u, (k, cents) in expect.items()
+    }

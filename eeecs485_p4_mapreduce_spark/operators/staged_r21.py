@@ -30,6 +30,13 @@ Staged surface:
   fixint ranges, width promotion at exact boundaries); the fixture
   document is built from doc_id arithmetic so the type census, byte
   size, and deep checksum all have closed forms the oracle mirrors.
+- ``dedup_simhash_pigeonhole`` — Manku/Jain/Sarma's WWW'07 COMPLETE
+  hamming-ball near-dup search: a union of 4 block-keyed indexes over
+  a 60-bit SimHash finds every pair within hamming 3 (pigeonhole — a
+  budget-3 pair must agree exactly on one of the 4 blocks), upgrading
+  dedup_simhash_pairs's single-prefix approximation to a guarantee.
+  The oracle is the true all-pairs hamming join; tests pin the theorem
+  itself and operator-vs-bruteforce equality.
 - ``q121_bitemporal_asof`` — bitemporal reconstruction (valid time ×
   transaction time, the SQL:2011 temporal-table core): events act as
   corrections carrying an EFFECTIVE day (backdated from the event's
@@ -341,11 +348,149 @@ def q121_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_pigeonhole: Manku/Jain/Sarma's WWW'07 near-duplicate
+# design — the COMPLETE hamming-ball search that dedup_simhash_pairs's
+# single-prefix table approximates: split the signature into
+# hamming_budget + 1 blocks; any pair within the budget must agree
+# EXACTLY on at least one block (pigeonhole), so a union of 4
+# block-keyed indexes finds every pair with hamming <= 3 — no pair can
+# hide. Signature width is 60 bits (15 hex md5 digits — 16 would
+# overflow signed BIGINT), giving 15-bit blocks = 32,768 buckets per
+# index; Manku's design rule is block width >= log2(n) - O(1), so a
+# bigger corpus widens the signature/blocks rather than eating n²/2^15
+# bucket pairs (documented, like the fixed-plane HNSW caveat). The
+# oracle is the TRUE all-pairs hamming <= 3 join — identical output by
+# the pigeonhole theorem, which is exactly what the oracle proves.
+# ---------------------------------------------------------------------------
+_SH60_BITS = 60
+_SH60_BLOCKS = 4  # hamming budget 3 -> 4 blocks of 15 bits
+_SH60_BLOCK_BITS = _SH60_BITS // _SH60_BLOCKS
+_HAM_MAX = 3
+
+_DUCK_TOKS60 = "string_split_regex(lower(text), '[ \t]')"
+
+DEDUP_SH_PIGEON_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, t, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS60}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ), bits AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (CAST(CAST(concat('0x', substr(md5(t), 1, 15))
+                            AS UBIGINT) AS BIGINT) >> b.b) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS w
+      FROM tok, (SELECT unnest(range({_SH60_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b)
+                      ELSE 0 END) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_HAM_MAX}
+"""
+
+
+def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures, same one-aggregation shape as the
+    registered 32-bit dedup_simhash (60 map-side-combinable vote
+    columns, one shuffled row per doc)."""
+    from eeecs485_p4_mapreduce_spark.operators.dedup import _SPARK_TOKS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.expr(
+                "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(h >> {b}) & 1 = 1"), F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"w{b}")
+            for b in range(_SH60_BITS)
+        ]
+    )
+    sig = " + ".join(
+        f"(case when w{b} > 0 then {1 << b}L else 0L end)"
+        for b in range(_SH60_BITS)
+    )
+    return votes.selectExpr("doc_id", f"({sig}) AS sh")
+
+
+def dedup_simhash_pigeonhole(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPLETE hamming<=3 near-dup pairs via the 4-block pigeonhole
+    union index (see section comment)."""
+    sigs = _simhash60(spark, sf_dir).localCheckpoint()  # doc-grain, reused 3x
+    mask = (1 << _SH60_BLOCK_BITS) - 1
+    blocks = sigs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.expr(
+                            f"(sh >> {k * _SH60_BLOCK_BITS}) & {mask}"
+                        ).alias("val"),
+                    )
+                    for k in range(_SH60_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.blk", "b.val")
+    buckets = (
+        blocks.groupBy("blk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sh"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    ham = F.expr("bit_count(a.sh ^ b.sh)")
+    return (
+        buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"),
+        )
+        .filter(ham <= _HAM_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()  # a pair can agree on several blocks
+    )
+
+
 def _staged() -> dict:
     return {
         "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
         "mm_msgpack_walk": (mm_msgpack_walk, MM_MSGPACK_ORACLE),
         "q121_bitemporal_asof": (q121_bitemporal_asof, Q121_ORACLE),
+        "dedup_simhash_pigeonhole": (
+            dedup_simhash_pigeonhole,
+            DEDUP_SH_PIGEON_ORACLE,
+        ),
     }
 
 

@@ -284,3 +284,58 @@ def test_bitemporal_python_reference(spark, duck, sf_dir):
         u: (k[0], k[1], cents, counts[u])
         for u, (k, cents) in expect.items()
     }
+
+
+# --- simhash pigeonhole ------------------------------------------------------
+
+
+def test_pigeonhole_theorem_pure_python():
+    """The completeness argument itself: any two 60-bit words within
+    hamming 3 agree exactly on at least one of the 4 15-bit blocks —
+    checked by flipping every (<=3)-subset pattern of a random word's
+    bits via deterministic seeds."""
+    import random
+
+    rng = random.Random(485)
+    for _ in range(50):
+        w = rng.getrandbits(60)
+        positions = rng.sample(range(60), 3)
+        for k in range(4):  # flip 0..3 of the chosen positions
+            v = w
+            for p in positions[:k]:
+                v ^= 1 << p
+            shared = any(
+                (w >> (15 * b)) & 0x7FFF == (v >> (15 * b)) & 0x7FFF
+                for b in range(4)
+            )
+            assert shared, (w, v, k)
+
+
+def test_simhash_pigeonhole_complete_vs_bruteforce(spark, sf_dir):
+    """The operator's output must equal the brute-force all-pairs
+    hamming<=3 join over ITS OWN signatures — completeness (no pair
+    missed by the block index) and soundness (exact verification)."""
+    from itertools import combinations
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        _simhash60,
+        dedup_simhash_pigeonhole,
+    )
+
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in _simhash60(spark, sf_dir).toPandas().to_dict("records")
+    }
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash_pigeonhole(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    assert got == expect
+    assert len(got) > 0  # the corpus's near-dup families must surface

@@ -30,6 +30,11 @@ Staged surface:
   fixint ranges, width promotion at exact boundaries); the fixture
   document is built from doc_id arithmetic so the type census, byte
   size, and deep checksum all have closed forms the oracle mirrors.
+- ``q122_link_prediction`` — common-neighbor / Jaccard link
+  prediction over the co-purchase graph (Liben-Nowell & Kleinberg):
+  rank the top 20 NON-edges by shared-neighbor Jaccard under a fully
+  deterministic total order; complements q61 (lift on existing pairs)
+  and q72 (triangles).
 - ``dedup_simhash_pigeonhole`` — Manku/Jain/Sarma's WWW'07 COMPLETE
   hamming-ball near-dup search: a union of 4 block-keyed indexes over
   a 60-bit SimHash finds every pair within hamming 3 (pigeonhole — a
@@ -482,6 +487,106 @@ def dedup_simhash_pigeonhole(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# q122_link_prediction: common-neighbor / Jaccard link prediction over
+# the co-purchase graph (Liben-Nowell & Kleinberg CIKM'03, the
+# baseline every graph-ML paper reports): score every NON-edge pair
+# that shares >= 1 neighbor by jaccard = cn / (deg_v + deg_w - cn) and
+# return the top 20 under a fully deterministic total order
+# (score desc, cn desc, v, w). Complements q61 (lift on EXISTING
+# co-order pairs) and q72 (triangles): this ranks the pairs the graph
+# does NOT yet contain. Wedge enumeration is center-grouped
+# (sum deg² — max degree 13 on this graph; a hub-skewed graph would
+# orient like q72); the edge list is checkpoint-shared across its
+# three consumers, and the global top-k is orderBy().limit() —
+# TakeOrderedAndProject, never a global window.
+# ---------------------------------------------------------------------------
+Q122_ORACLE = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT pa AS c, pb AS n FROM und
+      UNION ALL SELECT pb, pa FROM und
+    ),
+    deg AS (SELECT c AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM adj GROUP BY 1),
+    cn AS (
+      SELECT a1.n AS v, a2.n AS w, CAST(count(*) AS BIGINT) AS cn
+      FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+      GROUP BY 1, 2
+    ),
+    nonedges AS (
+      SELECT cn.* FROM cn
+      LEFT JOIN und ON v = pa AND w = pb
+      WHERE pa IS NULL
+    )
+    SELECT v AS part_v, w AS part_w, cn AS common_neighbors,
+           dv.dg AS deg_v, dw.dg AS deg_w,
+           cn * 1000000 // (dv.dg + dw.dg - cn) AS jaccard_ppm
+    FROM nonedges
+    JOIN deg dv ON dv.node = v
+    JOIN deg dw ON dw.node = w
+    ORDER BY jaccard_ppm DESC, cn DESC, v, w
+    LIMIT 20
+"""
+
+
+def q122_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by common-neighbor Jaccard (see section
+    comment)."""
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        _co_order_pair_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _co_order_pair_counts(li, "c").select("part_a", "part_b")
+    und = und.localCheckpoint(eager=False)  # adj, anti-join, (deg via adj)
+    adj = und.selectExpr("part_a AS c", "part_b AS n").unionByName(
+        und.selectExpr("part_b AS c", "part_a AS n")
+    )
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("dg"))
+    a1 = adj.selectExpr("c", "n AS v")
+    a2 = adj.selectExpr("c", "n AS w")
+    cn = (
+        a1.join(a2, "c")
+        .where("v < w")
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedges = cn.join(
+        und,
+        (cn.v == und.part_a) & (cn.w == und.part_b),
+        "left_anti",
+    )
+    dv = deg.selectExpr("c AS v", "dg AS deg_v")
+    dw = deg.selectExpr("c AS w", "dg AS deg_w")
+    return (
+        nonedges.join(dv, "v")
+        .join(dw, "w")
+        .selectExpr(
+            "v AS part_v",
+            "w AS part_w",
+            "cn AS common_neighbors",
+            "deg_v",
+            "deg_w",
+            "cn * 1000000 div (deg_v + deg_w - cn) AS jaccard_ppm",
+        )
+        .orderBy(
+            F.desc("jaccard_ppm"),
+            F.desc("common_neighbors"),
+            "part_v",
+            "part_w",
+        )
+        .limit(20)
+    )
+
+
 def _staged() -> dict:
     return {
         "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
@@ -491,6 +596,7 @@ def _staged() -> dict:
             dedup_simhash_pigeonhole,
             DEDUP_SH_PIGEON_ORACLE,
         ),
+        "q122_link_prediction": (q122_link_prediction, Q122_ORACLE),
     }
 
 

@@ -339,3 +339,62 @@ def test_simhash_pigeonhole_complete_vs_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0  # the corpus's near-dup families must surface
+
+
+# --- link prediction ---------------------------------------------------------
+
+
+def test_link_prediction_python_reference(spark, duck, sf_dir):
+    """Brute-force: rebuild the graph, score every non-edge by
+    common-neighbor Jaccard, and the operator's top-20 must equal the
+    reference's top-20 under the same total order; every returned pair
+    must be a genuine non-edge with cn >= 1."""
+    from itertools import combinations
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q122_link_prediction,
+    )
+
+    got = [
+        (
+            r["part_v"],
+            r["part_w"],
+            r["common_neighbors"],
+            r["deg_v"],
+            r["deg_w"],
+            r["jaccard_ppm"],
+        )
+        for r in q122_link_prediction(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    ]
+    rows = duck.sql(
+        """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey, b.l_partkey
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    edges = {(a, b) for a, b in rows}
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scored = []
+    for v, w in combinations(sorted(nbrs), 2):
+        if (v, w) in edges:
+            continue
+        cn = len(nbrs[v] & nbrs[w])
+        if cn == 0:
+            continue
+        dv, dw = len(nbrs[v]), len(nbrs[w])
+        scored.append(
+            (v, w, cn, dv, dw, cn * 1_000_000 // (dv + dw - cn))
+        )
+    scored.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+    assert got == scored[:20]
+    for v, w, cn, *_ in got:
+        assert (v, w) not in edges
+        assert cn >= 1

@@ -30,6 +30,10 @@ Staged surface:
   fixint ranges, width promotion at exact boundaries); the fixture
   document is built from doc_id arithmetic so the type census, byte
   size, and deep checksum all have closed forms the oracle mirrors.
+- ``q123_abc_xyz_matrix`` — the ABC × XYZ inventory planning grid:
+  q65's revenue Pareto classes crossed with demand-variability classes
+  from integer-exact squared-CV predicates over 180-day-period demand
+  (denominators cleared, absent periods counted as zero demand).
 - ``q122_link_prediction`` — common-neighbor / Jaccard link
   prediction over the co-purchase graph (Liben-Nowell & Kleinberg):
   rank the top 20 NON-edges by shared-neighbor Jaccard under a fully
@@ -587,6 +591,119 @@ def q122_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# q123_abc_xyz_matrix: the ABC × XYZ inventory matrix — q65's revenue
+# Pareto classes (A <= 80% cumulative, B <= 95%, same rule) crossed
+# with demand-VARIABILITY classes from the squared coefficient of
+# variation of per-period demand, the standard planning grid (AX =
+# high-value steady, CZ = low-value erratic). Periods are 180-day
+# half-years — chosen because this corpus's demand is sparse enough
+# that monthly periods put EVERY part in Z (zeros dominate CV), while
+# half-years split the fixture into all three classes (29/1699/272 at
+# sf0.01). CV thresholds 0.5 / 1.0 become exact integer predicates by
+# clearing denominators: CV² = (n·Σx² − S²) / S² (population variance
+# over ALL n periods in the calendar domain — absent periods are
+# genuine zero demand), so X ⇔ 4·(n·Σx² − S²) < S² and
+# Y ⇔ n·Σx² − S² < S². The part-grain tables are dimension-sized; the
+# period domain is calendar-bounded; the period count is a broadcast
+# scalar, never a driver collect.
+# ---------------------------------------------------------------------------
+Q123_ORACLE = """
+    WITH pm AS (
+      SELECT l_partkey,
+             CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 // 180
+               AS m,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                 0) AS BIGINT)) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nm AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS n FROM pm),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS BIGINT) AS s2,
+             CAST(sum(c) AS BIGINT) AS rev
+      FROM pm GROUP BY 1
+    ),
+    cls AS (
+      SELECT l_partkey, rev,
+             CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey) * 100
+                       <= sum(rev) OVER () * 80 THEN 'A'
+                  WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey) * 100
+                       <= sum(rev) OVER () * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN 4 * ((SELECT n FROM nm) * s2 - s1 * s1)
+                       < s1 * s1 THEN 'X'
+                  WHEN (SELECT n FROM nm) * s2 - s1 * s1
+                       < s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM per_part
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents
+    FROM cls GROUP BY 1, 2
+"""
+
+
+def q123_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ planning matrix (see section comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.selectExpr(
+            "l_partkey",
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " div 86400000000 div 180 AS m",
+            "cast(round(l_quantity) as bigint) AS q",
+            "cast(round(l_extendedprice * (1 - l_discount) * 100, 0)"
+            " as bigint) AS c",
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("q").alias("q"), F.sum("c").alias("c"))
+        # part×month grain, feeds the month-count scalar AND the
+        # per-part rollup: pin (dimension × calendar sized)
+        .localCheckpoint()
+    )
+    nm = pm.agg(F.countDistinct("m").alias("n"))
+    per_part = pm.groupBy("l_partkey").agg(
+        F.sum("q").alias("s1"),
+        F.expr("sum(q * q)").alias("s2"),
+        F.sum("c").alias("rev"),
+    )
+    w_cum = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cls = (
+        per_part.crossJoin(F.broadcast(nm))
+        .select(
+            "rev",
+            F.sum("rev").over(w_cum).alias("cum"),
+            F.sum("rev").over(w_all).alias("tot"),
+            "s1",
+            "s2",
+            "n",
+        )
+        .selectExpr(
+            "rev",
+            "case when cum * 100 <= tot * 80 then 'A'"
+            " when cum * 100 <= tot * 95 then 'B' else 'C' end"
+            " AS abc_class",
+            "case when 4 * (n * s2 - s1 * s1) < s1 * s1 then 'X'"
+            " when n * s2 - s1 * s1 < s1 * s1 then 'Y' else 'Z' end"
+            " AS xyz_class",
+        )
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("revenue_cents"),
+    )
+
+
 def _staged() -> dict:
     return {
         "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
@@ -597,6 +714,7 @@ def _staged() -> dict:
             DEDUP_SH_PIGEON_ORACLE,
         ),
         "q122_link_prediction": (q122_link_prediction, Q122_ORACLE),
+        "q123_abc_xyz_matrix": (q123_abc_xyz_matrix, Q123_ORACLE),
     }
 
 

@@ -398,3 +398,61 @@ def test_link_prediction_python_reference(spark, duck, sf_dir):
     for v, w, cn, *_ in got:
         assert (v, w) not in edges
         assert cn >= 1
+
+
+# --- ABC x XYZ matrix --------------------------------------------------------
+
+
+def test_abc_xyz_python_reference(spark, duck, sf_dir):
+    """Brute-force: rebuild per-part revenue and per-period demand,
+    classify with the exact integer predicates, and the matrix cells
+    must match; both axes must be non-degenerate (>= 2 classes each),
+    and the cells must partition the part population."""
+    from collections import Counter
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q123_abc_xyz_matrix,
+    )
+
+    got = {
+        (r["abc_class"], r["xyz_class"]): (r["n_parts"], r["revenue_cents"])
+        for r in q123_abc_xyz_matrix(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duck.sql(
+        """
+        SELECT l_partkey,
+               CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000//180,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT),
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100, 0) AS BIGINT)) AS BIGINT)
+        FROM lineitem GROUP BY 1, 2
+        """
+    ).fetchall()
+    periods = {m for _, m, _, _ in rows}
+    n = len(periods)
+    per_part: dict = {}
+    for p, _, q, c in rows:
+        s1, s2, rev = per_part.get(p, (0, 0, 0))
+        per_part[p] = (s1 + q, s2 + q * q, rev + c)
+    ranked = sorted(per_part.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    tot = sum(v[2] for v in per_part.values())
+    cum = 0
+    expect: Counter = Counter()
+    revs: Counter = Counter()
+    for p, (s1, s2, rev) in ranked:
+        cum += rev
+        abc = "A" if cum * 100 <= tot * 80 else (
+            "B" if cum * 100 <= tot * 95 else "C"
+        )
+        var = n * s2 - s1 * s1
+        xyz = "X" if 4 * var < s1 * s1 else (
+            "Y" if var < s1 * s1 else "Z"
+        )
+        expect[(abc, xyz)] += 1
+        revs[(abc, xyz)] += rev
+    assert got == {k: (v, revs[k]) for k, v in expect.items()}
+    assert len({a for a, _ in got}) >= 2
+    assert len({x for _, x in got}) >= 2
+    assert sum(v[0] for v in got.values()) == len(per_part)

@@ -2077,11 +2077,28 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first cut collect_list-ed each doc's full (df, shingle) structs
     # and OOMed the x100 probe inside the hash aggregate.
     # EVERY relation in this operator is corpus-proportional (the
-    # vocabulary, the sizes table, the candidate set), so each join is
-    # pinned to sort-merge: Spark's size estimate for the string-heavy
-    # vocabulary sat under the session's 64 MB broadcast threshold at
-    # the x100 probe and the resulting broadcast build OOMed the
-    # driver. There is no bounded-small side here to broadcast.
+    # vocabulary, the sizes table, the candidate set), so above the
+    # small-corpus cutoff each join is pinned to sort-merge: Spark's
+    # size estimate for the string-heavy vocabulary sat under the
+    # session's 64 MB broadcast threshold at the x100 probe and the
+    # resulting broadcast build OOMed the driver. There is no
+    # ALWAYS-bounded side to broadcast — but below the cutoff (decided
+    # from parquet footer row counts, the similarity.py pattern, never
+    # a Spark job) the corpus-proportional tables ARE provably tiny,
+    # and letting Spark broadcast them saves five sort-merge exchanges
+    # per census run.
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _parquet_row_count,
+    )
+
+    small_corpus = (
+        _parquet_row_count(table_path(sf_dir, "documents")) < 100_000
+    )
+
+    def corpus_join_side(df: DataFrame) -> DataFrame:
+        return df if small_corpus else df.hint("merge")
+
     df_tbl = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "h")
@@ -2089,7 +2106,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Prefix length: n - ceil(t*n) + 1 with t = 4/5, all integer.
     plen = f"n - ({PF_T_NUM} * n + {PF_T_DEN} - 1) div {PF_T_DEN} + 1"
     prefix = (
-        ex.join(df_tbl.hint("merge"), "h")
+        ex.join(corpus_join_side(df_tbl), "h")
         .withColumn("rn", rn)
         .where(f"rn <= {plen}")
         .select("doc_id", "h")
@@ -2120,11 +2137,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes sub-linear there.
     common = (
         cands.join(
-            ex.select(F.col("doc_id").alias("doc_a"), "h").hint("merge"),
+            corpus_join_side(
+                ex.select(F.col("doc_id").alias("doc_a"), "h")
+            ),
             "doc_a",
         )
         .join(
-            ex.select(F.col("doc_id").alias("doc_b"), "h").hint("merge"),
+            corpus_join_side(
+                ex.select(F.col("doc_id").alias("doc_b"), "h")
+            ),
             ["doc_b", "h"],
         )
         .groupBy("doc_a", "doc_b")
@@ -2133,15 +2154,21 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     verified = (
         common.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
-            ).hint("merge"),
+            corpus_join_side(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
-            ).hint("merge"),
+            corpus_join_side(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
             "doc_b",
         )
         .where(

@@ -35,7 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         "map/reduce tasks; blocks until a shutdown message arrives",
     )
     parser.add_argument("--host", default="localhost")
-    parser.add_argument("--port", type=int, default=6000)
+    parser.add_argument(
+        "--port",
+        type=int,
+        default=None,
+        help="listen port (manager default 6000; worker default 6001,"
+        " matching the reference CLIs)",
+    )
     parser.add_argument(
         "--manager-host", default="localhost", help="(--worker) manager host"
     )
@@ -60,9 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         from eeecs485_p4_mapreduce_spark.mrlite import MRWorker
 
         # The reference's worker CLI defaults its own port to 6001
-        # (mapreduce/worker/__main__.py:45); our shared --port default is
-        # the manager's 6000, so shift unless the user chose one.
-        port = args.port if args.port != 6000 else 6001
+        # (mapreduce/worker/__main__.py:45).
+        port = args.port if args.port is not None else 6001
         try:
             w = MRWorker(
                 host=args.host,
@@ -89,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         server = MRManagerServer(
             MREngine(spark),
             host=args.host,
-            port=args.port,
+            port=args.port if args.port is not None else 6000,
             hb_port=args.manager_hb_port,
         ).start()
         print(

@@ -67,6 +67,7 @@ from eeecs485_p4_mapreduce_spark.mrlite.engine import MREngine, MRJobResult
 from eeecs485_p4_mapreduce_spark.mrlite.worker import (
     TIME_BETWEEN_HEARTBEATS,
     send_json,
+    serve_json_loop,
 )
 
 
@@ -79,6 +80,11 @@ class WorkerRecord:
     #: monotonic seconds of the last heartbeat (or the register, which
     #: counts as proof-of-life until the first heartbeat lands)
     last_seen: float = field(default_factory=time.monotonic)
+    #: bumped on re-register: a worker that crashed and came back on the
+    #: same (host, port) is a NEW process that never saw the old task —
+    #: the dispatcher requeues in-flight work when the epoch moves even
+    #: though the key never left the liveness table
+    epoch: int = 0
 
 
 @dataclass
@@ -156,29 +162,13 @@ class MRManagerServer:
 
     def _accept_loop(self) -> None:
         assert self._sock is not None
-        while not self._shutdown.is_set():
-            try:
-                conn, _addr = self._sock.accept()
-            except socket.timeout:
-                continue
-            except OSError:
-                break
-            with conn:
-                chunks = []
-                try:
-                    while chunk := conn.recv(65536):
-                        chunks.append(chunk)
-                except OSError:
-                    continue
-            try:
-                message = json.loads(b"".join(chunks).decode("utf-8"))
-            except (ValueError, UnicodeDecodeError):
-                # reference behavior: discard undecodable messages (but
-                # count the drop so operators can see it happening)
-                self.malformed_count += 1
-                continue
-            self._dispatch(message)
-        self._sock.close()
+
+        def bump():
+            # reference behavior: discard undecodable messages (but
+            # count the drop so operators can see it happening)
+            self.malformed_count += 1
+
+        serve_json_loop(self._sock, self._shutdown, self._dispatch, bump)
 
     def _dispatch(self, message: dict) -> None:
         mtype = message.get("message_type")
@@ -197,7 +187,10 @@ class MRManagerServer:
             # (reference: tests/test_manager_02.py:126-133).
             whost = str(message["worker_host"])
             wport = int(message["worker_port"])
-            self.workers[(whost, wport)] = WorkerRecord(whost, wport)
+            prev = self.workers.get((whost, wport))
+            self.workers[(whost, wport)] = WorkerRecord(
+                whost, wport, epoch=(prev.epoch + 1) if prev else 0
+            )
             try:
                 send_json(
                     whost,
@@ -256,23 +249,42 @@ class MRManagerServer:
         """Workers seen within 5 heartbeat intervals — the spec's
         liveness rule, computed on read (no reaper thread)."""
         cutoff = time.monotonic() - 5 * self.heartbeat_interval
-        return [w for w in self.workers.values() if w.last_seen >= cutoff]
+        # snapshot: the accept thread inserts on register concurrently
+        return [w for w in list(self.workers.values()) if w.last_seen >= cutoff]
 
     # -- worker dispatch (C5/C7) --------------------------------------------
+
+    #: give up on a task after this many distinct dispatch attempts —
+    #: a deterministically-failing executable must fail the JOB, not
+    #: ping-pong across the fleet forever
+    MAX_TASK_ATTEMPTS = 3
 
     def _dispatch_wave(self, tasks: list[dict]) -> list[dict]:
         """Run one stage's tasks across the live worker fleet: send each
         task to an idle worker, collect its ``finished`` event, requeue
-        tasks whose worker died (C7). Returns finished messages in
-        task_id order. Raises if the fleet empties or shutdown arrives —
-        a queued job must never hang its submitter."""
+        tasks whose worker died, re-registered (epoch bump), or reported
+        a task error (C7). Returns finished messages in task_id order.
+        Raises if the fleet empties, a task exhausts its attempts, or
+        shutdown arrives — a queued job must never hang its submitter.
+
+        Correlation is (task_id AND assigned worker): a straggler
+        ``finished`` from a presumed-dead worker whose task was already
+        reassigned must not complete the wrong wave/stage (task ids
+        restart at 0 every wave)."""
         from collections import deque
 
         pending = deque(tasks)
-        inflight: dict[int, tuple[tuple[str, int], dict]] = {}
+        inflight: dict[int, tuple[tuple[str, int], int, dict]] = {}
         done: dict[int, dict] = {}
         busy: set[tuple[str, int]] = set()
+        attempts: dict[int, int] = {}
         with self.task_event:
+            # Events from completed waves are never re-read (each wave
+            # cursors forward from its start); prune so a long-lived
+            # daemon does not leak one dict per task forever. The
+            # threshold keeps recent history inspectable by tests/tools.
+            if len(self.task_events) > 10_000:
+                del self.task_events[:-1_000]
             cursor = len(self.task_events)
             while len(done) < len(tasks):
                 if self._shutdown.is_set():
@@ -282,19 +294,45 @@ class MRManagerServer:
                     ev = self.task_events[cursor]
                     cursor += 1
                     tid = int(ev["task_id"])
-                    if tid in inflight and tid not in done:
-                        done[tid] = ev
-                        busy.discard(inflight.pop(tid)[0])
-                # C7: requeue tasks whose worker fell out of liveness.
-                alive = {(w.host, w.port) for w in self.alive_workers()}
-                for tid, (wkey, task) in list(inflight.items()):
-                    if wkey not in alive:
+                    if tid not in inflight or tid in done:
+                        continue
+                    wkey, _epoch, task = inflight[tid]
+                    sender = (
+                        str(ev.get("worker_host")),
+                        int(ev.get("worker_port", -1)),
+                    )
+                    if sender != wkey:
+                        continue  # straggler from a reassigned worker
+                    if ev.get("error"):
+                        # Worker survived but the task failed: requeue
+                        # elsewhere (bounded attempts), free the worker.
                         del inflight[tid]
                         busy.discard(wkey)
-                        self.workers.pop(wkey, None)  # dead until re-register
+                        if attempts.get(tid, 1) >= self.MAX_TASK_ATTEMPTS:
+                            raise RuntimeError(
+                                f"task {tid} failed "
+                                f"{attempts[tid]} times: {ev['error']}"
+                            )
                         pending.append(task)
+                        continue
+                    done[tid] = ev
+                    busy.discard(wkey)
+                    del inflight[tid]
+                # C7: requeue tasks whose worker fell out of liveness or
+                # re-registered (a fresh process never saw the task).
+                alive = {
+                    (w.host, w.port): w.epoch for w in self.alive_workers()
+                }
+                for tid, (wkey, epoch, task) in list(inflight.items()):
+                    if alive.get(wkey) == epoch:
+                        continue
+                    del inflight[tid]
+                    busy.discard(wkey)
+                    if wkey not in alive:
+                        self.workers.pop(wkey, None)  # dead until re-register
+                    pending.append(task)
                 # C5: deal pending tasks to idle live workers.
-                idle = [k for k in sorted(alive - busy) if k in self.workers]
+                idle = [k for k in sorted(set(alive) - busy) if k in self.workers]
                 while pending and idle:
                     wkey = idle.pop()
                     task = pending.popleft()
@@ -309,12 +347,14 @@ class MRManagerServer:
                             },
                         )
                     except OSError:
-                        # Connection refused = dead now, don't wait 5 beats.
+                        # Refused/timed out = dead now, don't wait 5 beats.
                         self.workers.pop(wkey, None)
                         pending.appendleft(task)
                         continue
                     busy.add(wkey)
-                    inflight[int(task["task_id"])] = (wkey, task)
+                    tid = int(task["task_id"])
+                    attempts[tid] = attempts.get(tid, 0) + 1
+                    inflight[tid] = (wkey, alive[wkey], task)
                 if pending and not inflight and not self.alive_workers():
                     raise RuntimeError("no live workers left for dispatch")
                 self.task_event.wait(timeout=0.2)

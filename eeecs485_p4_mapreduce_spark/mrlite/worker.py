@@ -81,13 +81,51 @@ from eeecs485_p4_mapreduce_spark.mrlite.partitioner import md5_partition
 TIME_BETWEEN_HEARTBEATS = 2.0
 
 
-def send_json(host: str, port: int, message: dict) -> None:
+def send_json(
+    host: str, port: int, message: dict, timeout: float = 5.0
+) -> None:
     """Fire-and-forget one JSON message over a fresh TCP connection —
     the wire shape of every control message in the reference protocol
-    (reference: mapreduce/submit.py:80-89)."""
+    (reference: mapreduce/submit.py:80-89). The timeout keeps a
+    black-holed peer (SYNs silently dropped) from stalling the caller
+    for the kernel's multi-minute connect default — callers treat
+    socket.timeout like any other OSError (peer presumed dead)."""
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as sock:
+        sock.settimeout(timeout)
         sock.connect((host, port))
         sock.sendall(json.dumps(message).encode("utf-8"))
+
+
+def serve_json_loop(sock, shutdown, on_message, on_malformed) -> None:
+    """The shared accept → recv-until-EOF → JSON-decode → dispatch loop
+    both mrlite daemons run (manager accept loop, worker listen loop).
+    A dispatch exception is contained per-message: a bad task/message
+    must never kill the daemon's network thread (the heartbeat thread
+    would keep advertising a worker that can no longer hear anything)."""
+    while not shutdown.is_set():
+        try:
+            conn, _addr = sock.accept()
+        except socket.timeout:
+            continue
+        except OSError:
+            break
+        with conn:
+            chunks = []
+            try:
+                while chunk := conn.recv(65536):
+                    chunks.append(chunk)
+            except OSError:
+                continue
+        try:
+            message = json.loads(b"".join(chunks).decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            on_malformed()  # discard, observably
+            continue
+        try:
+            on_message(message)
+        except Exception:  # noqa: BLE001 — survive bad messages/tasks
+            pass  # the dispatcher reports failures itself
+    sock.close()
 
 
 class MRWorker:
@@ -163,27 +201,11 @@ class MRWorker:
 
     def _listen_loop(self) -> None:
         assert self._sock is not None
-        while not self._shutdown.is_set():
-            try:
-                conn, _addr = self._sock.accept()
-            except socket.timeout:
-                continue
-            except OSError:
-                break
-            with conn:
-                chunks = []
-                try:
-                    while chunk := conn.recv(65536):
-                        chunks.append(chunk)
-                except OSError:
-                    continue
-            try:
-                message = json.loads(b"".join(chunks).decode("utf-8"))
-            except (ValueError, UnicodeDecodeError):
-                self.malformed_count += 1  # discard, observably
-                continue
-            self._dispatch(message)
-        self._sock.close()
+
+        def bump():
+            self.malformed_count += 1
+
+        serve_json_loop(self._sock, self._shutdown, self._dispatch, bump)
         if self.exit_code is None:
             self.exit_code = 0
 
@@ -195,10 +217,21 @@ class MRWorker:
                 t = threading.Thread(target=self._heartbeat_loop, daemon=True)
                 t.start()
                 self._threads.append(t)
-        elif mtype == "new_map_task":
-            self._run_map_task(message)
-        elif mtype == "new_reduce_task":
-            self._run_reduce_task(message)
+        elif mtype in ("new_map_task", "new_reduce_task"):
+            # A failing task must neither kill this loop nor hang the
+            # manager: report it as finished-with-error (an extra field
+            # reference tooling ignores; our manager requeues on it).
+            try:
+                if mtype == "new_map_task":
+                    self._run_map_task(message)
+                else:
+                    self._run_reduce_task(message)
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                self._send_finished(
+                    int(message.get("task_id", -1)),
+                    [],
+                    error=f"{type(exc).__name__}: {exc}",
+                )
         elif mtype == "shutdown":
             self._shutdown.set()
 
@@ -220,7 +253,12 @@ class MRWorker:
                 # wait() (not sleep) so shutdown interrupts mid-interval
                 self._shutdown.wait(self.heartbeat_interval)
 
-    def _send_finished(self, task_id: int, output_paths: list[str]) -> None:
+    def _send_finished(
+        self,
+        task_id: int,
+        output_paths: list[str],
+        error: str | None = None,
+    ) -> None:
         message = {
             "message_type": "finished",
             "task_id": task_id,
@@ -228,6 +266,8 @@ class MRWorker:
             "worker_host": self.host,
             "worker_port": self.port,
         }
+        if error is not None:
+            message["error"] = error
         self.finished.append(message)
         send_json(self.manager_host, self.manager_port, message)
 
@@ -264,6 +304,10 @@ class MRWorker:
                     for line in proc.stdout:  # streams: O(1) memory
                         key = line.partition("\t")[0]
                         parts[md5_partition(key, num_partitions)].write(line)
+                if proc.returncode:
+                    raise RuntimeError(
+                        f"mapper exited {proc.returncode} on {input_path}"
+                    )
         self._send_finished(task_id, [str(p) for p in part_paths])
 
     def _run_reduce_task(self, message: dict) -> None:
@@ -282,6 +326,11 @@ class MRWorker:
                     .read_text(encoding="utf-8")
                     .splitlines(keepends=True)
                 )
+                # A mapper whose final line lacks its newline must not
+                # concatenate two records in the merged stream (and a
+                # bare line sorts differently from its terminated twin).
+                if lines and not lines[-1].endswith("\n"):
+                    lines[-1] += "\n"
                 lines.sort()
                 run = stack.enter_context(
                     tempfile.TemporaryFile("w+", encoding="utf-8")
@@ -302,5 +351,6 @@ class MRWorker:
             for line in heapq.merge(*runs):  # streaming k-way merge
                 proc.stdin.write(line)
             proc.stdin.close()
-            proc.wait()
+            if proc.wait():
+                raise RuntimeError(f"reducer exited {proc.returncode}")
         self._send_finished(task_id, [str(out_path)])

@@ -606,3 +606,136 @@ def test_reference_submit_client_drives_worker_fleet(tmp_path):
             w.join(timeout=5)
         server.stop()
         server.join(timeout=10)
+
+
+def test_task_failure_reported_not_fatal(fake_manager, worker, tmp_path):
+    """A bad executable must neither kill the worker nor go silent: the
+    worker reports finished-with-error (an extra field reference
+    tooling ignores) and stays fully alive for the next task."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    out = tmp_path / "out"
+    out.mkdir()
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_map_task",
+            "task_id": 7,
+            "executable": "/nonexistent/mapper.sh",
+            "input_paths": [str(REF_DATA / "input/file01")],
+            "output_directory": str(out),
+            "num_partitions": 1,
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: any(m.get("message_type") == "finished" for m in ms)
+    )
+    ev = [
+        m
+        for m in fake_manager.tcp_messages
+        if m.get("message_type") == "finished"
+    ][0]
+    assert ev["task_id"] == 7
+    assert ev["output_paths"] == []
+    assert "error" in ev and "mapper" in ev["error"].lower() or ev["error"]
+    # Worker still serves tasks afterwards.
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_map_task",
+            "task_id": 8,
+            "executable": str(REF_DATA / "exec/wc_map.sh"),
+            "input_paths": [str(REF_DATA / "input/file01")],
+            "output_directory": str(out),
+            "num_partitions": 1,
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: sum(m.get("message_type") == "finished" for m in ms) >= 2
+    )
+    ok = [
+        m
+        for m in fake_manager.tcp_messages
+        if m.get("message_type") == "finished" and not m.get("error")
+    ]
+    assert ok and ok[0]["task_id"] == 8
+
+
+def test_bad_job_fails_cleanly_on_fleet(tmp_path):
+    """End-to-end C7 bound: a deterministically-failing mapper must
+    fail the JOB after bounded attempts — never hang the submitter,
+    never kill the fleet."""
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    worker = MRWorker(
+        port=0,
+        manager_port=server.port,
+        manager_hb_port=server.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    try:
+        assert worker.registered.wait(timeout=10)
+        send_json(
+            "localhost",
+            server.port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": str(REF_DATA / "input"),
+                "output_directory": str(tmp_path / "out"),
+                "mapper_executable": "/nonexistent/mapper.sh",
+                "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "num_mappers": 2,
+                "num_reducers": 1,
+            },
+        )
+        rec = _wait_job_done(server, timeout=60)
+        assert rec.error is not None
+        assert "failed" in rec.error
+        assert worker.is_alive()  # the fleet survives the bad job
+    finally:
+        worker.stop()
+        worker.join(timeout=5)
+        server.stop()
+        server.join(timeout=10)
+
+
+def test_reduce_handles_missing_trailing_newline(
+    fake_manager, worker, tmp_path
+):
+    """A mapper whose last output line lacks its newline must not
+    concatenate two records in the merged reduce input."""
+    inter = tmp_path / "inter"
+    out = tmp_path / "out"
+    inter.mkdir()
+    out.mkdir()
+    (inter / "maptask00000-part00000").write_text("b\t1\na\t1")  # no \n
+    (inter / "maptask00001-part00000").write_text("a\t1\nb\t1\n")
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_reduce_task",
+            "task_id": 0,
+            "executable": str(REF_DATA / "exec/wc_reduce.sh"),
+            "input_paths": [
+                str(inter / "maptask00000-part00000"),
+                str(inter / "maptask00001-part00000"),
+            ],
+            "output_directory": str(out),
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: any(m.get("message_type") == "finished" for m in ms)
+    )
+    assert (out / "part-00000").read_text() == "a\t2\nb\t2\n"

@@ -30,6 +30,11 @@ Staged surface:
   fixint ranges, width promotion at exact boundaries); the fixture
   document is built from doc_id arithmetic so the type census, byte
   size, and deep checksum all have closed forms the oracle mirrors.
+- ``q124_runs_test`` — the Wald–Wolfowitz runs test on daily
+  revenue (above/below the exact lower-median order statistic,
+  equal-days excluded), with the observed/expected run ratio in exact
+  ppm via denominator clearing — completing the nonparametric family
+  next to Mann–Kendall and Theil–Sen.
 - ``q123_abc_xyz_matrix`` — the ABC × XYZ inventory planning grid:
   q65's revenue Pareto classes crossed with demand-variability classes
   from integer-exact squared-CV predicates over 180-day-period demand
@@ -704,6 +709,113 @@ def q123_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# q124_runs_test: the Wald–Wolfowitz runs test on the daily revenue
+# series — the nonparametric randomness check that pairs with
+# staged_r20's Mann–Kendall (trend) and Theil–Sen (slope): too FEW
+# runs of above/below-median days means clustering/trend, too many
+# means oscillation. Exactness: the median is the exact lower-median
+# order statistic (row_number at (n+1) div 2 — no interpolation),
+# equal-to-median days are excluded (the standard treatment), the run
+# count is a lag window over the CALENDAR-bounded day table, and the
+# observed/expected ratio is exact ppm with the expectation's
+# denominator cleared: E[runs] = 1 + 2ab/n = (n + 2ab)/n, so
+# ratio_ppm = runs · n · 1e6 div (n + 2ab). Windows are unpartitioned
+# but their input is the live day aggregate (plan-gate bounded).
+# ---------------------------------------------------------------------------
+Q124_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ), med AS (
+      SELECT cents AS m FROM (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, day) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ), signs AS (
+      SELECT day, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END
+               AS s
+      FROM daily WHERE cents <> (SELECT m FROM med)
+    ), runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                  OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS boundary
+      FROM signs
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days_used,
+             CAST(sum(s) AS BIGINT) AS n_above,
+             CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+             CAST(sum(boundary) AS BIGINT) AS n_runs
+      FROM runs
+    )
+    SELECT n_days_used, n_above, n_below, n_runs,
+           n_runs * n_days_used * 1000000
+             // (n_days_used + 2 * n_above * n_below) AS runs_ratio_ppm
+    FROM agg
+"""
+
+
+def q124_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over daily revenue (see section
+    comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+            " AS day",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "day")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    med = ranked.where("rn = (n + 1) div 2").select(
+        F.col("cents").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where("cents <> m")
+        .selectExpr("day", "case when cents > m then 1 else 0 end AS s")
+    )
+    runs = signs.select(
+        "s",
+        F.expr(
+            "case when lag(s) over (order by day) is null"
+            " or lag(s) over (order by day) <> s then 1 else 0 end"
+        ).alias("boundary"),
+    )
+    return runs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_days_used"),
+        F.sum("s").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n_below"),
+        F.sum("boundary").alias("n_runs"),
+    ).selectExpr(
+        "n_days_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "n_runs * n_days_used * 1000000"
+        " div (n_days_used + 2 * n_above * n_below) AS runs_ratio_ppm",
+    )
+
+
 def _staged() -> dict:
     return {
         "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
@@ -715,6 +827,7 @@ def _staged() -> dict:
         ),
         "q122_link_prediction": (q122_link_prediction, Q122_ORACLE),
         "q123_abc_xyz_matrix": (q123_abc_xyz_matrix, Q123_ORACLE),
+        "q124_runs_test": (q124_runs_test, Q124_ORACLE),
     }
 
 

@@ -456,3 +456,44 @@ def test_abc_xyz_python_reference(spark, duck, sf_dir):
     assert len({a for a, _ in got}) >= 2
     assert len({x for _, x in got}) >= 2
     assert sum(v[0] for v in got.values()) == len(per_part)
+
+
+# --- runs test ---------------------------------------------------------------
+
+
+def test_runs_test_python_reference(spark, duck, sf_dir):
+    """Brute-force: rebuild the series, find the exact lower median,
+    count runs sequentially, mirror the ppm arithmetic — all fields
+    must match bit-for-bit, plus the structural identity
+    n_above + n_below = n_days_used and runs <= n_days_used."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q124_runs_test,
+    )
+
+    got = q124_runs_test(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.sql(
+        f"""
+        SELECT CAST(epoch_us(l_shipdate) AS BIGINT)//86400000000 AS d,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 AS BIGINT) AS c
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    cents_sorted = sorted((c, d) for d, c in rows)
+    med = cents_sorted[(len(rows) + 1) // 2 - 1][0]
+    signs = [1 if c > med else 0 for _, c in rows if c != med]
+    n = len(signs)
+    a = sum(signs)
+    runs = 1 + sum(
+        1 for i in range(1, n) if signs[i] != signs[i - 1]
+    )
+    assert int(got.n_days_used) == n
+    assert int(got.n_above) == a
+    assert int(got.n_below) == n - a
+    assert int(got.n_above) + int(got.n_below) == n
+    assert int(got.n_runs) == runs
+    assert runs <= n
+    assert int(got.runs_ratio_ppm) == runs * n * 1_000_000 // (
+        n + 2 * a * (n - a)
+    )

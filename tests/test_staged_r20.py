@@ -785,10 +785,6 @@ def test_prefix_filter_selectivity(spark, duck, sf_dir):
     candidate pairs than the full inverted index while (per the
     parametrized oracle test) losing no qualifying pair. Also pins
     that every reported pair really meets t >= 1/2 exactly."""
-    from eeecs485_p4_mapreduce_spark.operators.dedup import (
-        _SPARK_TOKS,
-        word_shingles,
-    )
     from eeecs485_p4_mapreduce_spark.operators.staged_r20 import (
         dedup_prefix_filter_join,
     )
@@ -815,14 +811,11 @@ def test_prefix_filter_selectivity(spark, duck, sf_dir):
           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
         """
     ).fetchone()[0]
+    from pyspark.sql import functions as F
+
     docs = load_documents_shingled(spark, sf_dir)
     # Re-derive the operator's candidate count (prefix postings only).
-    ex = docs.select(
-        "doc_id",
-        __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
-            "prefix"
-        ).alias("s"),
-    )
+    ex = docs.select("doc_id", F.explode("prefix").alias("s"))
     n_prefix_cands = (
         ex.alias("a")
         .join(ex.alias("b"), "s")

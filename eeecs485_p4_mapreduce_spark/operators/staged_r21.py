@@ -30,6 +30,11 @@ Staged surface:
   fixint ranges, width promotion at exact boundaries); the fixture
   document is built from doc_id arithmetic so the type census, byte
   size, and deep checksum all have closed forms the oracle mirrors.
+- ``q125_hhi_concentration`` — the Herfindahl–Hirschman market-
+  concentration index per national supplier market (Σ share² on a ppm
+  scale, shares floored to ppm first so intermediates stay
+  BIGINT-safe at any corpus size), with top-1 share and supplier
+  count alongside.
 - ``q124_runs_test`` — the Wald–Wolfowitz runs test on daily
   revenue (above/below the exact lower-median order statistic,
   equal-days excluded), with the observed/expected run ratio in exact
@@ -816,6 +821,98 @@ def q124_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# q125_hhi_concentration: the Herfindahl–Hirschman index per national
+# supplier market — THE market-concentration statistic (antitrust
+# guidelines, supply-chain risk): HHI = Σ share_i², here on a 0..1e6
+# ppm scale (share_ppm per supplier, then Σ share² div 1e6). Exact
+# integer arithmetic throughout: shares floor to ppm first, so every
+# intermediate is ≤ 1e12 per supplier regardless of corpus size. The
+# report also carries the top-1 share and supplier count — the three
+# numbers a concentration review reads together. All aggregation is
+# key-partitioned by nation; the supplier-grain table is
+# dimension-sized.
+# ---------------------------------------------------------------------------
+Q125_ORACLE = """
+    WITH sup_rev AS (
+      SELECT s_nationkey AS nation, s_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), shares AS (
+      SELECT nation, s_suppkey, rev,
+             rev * 1000000 // sum(rev) OVER (PARTITION BY nation)
+               AS share_ppm
+      FROM sup_rev
+    )
+    SELECT n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT)
+             AS hhi_ppm,
+           CAST(max(share_ppm) AS BIGINT) AS top1_share_ppm
+    FROM shares JOIN nation ON nation = n_nationkey
+    GROUP BY 1
+"""
+
+
+def q125_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier-market HHI in exact ppm (see section
+    comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sup_rev = (
+        li.selectExpr(
+            "l_suppkey",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+        .join(
+            F.broadcast(
+                sup.selectExpr(
+                    "s_suppkey AS l_suppkey", "s_nationkey AS nation"
+                )
+            ),
+            "l_suppkey",
+        )
+    )
+    shares = sup_rev.select(
+        "nation",
+        "rev",
+        F.expr(
+            "rev * 1000000 div sum(rev) over (partition by nation)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev").alias("revenue_cents"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000").alias(
+                "hhi_ppm"
+            ),
+            F.max("share_ppm").alias("top1_share_ppm"),
+        )
+        .join(
+            F.broadcast(
+                nat.selectExpr("n_nationkey AS nation", "n_name")
+            ),
+            "nation",
+        )
+        .selectExpr(
+            "n_name AS nation_name",
+            "n_suppliers",
+            "revenue_cents",
+            "hhi_ppm",
+            "top1_share_ppm",
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "q120_allen_relations": (q120_allen_relations, Q120_ORACLE),
@@ -828,6 +925,10 @@ def _staged() -> dict:
         "q122_link_prediction": (q122_link_prediction, Q122_ORACLE),
         "q123_abc_xyz_matrix": (q123_abc_xyz_matrix, Q123_ORACLE),
         "q124_runs_test": (q124_runs_test, Q124_ORACLE),
+        "q125_hhi_concentration": (
+            q125_hhi_concentration,
+            Q125_ORACLE,
+        ),
     }
 
 

@@ -497,3 +497,52 @@ def test_runs_test_python_reference(spark, duck, sf_dir):
     assert int(got.runs_ratio_ppm) == runs * n * 1_000_000 // (
         n + 2 * a * (n - a)
     )
+
+
+# --- HHI concentration -------------------------------------------------------
+
+
+def test_hhi_python_reference(spark, duck, sf_dir):
+    """Brute-force per-nation HHI with the mirrored integer arithmetic,
+    plus the statistic's invariants: 1e6/n <= HHI <= 1e6 (up to ppm
+    flooring) and top1_share² / 1e6 <= HHI."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r21 import (
+        q125_hhi_concentration,
+    )
+
+    got = {
+        r["nation_name"]: (
+            r["n_suppliers"],
+            r["revenue_cents"],
+            r["hhi_ppm"],
+            r["top1_share_ppm"],
+        )
+        for r in q125_hhi_concentration(spark, sf_dir)
+        .toPandas()
+        .to_dict("records")
+    }
+    rows = duck.sql(
+        """
+        SELECT n_name, s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 AS BIGINT)
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict = {}
+    for n, sk, rev in rows:
+        by_nation.setdefault(n, []).append(int(rev))
+    for n, revs in by_nation.items():
+        tot = sum(revs)
+        shares = [r * 1_000_000 // tot for r in revs]
+        hhi = sum(sh * sh for sh in shares) // 1_000_000
+        expect = (len(revs), tot, hhi, max(shares))
+        assert got[n] == expect, n
+        # invariants (ppm flooring can undershoot slightly)
+        assert hhi <= 1_000_000
+        assert hhi >= 1_000_000 // len(revs) - len(revs)
+        assert max(shares) ** 2 // 1_000_000 <= hhi
+    assert set(got) == set(by_nation)

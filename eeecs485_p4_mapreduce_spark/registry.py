@@ -49,6 +49,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
+    # staged_r21 flips (first driver rows expected in CORRECTNESS_r11)
+    "q120_allen_relations",
+    "mm_msgpack_walk",
+    "q121_bitemporal_asof",
+    "dedup_simhash_pigeonhole",
+    "q122_link_prediction",
+    "q123_abc_xyz_matrix",
+    "q124_runs_test",
+    "q125_hhi_concentration",
     # staged_r20 flips (first driver rows expected in CORRECTNESS_r10)
     "mm_mkv_ebml",
     "ta_fertility_census",
@@ -381,6 +390,7 @@ def load_all() -> None:
         staged_r18,
         staged_r19,
         staged_r20,
+        staged_r21,
     )
 
     staged.register_staged()
@@ -398,4 +408,5 @@ def load_all() -> None:
     staged_r18.register_staged()
     staged_r19.register_staged()
     staged_r20.register_staged()
+    staged_r21.register_staged()
     _prioritize()

@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
         default=5999,
         help="(--worker / --serve) UDP heartbeat port",
     )
+    parser.add_argument(
+        "--heartbeat-interval",
+        type=float,
+        default=None,
+        help="(--worker / --serve) seconds between heartbeats; default "
+        "is the spec's 2 s — tests shrink it to keep liveness "
+        "wall-clock short without changing the message shape",
+    )
     parser.add_argument("-i", "--input", dest="input_directory")
     parser.add_argument("-o", "--output", dest="output_directory")
     parser.add_argument("-m", "--mapper", default=None)
@@ -64,10 +72,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.worker:
         from eeecs485_p4_mapreduce_spark.mrlite import MRWorker
+        from eeecs485_p4_mapreduce_spark.mrlite.worker import (
+            TIME_BETWEEN_HEARTBEATS,
+        )
 
         # The reference's worker CLI defaults its own port to 6001
         # (mapreduce/worker/__main__.py:45).
         port = args.port if args.port is not None else 6001
+        hb = (
+            args.heartbeat_interval
+            if args.heartbeat_interval is not None
+            else TIME_BETWEEN_HEARTBEATS
+        )
         try:
             w = MRWorker(
                 host=args.host,
@@ -75,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
                 manager_host=args.manager_host,
                 manager_port=args.manager_port,
                 manager_hb_port=args.manager_hb_port,
+                heartbeat_interval=hb,
             ).start()
         except OSError as exc:
             print(f"mrlite: error: cannot register with manager at "
@@ -90,12 +107,21 @@ def main(argv: list[str] | None = None) -> int:
         from eeecs485_p4_mapreduce_spark import get_spark
         from eeecs485_p4_mapreduce_spark.mrlite import MREngine, MRManagerServer
 
+        from eeecs485_p4_mapreduce_spark.mrlite.worker import (
+            TIME_BETWEEN_HEARTBEATS,
+        )
+
         spark = get_spark("mrlite-manager")
         server = MRManagerServer(
             MREngine(spark),
             host=args.host,
             port=args.port if args.port is not None else 6000,
             hb_port=args.manager_hb_port,
+            heartbeat_interval=(
+                args.heartbeat_interval
+                if args.heartbeat_interval is not None
+                else TIME_BETWEEN_HEARTBEATS
+            ),
         ).start()
         print(
             f"mrlite manager listening on {server.host}:{server.port} "

@@ -39,8 +39,13 @@ grouped into ``new_reduce_task`` messages, final ``part-%05d`` files in
 the job's output directory. A worker that stops heartbeating (C4's
 miss-5 rule) or refuses a connection has its in-flight task requeued to
 the survivors (C7 fault tolerance — untested in the reference fork, so
-the semantics here are the published spec's: tasks are idempotent file
-writes, so reassignment is safe). Scripts that today call
+the semantics here are the published spec's). Reassignment is
+presumptive — a worker that merely missed 5 heartbeats may still be
+running — so safety comes from the worker's write discipline, not from
+an exactly-once assumption: each attempt writes to a private temp name
+and os.replace()s into place only on success (mrlite/worker.py), so two
+live attempts at the same task never interleave bytes and the last
+completed attempt wins atomically. Scripts that today call
 ``mapreduce-submit`` against the reference can point at this endpoint
 unchanged, with or without a worker fleet.
 
@@ -55,9 +60,9 @@ from __future__ import annotations
 
 import json
 import queue
+import itertools
 import shutil
 import socket
-import tempfile
 import threading
 import time
 from dataclasses import dataclass, field
@@ -130,6 +135,9 @@ class MRManagerServer:
         #: the discard itself is reference-matching behavior)
         self.malformed_count = 0
         self._queue: queue.Queue[JobRecord | None] = queue.Queue()
+        #: per-wave nonce source — task ids restart at 0 every wave, so
+        #: finished-event correlation needs a wave-scoped discriminator
+        self._wave_seq = itertools.count()
         self._sock: socket.socket | None = None
         self._hb_sock: socket.socket | None = None
         self._threads: list[threading.Thread] = []
@@ -267,12 +275,20 @@ class MRManagerServer:
         Raises if the fleet empties, a task exhausts its attempts, or
         shutdown arrives — a queued job must never hang its submitter.
 
-        Correlation is (task_id AND assigned worker): a straggler
-        ``finished`` from a presumed-dead worker whose task was already
-        reassigned must not complete the wrong wave/stage (task ids
-        restart at 0 every wave)."""
+        Correlation is (wave nonce AND task_id AND assigned worker): a
+        straggler ``finished`` from a presumed-dead worker whose task
+        was already reassigned must not complete the wrong wave/stage
+        (task ids restart at 0 every wave, and a worker that fell out
+        of liveness can re-register and be handed the SAME tid in the
+        next wave — sender+tid alone would accept its stale map-stage
+        finished as the reduce result). Dispatched tasks carry a
+        ``wave`` nonce the worker echoes; an event whose echoed nonce
+        mismatches is skipped. Events without the field (a worker
+        predating the nonce, or reference tooling) fall back to the
+        sender+tid match."""
         from collections import deque
 
+        wave_nonce = next(self._wave_seq)
         pending = deque(tasks)
         inflight: dict[int, tuple[tuple[str, int], int, dict]] = {}
         done: dict[int, dict] = {}
@@ -303,6 +319,8 @@ class MRManagerServer:
                     )
                     if sender != wkey:
                         continue  # straggler from a reassigned worker
+                    if "wave" in ev and ev["wave"] != wave_nonce:
+                        continue  # stale echo from a previous wave
                     if ev.get("error"):
                         # Worker survived but the task failed: requeue
                         # elsewhere (bounded attempts), free the worker.
@@ -342,6 +360,7 @@ class MRManagerServer:
                             wkey[1],
                             {
                                 **task,
+                                "wave": wave_nonce,
                                 "worker_host": wkey[0],
                                 "worker_port": wkey[1],
                             },
@@ -380,11 +399,24 @@ class MRManagerServer:
         num_reducers = int(message.get("num_reducers", 2))
         out_dir = Path(message["output_directory"])
         out_dir.mkdir(parents=True, exist_ok=True)
-        # Shared scratch, the reference's tmp layout (assumes a filesystem
-        # all workers see — true for localhost fleets and NFS-style tmp).
-        inter = Path(
-            tempfile.mkdtemp(prefix=f"mapreduce-shared-job{job_id:05d}-")
-        )
+        # Shared scratch in the reference's pinned layout:
+        # <cwd>/tmp/job-{id}/intermediate (reference:
+        # tests/test_manager_01.py:26-29 waits for these exact dirs;
+        # tests/test_manager_02.py:145 asserts the map message's
+        # output_directory is "tmp/job-0/intermediate"; tests/utils
+        # is_map_message requires "intermediate" in the path). Assumes a
+        # filesystem all workers see — true for localhost fleets and
+        # NFS-style tmp. If another fleet in the same cwd already owns
+        # tmp/job-{id} (ids restart at 0 per manager), fall back to a
+        # port-suffixed sibling that still contains "intermediate".
+        job_root = Path("tmp") / f"job-{job_id}"
+        try:
+            job_root.mkdir(parents=True, exist_ok=False)
+        except FileExistsError:
+            job_root = Path("tmp") / f"job-{job_id}-m{self.port}"
+            job_root.mkdir(parents=True, exist_ok=True)
+        inter = job_root / "intermediate"
+        inter.mkdir(exist_ok=True)
         try:
             n_map = min(num_mappers, len(files))
             map_finished = self._dispatch_wave(
@@ -423,7 +455,7 @@ class MRManagerServer:
             )
             return MRJobResult(job_id, str(out_dir), output_paths)
         finally:
-            shutil.rmtree(inter, ignore_errors=True)
+            shutil.rmtree(job_root, ignore_errors=True)
 
     # -- job side ----------------------------------------------------------
 

@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import os
 import socket
 import subprocess
 import tempfile
@@ -231,6 +232,7 @@ class MRWorker:
                     int(message.get("task_id", -1)),
                     [],
                     error=f"{type(exc).__name__}: {exc}",
+                    wave=message.get("wave"),
                 )
         elif mtype == "shutdown":
             self._shutdown.set()
@@ -258,6 +260,7 @@ class MRWorker:
         task_id: int,
         output_paths: list[str],
         error: str | None = None,
+        wave=None,
     ) -> None:
         message = {
             "message_type": "finished",
@@ -268,6 +271,12 @@ class MRWorker:
         }
         if error is not None:
             message["error"] = error
+        if wave is not None:
+            # Echo the manager's per-wave nonce so a delayed finished
+            # from a prior wave (task ids restart at 0 each wave) can
+            # never be matched to the wrong stage. Reference-driven
+            # tasks carry no nonce; the field is simply absent then.
+            message["wave"] = wave
         self.finished.append(message)
         send_json(self.manager_host, self.manager_port, message)
 
@@ -282,39 +291,71 @@ class MRWorker:
             out_dir / f"maptask{task_id:05d}-part{p:05d}"
             for p in range(num_partitions)
         ]
-        with ExitStack() as stack:
-            # One output file per partition, created up front: the
-            # reference reports every partition file in finished even
-            # when empty (tests/test_worker_08.py:159-162).
-            parts = [
-                stack.enter_context(p.open("w", encoding="utf-8"))
-                for p in part_paths
-            ]
-            for input_path in message["input_paths"]:
-                with (
-                    Path(str(input_path)).open("rb") as infile,
-                    subprocess.Popen(
-                        [executable],
-                        stdin=infile,
-                        stdout=subprocess.PIPE,
-                        text=True,
-                    ) as proc,
-                ):
-                    assert proc.stdout is not None
-                    for line in proc.stdout:  # streams: O(1) memory
-                        key = line.partition("\t")[0]
-                        parts[md5_partition(key, num_partitions)].write(line)
-                if proc.returncode:
-                    raise RuntimeError(
-                        f"mapper exited {proc.returncode} on {input_path}"
-                    )
-        self._send_finished(task_id, [str(p) for p in part_paths])
+        # C7 makes reassignment presumptive: a worker that merely missed
+        # 5 heartbeats may still be running and writing. Two attempts
+        # open('w')-ing the SAME file interleave and corrupt it, so each
+        # attempt streams into a private temp name and os.replace()s the
+        # whole set into place only on success — last completed attempt
+        # wins atomically, a half-done loser leaves nothing behind.
+        tmp_paths = [
+            p.with_name(f"{p.name}.tmp-{self.port}") for p in part_paths
+        ]
+        try:
+            with ExitStack() as stack:
+                # One output file per partition, created up front: the
+                # reference reports every partition file in finished even
+                # when empty (tests/test_worker_08.py:159-162).
+                parts = [
+                    stack.enter_context(p.open("w", encoding="utf-8"))
+                    for p in tmp_paths
+                ]
+                for input_path in message["input_paths"]:
+                    with (
+                        Path(str(input_path)).open("rb") as infile,
+                        subprocess.Popen(
+                            [executable],
+                            stdin=infile,
+                            stdout=subprocess.PIPE,
+                            text=True,
+                        ) as proc,
+                    ):
+                        assert proc.stdout is not None
+                        for line in proc.stdout:  # streams: O(1) memory
+                            # A mapper whose final stdout line lacks its
+                            # newline must not concatenate with the next
+                            # input file's first line routed to the same
+                            # partition (mirror of the reduce-side patch).
+                            if not line.endswith("\n"):
+                                line += "\n"
+                            key = line.partition("\t")[0]
+                            parts[
+                                md5_partition(key, num_partitions)
+                            ].write(line)
+                    if proc.returncode:
+                        raise RuntimeError(
+                            f"mapper exited {proc.returncode} on {input_path}"
+                        )
+            for tmp, final in zip(tmp_paths, part_paths):
+                os.replace(tmp, final)
+        except BaseException:
+            for tmp in tmp_paths:
+                tmp.unlink(missing_ok=True)
+            raise
+        self._send_finished(
+            task_id,
+            [str(p) for p in part_paths],
+            wave=message.get("wave"),
+        )
 
     def _run_reduce_task(self, message: dict) -> None:
         task_id = int(message["task_id"])
         executable = str(message["executable"])
         out_dir = Path(str(message["output_directory"]))
         out_path = out_dir / f"part-{task_id:05d}"
+        # Same atomic-rename discipline as the map side: a presumed-dead
+        # worker's late writes must not interleave with the replacement
+        # attempt's output file.
+        tmp_path = out_path.with_name(f"{out_path.name}.tmp-{self.port}")
         with ExitStack() as stack:
             # External merge-sort: one sorted run per (unsorted) input
             # file, spilled to disk, then a streaming k-way merge. Peak
@@ -338,7 +379,8 @@ class MRWorker:
                 run.writelines(lines)
                 run.seek(0)
                 runs.append(run)
-            outfile = stack.enter_context(out_path.open("w", encoding="utf-8"))
+            stack.callback(tmp_path.unlink, missing_ok=True)
+            outfile = stack.enter_context(tmp_path.open("w", encoding="utf-8"))
             proc = stack.enter_context(
                 subprocess.Popen(
                     [executable],
@@ -353,4 +395,8 @@ class MRWorker:
             proc.stdin.close()
             if proc.wait():
                 raise RuntimeError(f"reducer exited {proc.returncode}")
-        self._send_finished(task_id, [str(out_path)])
+            outfile.flush()
+            os.replace(tmp_path, out_path)
+        self._send_finished(
+            task_id, [str(out_path)], wave=message.get("wave")
+        )

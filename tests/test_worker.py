@@ -739,3 +739,129 @@ def test_reduce_handles_missing_trailing_newline(
         lambda ms: any(m.get("message_type") == "finished" for m in ms)
     )
     assert (out / "part-00000").read_text() == "a\t2\nb\t2\n"
+
+
+def test_worker_sigkilled_mid_task_is_reassigned(tmp_path):
+    """C7, the hard case: a worker dies AFTER receiving a map task but
+    BEFORE sending finished (SIGKILL mid-``sleep`` inside the
+    reference's own wc_map_slow.sh). The victim is a REAL subprocess
+    (`python -m ...mrlite --worker`), so the kill is a genuine process
+    death: no finished message, no more heartbeats, its mapper child
+    orphaned mid-write. The manager's miss-5 liveness rule plus the
+    epoch/requeue path must hand the task to the survivor and the job
+    must still produce correct output — and the atomic temp-name write
+    discipline means the victim's half-written partition files never
+    pollute the replacement attempt's output."""
+    import subprocess
+    import sys
+
+    from eeecs485_p4_mapreduce_spark.mrlite import MRManagerServer
+
+    server = MRManagerServer(
+        None, port=0, hb_port=0, heartbeat_interval=HB
+    ).start()
+    victim = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "eeecs485_p4_mapreduce_spark.mrlite",
+            "--worker",
+            "--port",
+            "0",
+            "--manager-port",
+            str(server.port),
+            "--manager-hb-port",
+            str(server.hb_port),
+            "--heartbeat-interval",
+            str(HB),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    survivor = MRWorker(
+        port=0,
+        manager_port=server.port,
+        manager_hb_port=server.hb_port,
+        heartbeat_interval=HB,
+    ).start()
+    try:
+        import re
+
+        line = victim.stdout.readline()
+        m = re.search(r"worker on [\w.]+:(\d+)", line)
+        assert m, line
+        victim_port = int(m.group(1))
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not (
+            ("localhost", victim_port) in server.workers
+            and survivor.registered.is_set()
+        ):
+            time.sleep(0.05)
+        assert ("localhost", victim_port) in server.workers
+        assert survivor.registered.is_set()
+
+        out = tmp_path / "out"
+        send_json(
+            "localhost",
+            server.port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": str(REF_DATA / "input_small"),
+                "output_directory": str(out),
+                "mapper_executable": str(
+                    REF_DATA / "exec/wc_map_slow.sh"
+                ),
+                "reducer_executable": str(REF_DATA / "exec/wc_reduce.sh"),
+                "num_mappers": 2,
+                "num_reducers": 1,
+            },
+        )
+        # Wait until the victim has demonstrably STARTED its map task:
+        # each attempt opens private maptask*-part*.tmp-{port} files in
+        # the job's intermediate dir the moment it begins (the mapper
+        # then sleeps 3 s before emitting anything).
+        deadline = time.monotonic() + 20
+        victim_tmp = []
+        while time.monotonic() < deadline and not victim_tmp:
+            victim_tmp = list(
+                Path("/root/repo/tmp").glob(
+                    f"job-*/intermediate/*.tmp-{victim_port}"
+                )
+            )
+            time.sleep(0.05)
+        assert victim_tmp, "victim never started its map task"
+        victim.kill()  # SIGKILL: mid-sleep, no finished, no cleanup
+        victim.wait(timeout=10)
+
+        rec = _wait_job_done(server, timeout=60)
+        assert rec.error is None
+        # The victim fell out of the fleet when its task was requeued.
+        assert ("localhost", victim_port) not in server.workers
+        # Every finished event came from the survivor.
+        assert {ev["worker_port"] for ev in server.task_events} == {
+            survivor.port
+        }
+        import collections
+
+        expected = collections.Counter(
+            tok
+            for f in sorted((REF_DATA / "input_small").iterdir())
+            for tok in f.read_text().lower().split()
+        )
+        lines = [
+            line
+            for p in rec.result.output_paths
+            for line in Path(p).read_text().splitlines()
+        ]
+        assert sorted(lines) == sorted(
+            f"{w}\t{c}" for w, c in expected.items()
+        )
+    finally:
+        if victim.poll() is None:
+            victim.kill()
+        survivor.stop()
+        survivor.join(timeout=5)
+        server.stop()
+        server.join(timeout=10)

@@ -124,3 +124,46 @@ def test_outer_join_emits_unmatched_clicks(spark, sf_dir, duck):
     assert out.filter(F.col("click_id") < 0).count() == 0
     assert out.filter(F.col("user_id") < 0).count() == 0
     out.unpersist()
+
+
+def test_semdedup_scaledk_matches_production_per_shard(
+    spark, sf_dir, tmp_path
+):
+    """The probe-only scaled-k variant (production k-policy: k ~ N via
+    re-seeded per-shard centroids, two-level assignment) must be
+    FAITHFUL: on a single shard it degenerates to dedup_semdedup
+    exactly, and on an R=2 key-shifted replica every shard reproduces
+    the base result 1:1 (shard 1 = base rows with ids shifted by
+    KEY_OFFSET). That id-level equality is also the pair-work
+    measurement in miniature: duplicate rows — hence within-cluster
+    pairs — grow exactly proportionally to R under the k-policy,
+    never R^2 like the fixed-k probe."""
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from scale_probe import KEY_OFFSET, build
+
+    base = sorted(
+        tuple(r)
+        for r in staged.dedup_semdedup(spark, sf_dir).collect()
+    )
+    single = sorted(
+        (r.vec_id, r.cluster, r.dup_of, r.n_near, r.max_cos)
+        for r in staged.dedup_semdedup_scaledk(spark, sf_dir).collect()
+    )
+    assert single == base  # one shard == production pipeline
+
+    rep_dir = str(tmp_path / "x2")
+    build(2, rep_dir, src=sf_dir, spark=spark)
+    out = staged.dedup_semdedup_scaledk(spark, rep_dir).collect()
+    by_shard = {0: [], 1: []}
+    for r in out:
+        by_shard[r.rep].append(
+            (
+                r.vec_id - r.rep * KEY_OFFSET,
+                r.cluster,
+                r.dup_of - r.rep * KEY_OFFSET,
+                r.n_near,
+                r.max_cos,
+            )
+        )
+    assert sorted(by_shard[0]) == base
+    assert sorted(by_shard[1]) == base  # pair work grew exactly 2x

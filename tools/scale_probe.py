@@ -76,6 +76,10 @@ NONLINEAR_OK = {
     "sim_hnsw_search": "dominated by its embedded edge build —"
     " sim_hnsw_build's exemption applies; the search hops themselves"
     " touch only the EF-row frontier per query",
+    "sim_hnsw_m_recall": "dominated by its embedded edge build —"
+    " sim_hnsw_build's fixed-plane-count exemption applies (x10"
+    " measured 1.18x, sub-linear at that factor; the recall join"
+    " itself is broadcast-sized)",
     "dedup_semdedup": "within-cluster pairs grow quadratically when the"
     " replica's cluster count stays fixed while the corpus grows (the"
     " probe can't re-cluster); the production k-policy (k ~ N /"
@@ -161,10 +165,11 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
         staged_r19,
         staged_r20,
         staged_r21,
+        staged_r22,
     )
 
     lookup = dict(QUERIES)
-    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21):
+    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22):
         lookup.update({n: fn for n, (fn, _oracle) in mod.STAGED.items()})
     # Probe-only variant backing dedup_semdedup's fixed-k exemption with
     # a measurement: the production k-policy (k ~ N, re-seeded per-shard

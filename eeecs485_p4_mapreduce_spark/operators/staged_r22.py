@@ -52,6 +52,15 @@ Staged surface:
   the mergeability proof (sample(A ∪ B) = merge(sample(A),
   sample(B))), the property that lets 100-TB reservoirs tree-merge
   per partition without a global sort.
+- ``q126_interval_coverage`` — merge-overlapping-intervals as a
+  distributed sweep: per customer, the union length of their orders'
+  shipping intervals (islands via a running-max window, UNBOUNDED
+  PRECEDING frames only, no pair self-join), with exact ppm coverage
+  of the activity span — the union property q120's pairwise Allen
+  census cannot express.
+- ``ta_burstiness`` — Church–Gale burstiness: exact-ppm
+  variance-to-mean ratio of per-document counts for the top-df
+  tokens, zeros handled algebraically (n·Σx² − (Σx)²)/(n·Σx).
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -524,6 +533,190 @@ def skew_key_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q126_interval_coverage. The classic merge-overlapping-intervals sweep,
+# distributed: islands form per customer via a running-max window (an
+# UNBOUNDED PRECEDING frame — the streamable direction per SCALE.md),
+# so the whole sweep is one customer-partitioned sort, no self-join.
+# Intervals are closed [s, e] epoch days (the order's lineitem shipdate
+# range, q120's derivation); islands break when s > running max e
+# (touching at a day merges, adjacency does not). All integer-exact.
+# ---------------------------------------------------------------------------
+Q126_ORACLE = """
+    WITH iv AS (
+      SELECT l_orderkey AS k,
+             CAST(min(epoch_us(l_shipdate)) // 86400000000 AS BIGINT) AS s,
+             CAST(max(epoch_us(l_shipdate)) // 86400000000 AS BIGINT) AS e
+      FROM lineitem GROUP BY 1
+    ), oi AS (
+      SELECT o_custkey AS c, k, s, e
+      FROM orders JOIN iv ON o_orderkey = k
+    ), marked AS (
+      SELECT c, k, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY c ORDER BY s, e, k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM oi
+    ), islands AS (
+      SELECT c, k, s, e,
+             sum(new_island) OVER (
+               PARTITION BY c ORDER BY s, e, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM marked
+    ), isl AS (
+      SELECT c, island_id,
+             min(s) AS is_, max(e) AS ie,
+             count(*) AS n_orders
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT c AS custkey,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(ie - is_ + 1) AS BIGINT) AS covered_days,
+           CAST(max(ie) - min(is_) + 1 AS BIGINT) AS span_days,
+           CAST(sum(ie - is_ + 1) * 1000000
+                // (max(ie) - min(is_) + 1) AS BIGINT) AS coverage_ppm
+    FROM isl GROUP BY c
+"""
+
+
+def q126_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: the union length of their orders' shipping
+    intervals — merge-overlapping-intervals as a distributed sweep.
+    Emits order count, island count, covered days, span days, and the
+    exact ppm fraction of the span the customer's shipping activity
+    covers (a fill-rate/utilization shape that q120's pairwise Allen
+    census cannot answer, because coverage is a property of the UNION,
+    not of pairs).
+
+    Scale shape: one lineitem partial agg (order grain), one
+    broadcast-eligible join to orders, then two windows and two aggs
+    all partitioned by custkey — per-key work is bounded by orders per
+    customer, both window frames run UNBOUNDED PRECEDING (the
+    streaming-friendly direction, SCALE.md frame rule), and no
+    self-join ever forms interval pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    iv = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.expr(
+            "CAST(min(unix_micros(cast(l_shipdate as timestamp)))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(max(unix_micros(cast(l_shipdate as timestamp)))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("e"),
+    )
+    oi = orders.select(
+        F.col("o_custkey").alias("c"), F.col("o_orderkey").alias("k")
+    ).join(iv, "k")
+    order_w = Window.partitionBy("c").orderBy("s", "e", "k")
+    prev_max = (
+        F.max("e")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    marked = oi.withColumn(
+        "new_island",
+        F.when(prev_max >= F.col("s"), 0).otherwise(1),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    isl = islands.groupBy("c", "island_id").agg(
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return isl.groupBy(F.col("c").alias("custkey")).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("ie") - F.col("is_") + 1).alias("covered_days"),
+        (F.max("ie") - F.min("is_") + 1).alias("span_days"),
+        F.expr(
+            "CAST(sum(ie - is_ + 1) * 1000000L"
+            " div (max(ie) - min(is_) + 1) AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_burstiness. Church & Gale's observation: content words are BURSTY
+# (variance-to-mean ratio of per-document counts >> 1, the Poisson
+# baseline), function words are not. VMR over ALL documents (absent
+# docs count as zero occurrences) in exact ppm via denominator
+# clearing: vmr = (n*Σx² − (Σx)²) / (n*Σx).
+# ---------------------------------------------------------------------------
+TA_BURST_TOP = 10
+
+TA_BURST_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+    ), stats AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS total_tf,
+             CAST(sum(c * c) AS BIGINT) AS sq
+      FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT token, df, total_tf,
+           CAST((n.n_docs * sq - total_tf * total_tf) * 1000000
+                // (n.n_docs * total_tf) AS BIGINT) AS vmr_ppm
+    FROM stats, n
+    ORDER BY df DESC, token
+    LIMIT {TA_BURST_TOP}
+"""
+
+
+def ta_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (exact ppm) of per-document counts for
+    the {TA_BURST_TOP} highest-document-frequency tokens — the
+    Church–Gale burstiness diagnostic that separates topical content
+    words (VMR >> 1e6) from Poisson-like function words (~1e6).
+    Absent documents count as zeros, handled algebraically
+    (n·Σx² − (Σx)²)/(n·Σx) so no zero rows are ever materialized.
+
+    Scale shape: one corpus explode into the (doc, token) partial agg,
+    one token-grain aggregate (map-side combine on both), a 1-row
+    n_docs broadcast, and a driver-trivial top-{TA_BURST_TOP} sort on
+    the token-grain stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total_tf"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            "total_tf",
+            F.expr(
+                "CAST((n_docs * sq - total_tf * total_tf) * 1000000L"
+                " div (n_docs * total_tf) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(TA_BURST_TOP)
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -538,6 +731,11 @@ def _staged() -> dict:
             CURATE_BOTTOMK_ORACLE,
         ),
         "skew_key_entropy": (skew_key_entropy, SKEW_ENTROPY_ORACLE),
+        "q126_interval_coverage": (
+            q126_interval_coverage,
+            Q126_ORACLE,
+        ),
+        "ta_burstiness": (ta_burstiness, TA_BURST_ORACLE),
     }
 
 

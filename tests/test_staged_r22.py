@@ -339,3 +339,98 @@ def test_key_entropy_matches_python(spark, sf_dir):
         assert r.top1_ppm == max(cnt.values()) * 1_000_000 // t
         # entropy is bounded by the uniform distribution's
         assert r.entropy_nats <= math.log(len(cnt)) + 1e-6
+
+
+# --- interval coverage -------------------------------------------------------
+
+
+def test_interval_coverage_matches_python(spark, sf_dir):
+    """Pure-Python merge-overlapping-intervals sweep over the same
+    parquet, exact row-for-row."""
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CAST(unix_micros(cast(l_shipdate as timestamp))"
+        " div 86400000000 AS BIGINT) AS day",
+    ).collect()
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    iv: dict[int, list] = {}
+    for r in li:
+        s, e = iv.get(r.l_orderkey, (r.day, r.day)) or (r.day, r.day)
+        iv[r.l_orderkey] = (min(s, r.day), max(e, r.day))
+    by_cust: dict[int, list] = {}
+    for k, (s, e) in iv.items():
+        by_cust.setdefault(orders[k], []).append((s, e, k))
+    expect = {}
+    for c, ivs in by_cust.items():
+        ivs.sort()
+        islands = []
+        for s, e, _k in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = sum(e - s + 1 for s, e in islands)
+        span = max(e for _s, e in islands) - min(s for s, _e in islands) + 1
+        expect[c] = (
+            len(ivs),
+            len(islands),
+            covered,
+            span,
+            covered * 1_000_000 // span,
+        )
+    out = {
+        r.custkey: (
+            r.n_orders,
+            r.n_islands,
+            r.covered_days,
+            r.span_days,
+            r.coverage_ppm,
+        )
+        for r in staged_r22.q126_interval_coverage(spark, sf_dir).collect()
+    }
+    assert out == expect
+    # the sweep found at least one multi-order island somewhere,
+    # otherwise the merge path is untested
+    assert any(v[0] > v[1] for v in expect.values())
+
+
+# --- burstiness --------------------------------------------------------------
+
+
+def test_burstiness_matches_python(spark, sf_dir):
+    import re
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    n_docs = len(docs)
+    per_token: dict[str, list] = {}
+    for r in docs:
+        for tok, c in Counter(re.split("[ \t]", r.text.lower())).items():
+            per_token.setdefault(tok, []).append(c)
+    stats = {
+        t: (len(cs), sum(cs), sum(c * c for c in cs))
+        for t, cs in per_token.items()
+    }
+    top = sorted(stats, key=lambda t: (-stats[t][0], t))[
+        : staged_r22.TA_BURST_TOP
+    ]
+    out = staged_r22.ta_burstiness(spark, sf_dir).collect()
+    assert [r.token for r in out] == top
+    for r in out:
+        df, total, sq = stats[r.token]
+        assert r.df == df and r.total_tf == total
+        assert (
+            r.vmr_ppm
+            == (n_docs * sq - total * total) * 1_000_000 // (n_docs * total)
+        )
+    # content words should be bursty: at least one token well over the
+    # Poisson baseline (vmr ~ 1e6) makes the diagnostic non-vacuous
+    assert max(r.vmr_ppm for r in out) > 1_000_000

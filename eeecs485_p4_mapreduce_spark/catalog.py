@@ -16,6 +16,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Per-replica key shift used by tools/scale_probe.py's replica
+#: corpora — shared here so probe-only operator variants (e.g.
+#: dedup_semdedup_scaledk's shard derivation) and the probe builder can
+#: never drift apart on the one constant that links them.
+REPLICA_KEY_OFFSET = 100_000_000
+
 TABLES = (
     "region",
     "nation",

@@ -70,20 +70,20 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--nreducers", type=int, default=2)
     args = parser.parse_args(argv)
 
+    # The spec's 2 s heartbeat default lives on MRWorker/MRManagerServer;
+    # the CLI only forwards an override when one was given.
+    hb_kwargs = (
+        {"heartbeat_interval": args.heartbeat_interval}
+        if args.heartbeat_interval is not None
+        else {}
+    )
+
     if args.worker:
         from eeecs485_p4_mapreduce_spark.mrlite import MRWorker
-        from eeecs485_p4_mapreduce_spark.mrlite.worker import (
-            TIME_BETWEEN_HEARTBEATS,
-        )
 
         # The reference's worker CLI defaults its own port to 6001
         # (mapreduce/worker/__main__.py:45).
         port = args.port if args.port is not None else 6001
-        hb = (
-            args.heartbeat_interval
-            if args.heartbeat_interval is not None
-            else TIME_BETWEEN_HEARTBEATS
-        )
         try:
             w = MRWorker(
                 host=args.host,
@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
                 manager_host=args.manager_host,
                 manager_port=args.manager_port,
                 manager_hb_port=args.manager_hb_port,
-                heartbeat_interval=hb,
+                **hb_kwargs,
             ).start()
         except OSError as exc:
             print(f"mrlite: error: cannot register with manager at "
@@ -107,21 +107,13 @@ def main(argv: list[str] | None = None) -> int:
         from eeecs485_p4_mapreduce_spark import get_spark
         from eeecs485_p4_mapreduce_spark.mrlite import MREngine, MRManagerServer
 
-        from eeecs485_p4_mapreduce_spark.mrlite.worker import (
-            TIME_BETWEEN_HEARTBEATS,
-        )
-
         spark = get_spark("mrlite-manager")
         server = MRManagerServer(
             MREngine(spark),
             host=args.host,
             port=args.port if args.port is not None else 6000,
             hb_port=args.manager_hb_port,
-            heartbeat_interval=(
-                args.heartbeat_interval
-                if args.heartbeat_interval is not None
-                else TIME_BETWEEN_HEARTBEATS
-            ),
+            **hb_kwargs,
         ).start()
         print(
             f"mrlite manager listening on {server.host}:{server.port} "

@@ -404,16 +404,22 @@ class MRManagerServer:
         # tests/test_manager_01.py:26-29 waits for these exact dirs;
         # tests/test_manager_02.py:145 asserts the map message's
         # output_directory is "tmp/job-0/intermediate"; tests/utils
-        # is_map_message requires "intermediate" in the path). Assumes a
-        # filesystem all workers see — true for localhost fleets and
-        # NFS-style tmp. If another fleet in the same cwd already owns
-        # tmp/job-{id} (ids restart at 0 per manager), fall back to a
+        # is_map_message requires "intermediate" in the path). The
+        # directory tree lives under the MANAGER's cwd, but the path
+        # dispatched to workers is made ABSOLUTE first: a worker daemon
+        # started from a different working directory must not resolve
+        # "tmp/job-0/..." against its own cwd (the reference sidesteps
+        # this only because its deployment starts every process from
+        # the project root). Still assumes a filesystem all workers
+        # see — true for localhost fleets and NFS-style tmp. If
+        # another fleet in the same cwd already owns tmp/job-{id}
+        # (ids restart at 0 per manager), fall back to a
         # port-suffixed sibling that still contains "intermediate".
-        job_root = Path("tmp") / f"job-{job_id}"
+        job_root = Path.cwd() / "tmp" / f"job-{job_id}"
         try:
             job_root.mkdir(parents=True, exist_ok=False)
         except FileExistsError:
-            job_root = Path("tmp") / f"job-{job_id}-m{self.port}"
+            job_root = Path.cwd() / "tmp" / f"job-{job_id}-m{self.port}"
             job_root.mkdir(parents=True, exist_ok=True)
         inter = job_root / "intermediate"
         inter.mkdir(exist_ok=True)

@@ -255,6 +255,10 @@ class MRWorker:
                 # wait() (not sleep) so shutdown interrupts mid-interval
                 self._shutdown.wait(self.heartbeat_interval)
 
+    def _attempt_tag(self) -> str:
+        """Unique-per-attempt temp-file suffix: host + port + pid."""
+        return f"{self.host}-{self.port}-{os.getpid()}"
+
     def _send_finished(
         self,
         task_id: int,
@@ -296,9 +300,15 @@ class MRWorker:
         # open('w')-ing the SAME file interleave and corrupt it, so each
         # attempt streams into a private temp name and os.replace()s the
         # whole set into place only on success — last completed attempt
-        # wins atomically, a half-done loser leaves nothing behind.
+        # wins atomically, a half-done loser leaves nothing behind. The
+        # suffix is (host, port, pid): port alone would collide across
+        # HOSTS of a shared-filesystem fleet (every reference worker
+        # defaults to port 6001), re-enabling the interleaving; pid
+        # disambiguates same-(host, port) restarts racing their
+        # predecessor's orphaned mapper.
         tmp_paths = [
-            p.with_name(f"{p.name}.tmp-{self.port}") for p in part_paths
+            p.with_name(f"{p.name}.tmp-{self._attempt_tag()}")
+            for p in part_paths
         ]
         try:
             with ExitStack() as stack:
@@ -355,7 +365,9 @@ class MRWorker:
         # Same atomic-rename discipline as the map side: a presumed-dead
         # worker's late writes must not interleave with the replacement
         # attempt's output file.
-        tmp_path = out_path.with_name(f"{out_path.name}.tmp-{self.port}")
+        tmp_path = out_path.with_name(
+            f"{out_path.name}.tmp-{self._attempt_tag()}"
+        )
         with ExitStack() as stack:
             # External merge-sort: one sorted run per (unsorted) input
             # file, spilled to disk, then a streaming k-way merge. Peak

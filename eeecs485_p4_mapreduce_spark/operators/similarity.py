@@ -317,14 +317,19 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroids(emb: DataFrame) -> DataFrame:
+def _centroids(emb: DataFrame, extra_keys: tuple = ()) -> DataFrame:
     """Per-label centroids: element-wise mean via posexplode + (label, dim)
-    partial agg, reassembled in dim order. Output: (c_label, cv, cnorm)."""
-    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
+    partial agg, reassembled in dim order. Output: (c_label, cv, cnorm),
+    plus any ``extra_keys`` columns carried through the grouping —
+    dedup_semdedup_scaledk re-seeds centroids per replica shard by
+    passing ("rep",), so the probe variant shares THIS definition
+    instead of drifting on a copy."""
+    keys = list(extra_keys)
+    ex = emb.select(*keys, "label", F.posexplode("v").alias("i", "x"))
     return (
-        ex.groupBy("label", "i")
+        ex.groupBy(*keys, "label", "i")
         .agg(F.avg("x").alias("m"))
-        .groupBy(F.col("label").alias("c_label"))
+        .groupBy(*keys, F.col("label").alias("c_label"))
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"

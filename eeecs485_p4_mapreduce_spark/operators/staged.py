@@ -333,37 +333,23 @@ def dedup_semdedup_scaledk(
     k. On the base corpus (one shard) this degenerates to
     dedup_semdedup's exact pipeline, so probe base vs replica is
     apples-to-apples."""
+    from eeecs485_p4_mapreduce_spark.catalog import REPLICA_KEY_OFFSET
     from eeecs485_p4_mapreduce_spark.operators.similarity import (
         _ASSIGN_SORTED,
+        _centroids,
         _emb_with_norm,
     )
 
-    key_offset = 100_000_000  # tools/scale_probe.py KEY_OFFSET
     emb = _emb_with_norm(spark, sf_dir).withColumn(
-        "rep", F.expr(f"int(vec_id div {key_offset}L)")
+        "rep", F.expr(f"int(vec_id div {REPLICA_KEY_OFFSET}L)")
     )
-    # Re-seeded centroids per replica shard: k' = R*k rows total, packed
-    # to one row per shard (k structs each) so the fine assignment is a
-    # row-local array_sort after a broadcast join on the shard id.
+    # Re-seeded centroids per replica shard — the PRODUCTION centroid
+    # definition (similarity._centroids, shared, not copied) grouped by
+    # an extra shard key: k' = R*k rows total, packed to one row per
+    # shard (k structs each) so the fine assignment is a row-local
+    # array_sort after a broadcast join on the shard id.
     cens = (
-        emb.select("rep", "label", F.posexplode("v").alias("i", "x"))
-        .groupBy("rep", "label", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("rep", F.col("label").alias("c_label"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
-            ).alias("cv")
-        )
-        .withColumn(
-            "cnorm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(cv, cv, (x, y) -> x * y),"
-                    " 0.0d, (acc, x) -> acc + x)"
-                )
-            ),
-        )
+        _centroids(emb, ("rep",))
         .groupBy("rep")
         .agg(
             F.collect_list(F.struct("c_label", "cv", "cnorm")).alias("cens")

@@ -291,10 +291,21 @@ def sim_hnsw_m_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_bruteforce,
     )
 
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        N_QUERIES,
+    )
+
     nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    # Only the query nodes' adjacency matters for recall, and the join
+    # key is src == query_id, so bound the broadcast BEFORE it is
+    # built: without the src filter the broadcast is the whole layer-0
+    # edge table (O(N*M), linear in corpus — a driver OOM at 100 TB);
+    # with it, N_QUERIES*M rows. Catalyst pushes the predicate through
+    # the (level, src)-partitioned rank window, so the edge build
+    # itself also prunes to the query nodes' candidate pairs.
     edges0 = (
         _hnsw_edges_from(nodes)
-        .filter(F.col("level") == 0)
+        .filter((F.col("level") == 0) & (F.col("src") < N_QUERIES))
         .select("src", "dst", "rank")
     )
     truth = sim_topk_bruteforce(spark, sf_dir).select(
@@ -467,18 +478,15 @@ SKEW_ENTROPY_ORACLE = """
       SELECT 'l_suppkey', l_suppkey FROM lineitem
     ), c AS (
       SELECT key_name, k, count(*) AS c FROM k GROUP BY 1, 2
-    ), t AS (
-      SELECT key_name, k, c,
-             sum(c) OVER (PARTITION BY key_name) AS tt
-      FROM c
     )
     SELECT key_name,
            CAST(count(*) AS BIGINT) AS n_keys,
            CAST(sum(c) AS BIGINT) AS n_rows,
-           round(-sum((c * 1.0 / tt) * ln(c * 1.0 / tt)), 4) + 0.0
+           round(ln(sum(c) * 1.0)
+                 - sum(c * ln(c * 1.0)) / sum(c), 4) + 0.0
              AS entropy_nats,
-           CAST(max(c) * 1000000 // max(tt) AS BIGINT) AS top1_ppm
-    FROM t GROUP BY key_name
+           CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top1_ppm
+    FROM c GROUP BY key_name
 """
 
 
@@ -512,23 +520,28 @@ def skew_key_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("key_name", "k").agg(
         F.count(F.lit(1)).alias("c")
     )
-    wt = Window.partitionBy("key_name")
-    keyed = counts.withColumn("tt", F.sum("c").over(wt))
-    return keyed.groupBy("key_name").agg(
+    # Entropy folded algebraically into ONE aggregation:
+    # -Σ (c/T)·ln(c/T) = ln(T) − (Σ c·ln c)/T — no window over the
+    # key-grain table (a Window.partitionBy(key_name) would funnel the
+    # corpus-linear distinct-key rows into exactly 2 tasks, the
+    # dimension-bounded-window shape SCALE.md bans). The oracle states
+    # the same identity, term for term.
+    return counts.groupBy("key_name").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("n_rows"),
         (
             F.round(
-                -F.sum(
-                    (F.col("c") * F.lit(1.0) / F.col("tt"))
-                    * F.log(F.col("c") * F.lit(1.0) / F.col("tt"))
-                ),
+                F.log(F.sum("c") * F.lit(1.0))
+                - F.sum(
+                    F.col("c") * F.log(F.col("c") * F.lit(1.0))
+                )
+                / F.sum("c"),
                 4,
             )
             + F.lit(0.0)
         ).alias("entropy_nats"),
         F.expr(
-            "CAST(max(c) * 1000000L div max(tt) AS BIGINT)"
+            "CAST(max(c) * 1000000L div sum(c) AS BIGINT)"
         ).alias("top1_ppm"),
     )
 

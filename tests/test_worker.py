@@ -17,6 +17,7 @@ because its framework is starter stubs.
 from __future__ import annotations
 
 import json
+import os
 import socket
 import threading
 import time
@@ -778,7 +779,14 @@ def test_worker_sigkilled_mid_task_is_reassigned(tmp_path):
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
-        cwd="/root/repo",
+        # any cwd works: the manager dispatches ABSOLUTE intermediate
+        # paths, so the victim need not share the manager's directory
+        # (PYTHONPATH keeps the package importable from the foreign cwd)
+        cwd=tmp_path,
+        env={
+            **os.environ,
+            "PYTHONPATH": str(Path(__file__).resolve().parents[1]),
+        },
     )
     survivor = MRWorker(
         port=0,
@@ -826,8 +834,8 @@ def test_worker_sigkilled_mid_task_is_reassigned(tmp_path):
         victim_tmp = []
         while time.monotonic() < deadline and not victim_tmp:
             victim_tmp = list(
-                Path("/root/repo/tmp").glob(
-                    f"job-*/intermediate/*.tmp-{victim_port}"
+                (Path.cwd() / "tmp").glob(
+                    f"job-*/intermediate/*.tmp-*-{victim_port}-*"
                 )
             )
             time.sleep(0.05)

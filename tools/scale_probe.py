@@ -40,7 +40,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KEY_OFFSET = 100_000_000
+# Re-exported from the package so probe-only operator variants that
+# decode replica shards (vec_id div KEY_OFFSET) share one constant.
+from eeecs485_p4_mapreduce_spark.catalog import (  # noqa: E402
+    REPLICA_KEY_OFFSET as KEY_OFFSET,
+)
 
 # key columns to shift per replica, per table
 SHIFT_COLS = {

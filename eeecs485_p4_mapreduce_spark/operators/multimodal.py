@@ -5964,3 +5964,187 @@ def parse_arrow_ipc(data: bytes) -> dict:
         "body_bytes": body_bytes,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# Parquet file tail (https://parquet.apache.org/docs/file-format/):
+# "PAR1" magic at BOTH ends, and before the trailing magic a 4-byte
+# little-endian footer length pointing back at a THRIFT COMPACT
+# PROTOCOL FileMetaData blob — the fourth varint discipline in the
+# walker family (protobuf LEB128 tags, EBML width-announcing VINTs,
+# msgpack dispatch tags, and now thrift compact's delta-encoded field
+# headers with zigzag varint ints). The codec writes a faithful
+# FileMetaData subset using the REAL thrift ids (1 version, 3
+# num_rows, 4 row_groups[RowGroup{2 total_byte_size, 3 num_rows}],
+# 6 created_by) with short-form field headers ((delta << 4) | type),
+# short-form list headers ((size << 4) | elem_type), zigzag i32/i64,
+# and struct STOP bytes; the strict parser verifies both magics, the
+# footer length, every field header, and num_rows == sum of row-group
+# rows. The row-group body bytes are real (the file contains exactly
+# the bytes the metadata claims), so file size reconstructs exactly.
+# ---------------------------------------------------------------------------
+def _thrift_zz_varint(v: int) -> bytes:
+    """Zigzag + unsigned LEB128 (thrift compact int encoding)."""
+    z = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _thrift_read_zz(buf: bytes, pos: int):
+    z, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated thrift varint")
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return (z >> 1) ^ -(z & 1), pos
+        if shift > 70:
+            raise ValueError("thrift varint too long")
+
+
+def encode_parquet_footer(row_groups, created_by: str) -> bytes:
+    """row_groups: iterable of (total_byte_size, num_rows). Returns the
+    whole file: magic + real row-group byte runs + thrift compact
+    footer + LE32 footer length + magic."""
+    import struct
+
+    out = bytearray(b"PAR1")
+    for size, _rows in row_groups:
+        out += bytes((len(out) + i) % 251 for i in range(size))
+    ft = bytearray()
+    ft += bytes([1 << 4 | 5]) + _thrift_zz_varint(2)  # 1: version i32
+    total_rows = sum(r for _s, r in row_groups)
+    ft += bytes([2 << 4 | 6]) + _thrift_zz_varint(total_rows)  # 3: i64
+    rgs = list(row_groups)
+    if len(rgs) >= 15:
+        raise ValueError("short-form list header only (size < 15)")
+    ft += bytes([1 << 4 | 9])  # 4: row_groups, list type
+    ft += bytes([len(rgs) << 4 | 12])  # size + struct elem type
+    for size, rows in rgs:
+        ft += bytes([2 << 4 | 6]) + _thrift_zz_varint(size)
+        ft += bytes([1 << 4 | 6]) + _thrift_zz_varint(rows)
+        ft.append(0x00)  # struct STOP
+    cb = created_by.encode("utf-8")
+    # thrift compact binary length is an UNSIGNED varint, not zigzag
+    ft += bytes([2 << 4 | 8])
+    n = len(cb)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            ft.append(b | 0x80)
+        else:
+            ft.append(b)
+            break
+    ft += cb
+    ft.append(0x00)  # FileMetaData STOP
+    out += ft
+    out += struct.pack("<I", len(ft)) + b"PAR1"
+    return bytes(out)
+
+
+def parse_parquet_footer(data: bytes) -> dict:
+    """Strict tail walk; ValueError on any malformation."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("missing PAR1 magic")
+    (flen,) = struct.unpack("<I", data[-8:-4])
+    if flen + 12 > len(data):
+        raise ValueError("footer overruns file")
+    ft = data[len(data) - 8 - flen : len(data) - 8]
+    pos = 0
+    fid = 0
+    version = num_rows = created_len = None
+    rgs = []
+    while True:
+        if pos >= len(ft):
+            raise ValueError("footer missing STOP")
+        hdr = ft[pos]
+        pos += 1
+        if hdr == 0x00:
+            break
+        delta, ftype = hdr >> 4, hdr & 0x0F
+        if delta == 0:
+            raise ValueError("long-form field headers unsupported")
+        fid += delta
+        if fid == 1 and ftype == 5:
+            version, pos = _thrift_read_zz(ft, pos)
+        elif fid == 3 and ftype == 6:
+            num_rows, pos = _thrift_read_zz(ft, pos)
+        elif fid == 4 and ftype == 9:
+            if pos >= len(ft):
+                raise ValueError("truncated list header")
+            lh = ft[pos]
+            pos += 1
+            size, etype = lh >> 4, lh & 0x0F
+            if etype != 12 or size == 0x0F:
+                raise ValueError("row_groups must be a short struct list")
+            for _ in range(size):
+                sfid = 0
+                size_b = rows_b = None
+                while True:
+                    if pos >= len(ft):
+                        raise ValueError("row group missing STOP")
+                    sh = ft[pos]
+                    pos += 1
+                    if sh == 0x00:
+                        break
+                    sdelta, stype = sh >> 4, sh & 0x0F
+                    if sdelta == 0 or stype != 6:
+                        raise ValueError("unexpected row-group field")
+                    sfid += sdelta
+                    v, pos = _thrift_read_zz(ft, pos)
+                    if sfid == 2:
+                        size_b = v
+                    elif sfid == 3:
+                        rows_b = v
+                    else:
+                        raise ValueError(f"unknown row-group field {sfid}")
+                if size_b is None or rows_b is None:
+                    raise ValueError("row group missing mandatory fields")
+                rgs.append((size_b, rows_b))
+        elif fid == 6 and ftype == 8:
+            n, shift = 0, 0
+            while True:
+                if pos >= len(ft):
+                    raise ValueError("truncated string length")
+                b = ft[pos]
+                pos += 1
+                n |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            if pos + n > len(ft):
+                raise ValueError("created_by overruns footer")
+            created_len = n
+            pos += n
+        else:
+            raise ValueError(f"unknown field {fid} type {ftype}")
+    if pos != len(ft):
+        raise ValueError("trailing bytes after FileMetaData STOP")
+    if version is None or num_rows is None or created_len is None:
+        raise ValueError("missing mandatory FileMetaData fields")
+    if num_rows != sum(r for _s, r in rgs):
+        raise ValueError("num_rows != sum of row-group rows")
+    body = sum(s for s, _r in rgs)
+    if 4 + body + flen + 8 != len(data):
+        raise ValueError("reconstructed size != file size")
+    return {
+        "n_rowgroups": len(rgs),
+        "total_rows": num_rows,
+        "body_bytes": body,
+        "footer_bytes": flen,
+        "created_len": created_len,
+        "file_bytes": len(data),
+    }

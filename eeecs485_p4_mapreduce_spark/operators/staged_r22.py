@@ -61,6 +61,10 @@ Staged surface:
 - ``ta_burstiness`` — Church–Gale burstiness: exact-ppm
   variance-to-mean ratio of per-document counts for the top-df
   tokens, zeros handled algebraically (n·Σx² − (Σx)²)/(n·Σx).
+- ``mm_parquet_footer`` — the Parquet tail (PAR1 magic at both ends,
+  LE32 footer length, THRIFT COMPACT FileMetaData): delta-encoded
+  field headers + zigzag varints, the fourth varint discipline in the
+  walker family; footer size is a proven closed form (19 + 7·n_rg).
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -730,6 +734,75 @@ def ta_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mm_parquet_footer. Every numeric is pinned inside the 2-byte zigzag
+# varint band by construction (row-group size in [500, 3499] -> zigzag
+# [1000, 6998]; rows in [100, 999] -> zigzag [200, 1998]; total rows
+# <= 2997), so the thrift footer size is the CLOSED FORM 19 + 7*n_rg:
+# version (1+1) + num_rows (1+2) + list field+header (2) + per group
+# ((1+2) size + (1+2) rows + 1 STOP) + created_by (1+1+9) + STOP (1).
+# ---------------------------------------------------------------------------
+PQ_SCHEMA_FIELDS = (
+    "media_id",
+    "n_rowgroups",
+    "total_rows",
+    "body_bytes",
+    "footer_bytes",
+    "created_len",
+    "file_bytes",
+)
+
+MM_PQ_ORACLE = """
+    WITH rg AS (
+      SELECT doc_id, g.g AS g,
+             500 + (doc_id * 7 + g.g * 17) % 3000 AS size,
+             100 + (doc_id * 13 + g.g * 29) % 900 AS nrows
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS ng FROM documents),
+           LATERAL (SELECT unnest(range(ng)) AS g) g
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_rowgroups,
+             CAST(sum(nrows) AS BIGINT) AS total_rows,
+             CAST(sum(size) AS BIGINT) AS body_bytes
+      FROM rg GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, n_rowgroups, total_rows, body_bytes,
+           CAST(19 + 7 * n_rowgroups AS BIGINT) AS footer_bytes,
+           CAST(9 AS BIGINT) AS created_len,
+           12 + body_bytes + 19 + 7 * n_rowgroups AS file_bytes
+    FROM agg
+"""
+
+
+def mm_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build a parquet-shaped file (PAR1 magic at both
+    ends, real row-group byte runs, thrift compact FileMetaData
+    footer, LE32 footer length) and strictly re-walk the tail — the
+    fourth varint discipline in the walker family (thrift compact's
+    delta-encoded field headers + zigzag ints, next to protobuf
+    LEB128, EBML VINTs, and msgpack tags). Zero-shuffle Arrow
+    mapInPandas via media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_parquet_footer,
+        media_walk_query,
+        parse_parquet_footer,
+    )
+
+    def per_doc(d: int) -> dict:
+        rgs = [
+            (
+                500 + (d * 7 + g * 17) % 3000,
+                100 + (d * 13 + g * 29) % 900,
+            )
+            for g in range(1 + d % 3)
+        ]
+        return parse_parquet_footer(
+            encode_parquet_footer(rgs, f"p4spark-{d % 10}")
+        )
+
+    return media_walk_query(spark, sf_dir, PQ_SCHEMA_FIELDS, per_doc)
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -749,6 +822,7 @@ def _staged() -> dict:
             Q126_ORACLE,
         ),
         "ta_burstiness": (ta_burstiness, TA_BURST_ORACLE),
+        "mm_parquet_footer": (mm_parquet_footer, MM_PQ_ORACLE),
     }
 
 

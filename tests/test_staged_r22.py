@@ -434,3 +434,68 @@ def test_burstiness_matches_python(spark, sf_dir):
     # content words should be bursty: at least one token well over the
     # Poisson baseline (vmr ~ 1e6) makes the diagnostic non-vacuous
     assert max(r.vmr_ppm for r in out) > 1_000_000
+
+
+# --- parquet footer codec ----------------------------------------------------
+
+
+def test_parquet_footer_roundtrip_fuzz():
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_parquet_footer,
+        parse_parquet_footer,
+    )
+
+    rng = random.Random(11)
+    for _ in range(200):
+        rgs = [
+            (rng.randrange(0, 4000), rng.randrange(0, 100_000))
+            for _ in range(rng.randrange(1, 15))
+        ]
+        name = "writer-" + str(rng.randrange(1000))
+        blob = encode_parquet_footer(rgs, name)
+        info = parse_parquet_footer(blob)
+        assert info["file_bytes"] == len(blob)
+        assert info["n_rowgroups"] == len(rgs)
+        assert info["total_rows"] == sum(r for _s, r in rgs)
+        assert info["body_bytes"] == sum(s for s, _r in rgs)
+        assert info["created_len"] == len(name)
+        assert (
+            4 + info["body_bytes"] + info["footer_bytes"] + 8 == len(blob)
+        )
+
+
+def test_parquet_footer_strictness():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_parquet_footer,
+        parse_parquet_footer,
+    )
+
+    blob = encode_parquet_footer([(500, 100), (1234, 999)], "p4spark-3")
+    parse_parquet_footer(blob)
+    # head magic, tail magic, truncation, footer-length corruption
+    with pytest.raises(ValueError):
+        parse_parquet_footer(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError):
+        parse_parquet_footer(blob[:-4] + b"XXXX")
+    with pytest.raises(ValueError):
+        parse_parquet_footer(blob[:10])
+    bad = bytearray(blob)
+    bad[-5] ^= 1  # footer length no longer matches
+    with pytest.raises(ValueError):
+        parse_parquet_footer(bytes(bad))
+    # num_rows cross-check: flip the top-level num_rows varint
+    # (footer layout: 0x15 <version> 0x26 <num_rows zigzag ...>)
+    flen = parse_parquet_footer(blob)["footer_bytes"]
+    f_start = len(blob) - 8 - flen
+    assert blob[f_start] == 0x15 and blob[f_start + 2] == 0x26
+    bad = bytearray(blob)
+    bad[f_start + 3] ^= 0x02  # still a valid terminated varint
+    with pytest.raises(ValueError):
+        parse_parquet_footer(bytes(bad))
+    # a 15-row-group list needs the long-form header the codec refuses
+    with pytest.raises(ValueError):
+        encode_parquet_footer([(10, 1)] * 15, "x")
+    # closed-form footer size the oracle pins: 19 + 7 * n_rg
+    assert flen == 19 + 7 * 2

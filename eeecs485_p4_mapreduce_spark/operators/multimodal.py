@@ -6148,3 +6148,133 @@ def parse_parquet_footer(data: bytes) -> dict:
         "created_len": created_len,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# Zstandard frame format (RFC 8878 §3): the MIXED-FRAME streaming
+# discipline — a .zst is a sequence of data frames (magic 0xFD2FB528
+# LE, frame-header descriptor byte, optional window descriptor,
+# frame-content-size field, then 3-byte-little-endian block headers:
+# bit0 last, bits1-2 type, bits3+ size) interleaved with SKIPPABLE
+# frames (magic 0x184D2A50..5F + LE32 size + opaque payload) that
+# decoders must step over. Raw (type 0) and RLE (type 1) blocks are
+# fully walkable without entropy decoding, so the codec emits only
+# those — the framing, flag bits, and FCS cross-check (frame content
+# size must equal the sum of block decoded sizes) are exactly the
+# spec's. Single-segment frames with content < 256 keep the FCS field
+# at 1 byte.
+# ---------------------------------------------------------------------------
+_ZSTD_MAGIC = 0xFD2FB528
+_ZSTD_SKIP_BASE = 0x184D2A50
+
+
+def encode_zstd_frames(items) -> bytes:
+    """items: sequence of ("skip", nibble, payload_len) or
+    ("frame", [(block_type, decoded_size), ...]) with every frame's
+    total decoded size < 256 (1-byte FCS). Deterministic filler."""
+    import struct
+
+    out = bytearray()
+    for item in items:
+        if item[0] == "skip":
+            _tag, nibble, n = item
+            out += struct.pack("<I", _ZSTD_SKIP_BASE | (nibble & 0xF))
+            out += struct.pack("<I", n)
+            out += bytes((nibble + i) % 251 for i in range(n))
+            continue
+        _tag, blocks = item
+        total = sum(sz for _t, sz in blocks)
+        if total > 255:
+            raise ValueError("1-byte FCS frames only (content < 256)")
+        out += struct.pack("<I", _ZSTD_MAGIC)
+        out.append(0x20)  # FHD: single_segment=1, FCS code 0 -> 1 byte
+        out.append(total)  # frame content size
+        for i, (btype, sz) in enumerate(blocks):
+            if btype not in (0, 1):
+                raise ValueError("raw/RLE blocks only")
+            last = 1 if i == len(blocks) - 1 else 0
+            hdr = last | (btype << 1) | (sz << 3)
+            out += hdr.to_bytes(3, "little")
+            if btype == 0:
+                out += bytes((sz + i + j) % 251 for j in range(sz))
+            else:
+                out.append((sz + i) % 251)
+    return bytes(out)
+
+
+def parse_zstd_frames(data: bytes) -> dict:
+    """Strict mixed-frame walk; ValueError on any framing fault."""
+    import struct
+
+    pos = 0
+    n_frames = n_skippable = n_blocks = 0
+    raw_bytes = rle_bytes = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated frame magic")
+        (magic,) = struct.unpack("<I", data[pos : pos + 4])
+        pos += 4
+        if magic & 0xFFFFFFF0 == _ZSTD_SKIP_BASE:
+            if pos + 4 > len(data):
+                raise ValueError("truncated skippable size")
+            (n,) = struct.unpack("<I", data[pos : pos + 4])
+            pos += 4
+            if pos + n > len(data):
+                raise ValueError("skippable payload overruns")
+            pos += n
+            n_skippable += 1
+            continue
+        if magic != _ZSTD_MAGIC:
+            raise ValueError(f"bad frame magic {magic:#x}")
+        if pos >= len(data):
+            raise ValueError("truncated frame header descriptor")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("reserved FHD bit set")
+        if not fhd & 0x20:
+            raise ValueError("only single-segment frames supported")
+        if fhd & 0xC0 or fhd & 0x03 or fhd & 0x04:
+            raise ValueError("only 1-byte FCS, no dict, no checksum")
+        if pos >= len(data):
+            raise ValueError("truncated frame content size")
+        fcs = data[pos]
+        pos += 1
+        decoded = 0
+        last = False
+        while not last:
+            if pos + 3 > len(data):
+                raise ValueError("truncated block header")
+            hdr = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bool(hdr & 1)
+            btype = (hdr >> 1) & 3
+            sz = hdr >> 3
+            if btype == 0:
+                if pos + sz > len(data):
+                    raise ValueError("raw block overruns")
+                pos += sz
+                raw_bytes += sz
+            elif btype == 1:
+                if pos + 1 > len(data):
+                    raise ValueError("RLE block overruns")
+                pos += 1
+                rle_bytes += sz
+            else:
+                raise ValueError(f"unsupported block type {btype}")
+            decoded += sz
+            n_blocks += 1
+        if decoded != fcs:
+            raise ValueError("frame content size != sum of block sizes")
+        n_frames += 1
+    if not n_frames:
+        raise ValueError("no data frames in stream")
+    return {
+        "n_frames": n_frames,
+        "n_skippable": n_skippable,
+        "n_blocks": n_blocks,
+        "raw_bytes": raw_bytes,
+        "rle_bytes": rle_bytes,
+        "content_bytes": raw_bytes + rle_bytes,
+        "file_bytes": len(data),
+    }

@@ -65,6 +65,14 @@ Staged surface:
   LE32 footer length, THRIFT COMPACT FileMetaData): delta-encoded
   field headers + zigzag varints, the fourth varint discipline in the
   walker family; footer size is a proven closed form (19 + 7·n_rg).
+- ``mm_zstd_frames`` — RFC 8878 zstd mixed-frame walk: data frames
+  (magic, FHD flag bits, 3-byte LE block headers, raw/RLE blocks —
+  the spec's entropy-free types) interleaved with skippable frames,
+  FCS cross-checked against summed block decoded sizes.
+- ``q127_event_funnel`` — strict-ordering conversion funnel
+  (view -> click -> purchase, each stage strictly after the previous
+  PER USER), exact ppm conversion and integer-micros mean lags;
+  user-grain stage joins merge-hinted.
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -803,6 +811,240 @@ def mm_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_walk_query(spark, sf_dir, PQ_SCHEMA_FIELDS, per_doc)
 
 
+# ---------------------------------------------------------------------------
+# mm_zstd_frames. Per-doc plan keeps every frame's decoded total < 256
+# (1-byte FCS): block sizes 10 + (...)%70 <= 79, at most 3 blocks per
+# frame. Encoded size per block = 3 + (size if raw else 1); raw when
+# (d + f + b) is even. Skippable frames: 8 + payload.
+# ---------------------------------------------------------------------------
+ZSTD_SCHEMA_FIELDS = (
+    "media_id",
+    "n_frames",
+    "n_skippable",
+    "n_blocks",
+    "raw_bytes",
+    "rle_bytes",
+    "content_bytes",
+    "file_bytes",
+)
+
+MM_ZSTD_ORACLE = """
+    WITH blk AS (
+      SELECT doc_id, f.f AS f, b.b AS b,
+             10 + (doc_id * 3 + f.f * 7 + b.b * 11) % 70 AS sz,
+             CASE WHEN (doc_id + f.f + b.b) % 2 = 0 THEN 1 ELSE 0 END
+               AS is_raw
+      FROM (SELECT doc_id, 1 + doc_id % 2 AS nf FROM documents),
+           LATERAL (SELECT unnest(range(nf)) AS f) f,
+           LATERAL (SELECT unnest(range(1 + (doc_id + f.f) % 3)) AS b) b
+    ), frames AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(is_raw * sz) AS BIGINT) AS raw_bytes,
+             CAST(sum((1 - is_raw) * sz) AS BIGINT) AS rle_bytes,
+             -- magic(4) + FHD(1) + FCS(1) + per block 3 + payload
+             CAST(6 + sum(3 + CASE WHEN is_raw = 1 THEN sz ELSE 1 END)
+                  AS BIGINT) AS enc_bytes
+      FROM blk GROUP BY doc_id, f
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+             CAST(sum(raw_bytes) AS BIGINT) AS raw_bytes,
+             CAST(sum(rle_bytes) AS BIGINT) AS rle_bytes,
+             CAST(sum(enc_bytes) AS BIGINT) AS frame_bytes
+      FROM frames GROUP BY doc_id
+    ), skips AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_skippable,
+             CAST(coalesce(sum(8 + 5 + (doc_id * 7 + s.s * 13) % 40), 0)
+                  AS BIGINT) AS skip_bytes
+      FROM (SELECT doc_id, doc_id % 2 AS ns FROM documents),
+           LATERAL (SELECT unnest(range(ns)) AS s) s
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id, p.n_frames,
+           CAST(coalesce(k.n_skippable, 0) AS BIGINT) AS n_skippable,
+           p.n_blocks, p.raw_bytes, p.rle_bytes,
+           p.raw_bytes + p.rle_bytes AS content_bytes,
+           p.frame_bytes + coalesce(k.skip_bytes, 0) AS file_bytes
+    FROM per_doc p LEFT JOIN skips k USING (doc_id)
+"""
+
+
+def mm_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: build an RFC 8878 zstd stream (data frames with
+    raw/RLE blocks + skippable frames) and strictly re-walk it —
+    frame magics, FHD flag bits, 3-byte LE block headers, last-block
+    placement, and the FCS cross-check (frame content size must equal
+    the sum of block decoded sizes). Raw/RLE blocks are the spec's two
+    entropy-free block types, so the walk is exact without a
+    decompressor. Zero-shuffle Arrow mapInPandas via
+    media_walk_query."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_zstd_frames,
+        media_walk_query,
+        parse_zstd_frames,
+    )
+
+    def per_doc(d: int) -> dict:
+        items = [
+            ("skip", d % 16, 5 + (d * 7 + s * 13) % 40)
+            for s in range(d % 2)
+        ]
+        for f in range(1 + d % 2):
+            items.append(
+                (
+                    "frame",
+                    [
+                        (
+                            0 if (d + f + b) % 2 == 0 else 1,
+                            10 + (d * 3 + f * 7 + b * 11) % 70,
+                        )
+                        for b in range(1 + (d + f) % 3)
+                    ],
+                )
+            )
+        return parse_zstd_frames(encode_zstd_frames(items))
+
+    return media_walk_query(spark, sf_dir, ZSTD_SCHEMA_FIELDS, per_doc)
+
+
+# ---------------------------------------------------------------------------
+# q127_event_funnel. Strict-ordering funnel view -> click -> purchase:
+# each stage's timestamp must be STRICTLY after the previous stage's
+# (integer epoch micros both engines). Per-user stage tables are
+# user-grain; neither side of the stage joins is bounded-small at
+# corpus scale, so they carry merge hints.
+# ---------------------------------------------------------------------------
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+Q127_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ), v AS (
+      SELECT user_id, min(us) AS v_us FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT ev.user_id, min(us) AS c_us
+      FROM ev JOIN v USING (user_id)
+      WHERE event_type = 'click' AND us > v_us
+      GROUP BY ev.user_id
+    ), p AS (
+      SELECT ev.user_id, min(us) AS p_us
+      FROM ev JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND us > c_us
+      GROUP BY ev.user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_ppm,
+           CAST(0 AS BIGINT) AS avg_lag_us
+    FROM v
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT),
+           CAST(count(*) * 1000000 // (SELECT count(*) FROM v)
+                AS BIGINT),
+           CAST(coalesce(sum(c_us - v_us) // count(*), 0) AS BIGINT)
+    FROM c JOIN v USING (user_id)
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+           CAST(count(*) * 1000000 // (SELECT count(*) FROM v)
+                AS BIGINT),
+           CAST(coalesce(sum(p_us - c_us) // count(*), 0) AS BIGINT)
+    FROM p JOIN c USING (user_id)
+"""
+
+
+def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: per user, the
+    earliest view, the earliest click STRICTLY after that view, the
+    earliest purchase strictly after that click; per stage, the users
+    reached, conversion vs stage 1 in exact ppm, and the exact mean
+    stage-to-stage lag in integer micros (sum div count — no float
+    averaging). The strict-ordering semantics (each stage must follow
+    the previous PER USER) is the part a plain per-type count cannot
+    express and the classic funnel-analysis bug when done with
+    unordered joins.
+
+    Scale shape: one events scan feeds three type-filtered per-user
+    min-aggregates; the two stage joins are user-grain vs user-grain
+    (neither bounded-small at 100 TB — merge-hinted, no broadcast of a
+    corpus-proportional side); the final 3-row union aggregates are
+    scalar."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "CAST(unix_micros(ts) AS BIGINT) AS us",
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.hint("merge"), "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.hint("merge"), "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    n_v = v.agg(F.count(F.lit(1)).alias("nv")).localCheckpoint()  # 1 row
+    row1 = v.agg(
+        F.lit(1).cast("bigint").alias("stage_idx"),
+        F.lit("view").alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(1_000_000).cast("bigint").alias("conv_ppm"),
+        F.lit(0).cast("bigint").alias("avg_lag_us"),
+    )
+    row2 = (
+        c.join(v.hint("merge"), "user_id")
+        .crossJoin(F.broadcast(n_v))
+        .agg(
+            F.lit(2).cast("bigint").alias("stage_idx"),
+            F.lit("click").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr(
+                "CAST(count(1) * 1000000L div max(nv) AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "CAST(coalesce(sum(c_us - v_us) div count(1), 0)"
+                " AS BIGINT)"
+            ).alias("avg_lag_us"),
+        )
+    )
+    row3 = (
+        p.join(c.hint("merge"), "user_id")
+        .crossJoin(F.broadcast(n_v))
+        .agg(
+            F.lit(3).cast("bigint").alias("stage_idx"),
+            F.lit("purchase").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr(
+                "CAST(count(1) * 1000000L div max(nv) AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "CAST(coalesce(sum(p_us - c_us) div count(1), 0)"
+                " AS BIGINT)"
+            ).alias("avg_lag_us"),
+        )
+    )
+    return row1.unionByName(row2).unionByName(row3)
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -823,6 +1065,8 @@ def _staged() -> dict:
         ),
         "ta_burstiness": (ta_burstiness, TA_BURST_ORACLE),
         "mm_parquet_footer": (mm_parquet_footer, MM_PQ_ORACLE),
+        "mm_zstd_frames": (mm_zstd_frames, MM_ZSTD_ORACLE),
+        "q127_event_funnel": (q127_event_funnel, Q127_ORACLE),
     }
 
 

@@ -974,6 +974,11 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (neither bounded-small at 100 TB — merge-hinted, no broadcast of a
     corpus-proportional side); the final 3-row union aggregates are
     scalar."""
+    # ONE user-keyed shuffle feeds the whole funnel: every per-stage
+    # aggregate groups on user_id and every stage join is keyed on
+    # user_id, so hash-partitioning the (pinned) event projection once
+    # lets Catalyst elide the exchange under all three groupBys and
+    # both merge joins — the reuse-a-partitioning-across-stages rule.
     ev = (
         load_table(spark, sf_dir, "events")
         .selectExpr(
@@ -981,6 +986,7 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "CAST(unix_micros(ts) AS BIGINT) AS us",
         )
+        .repartition("user_id")
         .persist(StorageLevel.DISK_ONLY)
     )
     v = (

@@ -73,6 +73,11 @@ Staged surface:
   (view -> click -> purchase, each stage strictly after the previous
   PER USER), exact ppm conversion and integer-micros mean lags;
   user-grain stage joins merge-hinted.
+- ``stream_bottomk_incremental`` — the reservoir maintained
+  incrementally over a 3-slice micro-batch feed (per-batch bottom-k,
+  then bottom-k of state ∪ batch, state never over 2K rows) — must
+  hash-equal the batch global bottom-k under the SAME oracle, the
+  streaming face of the merge identity.
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -1051,6 +1056,103 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row1.unionByName(row2).unionByName(row3)
 
 
+# ---------------------------------------------------------------------------
+# stream_bottomk_incremental. The streaming proof of the bottom-k
+# sketch's merge identity: the reservoir is maintained INCREMENTALLY
+# across micro-batches (per-batch bottom-k, then bottom-k of
+# state ∪ batch — state never exceeds 2K rows) and must hash-equal the
+# batch/oracle global bottom-k. This is exactly why mergeable sampling
+# matters at 100 TB: the same K-row merge works per partition, per
+# executor, per micro-batch, or per day of arrivals.
+# ---------------------------------------------------------------------------
+def stream_bottomk_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain curate_bottomk_sample's reservoir over a 3-slice
+    document feed (one slice per micro-batch, availableNow); the
+    final state must equal the batch global bottom-{BOTTOMK_K}
+    exactly — same oracle, same hash."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        cached_layout,
+    )
+    from pathlib import Path
+
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("source", StringType(), False),
+        ]
+    )
+
+    def build(sp: SparkSession, d: str) -> None:
+        docs = load_table(sp, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        for sl in range(3):
+            (
+                docs.filter(F.col("doc_id") % 3 == sl)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(Path(d) / f"slice-{sl:03d}.parquet"))
+            )
+
+    spool = cached_layout(spark, sf_dir, "bottomk_slices", build)
+    state: dict = {"sample": None}
+    w = Window.orderBy("h", "doc_id")
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        part = (
+            batch_df.selectExpr(
+                "doc_id", "source", f"{_SPARK_DOC_H} AS h"
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= BOTTOMK_K)
+            .drop("r")
+        )
+        merged = (
+            part
+            if state["sample"] is None
+            else state["sample"].unionByName(part)
+        )
+        # state is <= 2K rows; the pin keeps lineage O(1) across
+        # batches (the CC-loop rule, SCALE.md)
+        state["sample"] = (
+            merged.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= BOTTOMK_K)
+            .drop("r")
+            .localCheckpoint()
+        )
+
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="p4spark_bottomk_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["sample"]
+    if out is None:
+        raise ValueError("bottom-k stream produced no batches")
+    return out.withColumn(
+        "sample_rank", F.row_number().over(w)
+    ).select("sample_rank", "doc_id", "source", "h")
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -1073,6 +1175,10 @@ def _staged() -> dict:
         "mm_parquet_footer": (mm_parquet_footer, MM_PQ_ORACLE),
         "mm_zstd_frames": (mm_zstd_frames, MM_ZSTD_ORACLE),
         "q127_event_funnel": (q127_event_funnel, Q127_ORACLE),
+        "stream_bottomk_incremental": (
+            stream_bottomk_incremental,
+            CURATE_BOTTOMK_ORACLE,
+        ),
     }
 
 

@@ -657,3 +657,25 @@ def test_event_funnel_matches_python(spark, sf_dir):
         if "purchase" in by_user[u]
     )
     assert ordering_mattered
+
+
+# --- streaming bottom-k ------------------------------------------------------
+
+
+def test_stream_bottomk_equals_batch(spark, sf_dir):
+    """Micro-batch maintenance must land on EXACTLY the batch
+    reservoir — the merge identity under arbitrary arrival slicing."""
+    batch = [
+        (r.sample_rank, r.doc_id, r.source, r.h)
+        for r in staged_r22.curate_bottomk_sample(spark, sf_dir)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    streamed = [
+        (r.sample_rank, r.doc_id, r.source, r.h)
+        for r in staged_r22.stream_bottomk_incremental(spark, sf_dir)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert streamed == batch
+    assert len(streamed) == staged_r22.BOTTOMK_K

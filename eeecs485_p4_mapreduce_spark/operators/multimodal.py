@@ -6018,16 +6018,16 @@ def encode_parquet_footer(row_groups, created_by: str) -> bytes:
     footer + LE32 footer length + magic."""
     import struct
 
+    rgs = list(row_groups)  # may be a generator; consumed three ways
+    if len(rgs) >= 15:
+        raise ValueError("short-form list header only (size < 15)")
     out = bytearray(b"PAR1")
-    for size, _rows in row_groups:
+    for size, _rows in rgs:
         out += bytes((len(out) + i) % 251 for i in range(size))
     ft = bytearray()
     ft += bytes([1 << 4 | 5]) + _thrift_zz_varint(2)  # 1: version i32
-    total_rows = sum(r for _s, r in row_groups)
+    total_rows = sum(r for _s, r in rgs)
     ft += bytes([2 << 4 | 6]) + _thrift_zz_varint(total_rows)  # 3: i64
-    rgs = list(row_groups)
-    if len(rgs) >= 15:
-        raise ValueError("short-form list header only (size < 15)")
     ft += bytes([1 << 4 | 9])  # 4: row_groups, list type
     ft += bytes([len(rgs) << 4 | 12])  # size + struct elem type
     for size, rows in rgs:
@@ -6035,18 +6035,9 @@ def encode_parquet_footer(row_groups, created_by: str) -> bytes:
         ft += bytes([1 << 4 | 6]) + _thrift_zz_varint(rows)
         ft.append(0x00)  # struct STOP
     cb = created_by.encode("utf-8")
-    # thrift compact binary length is an UNSIGNED varint, not zigzag
-    ft += bytes([2 << 4 | 8])
-    n = len(cb)
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            ft.append(b | 0x80)
-        else:
-            ft.append(b)
-            break
-    ft += cb
+    # thrift compact binary length is an UNSIGNED varint, not zigzag —
+    # exactly the LEB128 the ORC codec already defines; reuse it
+    ft += bytes([2 << 4 | 8]) + _orc_varint(len(cb)) + cb
     ft.append(0x00)  # FileMetaData STOP
     out += ft
     out += struct.pack("<I", len(ft)) + b"PAR1"
@@ -6115,16 +6106,7 @@ def parse_parquet_footer(data: bytes) -> dict:
                     raise ValueError("row group missing mandatory fields")
                 rgs.append((size_b, rows_b))
         elif fid == 6 and ftype == 8:
-            n, shift = 0, 0
-            while True:
-                if pos >= len(ft):
-                    raise ValueError("truncated string length")
-                b = ft[pos]
-                pos += 1
-                n |= (b & 0x7F) << shift
-                shift += 7
-                if not b & 0x80:
-                    break
+            n, pos = _orc_read_varint(ft, pos)
             if pos + n > len(ft):
                 raise ValueError("created_by overruns footer")
             created_len = n
@@ -6183,6 +6165,8 @@ def encode_zstd_frames(items) -> bytes:
             out += bytes((nibble + i) % 251 for i in range(n))
             continue
         _tag, blocks = item
+        if not blocks:
+            raise ValueError("a data frame needs at least one block")
         total = sum(sz for _t, sz in blocks)
         if total > 255:
             raise ValueError("1-byte FCS frames only (content < 256)")

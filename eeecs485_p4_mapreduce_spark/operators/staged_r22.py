@@ -950,14 +950,14 @@ Q127_ORACLE = """
     FROM v
     UNION ALL
     SELECT 2, 'click', CAST(count(*) AS BIGINT),
-           CAST(count(*) * 1000000 // (SELECT count(*) FROM v)
-                AS BIGINT),
+           CAST(coalesce(count(*) * 1000000
+                // nullif((SELECT count(*) FROM v), 0), 0) AS BIGINT),
            CAST(coalesce(sum(c_us - v_us) // count(*), 0) AS BIGINT)
     FROM c JOIN v USING (user_id)
     UNION ALL
     SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
-           CAST(count(*) * 1000000 // (SELECT count(*) FROM v)
-                AS BIGINT),
+           CAST(coalesce(count(*) * 1000000
+                // nullif((SELECT count(*) FROM v), 0), 0) AS BIGINT),
            CAST(coalesce(sum(p_us - c_us) // count(*), 0) AS BIGINT)
     FROM p JOIN c USING (user_id)
 """
@@ -1029,7 +1029,8 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("click").alias("stage"),
             F.count(F.lit(1)).alias("n_users"),
             F.expr(
-                "CAST(count(1) * 1000000L div max(nv) AS BIGINT)"
+                "CAST(coalesce(count(1) * 1000000L div max(nv), 0)"
+                " AS BIGINT)"
             ).alias("conv_ppm"),
             F.expr(
                 "CAST(coalesce(sum(c_us - v_us) div count(1), 0)"
@@ -1045,7 +1046,8 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("purchase").alias("stage"),
             F.count(F.lit(1)).alias("n_users"),
             F.expr(
-                "CAST(count(1) * 1000000L div max(nv) AS BIGINT)"
+                "CAST(coalesce(count(1) * 1000000L div max(nv), 0)"
+                " AS BIGINT)"
             ).alias("conv_ppm"),
             F.expr(
                 "CAST(coalesce(sum(p_us - c_us) div count(1), 0)"
@@ -1109,11 +1111,20 @@ def stream_bottomk_incremental(
     state: dict = {"sample": None}
     w = Window.orderBy("h", "doc_id")
 
+    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
+
     def merge_batch(batch_df, batch_id: int) -> None:
+        # Two-level like the batch operator: per-source PARTITIONED
+        # partial bottom-k first (never a whole-batch global window —
+        # that would sort the entire slice on one task at scale), then
+        # the global pass over <= n_sources*K survivor rows.
         part = (
             batch_df.selectExpr(
                 "doc_id", "source", f"{_SPARK_DOC_H} AS h"
             )
+            .withColumn("r1", F.row_number().over(w_src))
+            .filter(F.col("r1") <= BOTTOMK_K)
+            .drop("r1")
             .withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= BOTTOMK_K)
             .drop("r")

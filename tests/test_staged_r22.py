@@ -589,6 +589,10 @@ def test_zstd_strictness():
     # frames over the 1-byte FCS bound are an encoder error
     with pytest.raises(ValueError):
         encode_zstd_frames([("frame", [(0, 200), (1, 100)])])
+    # an empty block list can't carry a last-block marker: encoder
+    # must refuse rather than emit a stream that misparses later
+    with pytest.raises(ValueError):
+        encode_zstd_frames([("frame", [])])
 
 
 # --- event funnel ------------------------------------------------------------

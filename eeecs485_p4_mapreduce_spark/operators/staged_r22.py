@@ -78,6 +78,11 @@ Staged surface:
   then bottom-k of state ∪ batch, state never over 2K rows) — must
   hash-equal the batch global bottom-k under the SAME oracle, the
   streaming face of the merge identity.
+- ``dedup_exact_substring`` — Lee et al. 2022's exact-substring
+  dedup at {SUBSTR_W}-token granularity: SLIDING windows (any-offset
+  matching, the suffix-array property aligned chunk hashing misses),
+  fingerprinted to 48-bit longs before the one corpus shuffle, with
+  per-doc duplication ppm exact.
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -1164,6 +1169,118 @@ def stream_bottomk_incremental(
     ).select("sample_rank", "doc_id", "source", "h")
 
 
+# ---------------------------------------------------------------------------
+# dedup_exact_substring. Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") dedups EXACT REPEATED SUBSTRINGS via
+# suffix arrays — the property that matters is any-offset matching.
+# This is its W-token-granular distributed form: SLIDING windows (one
+# per token position), fingerprinted BEFORE the shuffle (48-bit md5
+# prefix, the repo's standing rule), inverted-indexed by fingerprint,
+# cross-document when >= 2 distinct docs share one. The existing
+# dedup_chunk_shared hashes ALIGNED non-overlapping chunks and
+# therefore misses a passage repeated at a different offset — the
+# exact failure mode suffix-array dedup exists to fix; the sliding
+# window is the unaligned complement.
+# ---------------------------------------------------------------------------
+SUBSTR_W = 8  # window length in tokens
+
+_SPARK_TOKS22 = "split(lower(text), '[ \t]')"
+
+_SUBSTR_FP_SPARK = (
+    "cast(conv(substring(md5(win), 1, 12), 16, 10) as bigint)"
+)
+_SUBSTR_FP_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(win), 1, 12)) AS UBIGINT)"
+    " AS BIGINT)"
+)
+
+DEDUP_SUBSTR_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {SUBSTR_W} THEN
+               list_transform(range(len(toks) - {SUBSTR_W - 1}),
+                 i -> array_to_string(
+                        list_slice(toks, i + 1, i + {SUBSTR_W}), ' '))
+               ELSE [] END) AS win
+      FROM sh
+    ), f AS (
+      SELECT doc_id, {_SUBSTR_FP_DUCK} AS fp FROM w
+    ), nd AS (
+      SELECT fp, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY fp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_windows,
+           CAST(count(DISTINCT CASE WHEN ndocs >= 2 THEN fp END)
+                AS BIGINT) AS n_dup_fps,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM f JOIN nd USING (fp)
+    GROUP BY doc_id
+"""
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how much of it is an EXACT {SUBSTR_W}-token run
+    that also appears verbatim in another document — sliding windows
+    at every token position (any-offset matching, the suffix-array
+    property dedup_chunk_shared's aligned chunks cannot see), counted
+    as total windows, cross-document windows, distinct shared
+    fingerprints, and the exact ppm duplication rate.
+
+    Scale shape: windows never leave their doc as strings — each is
+    folded to a 48-bit md5-prefix fingerprint map-side, so the ONE
+    corpus shuffle carries (doc_id, fp) longs; the fingerprint
+    document-frequency table is window-grain (not bounded-small), so
+    the join back carries a merge hint; per-doc aggregation is the
+    second and last shuffle. Docs shorter than {SUBSTR_W} tokens have
+    no windows and are absent, mirrored by construction in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_SPARK_TOKS22}) >= {SUBSTR_W} THEN"
+                f" transform(sequence(1, size({_SPARK_TOKS22})"
+                f" - {SUBSTR_W - 1}),"
+                f" i -> concat_ws(' ', slice({_SPARK_TOKS22}, i,"
+                f" {SUBSTR_W})))"
+                f" ELSE array() END"
+            )
+        ).alias("win"),
+    )
+    # the fingerprint table feeds BOTH the document-frequency aggregate
+    # and the join back; pin it so the corpus is scanned and shingled
+    # once (corpus-sized reuse -> DISK_ONLY, the ta_bm25 rule)
+    f = wins.selectExpr(
+        "doc_id", f"{_SUBSTR_FP_SPARK} AS fp"
+    ).persist(StorageLevel.DISK_ONLY)
+    nd = f.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        f.join(nd.hint("merge"), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+            ).alias("n_dup_windows"),
+            F.count_distinct(
+                F.when(F.col("ndocs") >= 2, F.col("fp"))
+            ).alias("n_dup_fps"),
+            F.expr(
+                "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000L div count(1) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -1189,6 +1306,10 @@ def _staged() -> dict:
         "stream_bottomk_incremental": (
             stream_bottomk_incremental,
             CURATE_BOTTOMK_ORACLE,
+        ),
+        "dedup_exact_substring": (
+            dedup_exact_substring,
+            DEDUP_SUBSTR_ORACLE,
         ),
     }
 

@@ -683,3 +683,58 @@ def test_stream_bottomk_equals_batch(spark, sf_dir):
     ]
     assert streamed == batch
     assert len(streamed) == staged_r22.BOTTOMK_K
+
+
+# --- exact substring dedup ---------------------------------------------------
+
+
+def test_exact_substring_matches_python(spark, sf_dir):
+    """Pure-Python sliding-window reimplementation (hashlib md5
+    prefixes, any-offset) over the same parquet; also proves the
+    any-offset property: at least one duplicated window must NOT be
+    aligned to the W-token grid in some occurrence (the case aligned
+    chunk hashing misses)."""
+    import re
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+    W = staged_r22.SUBSTR_W
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc: dict[int, list] = {}
+    fp_docs: dict[int, set] = {}
+    fp_positions: dict[int, list] = {}
+    for r in docs:
+        toks = re.split("[ \t]", r.text.lower())
+        wins = []
+        for i in range(len(toks) - W + 1):
+            win = " ".join(toks[i : i + W])
+            fp = int(
+                hashlib.md5(win.encode()).hexdigest()[:12], 16
+            )
+            wins.append(fp)
+            fp_docs.setdefault(fp, set()).add(r.doc_id)
+            fp_positions.setdefault(fp, []).append(i)
+        if wins:
+            per_doc[r.doc_id] = wins
+    out = {
+        r.doc_id: r
+        for r in staged_r22.dedup_exact_substring(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(out) == set(per_doc)
+    for d, wins in per_doc.items():
+        dup = [fp for fp in wins if len(fp_docs[fp]) >= 2]
+        r = out[d]
+        assert r.n_windows == len(wins)
+        assert r.n_dup_windows == len(dup)
+        assert r.n_dup_fps == len(set(dup))
+        assert r.dup_ppm == len(dup) * 1_000_000 // len(wins)
+    # any-offset: some cross-doc window occurs at a position that is
+    # not a multiple of W — invisible to aligned chunk hashing
+    assert any(
+        len(fp_docs[fp]) >= 2 and any(p % W for p in ps)
+        for fp, ps in fp_positions.items()
+    )

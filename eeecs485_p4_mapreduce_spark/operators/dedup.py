@@ -218,6 +218,34 @@ _DUCK_MINHASH_CTES = f"""sh AS (
     )"""
 
 
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N_HASHES-1}) MinHash signatures — the banding-
+    agnostic front half of _minhash_bands, exposed separately so
+    banding-curve evaluations (staged_r22.dedup_lsh_band_curve) share
+    THIS signature definition instead of drifting on a copy. One text
+    scan: shingle explode -> md5 base -> N_HASHES min() aggregates
+    (map-side combine)."""
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    docs = spread_small_source(docs)
+    sh = docs.selectExpr(
+        "doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles"
+    )
+    ex = (
+        sh.filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .selectExpr("doc_id", f"{_SPARK_BASE} AS base")
+    )
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"({_MH_A[i]} * base + {_MH_B[i]}) % {_MH_P}")
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_sig) LSH band signatures for a document set
     — the MinHash front end shared by the batch dedup family and the
@@ -227,21 +255,7 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     properly-split warehouse table): the md5-per-shingle base hash is
     the family's dominant CPU and otherwise runs on one core when the
     bench corpus is a single parquet split."""
-    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
-
-    docs = spread_small_source(docs)
-    sh = docs.selectExpr("doc_id", f"{word_shingles(_SPARK_TOKS, 3)} AS shingles")
-    ex = (
-        sh.filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .selectExpr("doc_id", f"{_SPARK_BASE} AS base")
-    )
-    hashes = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({_MH_A[i]} * base + {_MH_B[i]}) % {_MH_P}")).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    hashes = _minhash_signatures(docs)
     band_structs = ", ".join(
         "struct({b} as band_id, concat_ws('-', {cols}) as band_sig)".format(
             b=b,

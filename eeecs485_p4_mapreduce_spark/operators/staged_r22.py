@@ -83,6 +83,10 @@ Staged surface:
   matching, the suffix-array property aligned chunk hashing misses),
   fingerprinted to 48-bit longs before the one corpus shuffle, with
   per-doc duplication ppm exact.
+- ``dedup_lsh_band_curve`` — the LSH S-curve measured: candidate
+  count, exact-Jaccard truth, and ppm recall/precision for bandings
+  2x8 / 4x4 / 8x2 over the SAME 16 MinHash values (signatures shared
+  from dedup._minhash_signatures, never copied).
 - ``skew_key_entropy`` — join-key skew diagnostic: Shannon entropy,
   distinct-key count, and top-1 key mass (ppm, exact) for the two
   lineitem join keys (l_partkey vs l_suppkey) in one pass (explode to
@@ -1281,6 +1285,197 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_lsh_band_curve. The LSH S-CURVE measured, not assumed: the SAME
+# 16 MinHash values support three bandings (2x8, 4x4, 8x2); candidate
+# probability at Jaccard j is 1-(1-j^r)^b, so more/shorter bands buy
+# recall with precision (the knob every production LSH dedup tunes).
+# Ground truth is the exact 3-shingle Jaccard >= 0.2 pair set
+# (dedup_ngram_jaccard's own definition, reused); signatures come from
+# dedup._minhash_signatures — the production definition, shared, not
+# copied.
+# ---------------------------------------------------------------------------
+LSH_CURVE_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) over 16
+
+
+def _lsh_curve_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _DUCK_BASE,
+        _DUCK_SHINGLES,
+        _MH_A,
+        _MH_B,
+        _MH_P,
+        N_HASHES,
+    )
+
+    nl = ",\n             "
+    mins = nl.join(
+        f"min(({_MH_A[i]} * base + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    band_ctes = []
+    selects = []
+    for nb, r in LSH_CURVE_CONFIGS:
+        sig_case = " ".join(
+            "WHEN {b} THEN {sig}".format(
+                b=b,
+                sig=" || '-' || ".join(
+                    f"CAST(h{r * b + i} AS VARCHAR)" for i in range(r)
+                ),
+            )
+            for b in range(nb)
+        )
+        band_ctes.append(
+            f"""bands_{nb} AS (
+      SELECT doc_id, bb.b AS band_id,
+             CASE bb.b {sig_case} END AS band_sig
+      FROM hashes, (SELECT unnest(range({nb})) AS b) bb
+    ),
+    cand_{nb} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{nb} a JOIN bands_{nb} b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({nb} AS BIGINT) AS n_bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           CAST((SELECT count(*) FROM cand_{nb}) AS BIGINT)
+             AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand_{nb} c
+                 JOIN truth t ON c.doc_a = t.doc_a
+                  AND c.doc_b = t.doc_b) AS BIGINT) AS true_positives,
+           CAST(coalesce((SELECT count(*) FROM cand_{nb} c
+                 JOIN truth t ON c.doc_a = t.doc_a
+                  AND c.doc_b = t.doc_b) * 1000000
+                // nullif((SELECT count(*) FROM truth), 0), 0)
+             AS BIGINT) AS recall_ppm,
+           CAST(coalesce((SELECT count(*) FROM cand_{nb} c
+                 JOIN truth t ON c.doc_a = t.doc_a
+                  AND c.doc_b = t.doc_b) * 1000000
+                // nullif((SELECT count(*) FROM cand_{nb}), 0), 0)
+             AS BIGINT) AS precision_ppm"""
+        )
+    cte_block = ",\n    ".join(band_ctes)
+    select_block = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    ex AS (
+      SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n
+      FROM sh WHERE len(shingles) > 0
+    ),
+    hashes AS (
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, {_DUCK_BASE} AS base, n FROM ex)
+      GROUP BY doc_id
+    ),
+    jpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common,
+             any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM jpairs
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2
+    ),
+    {cte_block}
+    {select_block}
+    """
+
+
+def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve, measured on this corpus: for bandings
+    (2x8, 4x4, 8x2) over the SAME 16-value MinHash signatures, the
+    candidate count, exact-Jaccard>=0.2 ground-truth count, true
+    positives, and exact ppm recall/precision. This is the number a
+    production dedup pipeline tunes (1-(1-j^r)^b): more, shorter bands
+    trade precision for recall — here the trade is measured instead of
+    read off the formula.
+
+    Scale shape: ONE shingle scan feeds both the signature aggregate
+    and the exact-Jaccard truth (both pinned DISK_ONLY — doc-grain and
+    pair-grain reuse); per banding, candidates come from bucket
+    grouping (never all-pairs) and each curve point is a scalar
+    aggregate. The 3 bandings re-read the pinned 16-column signature
+    table, not the corpus."""
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _minhash_signatures,
+        dedup_ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _minhash_signatures(docs).persist(StorageLevel.DISK_ONLY)
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    rows = []
+    for nb, r in LSH_CURVE_CONFIGS:
+        band_structs = ", ".join(
+            "struct({b} as band_id, concat_ws('-', {cols}) as band_sig)".format(
+                b=b,
+                cols=", ".join(f"h{r * b + i}" for i in range(r)),
+            )
+            for b in range(nb)
+        )
+        bands = hashes.select(
+            "doc_id",
+            F.explode(F.expr(f"array({band_structs})")).alias("bs"),
+        ).select("doc_id", "bs.band_id", "bs.band_sig")
+        buckets = (
+            bands.groupBy("band_id", "band_sig")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
+        cand = (
+            buckets.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+            .select(
+                "doc_a",
+                F.explode(
+                    F.expr("slice(ds, i + 2, size(ds))")
+                ).alias("doc_b"),
+            )
+            .distinct()
+        )
+        joined = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        stats = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                joined.agg(F.count(F.lit(1)).alias("true_positives"))
+            )
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        )
+        rows.append(
+            stats.select(
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "true_positives",
+                F.expr(
+                    "CAST(coalesce(true_positives * 1000000L"
+                    " div nullif(n_truth, 0), 0) AS BIGINT)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    "CAST(coalesce(true_positives * 1000000L"
+                    " div nullif(n_candidates, 0), 0) AS BIGINT)"
+                ).alias("precision_ppm"),
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
 def _staged() -> dict:
     return {
         "mm_orc_postscript": (mm_orc_postscript, MM_ORC_ORACLE),
@@ -1310,6 +1505,10 @@ def _staged() -> dict:
         "dedup_exact_substring": (
             dedup_exact_substring,
             DEDUP_SUBSTR_ORACLE,
+        ),
+        "dedup_lsh_band_curve": (
+            dedup_lsh_band_curve,
+            _lsh_curve_oracle(),
         ),
     }
 

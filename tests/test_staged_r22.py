@@ -738,3 +738,93 @@ def test_exact_substring_matches_python(spark, sf_dir):
         len(fp_docs[fp]) >= 2 and any(p % W for p in ps)
         for fp, ps in fp_positions.items()
     )
+
+
+# --- LSH banding curve -------------------------------------------------------
+
+
+def test_lsh_band_curve_matches_python(spark, sf_dir):
+    """Full pure-Python reimplementation (hashlib md5, (a*x+b) mod p
+    mins, all three bandings, exact Jaccard truth), plus the nesting
+    law this banding layout guarantees: a pair agreeing on a full
+    8-row band agrees on both its 4-row halves, so candidate sets are
+    nested 2x8 ⊆ 4x4 ⊆ 8x2 and recall/candidates are monotone in the
+    band count."""
+    import re
+
+    from eeecs485_p4_mapreduce_spark.catalog import load_table
+    from eeecs485_p4_mapreduce_spark.operators.dedup import (
+        _MH_A,
+        _MH_B,
+        _MH_P,
+        N_HASHES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    shingles = {}
+    sigs = {}
+    for r in docs:
+        toks = re.split("[ \t]", r.text.lower())
+        sset = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sset:
+            continue
+        shingles[r.doc_id] = sset
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for s in sset
+        ]
+        sigs[r.doc_id] = [
+            min((_MH_A[i] * b + _MH_B[i]) % _MH_P for b in bases)
+            for i in range(N_HASHES)
+        ]
+    ids = sorted(shingles)
+    truth = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if len(shingles[a] & shingles[b])
+        / len(shingles[a] | shingles[b])
+        >= 0.2
+    }
+    out = {
+        r.n_bands: r
+        for r in staged_r22.dedup_lsh_band_curve(spark, sf_dir).collect()
+    }
+    prev_cand: set = set()
+    prev_tp = -1
+    for nb, rows_per in staged_r22.LSH_CURVE_CONFIGS:
+        cand = set()
+        buckets: dict = {}
+        for d, sig in sigs.items():
+            for b in range(nb):
+                key = (b, tuple(sig[rows_per * b : rows_per * (b + 1)]))
+                buckets.setdefault(key, []).append(d)
+        for ds in buckets.values():
+            ds.sort()
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    cand.add((a, b))
+        r = out[nb]
+        assert r.rows_per_band == rows_per
+        assert r.n_candidates == len(cand)
+        assert r.n_truth == len(truth)
+        assert r.true_positives == len(cand & truth)
+        assert r.recall_ppm == len(cand & truth) * 1_000_000 // len(truth)
+        assert (
+            r.precision_ppm
+            == len(cand & truth) * 1_000_000 // len(cand)
+        )
+        # nesting law: finer bandings only ADD candidates
+        assert prev_cand <= cand
+        assert len(cand & truth) >= prev_tp
+        prev_cand, prev_tp = cand, len(cand & truth)
+    # non-vacuous: the curve must actually bend somewhere
+    vals = [
+        (out[nb].recall_ppm, out[nb].precision_ppm)
+        for nb, _ in staged_r22.LSH_CURVE_CONFIGS
+    ]
+    assert len(set(vals)) > 1

@@ -7,7 +7,9 @@ fixture-tested with independent references, plan-gate swept (including
 the r11 CartesianProduct gate), and x10/x100 replica-probed BEFORE
 registration. Same contract as every registered query: identical
 aliases both sides, round()-ed or integer-exact outputs, no nullable
-hash-bearing columns.
+hash-bearing columns. All 14 re-verified under a driver-style BARE
+vanilla session (SPARK_VANILLA=1, sf0.01) at end of r11 — the flip is
+a registration one-liner with pre-proven hashes.
 
 Staged surface:
 

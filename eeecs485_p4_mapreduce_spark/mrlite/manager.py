@@ -117,7 +117,14 @@ class MRManagerServer:
         port: int = 6000,
         hb_port: int | None = None,
         heartbeat_interval: float = TIME_BETWEEN_HEARTBEATS,
+        legacy_wave_compat: bool = False,
     ):
+        #: Accept nonce-less finished events (workers predating the
+        #: per-wave nonce). Every in-repo worker echoes the nonce, so
+        #: the strict default closes the stale-echo-across-waves race
+        #: for reused task_ids; set True only when driving third-party
+        #: workers that drop unknown task-message fields.
+        self.legacy_wave_compat = legacy_wave_compat
         self.engine = engine
         self.host = host
         self.port = port
@@ -319,7 +326,13 @@ class MRManagerServer:
                     )
                     if sender != wkey:
                         continue  # straggler from a reassigned worker
-                    if "wave" in ev and ev["wave"] != wave_nonce:
+                    # A nonce-less event counts as a mismatch under the
+                    # strict default — tasks here were dispatched WITH a
+                    # nonce, so a compliant worker must echo it; the
+                    # lenient path exists only for legacy_wave_compat.
+                    if ev.get("wave") != wave_nonce and not (
+                        self.legacy_wave_compat and "wave" not in ev
+                    ):
                         continue  # stale echo from a previous wave
                     if ev.get("error"):
                         # Worker survived but the task failed: requeue
@@ -419,7 +432,11 @@ class MRManagerServer:
         try:
             job_root.mkdir(parents=True, exist_ok=False)
         except FileExistsError:
-            job_root = Path.cwd() / "tmp" / f"job-{job_id}-m{self.port}"
+            # Nest the fallback INSIDE tmp/job-{id} so the reference's
+            # pinned prefix survives the collision (tooling asserting
+            # tmp/job-{id}/... still matches; is_map_message's
+            # "intermediate" substring contract holds either way).
+            job_root = job_root / f"m{self.port}"
             job_root.mkdir(parents=True, exist_ok=True)
         inter = job_root / "intermediate"
         inter.mkdir(exist_ok=True)

@@ -60,7 +60,9 @@ Staged surface:
   PRECEDING frames only, no pair self-join), with exact ppm coverage
   of the activity span — the union property q120's pairwise Allen
   census cannot express.
-- ``ta_burstiness`` — Church–Gale burstiness: exact-ppm
+- ``ta_burstiness_cg`` — Church–Gale burstiness (distinct from the
+  registered ``ta_burstiness`` in staged_r10: top-df token selection
+  and population variance, vs top-count and sample variance there): exact-ppm
   variance-to-mean ratio of per-document counts for the top-df
   tokens, zeros handled algebraically (n·Σx² − (Σx)²)/(n·Σx).
 - ``mm_parquet_footer`` — the Parquet tail (PAR1 magic at both ends,
@@ -718,7 +720,7 @@ TA_BURST_ORACLE = f"""
 """
 
 
-def ta_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ta_burstiness_cg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-to-mean ratio (exact ppm) of per-document counts for
     the {TA_BURST_TOP} highest-document-frequency tokens — the
     Church–Gale burstiness diagnostic that separates topical content
@@ -1154,19 +1156,25 @@ def stream_bottomk_incremental(
             .localCheckpoint()
         )
 
-    q = (
-        spark.readStream.schema(doc_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool + "/*.parquet")
-        .writeStream.foreachBatch(merge_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="p4spark_bottomk_ckpt_"),
+    # Checkpoint dir is per-invocation (availableNow reruns must not
+    # resume a finished query's offsets) and removed after termination
+    # so repeated bench/driver runs don't accumulate temp dirs.
+    ckpt = tempfile.mkdtemp(prefix="p4spark_bottomk_ckpt_")
+    try:
+        q = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool + "/*.parquet")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     out = state["sample"]
     if out is None:
         raise ValueError("bottom-k stream produced no batches")
@@ -1496,7 +1504,7 @@ def _staged() -> dict:
             q126_interval_coverage,
             Q126_ORACLE,
         ),
-        "ta_burstiness": (ta_burstiness, TA_BURST_ORACLE),
+        "ta_burstiness_cg": (ta_burstiness_cg, TA_BURST_ORACLE),
         "mm_parquet_footer": (mm_parquet_footer, MM_PQ_ORACLE),
         "mm_zstd_frames": (mm_zstd_frames, MM_ZSTD_ORACLE),
         "q127_event_funnel": (q127_event_funnel, Q127_ORACLE),

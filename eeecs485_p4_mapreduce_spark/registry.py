@@ -49,6 +49,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
 DRIVER_PRIORITY = [
+    # staged_r22 flips (first driver rows expected in CORRECTNESS_r12)
+    "mm_orc_postscript",
+    "mm_arrow_ipc",
+    "sim_hnsw_m_recall",
+    "ta_kl_mixture",
+    "curate_bottomk_sample",
+    "skew_key_entropy",
+    "q126_interval_coverage",
+    "ta_burstiness_cg",
+    "mm_parquet_footer",
+    "mm_zstd_frames",
+    "q127_event_funnel",
+    "stream_bottomk_incremental",
+    "dedup_exact_substring",
+    "dedup_lsh_band_curve",
     # staged_r21 flips (first driver rows expected in CORRECTNESS_r11)
     "q120_allen_relations",
     "mm_msgpack_walk",
@@ -391,6 +406,7 @@ def load_all() -> None:
         staged_r19,
         staged_r20,
         staged_r21,
+        staged_r22,
     )
 
     staged.register_staged()
@@ -409,4 +425,5 @@ def load_all() -> None:
     staged_r19.register_staged()
     staged_r20.register_staged()
     staged_r21.register_staged()
+    staged_r22.register_staged()
     _prioritize()

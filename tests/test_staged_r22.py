@@ -422,7 +422,7 @@ def test_burstiness_matches_python(spark, sf_dir):
     top = sorted(stats, key=lambda t: (-stats[t][0], t))[
         : staged_r22.TA_BURST_TOP
     ]
-    out = staged_r22.ta_burstiness(spark, sf_dir).collect()
+    out = staged_r22.ta_burstiness_cg(spark, sf_dir).collect()
     assert [r.token for r in out] == top
     for r in out:
         df, total, sq = stats[r.token]

@@ -873,3 +873,119 @@ def test_worker_sigkilled_mid_task_is_reassigned(tmp_path):
         survivor.join(timeout=5)
         server.stop()
         server.join(timeout=10)
+
+
+class _RssSampler:
+    """Sample CURRENT RSS of this process from /proc/self/statm on a
+    50 ms cadence and keep the max — the reference's MemoryProfiler
+    shape (tests/utils/memory.py:11,28-33; ported pattern, not copied
+    code) but against live RSS instead of ru_maxrss: the getrusage
+    high-water mark is already pinned by whatever ran earlier in the
+    pytest process, which would make a growth assertion vacuously pass.
+    Linux-only, like the CI box."""
+
+    INTERVAL = 0.05
+    _PAGE = os.sysconf("SC_PAGE_SIZE")
+
+    @staticmethod
+    def _rss_bytes() -> int:
+        with open("/proc/self/statm", encoding="ascii") as f:
+            return int(f.read().split()[1]) * _RssSampler._PAGE
+
+    def __init__(self):
+        self._stop = threading.Event()
+        self.base = self._rss_bytes()
+        self.peak = self.base
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.peak = max(self.peak, self._rss_bytes())
+            self._stop.wait(self.INTERVAL)
+
+    def stop(self) -> int:
+        """Return max RSS growth (bytes) observed since construction."""
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self.peak = max(self.peak, self._rss_bytes())
+        return self.peak - self.base
+
+
+@pytest.mark.skipif(
+    not Path("/proc/self/statm").exists(), reason="needs Linux procfs"
+)
+def test_map_task_memory_envelope(fake_manager, worker, tmp_path):
+    """Reference test_worker_11 analog, the MEMORY half: mapping the
+    3.6 MB input_large corpus through the reference's own wc_map.sh
+    must not grow this process's RSS by more than 1 MiB (the
+    reference's exact bound at tests/test_worker_11.py:121) — the
+    worker's map loop streams the mapper's stdout line-at-a-time
+    (worker.py `for line in proc.stdout`), so peak memory is O(1) in
+    input size, not O(file). The wc_map.sh subprocess's own memory is
+    outside our RSS and is streaming anyway (the reference relies on
+    the same decomposition).
+
+    A small warm-up map runs first so one-time costs (subprocess
+    machinery imports, allocator arenas) are paid outside the profiled
+    window, mirroring the reference profiler's start-after-register
+    sequencing."""
+    fake_manager.wait_for(lambda ms: len(_non_heartbeat(ms)) >= 1)
+    out_warm = tmp_path / "warm"
+    out_warm.mkdir()
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_map_task",
+            "task_id": 0,
+            "executable": str(REF_DATA / "exec/wc_map.sh"),
+            "input_paths": [str(REF_DATA / "input/file01")],
+            "output_directory": str(out_warm),
+            "num_partitions": 2,
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: any(m.get("message_type") == "finished" for m in ms)
+    )
+
+    out = tmp_path / "large"
+    out.mkdir()
+    sampler = _RssSampler()
+    t0 = time.monotonic()
+    send_json(
+        "localhost",
+        worker.port,
+        {
+            "message_type": "new_map_task",
+            "task_id": 1,
+            "executable": str(REF_DATA / "exec/wc_map.sh"),
+            "input_paths": [
+                str(REF_DATA / "input_large" / f"file{i:02d}")
+                for i in (1, 2, 3, 4)
+            ],
+            "output_directory": str(out),
+            "num_partitions": 4,
+            "worker_host": "localhost",
+            "worker_port": worker.port,
+        },
+    )
+    fake_manager.wait_for(
+        lambda ms: sum(
+            1 for m in ms if m.get("message_type") == "finished"
+        )
+        >= 2,
+        timeout=30.0,
+    )
+    elapsed = time.monotonic() - t0
+    growth = sampler.stop()
+    # Sanity: the map really ran over the large corpus (~640k tokens).
+    n_lines = sum(
+        sum(1 for _ in p.open(encoding="utf-8"))
+        for p in out.glob("maptask00001-part*")
+    )
+    assert n_lines > 100_000
+    assert growth < 1 * 1024 * 1024, f"RSS grew {growth} B during map"
+    assert 0 < elapsed < 30.0

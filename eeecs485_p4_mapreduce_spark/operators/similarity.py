@@ -1531,9 +1531,19 @@ def _duck_level(col: str) -> str:
 
 
 def _spark_level_expr() -> str:
+    return _spark_level_expr_for("vec_id")
+
+
+def _spark_level_expr_for(id_expr: str) -> str:
+    """Level rule over an arbitrary id expression — the registered
+    queries pass ``vec_id``; the scaled-planes probe passes the
+    shard-local id so every replica shard reproduces the base level
+    distribution exactly (any stable id works for the geometric rule;
+    shard-local ids make the probe per-shard-faithful and therefore
+    testable 1:1 against the production build)."""
     h = (
-        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
-        " as bigint)"
+        f"cast(conv(substring(md5(cast({id_expr} as string)), 1, 8),"
+        " 16, 10) as bigint)"
     )
     return (
         f"(cast(({h}) % 4 = 0 as int) + cast(({h}) % 16 = 0 as int)"
@@ -1801,6 +1811,65 @@ def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+def sim_hnsw_scaledplanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBE-ONLY variant of sim_hnsw_build running the PRODUCTION
+    plane-count policy (planes ~ log4(N), the section comment's
+    billion-vector rule) on the scale-probe replica corpus — never
+    registered, never oracle-graded; it exists so the fixed-plane
+    exemption on the HNSW family (SCALING.md) is a measurement, not a
+    docstring, the same disposition dedup_semdedup_scaledk gave the
+    fixed-k exemption.
+
+    With the corpus replicated R-fold, log4(R) extra planes multiply
+    the bucket count by ~R. The replica layout gives us that scaled
+    index honestly: each shard (vec_id div REPLICA_KEY_OFFSET) is a
+    key-shifted copy of the base corpus, so embedding the shard id
+    ABOVE the base plane bits (bkt' = rep * 2^N_PLANES + bkt) yields
+    exactly the bucket population the scaled index would have — every
+    bucket holds the same nodes as the corresponding base-run bucket.
+    Levels come from the shard-LOCAL id (vec_id % REPLICA_KEY_OFFSET)
+    so the per-shard level distribution replicates the base run 1:1,
+    making the probe per-shard-faithful and pytest-checkable. Hamming-1
+    multiprobe flips only the low base-plane bits, so probes stay
+    within a shard — the production simplification of probing only the
+    nearest planes (flipping one of the log4(R) coarse planes would
+    probe a far cell; real multiprobe orders flips by plane confidence
+    and those rank last). Same single (level, bucket)-keyed shuffle as
+    sim_hnsw_build, R*64 reducers instead of 64. On the base corpus
+    (one shard, rep = 0) every bucket and level equals production's,
+    so base-vs-replica is apples-to-apples."""
+    from eeecs485_p4_mapreduce_spark.catalog import REPLICA_KEY_OFFSET
+
+    emb = _emb_with_norm(spark, sf_dir)
+    rep = f"int(vec_id div {REPLICA_KEY_OFFSET}L)"
+    shard_id = f"(vec_id % {REPLICA_KEY_OFFSET}L)"
+    base = emb.select(
+        F.col("vec_id"),
+        F.col("v"),
+        F.col("norm"),
+        F.expr(_spark_level_expr_for(shard_id)).alias("lvl"),
+        F.expr(_spark_bucket_expr(N_PLANES)).alias("raw0"),
+        F.expr(f"cast({rep} as bigint) * {1 << N_PLANES}L").alias("hi"),
+    )
+    cols = [
+        F.col("vec_id"),
+        F.col("v"),
+        F.col("norm"),
+        F.col("lvl"),
+        (F.col("raw0") + F.col("hi")).alias("b0"),
+    ]
+    for lvl in range(1, HNSW_MAX_LEVEL):
+        mask = (1 << max(0, N_PLANES - 2 * lvl)) - 1
+        cols.append(
+            (F.col("raw0").bitwiseAND(F.lit(mask)) + F.col("hi")).alias(
+                f"b{lvl}"
+            )
+        )
+    cols.append(F.col("hi").alias(f"b{HNSW_MAX_LEVEL}"))
+    nodes = base.select(*cols).localCheckpoint(eager=False)
+    return _hnsw_edges_from(nodes)
 
 
 @query("sim_hnsw_search", oracle=_duck_hnsw_search_sql())

@@ -106,3 +106,54 @@ def test_hnsw_shuffle_join_branch_matches_broadcast(spark, sf_dir, monkeypatch):
         map(tuple, S.sim_hnsw_search(spark, sf_dir).collect())
     )
     assert got == want
+
+
+def test_hnsw_scaledplanes_matches_production_per_shard(
+    spark, sf_dir, tmp_path
+):
+    """The probe-only scaled-planes variant (production planes ~
+    log4(N) policy via shard-embedded bucket keys, shard-local level
+    ids) must be FAITHFUL: on a single shard it degenerates to
+    sim_hnsw_build exactly, and on an R=2 key-shifted replica every
+    shard reproduces the base edge set 1:1 (shard 1 = base edges with
+    both endpoints shifted by KEY_OFFSET) with zero cross-shard edges.
+    That id-level equality is the scale measurement in miniature:
+    per-bucket candidate pairs grow exactly proportionally to R under
+    the plane policy, never R^2 like a fixed-plane replica probe."""
+    import sys
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        sim_hnsw_build,
+        sim_hnsw_scaledplanes,
+    )
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "tools")
+    )
+    from scale_probe import KEY_OFFSET, build
+
+    base = sorted(tuple(r) for r in sim_hnsw_build(spark, sf_dir).collect())
+    single = sorted(
+        tuple(r) for r in sim_hnsw_scaledplanes(spark, sf_dir).collect()
+    )
+    assert single == base  # one shard == production pipeline
+
+    rep_dir = str(tmp_path / "x2")
+    build(2, rep_dir, src=sf_dir, spark=spark)
+    out = sim_hnsw_scaledplanes(spark, rep_dir).collect()
+    by_shard = {0: [], 1: []}
+    for r in out:
+        shard = r.src // KEY_OFFSET
+        assert r.dst // KEY_OFFSET == shard, "cross-shard edge"
+        by_shard[shard].append(
+            (
+                r.level,
+                r.src - shard * KEY_OFFSET,
+                r.dst - shard * KEY_OFFSET,
+                r.rank,
+                r.cosine,
+            )
+        )
+    assert sorted(by_shard[0]) == base
+    assert sorted(by_shard[1]) == base  # bucket work grew exactly 2x

@@ -180,6 +180,11 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
     # centroids, two-level assignment) run on the replica corpus. Never
     # registered; exists exactly so this tool can measure it.
     lookup["dedup_semdedup_scaledk"] = staged.dedup_semdedup_scaledk
+    # Same disposition for the HNSW fixed-plane exemption: the
+    # production planes ~ log4(N) policy on the replica corpus.
+    from eeecs485_p4_mapreduce_spark.operators import similarity
+
+    lookup["sim_hnsw_scaledplanes"] = similarity.sim_hnsw_scaledplanes
     names = names or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("scale-probe")
     spark.range(1000).selectExpr("sum(id)").collect()

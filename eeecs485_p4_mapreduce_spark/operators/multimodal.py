@@ -6262,3 +6262,357 @@ def parse_zstd_frames(data: bytes) -> dict:
         "content_bytes": raw_bytes + rle_bytes,
         "file_bytes": len(data),
     }
+
+
+# ---------------------------------------------------------------------------
+# Real parquet DATA-PAGE decode (mm_parquet_datapage): where
+# encode/parse_parquet_footer above walk a synthetic closed-form tail,
+# this decoder reads files another writer produced — full thrift
+# compact FileMetaData (schema + row groups + column chunks), v1 page
+# headers, PLAIN INT64 values, and the RLE/bit-packed hybrid dictionary
+# indices behind RLE_DICTIONARY byte-array columns (parquet
+# format spec: Encodings.md). Strict: unknown compression, optional
+# fields (definition levels), or v2 pages raise rather than guess.
+# The generic skip-capable thrift reader is what the closed-form
+# walkers never needed: writers emit fields (statistics, key-value
+# metadata, offsets) a reader must skip BY TYPE to stay aligned —
+# note thrift compact I16 (type 4) is a zigzag varint, not fixed
+# bytes, an easy desync.
+# ---------------------------------------------------------------------------
+class _ThriftCompact:
+    """Positioned reader over thrift compact protocol bytes."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def u8(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated thrift stream")
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def uvarint(self) -> int:
+        r, s = 0, 0
+        while True:
+            b = self.u8()
+            r |= (b & 0x7F) << s
+            s += 7
+            if not b & 0x80:
+                return r
+            if s > 70:
+                raise ValueError("thrift varint too long")
+
+    def zigzag(self) -> int:
+        v = self.uvarint()
+        return (v >> 1) ^ -(v & 1)
+
+    def binary(self) -> bytes:
+        n = self.uvarint()
+        if self.pos + n > len(self.buf):
+            raise ValueError("thrift binary overruns")
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def fields(self):
+        """Yield (field_id, wire_type) until struct STOP; the caller
+        must consume each value (or call skip(wire_type))."""
+        last = 0
+        while True:
+            h = self.u8()
+            if h == 0:
+                return
+            delta, t = h >> 4, h & 0x0F
+            last = last + delta if delta else self.zigzag()
+            yield last, t
+
+    def skip(self, t: int) -> None:
+        if t in (1, 2):  # BOOL true/false: packed in the field header
+            return
+        if t == 3:
+            self.u8()
+        elif t in (4, 5, 6):  # I16/I32/I64: all zigzag varints
+            self.zigzag()
+        elif t == 7:  # DOUBLE: 8 fixed bytes
+            self.pos += 8
+        elif t == 8:
+            self.binary()
+        elif t in (9, 10):  # LIST / SET
+            h = self.u8()
+            n, et = h >> 4, h & 0x0F
+            if n == 15:
+                n = self.uvarint()
+            for _ in range(n):
+                self.skip(et)
+        elif t == 11:  # MAP
+            n = self.uvarint()
+            if n:
+                kt_vt = self.u8()
+                for _ in range(n):
+                    self.skip(kt_vt >> 4)
+                    self.skip(kt_vt & 0x0F)
+        elif t == 12:
+            for _fid, ft in self.fields():
+                self.skip(ft)
+        else:
+            raise ValueError(f"unknown thrift type {t}")
+
+    def list_header(self, want_type: int) -> int:
+        h = self.u8()
+        n, et = h >> 4, h & 0x0F
+        if n == 15:
+            n = self.uvarint()
+        if et != want_type:
+            raise ValueError(f"list elem type {et}, wanted {want_type}")
+        return n
+
+
+def _pq_file_meta(tc: _ThriftCompact) -> dict:
+    """FileMetaData subset: num_rows, leaf schema (name, repetition),
+    row groups with per-chunk (path, codec, num_values, encodings,
+    data/dictionary page offsets)."""
+    meta = {"schema": [], "row_groups": [], "num_rows": None}
+    for fid, t in tc.fields():
+        if fid == 2 and t == 9:  # schema: list<SchemaElement>
+            for _ in range(tc.list_header(12)):
+                el = {"repetition": None, "num_children": 0}
+                for f2, t2 in tc.fields():
+                    if f2 == 1 and t2 == 5:
+                        el["type"] = tc.zigzag()
+                    elif f2 == 3 and t2 == 5:
+                        el["repetition"] = tc.zigzag()
+                    elif f2 == 4 and t2 == 8:
+                        el["name"] = tc.binary().decode("utf-8")
+                    elif f2 == 5 and t2 == 5:
+                        el["num_children"] = tc.zigzag()
+                    else:
+                        tc.skip(t2)
+                meta["schema"].append(el)
+        elif fid == 3 and t == 6:
+            meta["num_rows"] = tc.zigzag()
+        elif fid == 4 and t == 9:  # row_groups: list<RowGroup>
+            for _ in range(tc.list_header(12)):
+                rg = {"columns": [], "num_rows": None}
+                for f2, t2 in tc.fields():
+                    if f2 == 1 and t2 == 9:  # columns: list<ColumnChunk>
+                        for _c in range(tc.list_header(12)):
+                            cc = {}
+                            for f3, t3 in tc.fields():
+                                if f3 == 3 and t3 == 12:  # ColumnMetaData
+                                    for f4, t4 in tc.fields():
+                                        if f4 == 1 and t4 == 5:
+                                            cc["type"] = tc.zigzag()
+                                        elif f4 == 3 and t4 == 9:
+                                            cc["path"] = tuple(
+                                                tc.binary().decode("utf-8")
+                                                for _p in range(
+                                                    tc.list_header(8)
+                                                )
+                                            )
+                                        elif f4 == 4 and t4 == 5:
+                                            cc["codec"] = tc.zigzag()
+                                        elif f4 == 5 and t4 == 6:
+                                            cc["num_values"] = tc.zigzag()
+                                        elif f4 == 9 and t4 == 6:
+                                            cc["data_off"] = tc.zigzag()
+                                        elif f4 == 11 and t4 == 6:
+                                            cc["dict_off"] = tc.zigzag()
+                                        else:
+                                            tc.skip(t4)
+                                else:
+                                    tc.skip(t3)
+                            rg["columns"].append(cc)
+                    elif f2 == 3 and t2 == 6:
+                        rg["num_rows"] = tc.zigzag()
+                    else:
+                        tc.skip(t2)
+                meta["row_groups"].append(rg)
+        else:
+            tc.skip(t)
+    return meta
+
+
+def _pq_page_header(tc: _ThriftCompact) -> dict:
+    ph = {}
+    for fid, t in tc.fields():
+        if fid == 1 and t == 5:
+            ph["type"] = tc.zigzag()
+        elif fid == 2 and t == 5:
+            ph["uncompressed"] = tc.zigzag()
+        elif fid == 3 and t == 5:
+            ph["compressed"] = tc.zigzag()
+        elif fid == 5 and t == 12:  # DataPageHeader (v1)
+            d = {}
+            for f2, t2 in tc.fields():
+                if f2 == 1 and t2 == 5:
+                    d["num_values"] = tc.zigzag()
+                elif f2 == 2 and t2 == 5:
+                    d["encoding"] = tc.zigzag()
+                else:
+                    tc.skip(t2)
+            ph["data"] = d
+        elif fid == 7 and t == 12:  # DictionaryPageHeader
+            d = {}
+            for f2, t2 in tc.fields():
+                if f2 == 1 and t2 == 5:
+                    d["num_values"] = tc.zigzag()
+                elif f2 == 2 and t2 == 5:
+                    d["encoding"] = tc.zigzag()
+                else:
+                    tc.skip(t2)
+            ph["dict"] = d
+        else:
+            tc.skip(t)
+    return ph
+
+
+def _rle_bp_hybrid(buf: bytes, pos: int, bit_width: int, n: int):
+    """Decode ``n`` values from parquet's RLE/bit-packed hybrid
+    (Encodings.md): LEB128 run header, LSB bit-packing in groups of
+    8, RLE literal padded to ceil(bw/8) bytes."""
+    out: list[int] = []
+    mask = (1 << bit_width) - 1
+    while len(out) < n:
+        tc = _ThriftCompact(buf, pos)
+        header = tc.uvarint()
+        pos = tc.pos
+        if header & 1:  # bit-packed run of (header >> 1) groups of 8
+            groups = header >> 1
+            nbytes = groups * bit_width
+            if pos + nbytes > len(buf):
+                raise ValueError("bit-packed run overruns page")
+            bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+            out.extend(
+                (bits >> (i * bit_width)) & mask
+                for i in range(groups * 8)
+            )
+            pos += nbytes
+        else:  # RLE run
+            count = header >> 1
+            w = (bit_width + 7) // 8
+            if pos + w > len(buf):
+                raise ValueError("RLE literal overruns page")
+            out.extend([int.from_bytes(buf[pos : pos + w], "little")] * count)
+            pos += w
+    return out[:n], pos
+
+
+def decode_parquet_int64_string(
+    data: bytes, int_col: str, str_col: str
+) -> list:
+    """Hand-decode a 2-column parquet file — REQUIRED INT64 (PLAIN) +
+    REQUIRED BYTE_ARRAY (RLE_DICTIONARY or PLAIN), uncompressed, v1
+    data pages — straight from the bytes, no parquet library. Returns
+    one dict per row: {int_col, str_col, rg_ordinal, rg_rows}. Strict:
+    wrong magic, compression, OPTIONAL fields (definition levels), v2
+    pages, or cross-check failures (chunk num_values != row-group
+    rows, decoded totals != footer num_rows) raise ValueError."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("missing PAR1 magic")
+    (flen,) = struct.unpack("<I", data[-8:-4])
+    if flen + 12 > len(data):
+        raise ValueError("footer overruns file")
+    meta = _pq_file_meta(_ThriftCompact(data, len(data) - 8 - flen))
+    leaves = {
+        el["name"]: el
+        for el in meta["schema"]
+        if not el["num_children"]
+    }
+    for name in (int_col, str_col):
+        if name not in leaves:
+            raise ValueError(f"column {name} not in schema")
+        if leaves[name]["repetition"] != 0:  # REQUIRED
+            raise ValueError(f"column {name} is not REQUIRED")
+
+    rows: list = []
+    total = 0
+    for ordinal, rg in enumerate(meta["row_groups"]):
+        cols: dict = {}
+        for cc in rg["columns"]:
+            if cc.get("codec", 0) != 0:
+                raise ValueError("compressed chunk; decoder is strict")
+            if cc["num_values"] != rg["num_rows"]:
+                raise ValueError("chunk num_values != row-group rows")
+            name = cc["path"][0]
+            want = cc["num_values"]
+            dict_vals: list | None = None
+            vals: list = []
+            pos = cc.get("dict_off", cc["data_off"])
+            while len(vals) < want:
+                tc = _ThriftCompact(data, pos)
+                ph = _pq_page_header(tc)
+                body = tc.pos
+                if ph.get("compressed") != ph.get("uncompressed"):
+                    raise ValueError("page sizes differ: compressed?")
+                if ph["type"] == 2:  # dictionary page (PLAIN values)
+                    if ph["dict"]["encoding"] not in (0, 2):
+                        raise ValueError("non-PLAIN dictionary page")
+                    nd = ph["dict"]["num_values"]
+                    p = body
+                    if cc["type"] == 2:  # INT64 dict
+                        dict_vals = list(
+                            struct.unpack(f"<{nd}q", data[p : p + 8 * nd])
+                        )
+                    elif cc["type"] == 6:  # BYTE_ARRAY dict
+                        d = []
+                        for _ in range(nd):
+                            (ln,) = struct.unpack("<I", data[p : p + 4])
+                            d.append(
+                                data[p + 4 : p + 4 + ln].decode("utf-8")
+                            )
+                            p += 4 + ln
+                        dict_vals = d
+                    else:
+                        raise ValueError(
+                            f"dict for physical type {cc['type']}"
+                        )
+                elif ph["type"] == 0:  # data page v1
+                    n = ph["data"]["num_values"]
+                    enc = ph["data"]["encoding"]
+                    p = body
+                    if enc == 0 and name == int_col:
+                        vals.extend(
+                            struct.unpack(f"<{n}q", data[p : p + 8 * n])
+                        )
+                    elif enc == 0 and name == str_col:
+                        for _ in range(n):
+                            (ln,) = struct.unpack("<I", data[p : p + 4])
+                            vals.append(
+                                data[p + 4 : p + 4 + ln].decode("utf-8")
+                            )
+                            p += 4 + ln
+                    elif enc in (2, 8):
+                        if dict_vals is None:
+                            raise ValueError("dict page missing")
+                        bw = data[p]
+                        idxs, _end = _rle_bp_hybrid(data, p + 1, bw, n)
+                        if idxs and max(idxs) >= len(dict_vals):
+                            raise ValueError("dict index out of range")
+                        vals.extend(dict_vals[i] for i in idxs)
+                    else:
+                        raise ValueError(
+                            f"encoding {enc} for {name} unsupported"
+                        )
+                else:
+                    raise ValueError(f"page type {ph['type']} (v2?)")
+                pos = body + ph["compressed"]
+            if len(vals) != want:
+                raise ValueError("page overshoot inside chunk")
+            cols[name] = vals
+        for iv, sv in zip(cols[int_col], cols[str_col]):
+            rows.append(
+                {
+                    int_col: iv,
+                    str_col: sv,
+                    "rg_ordinal": ordinal,
+                    "rg_rows": rg["num_rows"],
+                }
+            )
+        total += rg["num_rows"]
+    if total != meta["num_rows"]:
+        raise ValueError("row groups don't sum to footer num_rows")
+    return rows

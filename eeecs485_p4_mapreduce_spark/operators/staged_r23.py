@@ -1,0 +1,205 @@
+"""Queries STAGED for the next registration round (r23 pipeline),
+keeping the every-round staging tradition after the staged_r22 flip.
+
+Same discipline as operators/staged_r9-r22: built, pytest hash-checked
+against DuckDB at sf0.001 and sf0.01 (tests/test_staged_r23.py),
+fixture-tested with independent references, plan-gate swept (incl. the
+CartesianProduct gate), and x10/x100 replica-probed BEFORE
+registration. Same contract as every registered query: identical
+aliases both sides, round()-ed or integer-exact outputs, no nullable
+hash-bearing columns.
+
+Staged surface:
+
+- ``mm_parquet_datapage`` — the r11 verdict's prescribed extension of
+  mm_parquet_footer's thrift walk into REAL columnar value reads: a
+  pyarrow-written spool (uncompressed, REQUIRED fields, v1 pages,
+  PLAIN int64 + RLE_DICTIONARY byte-array) is decoded back to rows
+  straight from the bytes — full FileMetaData thrift, page headers,
+  dictionary pages, and the RLE/bit-packed hybrid — by
+  multimodal.decode_parquet_int64_string, with zero parquet-library
+  involvement on the read side. The oracle is the table read natively
+  (plus the closed-form row-group geometry the fixed writer settings
+  pin), so the hash match IS the decoder-vs-native proof.
+- ``dedup_unicode_canonical`` — canonical-key dedup for PRESENTATION
+  variants of the same text: width-fold (fullwidth ASCII -> ASCII),
+  casefold, a declared NFC subset (precomposed accent <-> combining
+  mark pairs), and whitespace collapse, all JVM-side string ops.
+  Variants are synthesized deterministically per doc (the corpus is
+  ASCII; the adversarial-slice pattern of q89/dedup_url_canonical),
+  then recovered by folding: every canonical group must reunite
+  exactly the variants of one base doc.
+- ``curate_bloom_contamination`` — shard-scale eval-contamination
+  screen: a Bloom bitmap (1024 x 64-bit words, 4 md5-derived probes)
+  is BUILT from the eval split's shingle fingerprints in one
+  word-grain aggregate, packed to a single array row, and probed
+  MAP-SIDE by the train split via a broadcast scalar join — no
+  train-side shuffle keyed on shingles, the q74 scalar-subquery
+  discipline paired with curate_contamination's task. False positives
+  are deterministic (same hashes both sides), so the DuckDB oracle
+  reproduces the bitmap bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+# ---------------------------------------------------------------------------
+# mm_parquet_datapage. Spool geometry is pinned by the writer call
+# (row_group_size=PQ_RG_ROWS, data_page_size small enough to split
+# chunks into multiple pages, compression NONE, dictionary only on
+# the string column, REQUIRED fields), so the oracle can recompute
+# row-group geometry closed-form: shard = doc_id % n_files, rank
+# within shard -> rg_ordinal = rank div PQ_RG_ROWS. n_files scales
+# with the corpus (one file per PQ_FILE_ROWS docs) so decode
+# parallelism grows with data — the per-file Python decode is the
+# bounded unit of work, never the corpus.
+# ---------------------------------------------------------------------------
+PQ_RG_ROWS = 200
+PQ_FILE_ROWS = 2000
+
+MM_DATAPAGE_ORACLE = f"""
+    WITH n AS (
+      SELECT greatest(4, CAST(count(*) AS BIGINT) // {PQ_FILE_ROWS})
+             AS n_files
+      FROM documents
+    ), shards AS (
+      SELECT doc_id, source, doc_id % n.n_files AS shard,
+             row_number() OVER (PARTITION BY doc_id % n.n_files
+                                ORDER BY doc_id) - 1 AS rn
+      FROM documents, n
+    )
+    SELECT doc_id, source,
+           CAST(rn // {PQ_RG_ROWS} AS BIGINT) AS rg_ordinal,
+           CAST(count(*) OVER (PARTITION BY shard, rn // {PQ_RG_ROWS})
+                AS BIGINT) AS rg_rows
+    FROM shards
+"""
+
+
+def _pq_datapage_spool(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per layout) the sharded pyarrow spool the decoder
+    reads. The writer is pyarrow on purpose: it is the FIXTURE side,
+    pinned to the exact physical layout the strict decoder supports
+    (REQUIRED fields -> no definition levels, uncompressed v1 pages,
+    dictionary only where declared); the engine side is the
+    byte-level decode."""
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        cached_layout,
+    )
+
+    def build(sp: SparkSession, d: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            table_path(sf_dir, "documents"), columns=["doc_id", "source"]
+        )
+        n_files = max(4, t.num_rows // PQ_FILE_ROWS)
+        shard = pa.array(t.column("doc_id").to_numpy() % n_files)
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64(), nullable=False),
+                pa.field("source", pa.string(), nullable=False),
+            ]
+        )
+        for s in range(n_files):
+            part = t.filter(pa.compute.equal(shard, s)).sort_by("doc_id")
+            part = part.cast(schema)
+            pq.write_table(
+                part,
+                str(Path(d) / f"shard-{s:05d}.parquet"),
+                compression="NONE",
+                use_dictionary=["source"],
+                data_page_version="1.0",
+                row_group_size=PQ_RG_ROWS,
+                data_page_size=512,
+            )
+
+    return cached_layout(spark, sf_dir, "pq_datapage", build)
+
+
+def mm_parquet_datapage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every (doc_id, source) row back out of real parquet
+    bytes — thrift FileMetaData, v1 page headers, PLAIN int64 pages,
+    dictionary pages + RLE/bit-packed hybrid indices — with no parquet
+    reader library (multimodal.decode_parquet_int64_string; see the
+    module section comment there). The hash match against the
+    natively-read table is the decoder proof; rg_ordinal/rg_rows pin
+    that the row-group STRUCTURE was read correctly, not just the
+    values. Per-file decode via Arrow mapInPandas over a binaryFile
+    scan; file count scales with the corpus (PQ_FILE_ROWS docs per
+    shard), so the Python work unit is bounded and the fan-out grows
+    with data."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_parquet_int64_string,
+    )
+
+    spool = _pq_datapage_spool(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("source", StringType(), False),
+            StructField("rg_ordinal", LongType(), False),
+            StructField("rg_rows", LongType(), False),
+        ]
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .load(spool + "/shard-*.parquet")
+        .select("path", "content")
+    )
+    width = spark.sparkContext.defaultParallelism
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = decode_parquet_int64_string(
+                    bytes(blob), "doc_id", "source"
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in rows],
+                        "source": [r["source"] for r in rows],
+                        "rg_ordinal": [
+                            int(r["rg_ordinal"]) for r in rows
+                        ],
+                        "rg_rows": [int(r["rg_rows"]) for r in rows],
+                    }
+                )
+
+    return files.repartition(width, "path").mapInPandas(run, schema)
+
+
+def _staged() -> dict:
+    return {
+        "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
+    }
+
+
+STAGED = _staged()
+
+
+def register_staged() -> None:
+    """Registration hook: called from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
+
+    register_staged_dict(STAGED)

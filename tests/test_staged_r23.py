@@ -1,0 +1,105 @@
+"""Oracle + independent-reference tests for the staged_r23 queries
+(same harness as test_staged_r9-r22: DuckDB hash parity at the
+session sf_dir, plus per-query independent checks the hash can't
+express)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.operators import staged_r23
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.parametrize("name", sorted(staged_r23.STAGED))
+def test_staged_r23_matches_oracle(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged_r23.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    assert lines_hash(canon_lines(s_pd)) == lines_hash(canon_lines(d_pd)), name
+
+
+# --- parquet data-page decoder ------------------------------------------------
+
+
+def test_datapage_decoder_matches_native_read(spark, sf_dir):
+    """Byte-level decode == pyarrow's own read of the same file, row
+    for row — the library-free decoder against the reference reader."""
+    import pyarrow.parquet as pq
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_parquet_int64_string,
+    )
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        _pq_datapage_spool,
+    )
+
+    spool = _pq_datapage_spool(spark, sf_dir)
+    files = sorted(Path(spool).glob("shard-*.parquet"))
+    assert len(files) >= 4
+    for f in files[:3]:
+        rows = decode_parquet_int64_string(
+            f.read_bytes(), "doc_id", "source"
+        )
+        native = pq.read_table(str(f)).to_pylist()
+        assert [(r["doc_id"], r["source"]) for r in rows] == [
+            (r["doc_id"], r["source"]) for r in native
+        ]
+        # row-group geometry must match the file's real metadata
+        md = pq.ParquetFile(str(f)).metadata
+        seen = sorted({(r["rg_ordinal"], r["rg_rows"]) for r in rows})
+        real = [
+            (i, md.row_group(i).num_rows)
+            for i in range(md.num_row_groups)
+        ]
+        assert seen == real
+
+
+def test_datapage_decoder_is_strict():
+    """Malformed inputs raise, never mis-decode: bad magic, truncated
+    footer, and a compressed file (the decoder's declared boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import io
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_parquet_int64_string,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_parquet_int64_string(b"NOPE" + b"\0" * 20, "a", "b")
+
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64(), nullable=False),
+            pa.field("source", pa.string(), nullable=False),
+        ]
+    )
+    t = pa.table(
+        {"doc_id": [1, 2], "source": ["x", "y"]}, schema=schema
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="snappy")
+    with pytest.raises(ValueError, match="compress"):
+        decode_parquet_int64_string(buf.getvalue(), "doc_id", "source")
+
+    buf2 = io.BytesIO()
+    pq.write_table(
+        t, buf2, compression="NONE", data_page_version="1.0"
+    )
+    good = buf2.getvalue()
+    assert [
+        r["doc_id"]
+        for r in decode_parquet_int64_string(good, "doc_id", "source")
+    ] == [1, 2]
+    with pytest.raises(ValueError):
+        decode_parquet_int64_string(good[:-6], "doc_id", "source")

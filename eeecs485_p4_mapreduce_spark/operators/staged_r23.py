@@ -189,9 +189,154 @@ def mm_parquet_datapage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.repartition(width, "path").mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# curate_bloom_contamination. The Bloom sibling of curate_contamination:
+# that operator broadcasts the eval set's EXACT distinct-shingle set,
+# which grows with the eval corpus; this one compresses it to a
+# constant-size bitmap (BLOOM_WORDS x 32 bits) so the broadcast is 8 KB
+# no matter how large the benchmark suite gets — the shard-scale shape.
+# k = 4 probe positions come from disjoint 4-hex-char slices of
+# md5(shingle): each is exactly 16 bits, spanning the 65536-bit filter
+# with no modulo bias. Words are 32-bit (not 64) because DuckDB's
+# BIGINT << 63 overflows — the oracle must state the identical bitmap.
+# False positives are deterministic (same md5 slices both sides), so
+# the oracle reproduces every hit bit-for-bit, FPs included.
+# ---------------------------------------------------------------------------
+BLOOM_W = 5  # shingle width (tokens)
+BLOOM_WORDS = 2048  # 2048 x 32 bits = 65536-bit filter
+BLOOM_K = 4  # probe positions (md5 hex slices)
+BLOOM_EVAL_MOD = 97  # doc_id % 97 == 0 -> eval split
+
+_BLOOM_H_SPARK = [
+    f"cast(conv(substring(md5(win), {1 + 4 * i}, 4), 16, 10) as bigint)"
+    for i in range(BLOOM_K)
+]
+_BLOOM_H_DUCK = [
+    f"CAST(CAST(concat('0x', substr(md5(win), {1 + 4 * i}, 4))"
+    " AS UBIGINT) AS BIGINT)"
+    for i in range(BLOOM_K)
+]
+
+CURATE_BLOOM_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {BLOOM_W} THEN
+               list_transform(range(1, len(toks) - {BLOOM_W} + 2),
+                 i -> list_aggregate(toks[i:i+{BLOOM_W}-1], 'string_agg', ' '))
+             ELSE [] END) AS win
+      FROM sh
+    ), eval_probes AS (
+      SELECT h.h AS h
+      FROM (SELECT win FROM wins WHERE doc_id % {BLOOM_EVAL_MOD} = 0),
+           LATERAL (SELECT unnest([{", ".join(_BLOOM_H_DUCK)}]) AS h) h
+    ), bloom AS (
+      SELECT h // 32 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT))
+                  AS BIGINT) AS bits
+      FROM eval_probes GROUP BY 1
+    ), train_probes AS (
+      SELECT doc_id, win, h.i AS i, h.h AS h
+      FROM (SELECT doc_id, win FROM wins
+            WHERE doc_id % {BLOOM_EVAL_MOD} <> 0),
+           LATERAL (SELECT unnest(range({BLOOM_K})) AS i,
+                           unnest([{", ".join(_BLOOM_H_DUCK)}]) AS h) h
+    ), win_hits AS (
+      SELECT doc_id, win,
+             CAST(bool_and(
+               (coalesce(b.bits, 0) >> CAST(h % 32 AS INT)) & 1 = 1
+             ) AS INT) AS hit
+      FROM train_probes LEFT JOIN bloom b ON b.word = h // 32
+      GROUP BY doc_id, win
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_ppm
+    FROM win_hits
+    GROUP BY doc_id
+    HAVING sum(hit) > 0
+"""
+
+
+def curate_bloom_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-split docs whose {BLOOM_W}-token sliding windows hit a
+    Bloom bitmap built from the eval split's windows (see section
+    comment). Build side: one word-grain aggregate over the eval
+    split's probe positions, packed to a single map row. Probe side:
+    NO shuffle keyed on shingles — the bitmap broadcasts as one row
+    (the q74 scalar discipline) and every window tests its {BLOOM_K}
+    bits row-locally; the only train-side shuffle is the final
+    doc-grain count aggregate. Unlike curate_contamination's exact
+    broadcast set, the broadcast here is constant-size at any eval
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), '[ \t]')"
+    wins = docs.selectExpr(
+        "doc_id",
+        f"""explode(
+          transform(array({toks}), __t ->
+            CASE WHEN size(__t) >= {BLOOM_W} THEN
+              transform(sequence(1, size(__t) - {BLOOM_W} + 1),
+                i -> concat_ws(' ', slice(__t, i, {BLOOM_W})))
+            ELSE array() END)[0]
+        ) AS win""",
+    )
+    probes = ", ".join(_BLOOM_H_SPARK)
+    bloom = (
+        wins.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+        .selectExpr(f"explode(array({probes})) AS h")
+        .selectExpr(
+            "cast(h div 32 as bigint) AS word",
+            "shiftleft(cast(1 as bigint), cast(h % 32 as int)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct("word", "bits"))
+                )
+            ).alias("bloom")
+        )
+        .localCheckpoint()
+    )
+    hit_terms = " AND ".join(
+        f"((coalesce(element_at(bloom, cast(({h}) div 32 as bigint)), 0L)"
+        f" >> cast(({h}) % 32 as int)) & 1) = 1"
+        for h in _BLOOM_H_SPARK
+    )
+    return (
+        wins.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+        .crossJoin(F.broadcast(bloom))
+        .selectExpr(
+            "doc_id", f"cast(({hit_terms}) as int) AS hit"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            "CAST(n_hits * 1000000L div n_shingles AS BIGINT) AS hit_ppm",
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
+        "curate_bloom_contamination": (
+            curate_bloom_contamination,
+            CURATE_BLOOM_ORACLE,
+        ),
     }
 
 

@@ -103,3 +103,75 @@ def test_datapage_decoder_is_strict():
     ] == [1, 2]
     with pytest.raises(ValueError):
         decode_parquet_int64_string(good[:-6], "doc_id", "source")
+
+
+# --- bloom contamination screen ------------------------------------------------
+
+
+def test_bloom_contamination_matches_python(spark, sf_dir):
+    """Independent hashlib reimplementation of the whole screen (build
+    + probe) must agree row-for-row — and the Bloom no-false-negative
+    guarantee must hold: every train doc sharing an exact window with
+    the eval split is flagged."""
+    import hashlib
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        BLOOM_EVAL_MOD,
+        BLOOM_K,
+        BLOOM_W,
+        curate_bloom_contamination,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM"
+        f" read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+
+    def windows(t: str):
+        toks = [x for x in t.split(" ")]
+        flat = []
+        for tok in toks:
+            flat.extend(tok.split("\t"))
+        toks = flat
+        return [
+            " ".join(toks[i : i + BLOOM_W])
+            for i in range(len(toks) - BLOOM_W + 1)
+        ]
+
+    def probes(win: str):
+        h = hashlib.md5(win.encode()).hexdigest()
+        return [int(h[4 * i : 4 * i + 4], 16) for i in range(BLOOM_K)]
+
+    bits: set[int] = set()
+    eval_wins: set[str] = set()
+    for d, t in docs:
+        if d % BLOOM_EVAL_MOD == 0:
+            for w in windows(t):
+                eval_wins.add(w)
+                bits.update(probes(w))
+
+    expect = {}
+    exact_contaminated = set()
+    for d, t in docs:
+        if d % BLOOM_EVAL_MOD == 0:
+            continue
+        wins = windows(t)
+        if not wins:
+            continue
+        hits = sum(1 for w in wins if all(p in bits for p in probes(w)))
+        if any(w in eval_wins for w in wins):
+            exact_contaminated.add(d)
+        if hits:
+            expect[d] = (len(wins), hits, hits * 1_000_000 // len(wins))
+
+    out = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.hit_ppm)
+        for r in curate_bloom_contamination(spark, sf_dir).collect()
+    }
+    assert out == expect
+    assert expect, "no contamination in fixture; test is vacuous"
+    # Bloom never misses: exact-overlap docs are a subset of flagged.
+    assert exact_contaminated <= set(out)

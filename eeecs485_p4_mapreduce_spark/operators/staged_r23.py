@@ -330,9 +330,141 @@ def curate_bloom_contamination(
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_unicode_canonical. The multilingual sibling of
+# dedup_url_canonical (same adversarial-variant pattern): the SAME
+# snippet circulates as width variants (fullwidth ASCII), case
+# variants, NFC variants (precomposed vs combining accents), and
+# spacing variants — the presentation noise a crawl of CJK-adjacent
+# or copy-pasted text carries. Canonical key = width-fold ->
+# casefold -> NFC-subset fold -> whitespace collapse, all JVM string
+# builtins (translate / lower / replace / regexp_replace), no UDF;
+# the only shuffle is the final groupBy on the canonical string.
+# Full NFC needs ICU's composition tables; the DECLARED subset here
+# (five precomposed-vs-combining vowel pairs) is the discipline in
+# miniature — and the variants prove the fold reunites true
+# equivalents WITHOUT conflating accented with unaccented text
+# (groups of 4 docs must yield exactly 2 canonical groups of 2).
+# Each fold stage is mirrored verbatim in the oracle.
+# ---------------------------------------------------------------------------
+_FW_UPPER = "".join(chr(0xFF21 + i) for i in range(26))
+_FW_LOWER = "".join(chr(0xFF41 + i) for i in range(26))
+_FW_DIGIT = "".join(chr(0xFF10 + i) for i in range(10))
+_ASC_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASC_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASC_DIGIT = "0123456789"
+_IDEO_SP = "　"
+_WIDTH_FROM = _FW_UPPER + _FW_LOWER + _FW_DIGIT + _IDEO_SP
+_WIDTH_TO = _ASC_UPPER + _ASC_LOWER + _ASC_DIGIT + " "
+_COMBINING = "́"  # combining acute
+_NFC_PAIRS = [(v + _COMBINING, p) for v, p in zip("aeiou", "áéíóú")]
+
+# Base snippet keyed by doc_id div 4 (the url-canonical pattern:
+# group members share a base built from arithmetic everyone can
+# recompute; the group id inside the string makes each base unique,
+# and every base carries vowels so the NFC variants really differ).
+_UC_SNIPPET = (
+    "concat('data quality gate shard ', cast(doc_id div 4 as string),"
+    " ' review alpha beta')"
+)
+_UC_SNIPPET_DUCK = (
+    "'data quality gate shard ' || (doc_id // 4) || ' review alpha beta'"
+)
+
+
+def _uc_variant_spark() -> str:
+    fw = f"translate(upper(__s), '{_ASC_UPPER} ', '{_FW_UPPER}{_IDEO_SP}')"
+    pre = "__s"
+    comb = "__s"
+    for (c, p) in _NFC_PAIRS:
+        pre = f"replace({pre}, '{c[0]}', '{p}')"
+        comb = f"replace({comb}, '{c[0]}', '{c}')"
+    dbl = f"replace({comb}, ' ', '  ')"
+    return (
+        f"transform(array({_UC_SNIPPET}), __s -> CASE doc_id % 4"
+        f" WHEN 0 THEN __s"
+        f" WHEN 1 THEN {fw}"
+        f" WHEN 2 THEN {pre}"
+        f" ELSE {dbl} END)[0]"
+    )
+
+
+def _uc_variant_duck() -> str:
+    fw = (
+        f"translate(upper(snip), '{_ASC_UPPER} ',"
+        f" '{_FW_UPPER}{_IDEO_SP}')"
+    )
+    pre = "snip"
+    comb = "snip"
+    for (c, p) in _NFC_PAIRS:
+        pre = f"replace({pre}, '{c[0]}', '{p}')"
+        comb = f"replace({comb}, '{c[0]}', '{c}')"
+    dbl = f"replace({comb}, ' ', '  ')"
+    return (
+        f"CASE doc_id % 4 WHEN 0 THEN snip WHEN 1 THEN {fw}"
+        f" WHEN 2 THEN {pre} ELSE {dbl} END"
+    )
+
+
+def _uc_fold(col: str, duck: bool = False) -> str:
+    """The canonicalizer, same fragment for Spark SQL and DuckDB up to
+    one dialect split: width-fold -> casefold -> NFC-subset ->
+    whitespace collapse (DuckDB regexp_replace is first-match-only
+    without the 'g' flag; Spark's is always global)."""
+    s = f"translate({col}, '{_WIDTH_FROM}', '{_WIDTH_TO}')"
+    s = f"lower({s})"
+    for (c, p) in _NFC_PAIRS:
+        s = f"replace({s}, '{c}', '{p}')"
+    flag = ", 'g'" if duck else ""
+    return f"trim(regexp_replace({s}, ' +', ' '{flag}))"
+
+
+DEDUP_UNICODE_ORACLE = f"""
+    WITH snips AS (
+      SELECT doc_id, {_UC_SNIPPET_DUCK} AS snip FROM documents
+    ), variants AS (
+      SELECT doc_id, {_uc_variant_duck()} AS v FROM snips
+    ), canon AS (
+      SELECT doc_id, {_uc_fold("v", duck=True)} AS canonical FROM variants
+    )
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_forms,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM canon GROUP BY canonical
+"""
+
+
+def dedup_unicode_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collapse width/case/NFC/spacing presentation variants to
+    canonical text groups (see section comment). All folds are
+    JVM-side string builtins; one shuffle, on the canonical key."""
+    docs = load_table(spark, sf_dir, "documents")
+    variants = docs.selectExpr(
+        "doc_id", f"{_uc_variant_spark()} AS v"
+    )
+    return (
+        variants.selectExpr("doc_id", f"{_uc_fold('v')} AS canonical")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct(F.expr("doc_id % 4")).alias("n_forms"),
+            F.min("doc_id").alias("survivor_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
+        "dedup_unicode_canonical": (
+            dedup_unicode_canonical,
+            DEDUP_UNICODE_ORACLE,
+        ),
         "curate_bloom_contamination": (
             curate_bloom_contamination,
             CURATE_BLOOM_ORACLE,

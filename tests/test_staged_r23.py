@@ -175,3 +175,65 @@ def test_bloom_contamination_matches_python(spark, sf_dir):
     assert expect, "no contamination in fixture; test is vacuous"
     # Bloom never misses: exact-overlap docs are a subset of flagged.
     assert exact_contaminated <= set(out)
+
+
+# --- unicode canonical dedup ----------------------------------------------------
+
+
+def test_unicode_canonical_group_structure(spark, sf_dir):
+    """The adversarial-variant contract: for every COMPLETE group of 4
+    docs sharing a base snippet (with a vowel, so the accent variants
+    differ from the plain ones), the fold must produce exactly TWO
+    canonical groups of two — {plain, fullwidth-upper} and
+    {precomposed, combining+respaced}. Accented text must never
+    collapse into unaccented (no over-folding), and unicodedata.NFC
+    agreement is pinned on the combining variants."""
+    import unicodedata
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        dedup_unicode_canonical,
+    )
+
+    rows = dedup_unicode_canonical(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM"
+        f" read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchone()[0]
+
+    by_group: dict[int, list] = {}
+    for r in rows:
+        assert r.survivor_doc // 4 == r.last_doc // 4, (
+            "canonical group crosses a base group (bases are unique)"
+        )
+        by_group.setdefault(r.survivor_doc // 4, []).append(r)
+
+    complete = [
+        g
+        for g, rs in by_group.items()
+        if (g + 1) * 4 <= n_docs and sum(r.n_variants for r in rs) == 4
+    ]
+    assert complete, "no complete groups; test is vacuous"
+    two_by_two = 0
+    for g in complete:
+        rs = by_group[g]
+        sizes = sorted(r.n_variants for r in rs)
+        # every base carries vowels, so 2+2 is the only legal split
+        assert sizes == [2, 2], (g, sizes)
+        if True:
+            two_by_two += 1
+            plain = min(rs, key=lambda r: r.survivor_doc)
+            acc = max(rs, key=lambda r: r.survivor_doc)
+            assert plain.survivor_doc % 4 == 0
+            assert plain.last_doc % 4 == 1
+            assert acc.survivor_doc % 4 == 2
+            assert acc.last_doc % 4 == 3
+            # NFC agreement: the accented canonical IS NFC-normal
+            assert unicodedata.normalize("NFC", acc.canonical) == (
+                acc.canonical
+            )
+            assert any(ord(ch) > 127 for ch in acc.canonical)
+            assert all(ord(ch) < 128 for ch in plain.canonical)
+    assert two_by_two > 0, "no vowel groups; test is vacuous"

@@ -458,9 +458,122 @@ def dedup_unicode_canonical(
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunking. Content-defined chunking (the FastCDC/rolling-
+# hash family used by backup dedup and corpus-scale near-dup passes):
+# a token ends a chunk when its 32-bit md5 hash satisfies
+# h % CDC_MOD == 0, so chunk boundaries depend on CONTENT, not
+# position — a passage repeated at a different offset re-synchronizes
+# to identical chunks after the first boundary inside it. That is the
+# middle point of the repo's chunking triangle: dedup_chunk_shared's
+# aligned fixed blocks miss shifted repeats entirely,
+# dedup_exact_substring's sliding windows catch any offset at O(n)
+# fingerprints per doc, CDC catches shifted repeats at ~n/CDC_MOD
+# fingerprints. The chunk assembly is ROW-LOCAL (one aggregate() fold
+# over the token array — no per-token shuffle, no window); the only
+# shuffle is the fingerprint-grain group. The oracle states the same
+# chunks positionally (prefix-count of boundary tokens via a window)
+# — two independent constructions of one definition.
+# ---------------------------------------------------------------------------
+CDC_MOD = 8  # expected chunk length in tokens
+CDC_MIN_TOKENS = 3  # ignore trivial chunks
+
+_CDC_H32_SPARK = (
+    "cast(conv(substring(md5(__t), 1, 8), 16, 10) as bigint)"
+)
+_CDC_H32_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)"
+    " AS BIGINT)"
+)
+
+DEDUP_CDC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, ts[p.pos] AS tok, p.pos AS pos
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+           LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS pos) p
+    ), flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN {_CDC_H32_DUCK} % {CDC_MOD} = 0 THEN 1 ELSE 0 END
+               AS is_bp
+      FROM toks
+    ), assigned AS (
+      SELECT doc_id, tok, pos,
+             sum(is_bp) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS cid
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, coalesce(cid, 0) AS cid,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk,
+             CAST(count(*) AS BIGINT) AS tok_len
+      FROM assigned GROUP BY doc_id, coalesce(cid, 0)
+    ), fps AS (
+      SELECT doc_id, tok_len,
+             CAST(CAST(concat('0x', substr(md5(chunk), 1, 12))
+                  AS UBIGINT) AS BIGINT) AS fp
+      FROM chunks WHERE tok_len >= {CDC_MIN_TOKENS}
+    )
+    SELECT fp,
+           CAST(min(tok_len) AS BIGINT) AS tok_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM fps
+    GROUP BY fp
+    HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared chunks under content-defined boundaries
+    (see section comment). Chunks assemble row-locally via one
+    aggregate() fold over the token array; fingerprints are 48-bit
+    md5 prefixes (the repo's standing fingerprint-before-shuffle
+    rule), and the single shuffle is the fingerprint-grain group."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(text), '[ \t]')"
+    # Row-local fold: accumulate (finished chunks, current chunk) over
+    # the token array; a boundary token CLOSES its chunk (inclusive).
+    fold = f"""
+      aggregate(
+        {toks},
+        named_struct('done', cast(array() as array<string>), 'cur', ''),
+        (acc, __t) -> IF(
+          ({_CDC_H32_SPARK}) % {CDC_MOD} = 0,
+          named_struct(
+            'done', array_append(acc.done,
+                      IF(acc.cur = '', __t, concat(acc.cur, ' ', __t))),
+            'cur', ''),
+          named_struct(
+            'done', acc.done,
+            'cur', IF(acc.cur = '', __t, concat(acc.cur, ' ', __t)))),
+        acc -> IF(acc.cur = '', acc.done, array_append(acc.done, acc.cur))
+      )
+    """
+    chunks = docs.selectExpr(
+        "doc_id", f"explode({fold}) AS chunk"
+    ).selectExpr(
+        "doc_id",
+        "size(split(chunk, ' ')) AS tok_len",
+        "cast(conv(substring(md5(chunk), 1, 12), 16, 10) as bigint) AS fp",
+    )
+    return (
+        chunks.filter(F.col("tok_len") >= CDC_MIN_TOKENS)
+        .groupBy("fp")
+        .agg(
+            F.min("tok_len").alias("tok_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
+        "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,
             DEDUP_UNICODE_ORACLE,

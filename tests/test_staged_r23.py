@@ -237,3 +237,87 @@ def test_unicode_canonical_group_structure(spark, sf_dir):
             assert any(ord(ch) > 127 for ch in acc.canonical)
             assert all(ord(ch) < 128 for ch in plain.canonical)
     assert two_by_two > 0, "no vowel groups; test is vacuous"
+
+
+# --- content-defined chunking ---------------------------------------------------
+
+
+def _cdc_chunks_py(text: str):
+    import hashlib
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import CDC_MOD
+
+    toks = []
+    for t in text.lower().split(" "):
+        toks.extend(t.split("\t"))
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        if h % CDC_MOD == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunking_matches_python(spark, sf_dir):
+    """Independent hashlib reimplementation of boundary detection,
+    chunk assembly, fingerprinting, and the cross-doc aggregate."""
+    import hashlib
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        CDC_MIN_TOKENS,
+        dedup_cdc_chunking,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM"
+        f" read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+    per_fp: dict[int, list] = {}
+    for d, t in docs:
+        for c in _cdc_chunks_py(t):
+            if len(c.split(" ")) < CDC_MIN_TOKENS:
+                continue
+            fp = int(hashlib.md5(c.encode()).hexdigest()[:12], 16)
+            per_fp.setdefault(fp, []).append((d, len(c.split(" "))))
+    expect = {
+        fp: (
+            min(ln for _d, ln in occ),
+            len({d for d, _ln in occ}),
+            len(occ),
+            min(d for d, _ln in occ),
+        )
+        for fp, occ in per_fp.items()
+        if len({d for d, _ln in occ}) > 1
+    }
+    out = {
+        r.fp: (r.tok_len, r.n_docs, r.n_occurrences, r.first_doc)
+        for r in dedup_cdc_chunking(spark, sf_dir).collect()
+    }
+    assert out == expect
+    assert expect, "no shared chunks in fixture; test is vacuous"
+
+
+def test_cdc_resynchronization_property():
+    """The reason CDC exists: prepending an arbitrary prefix shifts
+    every token position, yet all chunks after the first boundary
+    inside the original text are IDENTICAL — aligned fixed-size
+    chunking (dedup_chunk_shared) shares nothing in this scenario."""
+    base = (
+        "the fast key order sort table scan merge part window small"
+        " hash scan join order batch value group data filter line"
+    )
+    shifted = "totally different preamble words here " + base
+    a, b = _cdc_chunks_py(base), _cdc_chunks_py(shifted)
+    # every chunk of `base` after its first boundary appears verbatim
+    # in the shifted stream's chunk list
+    assert len(a) >= 3, "fixture text too boundary-poor; pick longer"
+    shared = set(a[1:]) & set(b)
+    assert shared == set(a[1:])
+

@@ -6616,3 +6616,166 @@ def decode_parquet_int64_string(
     if total != meta["num_rows"]:
         raise ValueError("row groups don't sum to footer num_rows")
     return rows
+
+
+# ---------------------------------------------------------------------------
+# zlib/DEFLATE decode (mm_deflate_fixed_huffman): RFC 1950 wrapper +
+# RFC 1951 stored and FIXED-HUFFMAN blocks, decoded bit-by-bit with a
+# canonical code table built from the spec's code lengths (3.2.2/
+# 3.2.6) — no zlib involvement on the read side. Dynamic-Huffman
+# blocks (BTYPE 10) are a DECLARED boundary and raise. Strict: header
+# check bits, FDICT, LEN/NLEN complements, back-reference bounds,
+# over-long codes, and the Adler-32 trailer are all verified.
+# ---------------------------------------------------------------------------
+class _BitReader:
+    """LSB-first bit reader; Huffman codes accumulate bit-by-bit (the
+    spec packs code MSBs first, so (length, code) lookup works)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.pos = pos
+        self.bit = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.d):
+                raise ValueError("truncated deflate stream")
+            v |= ((self.d[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _canonical_table(lengths: list) -> dict:
+    """(length, code) -> symbol, RFC 1951 3.2.2's canonical assignment."""
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    table = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+_FIXED_LIT = _canonical_table([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST = _canonical_table([5] * 30)
+_LEN_BASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35,
+             43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+_LEN_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+              4, 4, 4, 4, 5, 5, 5, 5, 0)
+_DIST_BASE = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+              257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+              8193, 12289, 16385, 24577)
+_DIST_EXTRA = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+               9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+
+def _read_code(br: _BitReader, table: dict) -> int:
+    code = length = 0
+    while True:
+        code = (code << 1) | br.take(1)
+        length += 1
+        if length > 15:
+            raise ValueError("Huffman code longer than 15 bits")
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+
+
+def _adler32(data: bytes) -> int:
+    s1, s2 = 1, 0
+    for b in data:
+        s1 = (s1 + b) % 65521
+        s2 = (s2 + s1) % 65521
+    return (s2 << 16) | s1
+
+
+def inflate_zlib(data: bytes):
+    """Decode a zlib stream (stored + fixed-Huffman deflate blocks).
+    Returns (payload_bytes, info dict). ValueError on malformation or
+    the declared dynamic-Huffman boundary."""
+    if len(data) < 6:
+        raise ValueError("truncated zlib stream")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("CM != 8 (not deflate)")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("zlib header check failed")
+    if flg & 0x20:
+        raise ValueError("FDICT unsupported")
+    br = _BitReader(data, 2)
+    out = bytearray()
+    n_blocks = n_stored = n_fixed = 0
+    while True:
+        bfinal = br.take(1)
+        btype = br.take(2)
+        n_blocks += 1
+        if btype == 0:  # stored
+            br.align()
+            if br.pos + 4 > len(data):
+                raise ValueError("truncated stored header")
+            ln = data[br.pos] | data[br.pos + 1] << 8
+            nln = data[br.pos + 2] | data[br.pos + 3] << 8
+            if ln ^ nln != 0xFFFF:
+                raise ValueError("stored LEN/NLEN mismatch")
+            br.pos += 4
+            if br.pos + ln > len(data):
+                raise ValueError("stored block overruns stream")
+            out += data[br.pos : br.pos + ln]
+            br.pos += ln
+            n_stored += 1
+        elif btype == 1:  # fixed Huffman
+            n_fixed += 1
+            while True:
+                sym = _read_code(br, _FIXED_LIT)
+                if sym == 256:
+                    break
+                if sym < 256:
+                    out.append(sym)
+                else:
+                    li = sym - 257
+                    if li >= len(_LEN_BASE):
+                        raise ValueError(f"bad length code {sym}")
+                    ln = _LEN_BASE[li] + br.take(_LEN_EXTRA[li])
+                    dsym = _read_code(br, _FIXED_DIST)
+                    dist = _DIST_BASE[dsym] + br.take(_DIST_EXTRA[dsym])
+                    if dist > len(out):
+                        raise ValueError("back-reference before start")
+                    for _ in range(ln):
+                        out.append(out[-dist])
+        elif btype == 2:
+            raise ValueError("dynamic Huffman: declared boundary")
+        else:
+            raise ValueError("reserved BTYPE")
+        if bfinal:
+            break
+    br.align()
+    if br.pos + 4 > len(data):
+        raise ValueError("missing adler32 trailer")
+    trailer = int.from_bytes(data[br.pos : br.pos + 4], "big")
+    if trailer != _adler32(bytes(out)):
+        raise ValueError("adler32 mismatch")
+    return bytes(out), {
+        "n_blocks": n_blocks,
+        "n_stored": n_stored,
+        "n_fixed": n_fixed,
+        "adler32": trailer,
+        "comp_bytes": br.pos + 4,
+    }

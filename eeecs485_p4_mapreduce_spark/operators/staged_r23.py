@@ -570,9 +570,127 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mm_deflate_fixed_huffman. Fixture side: Python zlib COMPRESSES a
+# closed-form payload (first {DEFLATE_TOKS} tokens of the doc, doubled
+# with a ' | ' seam so LZ77 back-references actually occur), strategy
+# Z_FIXED on even docs (forces fixed-Huffman blocks, never dynamic)
+# and level 0 on odd docs (stored blocks) — both RFC 1951 paths the
+# hand decoder supports. Engine side: multimodal.inflate_zlib decodes
+# bit-by-bit and the query emits only what the ORACLE can recompute
+# closed-form from the documents table: payload length, the Adler-32
+# of the payload (position-weighted byte sums mod 65521 — ASCII, so
+# DuckDB's ascii() per char IS the byte), and a 48-bit md5 of the
+# decoded text. Compressed-size/block-count stats are encoder-version
+# facts, not spec facts — asserted in pytest, excluded from the hash.
+# ---------------------------------------------------------------------------
+DEFLATE_TOKS = 20
+
+MM_DEFLATE_ORACLE = f"""
+    WITH pay AS (
+      SELECT doc_id,
+             array_to_string({_DUCK_TOKS}[1:{DEFLATE_TOKS}], ' ')
+               || ' | ' ||
+             array_to_string({_DUCK_TOKS}[1:{DEFLATE_TOKS}], ' ') AS p
+      FROM documents
+    ), by_char AS MATERIALIZED (
+      SELECT doc_id, p, length(p) AS n,
+             ascii(p[c.i]) AS b, c.i AS i
+      FROM pay, LATERAL (SELECT unnest(range(1, length(p) + 1)) AS i) c
+    ), adler AS (
+      SELECT doc_id,
+             (1 + sum(b)) % 65521 AS s1,
+             (n + sum((n - i + 1) * b)) % 65521 AS s2
+      FROM by_char GROUP BY doc_id, n
+    )
+    SELECT pay.doc_id AS media_id,
+           CAST(length(p) AS BIGINT) AS raw_bytes,
+           CAST(s2 * 65536 + s1 AS BIGINT) AS adler32,
+           CAST(CAST(concat('0x', substr(md5(p), 1, 12)) AS UBIGINT)
+                AS BIGINT) AS payload_fp
+    FROM pay JOIN adler ON pay.doc_id = adler.doc_id
+"""
+
+
+def mm_deflate_fixed_huffman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compress each doc's closed-form payload with zlib (fixed-
+    Huffman or stored blocks, alternating) and hand-decode the stream
+    back — canonical code table, LZ77 back-references, Adler-32
+    verify (see section comment and multimodal.inflate_zlib). Output
+    is entirely recomputable by the oracle from the documents table,
+    so the hash match proves the decoder reproduced the exact bytes.
+    Zero-shuffle Arrow mapInPandas over (doc_id, text)."""
+    import hashlib
+    import zlib as _zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("raw_bytes", LongType(), False),
+            StructField("adler32", LongType(), False),
+            StructField("payload_fp", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = []
+                for t in text.lower().split(" "):
+                    toks.extend(t.split("\t"))
+                s = " ".join(toks[:DEFLATE_TOKS])
+                payload = f"{s} | {s}".encode()
+                if d % 2 == 0:
+                    co = _zlib.compressobj(
+                        6, _zlib.DEFLATED, 15, 9, _zlib.Z_FIXED
+                    )
+                else:
+                    co = _zlib.compressobj(0, _zlib.DEFLATED, 15)
+                blob = co.compress(payload) + co.flush()
+                dec, info = inflate_zlib(blob)
+                if dec != payload:
+                    raise ValueError(f"doc {d}: decode != payload")
+                if info["comp_bytes"] != len(blob):
+                    raise ValueError(f"doc {d}: trailing bytes")
+                if d % 2 == 0 and info["n_stored"]:
+                    raise ValueError(f"doc {d}: Z_FIXED emitted stored")
+                if d % 2 == 1 and info["n_fixed"]:
+                    raise ValueError(f"doc {d}: level 0 emitted huffman")
+                out["media_id"].append(int(d))
+                out["raw_bytes"].append(len(dec))
+                out["adler32"].append(info["adler32"])
+                out["payload_fp"].append(
+                    int(
+                        hashlib.md5(dec).hexdigest()[:12], 16
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
+        "mm_deflate_fixed_huffman": (
+            mm_deflate_fixed_huffman,
+            MM_DEFLATE_ORACLE,
+        ),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,

@@ -105,6 +105,119 @@ def test_datapage_decoder_is_strict():
         decode_parquet_int64_string(good[:-6], "doc_id", "source")
 
 
+# --- zlib/deflate decoder -------------------------------------------------------
+
+
+def test_inflate_roundtrip_fuzz():
+    """Hand decoder == zlib's own compressor over 300 seeded payloads
+    covering both supported block types: empty, tiny, repetitive (long
+    LZ77 back-references incl. the 258-byte max match and dist==len
+    overlap copies), incompressible random bytes, and multi-block
+    streams forced with Z_FULL_FLUSH."""
+    import random
+    import zlib
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    rng = random.Random(485)
+    payloads = [b"", b"a", b"ab" * 200, b"x" * 300, bytes(range(256))]
+    for _ in range(100):
+        n = rng.randrange(0, 400)
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+        word = bytes(rng.randrange(97, 123) for _ in range(rng.randrange(1, 9)))
+        payloads.append(word * rng.randrange(1, 80))
+
+    for i, p in enumerate(payloads):
+        for strategy, level in ((zlib.Z_FIXED, 6), (None, 0)):
+            if strategy is None:
+                co = zlib.compressobj(level, zlib.DEFLATED, 15)
+            else:
+                co = zlib.compressobj(level, zlib.DEFLATED, 15, 9, strategy)
+            if i % 3 == 0 and len(p) > 10:  # multi-block stream
+                half = len(p) // 2
+                blob = (
+                    co.compress(p[:half])
+                    + co.flush(zlib.Z_FULL_FLUSH)
+                    + co.compress(p[half:])
+                    + co.flush()
+                )
+            else:
+                blob = co.compress(p) + co.flush()
+            dec, info = inflate_zlib(blob)
+            assert dec == p
+            assert info["adler32"] == zlib.adler32(p)
+            assert info["comp_bytes"] == len(blob)
+            if strategy is None:
+                assert info["n_fixed"] == 0, "level 0 must be all stored"
+
+
+def test_inflate_is_strict():
+    """Every malformation class raises, never mis-decodes: wrong CM,
+    failed header check, FDICT, LEN/NLEN corruption, the declared
+    dynamic-Huffman boundary, reserved BTYPE, truncation at any byte,
+    and an Adler-32 trailer mismatch."""
+    import zlib
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+    payload = b"the quick brown fox " * 4
+    good = co.compress(payload) + co.flush()
+    assert inflate_zlib(good)[0] == payload
+
+    with pytest.raises(ValueError, match="CM"):
+        inflate_zlib(bytes([0x79]) + good[1:])  # CM=9
+    with pytest.raises(ValueError, match="header check"):
+        inflate_zlib(bytes([good[0], good[1] ^ 0x01]) + good[2:])
+    # FDICT set, FCHECK recomputed so only the dict bit is at fault
+    cmf = good[0]
+    flg = (good[1] | 0x20) & 0xE0
+    flg |= (31 - (cmf * 256 + flg) % 31) % 31
+    with pytest.raises(ValueError, match="FDICT"):
+        inflate_zlib(bytes([cmf, flg]) + good[2:])
+    with pytest.raises(ValueError, match="dynamic Huffman"):
+        inflate_zlib(zlib.compress(b"a" * 10000, 9))
+    # stored block with corrupted NLEN
+    co0 = zlib.compressobj(0, zlib.DEFLATED, 15)
+    stored = co0.compress(payload) + co0.flush()
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        inflate_zlib(stored[:5] + bytes([stored[5] ^ 0xFF]) + stored[6:])
+    for cut in range(1, len(good)):
+        with pytest.raises(ValueError):
+            inflate_zlib(good[:cut])
+    with pytest.raises(ValueError, match="adler32"):
+        inflate_zlib(good[:-1] + bytes([good[-1] ^ 0x01]))
+
+
+def test_inflate_mutation_fuzz():
+    """Single-bit flips anywhere in a valid stream must either raise
+    or still decode to the exact original payload (flips in the
+    spec-ignored padding bits are the only silent survivors — the
+    Adler-32 trailer catches every payload-changing corruption)."""
+    import zlib
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+    payload = b"mutation fuzz target with repeats repeats repeats"
+    good = co.compress(payload) + co.flush()
+    for byte_i in range(len(good)):
+        for bit in range(8):
+            mut = bytearray(good)
+            mut[byte_i] ^= 1 << bit
+            try:
+                dec, _info = inflate_zlib(bytes(mut))
+            except ValueError:
+                continue
+            assert dec == payload, f"silent mis-decode at {byte_i}.{bit}"
+
+
 # --- bloom contamination screen ------------------------------------------------
 
 

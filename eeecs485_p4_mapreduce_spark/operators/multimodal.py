@@ -6619,13 +6619,17 @@ def decode_parquet_int64_string(
 
 
 # ---------------------------------------------------------------------------
-# zlib/DEFLATE decode (mm_deflate_fixed_huffman): RFC 1950 wrapper +
-# RFC 1951 stored and FIXED-HUFFMAN blocks, decoded bit-by-bit with a
-# canonical code table built from the spec's code lengths (3.2.2/
-# 3.2.6) — no zlib involvement on the read side. Dynamic-Huffman
-# blocks (BTYPE 10) are a DECLARED boundary and raise. Strict: header
-# check bits, FDICT, LEN/NLEN complements, back-reference bounds,
-# over-long codes, and the Adler-32 trailer are all verified.
+# zlib/DEFLATE decode (mm_deflate_fixed_huffman /
+# mm_deflate_dynamic_huffman): RFC 1950 wrapper + the full RFC 1951
+# block-type set — stored, FIXED-HUFFMAN, and DYNAMIC-HUFFMAN (the
+# HLIT/HDIST/HCLEN header, the 19-symbol code-length code with
+# repeat symbols 16/17/18, and per-block canonical tables) — decoded
+# bit-by-bit with canonical code tables built from the spec's code
+# lengths (3.2.2/3.2.6/3.2.7); no zlib involvement on the read side.
+# Strict: header check bits, FDICT, LEN/NLEN complements,
+# back-reference bounds, over-long codes, over-subscribed code
+# lengths (Kraft), code-length-run overflow, a zero-length
+# end-of-block symbol, and the Adler-32 trailer are all verified.
 # ---------------------------------------------------------------------------
 class _BitReader:
     """LSB-first bit reader; Huffman codes accumulate bit-by-bit (the
@@ -6655,12 +6659,18 @@ class _BitReader:
 
 
 def _canonical_table(lengths: list) -> dict:
-    """(length, code) -> symbol, RFC 1951 3.2.2's canonical assignment."""
+    """(length, code) -> symbol, RFC 1951 3.2.2's canonical assignment.
+    Rejects over-subscribed length sets (Kraft sum > 1); incomplete
+    sets are legal (zlib emits a one-entry distance code)."""
     max_len = max(lengths)
     bl_count = [0] * (max_len + 1)
     for ln in lengths:
         if ln:
             bl_count[ln] += 1
+    if max_len and sum(
+        n << (max_len - ln) for ln, n in enumerate(bl_count) if ln
+    ) > (1 << max_len):
+        raise ValueError("over-subscribed Huffman code lengths")
     next_code = [0] * (max_len + 1)
     code = 0
     for bits in range(1, max_len + 1):
@@ -6699,6 +6709,68 @@ def _read_code(br: _BitReader, table: dict) -> int:
             return sym
 
 
+_CL_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14,
+             1, 15)
+
+
+def _dynamic_tables(br: _BitReader) -> tuple:
+    """RFC 1951 3.2.7: read HLIT/HDIST/HCLEN, decode the code-length
+    code, expand repeat symbols 16/17/18, build both block tables."""
+    hlit = br.take(5) + 257
+    hdist = br.take(5) + 1
+    hclen = br.take(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(hclen):
+        cl_lengths[_CL_ORDER[i]] = br.take(3)
+    if not any(cl_lengths):
+        raise ValueError("empty code-length code")
+    cl_table = _canonical_table(cl_lengths)
+    lengths: list = []
+    while len(lengths) < hlit + hdist:
+        sym = _read_code(br, cl_table)
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            if not lengths:
+                raise ValueError("length-repeat with no previous length")
+            lengths.extend([lengths[-1]] * (3 + br.take(2)))
+        elif sym == 17:
+            lengths.extend([0] * (3 + br.take(3)))
+        else:
+            lengths.extend([0] * (11 + br.take(7)))
+    if len(lengths) > hlit + hdist:
+        raise ValueError("code-length run overflows HLIT+HDIST")
+    lit_lengths, dist_lengths = lengths[:hlit], lengths[hlit:]
+    if not lit_lengths[256]:
+        raise ValueError("end-of-block symbol has zero length")
+    return _canonical_table(lit_lengths), _canonical_table(dist_lengths)
+
+
+def _inflate_huffman_block(
+    br: _BitReader, out: bytearray, lit_table: dict, dist_table: dict
+) -> None:
+    """Decode one Huffman-coded block body (shared by fixed/dynamic)."""
+    while True:
+        sym = _read_code(br, lit_table)
+        if sym == 256:
+            return
+        if sym < 256:
+            out.append(sym)
+        else:
+            li = sym - 257
+            if li >= len(_LEN_BASE):
+                raise ValueError(f"bad length code {sym}")
+            ln = _LEN_BASE[li] + br.take(_LEN_EXTRA[li])
+            dsym = _read_code(br, dist_table)
+            if dsym >= len(_DIST_BASE):
+                raise ValueError(f"bad distance code {dsym}")
+            dist = _DIST_BASE[dsym] + br.take(_DIST_EXTRA[dsym])
+            if dist > len(out):
+                raise ValueError("back-reference before start")
+            for _ in range(ln):
+                out.append(out[-dist])
+
+
 def _adler32(data: bytes) -> int:
     s1, s2 = 1, 0
     for b in data:
@@ -6722,7 +6794,7 @@ def inflate_zlib(data: bytes):
         raise ValueError("FDICT unsupported")
     br = _BitReader(data, 2)
     out = bytearray()
-    n_blocks = n_stored = n_fixed = 0
+    n_blocks = n_stored = n_fixed = n_dynamic = 0
     while True:
         bfinal = br.take(1)
         btype = br.take(2)
@@ -6743,25 +6815,11 @@ def inflate_zlib(data: bytes):
             n_stored += 1
         elif btype == 1:  # fixed Huffman
             n_fixed += 1
-            while True:
-                sym = _read_code(br, _FIXED_LIT)
-                if sym == 256:
-                    break
-                if sym < 256:
-                    out.append(sym)
-                else:
-                    li = sym - 257
-                    if li >= len(_LEN_BASE):
-                        raise ValueError(f"bad length code {sym}")
-                    ln = _LEN_BASE[li] + br.take(_LEN_EXTRA[li])
-                    dsym = _read_code(br, _FIXED_DIST)
-                    dist = _DIST_BASE[dsym] + br.take(_DIST_EXTRA[dsym])
-                    if dist > len(out):
-                        raise ValueError("back-reference before start")
-                    for _ in range(ln):
-                        out.append(out[-dist])
-        elif btype == 2:
-            raise ValueError("dynamic Huffman: declared boundary")
+            _inflate_huffman_block(br, out, _FIXED_LIT, _FIXED_DIST)
+        elif btype == 2:  # dynamic Huffman
+            n_dynamic += 1
+            lit_table, dist_table = _dynamic_tables(br)
+            _inflate_huffman_block(br, out, lit_table, dist_table)
         else:
             raise ValueError("reserved BTYPE")
         if bfinal:
@@ -6776,6 +6834,7 @@ def inflate_zlib(data: bytes):
         "n_blocks": n_blocks,
         "n_stored": n_stored,
         "n_fixed": n_fixed,
+        "n_dynamic": n_dynamic,
         "adler32": trailer,
         "comp_bytes": br.pos + 4,
     }

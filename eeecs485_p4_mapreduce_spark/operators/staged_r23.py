@@ -684,12 +684,119 @@ def mm_deflate_fixed_huffman(
     return docs.mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# mm_deflate_dynamic_huffman. The dynamic-Huffman sibling of
+# mm_deflate_fixed_huffman — the fixture compresses a LONGER
+# closed-form payload (first {DEFLATE_DYN_TOKS} tokens, seamed with
+# their uppercase twin so the literal alphabet is wide enough that
+# zlib level 9's default strategy elects BTYPE=10 on essentially
+# every doc) and multimodal.inflate_zlib now decodes the full RFC
+# 1951 3.2.7 path: HLIT/HDIST/HCLEN header, the 19-symbol
+# code-length code with repeat symbols 16/17/18, per-block canonical
+# tables. Same oracle discipline: only closed-form-recomputable
+# columns (payload length, Adler-32, md5 fingerprint) are hashed;
+# which block types zlib elected is an encoder fact, asserted in
+# pytest at corpus grain, never hashed.
+# ---------------------------------------------------------------------------
+DEFLATE_DYN_TOKS = 40
+
+MM_DEFLATE_DYN_ORACLE = f"""
+    WITH pay AS (
+      SELECT doc_id,
+             array_to_string({_DUCK_TOKS}[1:{DEFLATE_DYN_TOKS}], ' ')
+               || ' # ' ||
+             upper(array_to_string({_DUCK_TOKS}[1:{DEFLATE_DYN_TOKS}],
+                                   ' ')) AS p
+      FROM documents
+    ), by_char AS MATERIALIZED (
+      SELECT doc_id, p, length(p) AS n,
+             ascii(p[c.i]) AS b, c.i AS i
+      FROM pay, LATERAL (SELECT unnest(range(1, length(p) + 1)) AS i) c
+    ), adler AS (
+      SELECT doc_id,
+             (1 + sum(b)) % 65521 AS s1,
+             (n + sum((n - i + 1) * b)) % 65521 AS s2
+      FROM by_char GROUP BY doc_id, n
+    )
+    SELECT pay.doc_id AS media_id,
+           CAST(length(p) AS BIGINT) AS raw_bytes,
+           CAST(s2 * 65536 + s1 AS BIGINT) AS adler32,
+           CAST(CAST(concat('0x', substr(md5(p), 1, 12)) AS UBIGINT)
+                AS BIGINT) AS payload_fp
+    FROM pay JOIN adler ON pay.doc_id = adler.doc_id
+"""
+
+
+def mm_deflate_dynamic_huffman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compress each doc's closed-form payload with zlib level 9
+    (default strategy — dynamic-Huffman blocks on essentially every
+    doc) and hand-decode the stream back through the full RFC 1951
+    path, code-length code and all (multimodal._dynamic_tables).
+    Output is entirely recomputable by the oracle from the documents
+    table, so the hash match proves the dynamic decoder reproduced
+    the exact bytes. Zero-shuffle Arrow mapInPandas."""
+    import hashlib
+    import zlib as _zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("raw_bytes", LongType(), False),
+            StructField("adler32", LongType(), False),
+            StructField("payload_fp", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = []
+                for t in text.lower().split(" "):
+                    toks.extend(t.split("\t"))
+                s = " ".join(toks[:DEFLATE_DYN_TOKS])
+                payload = f"{s} # {s.upper()}".encode()
+                blob = _zlib.compress(payload, 9)
+                dec, info = inflate_zlib(blob)
+                if dec != payload:
+                    raise ValueError(f"doc {d}: decode != payload")
+                if info["comp_bytes"] != len(blob):
+                    raise ValueError(f"doc {d}: trailing bytes")
+                out["media_id"].append(int(d))
+                out["raw_bytes"].append(len(dec))
+                out["adler32"].append(info["adler32"])
+                out["payload_fp"].append(
+                    int(hashlib.md5(dec).hexdigest()[:12], 16)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
         "mm_deflate_fixed_huffman": (
             mm_deflate_fixed_huffman,
             MM_DEFLATE_ORACLE,
+        ),
+        "mm_deflate_dynamic_huffman": (
+            mm_deflate_dynamic_huffman,
+            MM_DEFLATE_DYN_ORACLE,
         ),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (

@@ -109,11 +109,11 @@ def test_datapage_decoder_is_strict():
 
 
 def test_inflate_roundtrip_fuzz():
-    """Hand decoder == zlib's own compressor over 300 seeded payloads
-    covering both supported block types: empty, tiny, repetitive (long
-    LZ77 back-references incl. the 258-byte max match and dist==len
-    overlap copies), incompressible random bytes, and multi-block
-    streams forced with Z_FULL_FLUSH."""
+    """Hand decoder == zlib's own compressor over ~450 seeded payloads
+    covering ALL three block types: empty, tiny, repetitive (long LZ77
+    back-references incl. the 258-byte max match and dist==len overlap
+    copies), incompressible random bytes, wide-alphabet text (dynamic
+    blocks), and multi-block streams forced with Z_FULL_FLUSH."""
     import random
     import zlib
 
@@ -128,9 +128,19 @@ def test_inflate_roundtrip_fuzz():
         payloads.append(bytes(rng.randrange(256) for _ in range(n)))
         word = bytes(rng.randrange(97, 123) for _ in range(rng.randrange(1, 9)))
         payloads.append(word * rng.randrange(1, 80))
+        vocab = [
+            bytes(rng.randrange(97, 123) for _ in range(rng.randrange(2, 10)))
+            for _ in range(30)
+        ]
+        payloads.append(b" ".join(rng.choice(vocab) for _ in range(120)))
 
+    saw_dynamic = False
     for i, p in enumerate(payloads):
-        for strategy, level in ((zlib.Z_FIXED, 6), (None, 0)):
+        for strategy, level in (
+            (zlib.Z_FIXED, 6),
+            (None, 0),
+            (zlib.Z_DEFAULT_STRATEGY, 9),
+        ):
             if strategy is None:
                 co = zlib.compressobj(level, zlib.DEFLATED, 15)
             else:
@@ -151,16 +161,24 @@ def test_inflate_roundtrip_fuzz():
             assert info["comp_bytes"] == len(blob)
             if strategy is None:
                 assert info["n_fixed"] == 0, "level 0 must be all stored"
+            if strategy == zlib.Z_FIXED:
+                assert info["n_dynamic"] == 0
+            saw_dynamic = saw_dynamic or info["n_dynamic"] > 0
+    assert saw_dynamic, "fuzz corpus never exercised BTYPE=10"
 
 
 def test_inflate_is_strict():
     """Every malformation class raises, never mis-decodes: wrong CM,
-    failed header check, FDICT, LEN/NLEN corruption, the declared
-    dynamic-Huffman boundary, reserved BTYPE, truncation at any byte,
-    and an Adler-32 trailer mismatch."""
+    failed header check, FDICT, LEN/NLEN corruption, truncation at any
+    byte, an Adler-32 trailer mismatch, and the dynamic-header
+    malformations (over-subscribed code lengths, zero-length
+    end-of-block, code-length-run overflow, repeat-with-no-previous,
+    empty code-length code)."""
     import zlib
 
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _BitReader,
+        _dynamic_tables,
         inflate_zlib,
     )
 
@@ -179,8 +197,6 @@ def test_inflate_is_strict():
     flg |= (31 - (cmf * 256 + flg) % 31) % 31
     with pytest.raises(ValueError, match="FDICT"):
         inflate_zlib(bytes([cmf, flg]) + good[2:])
-    with pytest.raises(ValueError, match="dynamic Huffman"):
-        inflate_zlib(zlib.compress(b"a" * 10000, 9))
     # stored block with corrupted NLEN
     co0 = zlib.compressobj(0, zlib.DEFLATED, 15)
     stored = co0.compress(payload) + co0.flush()
@@ -191,6 +207,50 @@ def test_inflate_is_strict():
             inflate_zlib(good[:cut])
     with pytest.raises(ValueError, match="adler32"):
         inflate_zlib(good[:-1] + bytes([good[-1] ^ 0x01]))
+
+    # --- hand-crafted malformed DYNAMIC headers (fed straight to the
+    # header reader: no valid zlib encoder can emit these) ---
+    def bits(*fields) -> bytes:
+        buf, acc, nb = bytearray(), 0, 0
+        for value, width in fields:
+            acc |= value << nb
+            nb += width
+            while nb >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    def dyn_header(cl_lengths_by_order, *symbol_bits):
+        fields = [(0, 5), (0, 5), (len(cl_lengths_by_order) - 4, 4)]
+        fields += [(ln, 3) for ln in cl_lengths_by_order]
+        fields += list(symbol_bits)
+        fields.append((0, 64))  # padding so truncation never fires first
+        return _BitReader(bits(*fields))
+
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _dynamic_tables(dyn_header([1, 1, 1, 0]))  # syms 16,17,18 @ 1 bit
+    with pytest.raises(ValueError, match="empty code-length"):
+        _dynamic_tables(dyn_header([0, 0, 0, 0]))
+    # cl code {sym0: 0b0, sym16: 0b1}; first symbol is the repeat
+    with pytest.raises(ValueError, match="no previous length"):
+        _dynamic_tables(dyn_header([1, 0, 0, 1], (1, 1)))
+    # cl code {sym0: 0b0, sym18: 0b1}; two max-run zero-fills = 276 > 258
+    with pytest.raises(ValueError, match="overflows HLIT"):
+        _dynamic_tables(
+            dyn_header([0, 0, 1, 1], (1, 1), (127, 7), (1, 1), (127, 7))
+        )
+    # cl code {sym1: 0b0, sym18: 0b1}; 1 + 138 + 119 = 258 lengths but
+    # the end-of-block symbol (256) is left at zero length
+    cl = [0] * 18
+    cl[2] = 1  # sym 18
+    cl[17] = 1  # sym 1
+    with pytest.raises(ValueError, match="end-of-block"):
+        _dynamic_tables(
+            dyn_header(cl, (0, 1), (1, 1), (127, 7), (1, 1), (108, 7))
+        )
 
 
 def test_inflate_mutation_fuzz():
@@ -204,18 +264,25 @@ def test_inflate_mutation_fuzz():
         inflate_zlib,
     )
 
-    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
     payload = b"mutation fuzz target with repeats repeats repeats"
-    good = co.compress(payload) + co.flush()
-    for byte_i in range(len(good)):
-        for bit in range(8):
-            mut = bytearray(good)
-            mut[byte_i] ^= 1 << bit
-            try:
-                dec, _info = inflate_zlib(bytes(mut))
-            except ValueError:
-                continue
-            assert dec == payload, f"silent mis-decode at {byte_i}.{bit}"
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+    fixed_blob = co.compress(payload) + co.flush()
+    dyn_payload = (
+        b"dynamic mutation corpus: many distinct words so zlib elects"
+        b" a dynamic tree here, once twice thrice quartus quintus"
+    ) * 3
+    dyn_blob = zlib.compress(dyn_payload, 9)
+    assert inflate_zlib(dyn_blob)[1]["n_dynamic"] > 0
+    for good, want in ((fixed_blob, payload), (dyn_blob, dyn_payload)):
+        for byte_i in range(len(good)):
+            for bit in range(8):
+                mut = bytearray(good)
+                mut[byte_i] ^= 1 << bit
+                try:
+                    dec, _info = inflate_zlib(bytes(mut))
+                except ValueError:
+                    continue
+                assert dec == want, f"silent mis-decode at {byte_i}.{bit}"
 
 
 # --- bloom contamination screen ------------------------------------------------

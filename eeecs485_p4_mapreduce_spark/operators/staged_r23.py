@@ -787,6 +787,109 @@ def mm_deflate_dynamic_huffman(
     return docs.mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# ta_kwic_concordance. Keyword-in-context extraction (the concordance
+# view corpus auditors use to eyeball how a term is used before
+# filtering on it): the dictionary is derived from the corpus itself
+# (top-KWIC_TOP_TERMS tokens of length >= KWIC_MIN_LEN, ties broken
+# by token), shipped as ONE broadcast array scalar, and each doc
+# finds its hit positions with an index-aware transform/filter lambda
+# — the Generate yields only hit rows, so there is no per-token
+# array amplification and the fact side never shuffles. Context
+# windows are +-KWIC_CTX tokens sliced in the same projection.
+# ---------------------------------------------------------------------------
+KWIC_MIN_LEN = 7
+KWIC_TOP_TERMS = 3
+KWIC_CTX = 3
+
+TA_KWIC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, t, len(t) AS n, c.i AS i, t[c.i] AS token
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) c
+    ), terms AS (
+      SELECT token AS term FROM flat
+      WHERE length(token) >= {KWIC_MIN_LEN}
+      GROUP BY token
+      ORDER BY count(*) DESC, token ASC
+      LIMIT {KWIC_TOP_TERMS}
+    )
+    SELECT f.token AS term, f.doc_id AS doc_id,
+           CAST(f.i AS BIGINT) AS pos,
+           coalesce(array_to_string(
+             f.t[greatest(1, f.i - {KWIC_CTX}):f.i - 1], ' '),
+             '') AS left_ctx,
+           coalesce(array_to_string(
+             f.t[f.i + 1:least(f.n, f.i + {KWIC_CTX})], ' '),
+             '') AS right_ctx
+    FROM flat f JOIN terms ON f.token = terms.term
+"""
+
+
+def ta_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concordance lines (term, 1-based position, +-3-token contexts)
+    for the corpus's own top frequent long tokens. One token-count
+    shuffle builds the dictionary; the extraction pass is a single
+    scan with a broadcast scalar join — hit positions come from an
+    index-aware filter lambda so only matches are generated."""
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens().alias("toks"))
+
+    terms = (
+        toks.select(F.explode("toks").alias("token"))
+        .where(F.length("token") >= KWIC_MIN_LEN)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(KWIC_TOP_TERMS)
+        .agg(F.collect_list("token").alias("terms"))
+    )
+
+    hits = (
+        toks.join(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        "toks",
+                        lambda x, i: F.struct(
+                            i.alias("i"), x.alias("x")
+                        ),
+                    ),
+                    lambda s: F.array_contains(F.col("terms"), s["x"]),
+                )
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            (F.col("h.i") + 1).cast("long").alias("pos"),
+            F.col("h.x").alias("term"),
+        )
+    )
+    left_start = F.greatest(F.lit(1), F.col("pos") - KWIC_CTX)
+    right_end = F.least(F.col("n"), F.col("pos") + KWIC_CTX)
+    return hits.select(
+        "term",
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice("toks", left_start, F.col("pos") - left_start), " "
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice("toks", F.col("pos") + 1, right_end - F.col("pos")),
+            " ",
+        ).alias("right_ctx"),
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -798,6 +901,7 @@ def _staged() -> dict:
             mm_deflate_dynamic_huffman,
             MM_DEFLATE_DYN_ORACLE,
         ),
+        "ta_kwic_concordance": (ta_kwic_concordance, TA_KWIC_ORACLE),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,

@@ -285,6 +285,64 @@ def test_inflate_mutation_fuzz():
                 assert dec == want, f"silent mis-decode at {byte_i}.{bit}"
 
 
+# --- keyword-in-context concordance ---------------------------------------------
+
+
+def test_kwic_matches_python(spark, sf_dir):
+    """Independent pure-Python concordance (dictionary derivation,
+    hit positions, context slicing) must agree row-for-row, and the
+    windows must actually be clipped at doc edges."""
+    from collections import Counter
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        KWIC_CTX,
+        KWIC_MIN_LEN,
+        KWIC_TOP_TERMS,
+        ta_kwic_concordance,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM"
+        f" read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+
+    def toks(t):
+        out = []
+        for x in t.lower().split(" "):
+            out.extend(x.split("\t"))
+        return out
+
+    counts = Counter(
+        tok for _d, t in docs for tok in toks(t) if len(tok) >= KWIC_MIN_LEN
+    )
+    terms = set(
+        tok
+        for tok, _c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :KWIC_TOP_TERMS
+        ]
+    )
+    expect = set()
+    for d, t in docs:
+        tk = toks(t)
+        for i0, tok in enumerate(tk):
+            if tok in terms:
+                left = " ".join(tk[max(0, i0 - KWIC_CTX) : i0])
+                right = " ".join(tk[i0 + 1 : i0 + 1 + KWIC_CTX])
+                expect.add((tok, d, i0 + 1, left, right))
+    got = {
+        (r.term, r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+        for r in ta_kwic_concordance(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(p == 1 for _t, _d, p, _l, _r in expect), "no edge-clipped hit"
+    assert any(
+        len(left.split(" ")) == KWIC_CTX for _t, _d, _p, left, _r in expect
+    ), "no full left window in fixture"
+
+
 # --- bloom contamination screen ------------------------------------------------
 
 

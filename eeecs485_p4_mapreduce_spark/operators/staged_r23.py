@@ -890,6 +890,114 @@ def ta_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q128_survival_km. Kaplan-Meier product-limit estimator — subjects
+# are orders, duration = days from o_orderdate to the order's LAST
+# l_shipdate, event = the order had a returned line (censored
+# otherwise). Two key-colocated shuffles (lineitem rollup + orders
+# join share the orderkey partitioning) reduce the corpus to ONE row
+# per distinct duration day — bounded by the date domain, constant
+# as the corpus grows — so the global ordered window that forms the
+# risk set and the cumulative product runs over a fixed-size input
+# at any scale. Survival is exp(sum(ln(factor))) with identical
+# formula, operand order, and round(...,6)+0.0 on both sides; the
+# everyone-dies terminal row (n_risk == d) is guarded to an exact 0
+# rather than ln(0).
+# ---------------------------------------------------------------------------
+Q128_KM_ORACLE = """
+    WITH per AS (
+      SELECT date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS dur,
+             max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), tot AS (
+      SELECT count(*) AS n_total FROM per
+    ), by_t AS (
+      SELECT dur, count(*) AS at_t, sum(ev) AS d
+      FROM per GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             n_total - coalesce(sum(at_t) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_t, tot
+    ), km AS (
+      SELECT dur, d, n_risk,
+             max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur) AS hit_zero,
+             sum(ln(CASE WHEN n_risk = d THEN 1.0
+                         ELSE CAST(n_risk - d AS DOUBLE) / n_risk END))
+               OVER (ORDER BY dur) AS log_surv
+      FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_event,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(log_surv), 6) + 0.0 END AS survival
+    FROM km WHERE d > 0
+"""
+
+
+def q128_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve over order fulfillment durations (see the
+    section comment for the risk-set algebra and why the global
+    window input stays date-domain-bounded at any corpus size)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("ship_last"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ev"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.datediff("ship_last", "o_orderdate").alias("dur"), "ev"
+        )
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n_total"))
+    by_t = per.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("at_t"), F.sum("ev").alias("d")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur")
+    risk = by_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum("at_t").over(w_prev), F.lit(0)),
+    )
+    factor = F.when(F.col("n_risk") == F.col("d"), F.lit(1.0)).otherwise(
+        (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+    )
+    km = risk.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.max(F.when(F.col("n_risk") == F.col("d"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("hit_zero"),
+        F.sum(F.log(factor)).over(w_cum).alias("log_surv"),
+    )
+    return km.where(F.col("d") > 0).select(
+        F.col("dur").cast("long").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_event"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_surv"), 6) + F.lit(0.0))
+        .alias("survival"),
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -902,6 +1010,7 @@ def _staged() -> dict:
             MM_DEFLATE_DYN_ORACLE,
         ),
         "ta_kwic_concordance": (ta_kwic_concordance, TA_KWIC_ORACLE),
+        "q128_survival_km": (q128_survival_km, Q128_KM_ORACLE),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,

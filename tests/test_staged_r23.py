@@ -343,6 +343,58 @@ def test_kwic_matches_python(spark, sf_dir):
     ), "no full left window in fixture"
 
 
+# --- Kaplan-Meier survival -------------------------------------------------------
+
+
+def test_survival_km_matches_python(spark, sf_dir):
+    """Independent pure-Python product-limit estimator (direct
+    product form, not the engine's exp-sum-log) must agree to the
+    rounding grain, and the curve must obey KM invariants:
+    survival non-increasing, n_risk strictly decreasing, n_risk ==
+    #subjects with duration >= t."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        q128_survival_km,
+    )
+
+    subj = duckdb.sql(
+        f"""
+        SELECT date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS dur,
+               max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ev
+        FROM read_parquet('{table_path(sf_dir, 'orders')}') o
+        JOIN read_parquet('{table_path(sf_dir, 'lineitem')}') l
+          ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+        """
+    ).fetchall()
+    durs = sorted({d for d, _e in subj})
+    s = 1.0
+    expect = {}
+    for t in durs:
+        n_risk = sum(1 for d, _e in subj if d >= t)
+        d_ev = sum(1 for d, e in subj if d == t and e)
+        s *= (n_risk - d_ev) / n_risk
+        if d_ev:
+            expect[t] = (n_risk, d_ev, s)
+
+    rows = sorted(
+        (r.t, r.n_risk, r.n_event, r.survival)
+        for r in q128_survival_km(spark, sf_dir).collect()
+    )
+    assert [t for t, *_ in rows] == sorted(expect)
+    prev_s, prev_risk = 1.0 + 1e-12, None
+    for t, n_risk, n_event, surv in rows:
+        e_risk, e_ev, e_s = expect[t]
+        assert (n_risk, n_event) == (e_risk, e_ev), t
+        assert abs(surv - e_s) < 1e-6, (t, surv, e_s)
+        assert surv <= prev_s, "survival must be non-increasing"
+        assert prev_risk is None or n_risk < prev_risk
+        prev_s, prev_risk = surv, n_risk
+    assert len(rows) >= 10, "fixture too event-poor; KM test vacuous"
+
+
 # --- bloom contamination screen ------------------------------------------------
 
 

@@ -998,6 +998,126 @@ def q128_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# curate_doremi_step. One DoReMi-style domain-mixture reweighting
+# step (multiplicative-weights flavor, Xie et al.'s domain
+# reweighting loop reduced to its per-round data-plane update): per
+# domain, a deterministic excess-loss proxy (mean doc length vs the
+# corpus mean, in centi-tokens, clipped) multiplies the domain's
+# baseline token share, then weights renormalize and smooth toward
+# uniform. EVERYTHING is integer arithmetic at fixed scales
+# (centi-tokens, basis points, factor scale 1e5) with non-negative
+# divisions only, so Spark `div` and DuckDB `//` agree bit-for-bit
+# — no doubles anywhere in the hash. One corpus scan reduces to
+# domain grain (map-side combine), localCheckpoint pins the tiny
+# domain table, and both normalization scalars are 1-row broadcast
+# joins.
+# ---------------------------------------------------------------------------
+DOREMI_CLIP_C = 2000  # excess-loss clip, centi-tokens (+-20 tokens)
+DOREMI_ETA = 10  # factor units per centi-token of excess
+DOREMI_SMOOTH_NUM, DOREMI_SMOOTH_DEN = 9, 10  # 0.1 toward uniform
+
+CURATE_DOREMI_ORACLE = f"""
+    WITH dom AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len({_DUCK_TOKS})) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens,
+             count(*) AS n_domains
+      FROM dom
+    ), step AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens * 100 // n_docs AS loss_c,
+             greatest(-{DOREMI_CLIP_C}, least({DOREMI_CLIP_C},
+               n_tokens * 100 // n_docs - t_tokens * 100 // t_docs))
+               AS excess_c,
+             n_tokens * 10000 // t_tokens AS base_bp,
+             n_domains, t_tokens
+      FROM dom, tot
+    ), unnorm AS (
+      SELECT *,
+             base_bp * (100000 + {DOREMI_ETA} * excess_c) AS u
+      FROM step
+    ), norm AS (
+      SELECT sum(u) AS sum_u FROM unnorm
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(loss_c AS BIGINT) AS loss_c,
+           CAST(excess_c AS BIGINT) AS excess_c,
+           CAST(base_bp AS BIGINT) AS base_bp,
+           CAST(u * 10000 // sum_u AS BIGINT) AS weight_bp,
+           CAST(({DOREMI_SMOOTH_NUM} * (u * 10000 // sum_u)
+                 + (10000 // n_domains))
+                // {DOREMI_SMOOTH_DEN} AS BIGINT) AS final_bp
+    FROM unnorm, norm
+"""
+
+
+def curate_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One domain-reweighting step for a training mixture (see the
+    section comment for the fixed-point scales). The loss proxy is a
+    documented stand-in column — a real loop would join per-domain
+    eval losses in its place; the update algebra is the operator."""
+    from eeecs485_p4_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens()).alias("n_toks")
+    )
+    dom = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_tokens").alias("t_tokens"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    step = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_domains",
+        F.expr("n_tokens * 100 div n_docs").alias("loss_c"),
+        F.greatest(
+            F.lit(-DOREMI_CLIP_C),
+            F.least(
+                F.lit(DOREMI_CLIP_C),
+                F.expr(
+                    "n_tokens * 100 div n_docs - t_tokens * 100 div t_docs"
+                ),
+            ),
+        ).alias("excess_c"),
+        F.expr("n_tokens * 10000 div t_tokens").alias("base_bp"),
+    )
+    unnorm = step.withColumn(
+        "u", F.expr(f"base_bp * (100000 + {DOREMI_ETA} * excess_c)")
+    )
+    norm = unnorm.agg(F.sum("u").alias("sum_u"))
+    return unnorm.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("loss_c").cast("long").alias("loss_c"),
+        F.col("excess_c").cast("long").alias("excess_c"),
+        F.col("base_bp").cast("long").alias("base_bp"),
+        F.expr("u * 10000 div sum_u").cast("long").alias("weight_bp"),
+        F.expr(
+            f"({DOREMI_SMOOTH_NUM} * (u * 10000 div sum_u)"
+            f" + (10000 div n_domains)) div {DOREMI_SMOOTH_DEN}"
+        )
+        .cast("long")
+        .alias("final_bp"),
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -1020,6 +1140,7 @@ def _staged() -> dict:
             curate_bloom_contamination,
             CURATE_BLOOM_ORACLE,
         ),
+        "curate_doremi_step": (curate_doremi_step, CURATE_DOREMI_ORACLE),
     }
 
 

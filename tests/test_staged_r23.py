@@ -343,6 +343,73 @@ def test_kwic_matches_python(spark, sf_dir):
     ), "no full left window in fixture"
 
 
+# --- DoReMi domain-reweighting step ----------------------------------------------
+
+
+def test_doremi_step_matches_python(spark, sf_dir):
+    """Independent pure-Python reimplementation of the whole update
+    (loss proxy, clip, multiplicative factor, renormalize, smooth)
+    in plain ints must agree exactly, and the mixture invariants
+    must hold: final weights within a floor-rounding unit of 10000,
+    every weight positive, direction of the update matches the sign
+    of the excess loss."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        DOREMI_CLIP_C,
+        DOREMI_ETA,
+        DOREMI_SMOOTH_DEN,
+        DOREMI_SMOOTH_NUM,
+        curate_doremi_step,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM"
+        f" read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+    dom: dict[str, list[int]] = {}
+    for src, t in docs:
+        n = 1
+        toks = []
+        for x in t.lower().split(" "):
+            toks.extend(x.split("\t"))
+        dom.setdefault(src, [0, 0])
+        dom[src][0] += n
+        dom[src][1] += len(toks)
+    t_docs = sum(v[0] for v in dom.values())
+    t_tokens = sum(v[1] for v in dom.values())
+    mean_c = t_tokens * 100 // t_docs
+    expect = {}
+    us = {}
+    for src, (n_docs, n_tokens) in dom.items():
+        loss_c = n_tokens * 100 // n_docs
+        excess = max(-DOREMI_CLIP_C, min(DOREMI_CLIP_C, loss_c - mean_c))
+        base_bp = n_tokens * 10000 // t_tokens
+        us[src] = base_bp * (100000 + DOREMI_ETA * excess)
+        expect[src] = (n_docs, n_tokens, loss_c, excess, base_bp)
+    sum_u = sum(us.values())
+    rows = {r.source: r for r in curate_doremi_step(spark, sf_dir).collect()}
+    assert set(rows) == set(dom)
+    total_final = 0
+    for src, (n_docs, n_tokens, loss_c, excess, base_bp) in expect.items():
+        w_bp = us[src] * 10000 // sum_u
+        f_bp = (
+            DOREMI_SMOOTH_NUM * w_bp + 10000 // len(dom)
+        ) // DOREMI_SMOOTH_DEN
+        r = rows[src]
+        assert (
+            r.n_docs, r.n_tokens, r.loss_c, r.excess_c,
+            r.base_bp, r.weight_bp, r.final_bp,
+        ) == (n_docs, n_tokens, loss_c, excess, base_bp, w_bp, f_bp), src
+        assert r.final_bp > 0
+        if excess > 0:
+            assert r.weight_bp >= r.base_bp - 1, "upweight on excess loss"
+        total_final += r.final_bp
+    assert len(dom) >= 2, "single-domain fixture makes this vacuous"
+    assert 10000 - 2 * len(dom) <= total_final <= 10000
+
+
 # --- Kaplan-Meier survival -------------------------------------------------------
 
 

@@ -1118,6 +1118,60 @@ def curate_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# skew_twophase_topn. Per-key top-N where the key domain is tiny and
+# every group is corpus-sized (event_type) — the shape where a plain
+# Window.partitionBy(key) funnels 1/|domain| of the corpus through
+# ONE task. Phase 1 ranks within (key, salt) so each hot group
+# splits n_salts ways (salt from the unique event_id) and keeps only
+# N survivors per shard; phase 2 re-ranks the <= N * n_salts
+# survivors per key — a bounded input regardless of corpus size.
+# n_salts is the knob that scales with corpus/task-size. The oracle
+# is the PLAIN one-phase window: salting is correctness-neutral.
+# Ordering is total (value DESC NULLS LAST, event_id ASC) so the
+# top-N set is deterministic on both engines.
+# ---------------------------------------------------------------------------
+TOPN_N = 5
+TOPN_SALTS = 16
+
+SKEW_TOPN_ORACLE = f"""
+    SELECT event_type,
+           CAST(row_number() OVER w AS BIGINT) AS rnk,
+           event_id, value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value DESC NULLS LAST, event_id ASC)
+    QUALIFY rnk <= {TOPN_N}
+"""
+
+
+def skew_twophase_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) top-{N} events per event_type (see the
+    section comment; same skew discipline as skew_salted_agg, applied
+    to ranking instead of aggregation)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    order = [F.col("value").desc_nulls_last(), F.col("event_id").asc()]
+    w1 = Window.partitionBy("event_type", "__salt").orderBy(*order)
+    survivors = (
+        ev.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(TOPN_SALTS)),
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= TOPN_N)
+    )
+    w2 = Window.partitionBy("event_type").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "rnk", F.row_number().over(w2).cast("long")
+        )
+        .where(F.col("rnk") <= TOPN_N)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -1141,6 +1195,7 @@ def _staged() -> dict:
             CURATE_BLOOM_ORACLE,
         ),
         "curate_doremi_step": (curate_doremi_step, CURATE_DOREMI_ORACLE),
+        "skew_twophase_topn": (skew_twophase_topn, SKEW_TOPN_ORACLE),
     }
 
 

@@ -343,6 +343,65 @@ def test_kwic_matches_python(spark, sf_dir):
     ), "no full left window in fixture"
 
 
+# --- two-phase salted top-N -------------------------------------------------------
+
+
+def test_twophase_topn_matches_python(spark, sf_dir):
+    """Pure-Python per-type sort must agree row-for-row, and the
+    no-loss property behind the pattern must be exercised: at least
+    one type's global top-N spans multiple salt shards (so phase 2
+    is actually merging, not rubber-stamping one shard)."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        TOPN_N,
+        TOPN_SALTS,
+        skew_twophase_topn,
+    )
+
+    ev = duckdb.sql(
+        f"SELECT event_type, event_id, value FROM"
+        f" read_parquet('{table_path(sf_dir, 'events')}')"
+    ).fetchall()
+    by_type: dict[str, list] = {}
+    for t, eid, v in ev:
+        by_type.setdefault(t, []).append((eid, v))
+    expect = set()
+    for t, rows in by_type.items():
+        rows.sort(key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]))
+        for rnk, (eid, v) in enumerate(rows[:TOPN_N], start=1):
+            expect.add((t, rnk, eid, v))
+    got = {
+        (r.event_type, r.rnk, r.event_id, r.value)
+        for r in skew_twophase_topn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # no-loss property is only exercised if some top-N set straddles salts
+    from pyspark.sql import functions as F
+
+    salted = (
+        spark.createDataFrame(
+            [(t, eid) for t, rnk, eid, v in expect],
+            ["event_type", "event_id"],
+        )
+        .select(
+            "event_type",
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(TOPN_SALTS)).alias(
+                "s"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("s").alias("n_shards"))
+        .collect()
+    )
+    assert any(r.n_shards > 1 for r in salted), (
+        "every top-N landed in one salt shard; fixture too small to"
+        " exercise the merge"
+    )
+
+
 # --- DoReMi domain-reweighting step ----------------------------------------------
 
 

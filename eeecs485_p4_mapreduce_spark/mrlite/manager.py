@@ -429,6 +429,7 @@ class MRManagerServer:
         # (ids restart at 0 per manager), fall back to a
         # port-suffixed sibling that still contains "intermediate".
         job_root = Path.cwd() / "tmp" / f"job-{job_id}"
+        fallback = False
         try:
             job_root.mkdir(parents=True, exist_ok=False)
         except FileExistsError:
@@ -436,6 +437,7 @@ class MRManagerServer:
             # pinned prefix survives the collision (tooling asserting
             # tmp/job-{id}/... still matches; is_map_message's
             # "intermediate" substring contract holds either way).
+            fallback = True
             job_root = job_root / f"m{self.port}"
             job_root.mkdir(parents=True, exist_ok=True)
         inter = job_root / "intermediate"
@@ -478,7 +480,30 @@ class MRManagerServer:
             )
             return MRJobResult(job_id, str(out_dir), output_paths)
         finally:
+            self._cleanup_job_root(job_root, inter, fallback)
+
+    @staticmethod
+    def _cleanup_job_root(
+        job_root: Path, inter: Path, fallback: bool
+    ) -> None:
+        """A colliding fleet may have nested its m{port} fallback
+        INSIDE this fleet's tmp/job-{id} (see _run_job_on_workers), so
+        the owner must never rmtree the whole root — that would vanish
+        the other fleet's in-flight map outputs. Each fleet deletes
+        only the subtree it created, then reaps the shared root iff it
+        is the last one out (rmdir only succeeds on an empty dir)."""
+        if fallback:
             shutil.rmtree(job_root, ignore_errors=True)
+            try:
+                job_root.parent.rmdir()
+            except OSError:
+                pass
+        else:
+            shutil.rmtree(inter, ignore_errors=True)
+            try:
+                job_root.rmdir()
+            except OSError:
+                pass
 
     # -- job side ----------------------------------------------------------
 

@@ -6480,6 +6480,8 @@ def _rle_bp_hybrid(buf: bytes, pos: int, bit_width: int, n: int):
         pos = tc.pos
         if header & 1:  # bit-packed run of (header >> 1) groups of 8
             groups = header >> 1
+            if groups == 0:
+                raise ValueError("zero-length bit-packed run")
             nbytes = groups * bit_width
             if pos + nbytes > len(buf):
                 raise ValueError("bit-packed run overruns page")
@@ -6491,6 +6493,8 @@ def _rle_bp_hybrid(buf: bytes, pos: int, bit_width: int, n: int):
             pos += nbytes
         else:  # RLE run
             count = header >> 1
+            if count == 0:
+                raise ValueError("zero-length RLE run")
             w = (bit_width + 7) // 8
             if pos + w > len(buf):
                 raise ValueError("RLE literal overruns page")
@@ -6780,9 +6784,10 @@ def _adler32(data: bytes) -> int:
 
 
 def inflate_zlib(data: bytes):
-    """Decode a zlib stream (stored + fixed-Huffman deflate blocks).
-    Returns (payload_bytes, info dict). ValueError on malformation or
-    the declared dynamic-Huffman boundary."""
+    """Decode a zlib stream — all three RFC 1951 block types (stored,
+    fixed-Huffman, dynamic-Huffman). Returns (payload_bytes, info
+    dict with per-type block counts). ValueError on any
+    malformation; see the section comment for the checked set."""
     if len(data) < 6:
         raise ValueError("truncated zlib stream")
     cmf, flg = data[0], data[1]

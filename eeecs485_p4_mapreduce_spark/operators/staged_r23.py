@@ -42,11 +42,13 @@ Staged surface:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.functions.text import hash32
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
 
@@ -275,15 +277,19 @@ def curate_bloom_contamination(
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = "split(lower(text), '[ \t]')"
+    # array_distinct: a window repeated INSIDE one doc is one shingle
+    # (matches the oracle's GROUP BY doc_id, win grain — and the
+    # screen's semantics: contamination is about which windows a doc
+    # shares with eval, not how often it repeats them internally).
     wins = docs.selectExpr(
         "doc_id",
-        f"""explode(
+        f"""explode(array_distinct(
           transform(array({toks}), __t ->
             CASE WHEN size(__t) >= {BLOOM_W} THEN
               transform(sequence(1, size(__t) - {BLOOM_W} + 1),
                 i -> concat_ws(' ', slice(__t, i, {BLOOM_W})))
             ELSE array() END)[0]
-        ) AS win""",
+        )) AS win""",
     )
     probes = ", ".join(_BLOOM_H_SPARK)
     bloom = (
@@ -478,9 +484,7 @@ def dedup_unicode_canonical(
 CDC_MOD = 8  # expected chunk length in tokens
 CDC_MIN_TOKENS = 3  # ignore trivial chunks
 
-_CDC_H32_SPARK = (
-    "cast(conv(substring(md5(__t), 1, 8), 16, 10) as bigint)"
-)
+_CDC_H32_SPARK = hash32("__t")
 _CDC_H32_DUCK = (
     "CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)"
     " AS BIGINT)"
@@ -534,20 +538,26 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = "split(lower(text), '[ \t]')"
     # Row-local fold: accumulate (finished chunks, current chunk) over
     # the token array; a boundary token CLOSES its chunk (inclusive).
+    # The open-chunk state carries an explicit token count `n` — the
+    # string `cur` alone can't double as the emptiness sentinel
+    # because '' is itself a legal token (consecutive delimiters), and
+    # the oracle's positional string_agg keeps such tokens.
     fold = f"""
       aggregate(
         {toks},
-        named_struct('done', cast(array() as array<string>), 'cur', ''),
+        named_struct('done', cast(array() as array<string>),
+                     'cur', '', 'n', 0),
         (acc, __t) -> IF(
           ({_CDC_H32_SPARK}) % {CDC_MOD} = 0,
           named_struct(
             'done', array_append(acc.done,
-                      IF(acc.cur = '', __t, concat(acc.cur, ' ', __t))),
-            'cur', ''),
+                      IF(acc.n = 0, __t, concat(acc.cur, ' ', __t))),
+            'cur', '', 'n', 0),
           named_struct(
             'done', acc.done,
-            'cur', IF(acc.cur = '', __t, concat(acc.cur, ' ', __t)))),
-        acc -> IF(acc.cur = '', acc.done, array_append(acc.done, acc.cur))
+            'cur', IF(acc.n = 0, __t, concat(acc.cur, ' ', __t)),
+            'n', acc.n + 1)),
+        acc -> IF(acc.n = 0, acc.done, array_append(acc.done, acc.cur))
       )
     """
     chunks = docs.selectExpr(
@@ -962,6 +972,9 @@ def q128_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.datediff("ship_last", "o_orderdate").alias("dur"), "ev"
         )
+        # corpus-sized with two consumers (tot + by_t): DISK_ONLY
+        # persist so the lineitem rollup + orders join runs once
+        .persist(StorageLevel.DISK_ONLY)
     )
     tot = per.agg(F.count(F.lit(1)).alias("n_total"))
     by_t = per.groupBy("dur").agg(

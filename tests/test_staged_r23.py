@@ -574,7 +574,8 @@ def test_bloom_contamination_matches_python(spark, sf_dir):
     for d, t in docs:
         if d % BLOOM_EVAL_MOD == 0:
             continue
-        wins = windows(t)
+        # distinct windows per doc — the engine/oracle shingle grain
+        wins = list(dict.fromkeys(windows(t)))
         if not wins:
             continue
         hits = sum(1 for w in wins if all(p in bits for p in probes(w)))
@@ -737,3 +738,89 @@ def test_cdc_resynchronization_property():
     shared = set(a[1:]) & set(b)
     assert shared == set(a[1:])
 
+
+
+# --- adversarial-grain mini-corpus (review regression) ---------------------------
+
+
+def test_bloom_and_cdc_adversarial_grain(spark, tmp_path):
+    """The driver corpora contain no intra-doc duplicate shingles and
+    no empty tokens, so the oracle hashes could not distinguish
+    per-occurrence from per-distinct-window counting, or an
+    empty-token chunk from a dropped one. This crafted corpus contains
+    both; engine and oracle must still hash identically, and the
+    adversarial structures must actually surface in the output."""
+    import hashlib
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        CDC_MOD,
+        CURATE_BLOOM_ORACLE,
+        DEDUP_CDC_ORACLE,
+        curate_bloom_contamination,
+        dedup_cdc_chunking,
+    )
+
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    # a token whose 32-bit md5 prefix is a CDC boundary
+    btok = next(
+        w
+        for w in (f"tok{i}" for i in range(10_000))
+        if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % CDC_MOD == 0
+    )
+    five = "alpha beta gamma delta epsilon"
+    docs = [
+        (0, f"{five} filler words here"),  # eval split (0 % 97 == 0)
+        (1, f"{five} mid bridge words {five}"),  # intra-doc repeat
+        (2, f"{btok}  xx yy zz"),  # '' opens a chunk (double space)
+        (3, f"{btok}  xx yy zz"),  # twin so the chunk crosses docs
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    for fn, oracle in (
+        (curate_bloom_contamination, CURATE_BLOOM_ORACLE),
+        (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
+    ):
+        s_pd = fn(spark, str(tmp_path)).toPandas()
+        d_pd = con.sql(oracle).df()
+        assert len(s_pd) == len(d_pd), fn.__name__
+        assert lines_hash(canon_lines(s_pd)) == lines_hash(
+            canon_lines(d_pd)
+        ), fn.__name__
+
+    # the repeated shingle really was counted at distinct grain
+    bloom = {
+        r.doc_id: r for r in curate_bloom_contamination(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    toks1 = docs[1][1].split(" ")
+    n_distinct_wins = len({
+        " ".join(toks1[i : i + 5]) for i in range(len(toks1) - 4)
+    })
+    assert bloom[1].n_shingles == n_distinct_wins
+    # the empty token survived into the shared chunk (leading space)
+    cdc = dedup_cdc_chunking(spark, str(tmp_path)).collect()
+    shared = [r for r in cdc if r.n_docs == 2]
+    assert any(r.tok_len == 4 for r in shared), (
+        "chunk ' xx yy zz' (incl. its empty opener) must round-trip"
+    )

@@ -989,3 +989,41 @@ def test_map_task_memory_envelope(fake_manager, worker, tmp_path):
     assert n_lines > 100_000
     assert growth < 1 * 1024 * 1024, f"RSS grew {growth} B during map"
     assert 0 < elapsed < 30.0
+
+
+def test_job_root_cleanup_never_reaps_a_tenant_fleet(tmp_path):
+    """Regression: with the collision fallback NESTED inside
+    tmp/job-{id}, the owning fleet's cleanup must not rmtree the
+    whole root while another fleet's m{port} scratch lives in it —
+    each fleet removes only its own subtree, and the shared root is
+    reaped by whichever fleet leaves last (empty-dir rmdir)."""
+    from eeecs485_p4_mapreduce_spark.mrlite.manager import MRManagerServer
+
+    root = tmp_path / "tmp" / "job-0"
+    owner_inter = root / "intermediate"
+    tenant = root / "m6001"
+    tenant_inter = tenant / "intermediate"
+    tenant_inter.mkdir(parents=True)
+    (tenant_inter / "maptask00000-part00000").write_text("k\tv\n")
+    owner_inter.mkdir()
+    (owner_inter / "maptask00000-part00000").write_text("k\tv\n")
+
+    # Owner leaves first: tenant's in-flight scratch must survive.
+    MRManagerServer._cleanup_job_root(root, owner_inter, fallback=False)
+    assert not owner_inter.exists()
+    assert (tenant_inter / "maptask00000-part00000").read_text() == "k\tv\n"
+    assert root.exists(), "root must survive while a tenant lives in it"
+
+    # Tenant leaves last: its subtree goes, and the now-empty shared
+    # root is reaped with it.
+    MRManagerServer._cleanup_job_root(tenant, tenant_inter, fallback=True)
+    assert not tenant.exists()
+    assert not root.exists(), "last fleet out reaps the shared root"
+
+    # Reverse order on a fresh tree: tenant first, then owner.
+    tenant_inter.mkdir(parents=True)
+    owner_inter.mkdir()
+    MRManagerServer._cleanup_job_root(tenant, tenant_inter, fallback=True)
+    assert not tenant.exists() and root.exists()
+    MRManagerServer._cleanup_job_root(root, owner_inter, fallback=False)
+    assert not root.exists()

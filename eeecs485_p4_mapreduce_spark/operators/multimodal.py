@@ -6783,21 +6783,12 @@ def _adler32(data: bytes) -> int:
     return (s2 << 16) | s1
 
 
-def inflate_zlib(data: bytes):
-    """Decode a zlib stream — all three RFC 1951 block types (stored,
-    fixed-Huffman, dynamic-Huffman). Returns (payload_bytes, info
-    dict with per-type block counts). ValueError on any
-    malformation; see the section comment for the checked set."""
-    if len(data) < 6:
-        raise ValueError("truncated zlib stream")
-    cmf, flg = data[0], data[1]
-    if cmf & 0x0F != 8:
-        raise ValueError("CM != 8 (not deflate)")
-    if (cmf * 256 + flg) % 31 != 0:
-        raise ValueError("zlib header check failed")
-    if flg & 0x20:
-        raise ValueError("FDICT unsupported")
-    br = _BitReader(data, 2)
+def _inflate_raw(br: _BitReader):
+    """Decode one complete raw-deflate stream (through its BFINAL
+    block) from the reader's position; leaves the reader byte-aligned
+    just past the stream. Shared by the zlib (RFC 1950) and gzip
+    (RFC 1952) wrappers."""
+    data = br.d
     out = bytearray()
     n_blocks = n_stored = n_fixed = n_dynamic = 0
     while True:
@@ -6830,16 +6821,144 @@ def inflate_zlib(data: bytes):
         if bfinal:
             break
     br.align()
-    if br.pos + 4 > len(data):
-        raise ValueError("missing adler32 trailer")
-    trailer = int.from_bytes(data[br.pos : br.pos + 4], "big")
-    if trailer != _adler32(bytes(out)):
-        raise ValueError("adler32 mismatch")
     return bytes(out), {
         "n_blocks": n_blocks,
         "n_stored": n_stored,
         "n_fixed": n_fixed,
         "n_dynamic": n_dynamic,
+    }
+
+
+def inflate_zlib(data: bytes):
+    """Decode a zlib stream — all three RFC 1951 block types (stored,
+    fixed-Huffman, dynamic-Huffman). Returns (payload_bytes, info
+    dict with per-type block counts). ValueError on any
+    malformation; see the section comment for the checked set."""
+    if len(data) < 6:
+        raise ValueError("truncated zlib stream")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("CM != 8 (not deflate)")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("zlib header check failed")
+    if flg & 0x20:
+        raise ValueError("FDICT unsupported")
+    br = _BitReader(data, 2)
+    out, counts = _inflate_raw(br)
+    if br.pos + 4 > len(data):
+        raise ValueError("missing adler32 trailer")
+    trailer = int.from_bytes(data[br.pos : br.pos + 4], "big")
+    if trailer != _adler32(out):
+        raise ValueError("adler32 mismatch")
+    return out, {
+        **counts,
         "adler32": trailer,
         "comp_bytes": br.pos + 4,
     }
+
+
+# ---------------------------------------------------------------------------
+# gzip decode (mm_gzip_inflate): RFC 1952 members over the same
+# library-free _inflate_raw core — full header feature set (FEXTRA
+# with its length-prefixed subfields, FNAME/FCOMMENT latin-1
+# zero-terminated strings, FHCRC verified against a hand CRC-32's
+# low 16 bits), multi-member concatenation, and the CRC32 + ISIZE
+# trailer both checked with the table-driven CRC below. This is the
+# COMPRESSED-body sibling of parse_gzip_members (staged_r20), whose
+# stored-mode walk leans on zlib; here nothing on the read side does.
+# ---------------------------------------------------------------------------
+_CRC32_TABLE: list = []
+
+
+def _crc32_py(data: bytes, crc: int = 0) -> int:
+    """Reflected CRC-32 (poly 0xEDB88320), table built on first use."""
+    if not _CRC32_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            _CRC32_TABLE.append(c)
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def inflate_gzip_members(data: bytes):
+    """Decode a (possibly multi-member) gzip stream by hand. Returns
+    (concatenated_payload, info dict with member/header-feature
+    counts and per-block-type totals). ValueError on any
+    malformation: bad magic/CM, reserved FLG bits, FHCRC mismatch,
+    truncated headers or trailers, CRC32/ISIZE mismatch, and every
+    raw-deflate error _inflate_raw raises."""
+    pos = 0
+    payload = bytearray()
+    info = {
+        "n_members": 0,
+        "n_named": 0,
+        "n_extra": 0,
+        "n_fhcrc": 0,
+        "n_dynamic": 0,
+        "n_fixed": 0,
+        "n_stored": 0,
+    }
+    while pos < len(data):
+        if len(data) - pos < 18:
+            raise ValueError("truncated gzip member")
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic")
+        if data[pos + 2] != 8:
+            raise ValueError(f"unknown compression method {data[pos + 2]}")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise ValueError(f"reserved FLG bits set: {flg:#x}")
+        hdr_end = pos + 10
+        if flg & 0x04:  # FEXTRA
+            if hdr_end + 2 > len(data):
+                raise ValueError("truncated FEXTRA length")
+            xlen = int.from_bytes(data[hdr_end : hdr_end + 2], "little")
+            hdr_end += 2
+            if hdr_end + xlen > len(data):
+                raise ValueError("FEXTRA overruns stream")
+            sub = hdr_end
+            while sub < hdr_end + xlen:  # SI1 SI2 LEN data
+                if sub + 4 > hdr_end + xlen:
+                    raise ValueError("truncated FEXTRA subfield")
+                sub += 4 + int.from_bytes(data[sub + 2 : sub + 4], "little")
+            if sub != hdr_end + xlen:
+                raise ValueError("FEXTRA subfields overrun XLEN")
+            hdr_end += xlen
+            info["n_extra"] += 1
+        for flag, key in ((0x08, "n_named"), (0x10, None)):
+            if flg & flag:  # FNAME / FCOMMENT: latin-1, zero-terminated
+                z = data.find(b"\x00", hdr_end)
+                if z < 0:
+                    raise ValueError("unterminated gzip header string")
+                hdr_end = z + 1
+                if key:
+                    info[key] += 1
+        if flg & 0x02:  # FHCRC: CRC-32 low 16 bits over the header
+            if hdr_end + 2 > len(data):
+                raise ValueError("truncated FHCRC")
+            want = int.from_bytes(data[hdr_end : hdr_end + 2], "little")
+            if _crc32_py(data[pos:hdr_end]) & 0xFFFF != want:
+                raise ValueError("FHCRC mismatch")
+            hdr_end += 2
+            info["n_fhcrc"] += 1
+        br = _BitReader(data, hdr_end)
+        member, counts = _inflate_raw(br)
+        for k in ("n_dynamic", "n_fixed", "n_stored"):
+            info[k] += counts[k]
+        if br.pos + 8 > len(data):
+            raise ValueError("missing gzip trailer")
+        crc = int.from_bytes(data[br.pos : br.pos + 4], "little")
+        isize = int.from_bytes(data[br.pos + 4 : br.pos + 8], "little")
+        if crc != _crc32_py(member):
+            raise ValueError("gzip CRC32 mismatch")
+        if isize != len(member) % (1 << 32):
+            raise ValueError("gzip ISIZE mismatch")
+        payload += member
+        info["n_members"] += 1
+        pos = br.pos + 8
+    info["comp_bytes"] = pos
+    return bytes(payload), info

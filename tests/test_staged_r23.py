@@ -824,3 +824,128 @@ def test_bloom_and_cdc_adversarial_grain(spark, tmp_path):
     assert any(r.tok_len == 4 for r in shared), (
         "chunk ' xx yy zz' (incl. its empty opener) must round-trip"
     )
+
+
+# --- gzip member decoder ----------------------------------------------------------
+
+
+def test_gzip_inflate_roundtrip_and_crc():
+    """Hand decoder == the gzip module over seeded payloads (single
+    and multi member, all compression levels), the hand CRC-32 equals
+    zlib.crc32 on random inputs, and the CRC check value is pinned."""
+    import gzip
+    import random
+    import zlib
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _crc32_py,
+        inflate_gzip_members,
+    )
+
+    assert _crc32_py(b"123456789") == 0xCBF43926
+    rng = random.Random(1952)
+    for _ in range(60):
+        blobs, full = [], b""
+        for _m in range(rng.randrange(1, 4)):
+            n = rng.randrange(0, 600)
+            if rng.random() < 0.5:
+                p = bytes(rng.randrange(256) for _ in range(n))
+            else:
+                vocab = [
+                    bytes(
+                        rng.randrange(97, 123)
+                        for _ in range(rng.randrange(2, 9))
+                    )
+                    for _ in range(20)
+                ]
+                p = b" ".join(rng.choice(vocab) for _ in range(n // 4))
+            assert _crc32_py(p) == zlib.crc32(p) & 0xFFFFFFFF
+            blobs.append(gzip.compress(p, rng.choice((0, 1, 6, 9))))
+            full += p
+        dec, info = inflate_gzip_members(b"".join(blobs))
+        assert dec == full
+        assert info["n_members"] == len(blobs)
+        assert info["comp_bytes"] == sum(len(b) for b in blobs)
+
+
+def test_gzip_inflate_is_strict():
+    """Malformed members raise: bad magic/CM, reserved FLG, FHCRC
+    mismatch, unterminated FNAME, FEXTRA subfield overrun, CRC32 and
+    ISIZE trailer corruption, truncation at any byte."""
+    import gzip
+    import zlib
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_gzip_members,
+    )
+
+    payload = b"gzip strictness target " * 8
+    good = gzip.compress(payload, 9)
+    assert inflate_gzip_members(good)[0] == payload
+
+    with pytest.raises(ValueError, match="magic"):
+        inflate_gzip_members(b"\x1f\x8c" + good[2:])
+    with pytest.raises(ValueError, match="compression method"):
+        inflate_gzip_members(good[:2] + b"\x07" + good[3:])
+    with pytest.raises(ValueError, match="reserved FLG"):
+        inflate_gzip_members(good[:3] + bytes([good[3] | 0x80]) + good[4:])
+    # FHCRC present but wrong: set the flag, append a bogus CRC16
+    hdr = bytearray(good[:10])
+    hdr[3] |= 0x02
+    with pytest.raises(ValueError, match="FHCRC"):
+        inflate_gzip_members(bytes(hdr) + b"\xde\xad" + good[10:])
+    # FHCRC correct: must decode
+    want = zlib.crc32(bytes(hdr)) & 0xFFFF
+    ok = bytes(hdr) + want.to_bytes(2, "little") + good[10:]
+    assert inflate_gzip_members(ok)[0] == payload
+    # unterminated FNAME
+    hdr2 = bytearray(good[:10])
+    hdr2[3] |= 0x08
+    with pytest.raises(ValueError, match="unterminated"):
+        inflate_gzip_members(bytes(hdr2) + b"no zero byte anywhere here")
+    # FEXTRA subfields overrunning XLEN
+    hdr3 = bytearray(good[:10])
+    hdr3[3] |= 0x04
+    bad_extra = (6).to_bytes(2, "little") + b"GZ" + (9).to_bytes(
+        2, "little"
+    ) + b"xx"
+    with pytest.raises(ValueError, match="FEXTRA"):
+        inflate_gzip_members(bytes(hdr3) + bad_extra + good[10:])
+    # trailer corruption
+    with pytest.raises(ValueError, match="CRC32"):
+        inflate_gzip_members(
+            good[:-8] + bytes([good[-8] ^ 1]) + good[-7:]
+        )
+    with pytest.raises(ValueError, match="ISIZE"):
+        inflate_gzip_members(
+            good[:-1] + bytes([good[-1] ^ 1])
+        )
+    for cut in range(1, len(good)):
+        with pytest.raises(ValueError):
+            inflate_gzip_members(good[:cut])
+
+
+def test_gzip_inflate_mutation_fuzz():
+    """Single-bit flips anywhere in a valid 2-member stream either
+    raise or decode to the exact original payload (the CRC32 trailer
+    catches every payload-changing corruption; MTIME/XFL/OS bytes are
+    the legal silent survivors)."""
+    import gzip
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_gzip_members,
+    )
+
+    p = b"mutation corpus with words words words and more entropy 0123"
+    good = gzip.compress(p, 9) + gzip.compress(p[::-1], 6)
+    want = p + p[::-1]
+    assert inflate_gzip_members(good)[0] == want
+    for byte_i in range(len(good)):
+        for bit in range(8):
+            mut = bytearray(good)
+            mut[byte_i] ^= 1 << bit
+            try:
+                dec, _info = inflate_gzip_members(bytes(mut))
+            except ValueError:
+                continue
+            assert dec == want, f"silent mis-decode at {byte_i}.{bit}"

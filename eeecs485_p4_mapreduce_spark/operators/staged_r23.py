@@ -1329,6 +1329,118 @@ def mm_gzip_inflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+# ---------------------------------------------------------------------------
+# curate_coreset_kcenter. Greedy k-center (farthest-first traversal,
+# the 2-approximation of Gonzalez 1985) over the embeddings table —
+# the diversity-sampling coreset selector a curation pipeline runs
+# to pick maximally-spread exemplars. Each round is ONE corpus scan:
+# the chosen centers travel as a broadcast struct array, every vector
+# folds its min squared-L2 to them JVM-side (the exact
+# aggregate/zip_with ≡ list_sum/list_transform parity the sim family
+# established), and the round's winner is a global TakeOrdered
+# (dist DESC, id ASC) — no collect, no window. Per-round 1-row
+# localCheckpoints keep the unrolled plan flat; the corpus persists
+# DISK_ONLY across the K-1 rescans. The oracle unrolls the same
+# greedy recursion as a CTE chain, so the hash proves every argmax
+# tie-break and distance fold agreed at every round.
+# ---------------------------------------------------------------------------
+CORESET_K = 6
+_EMB_DIM = 64
+
+_L2_SPARK = (
+    "aggregate(zip_with(v, {c}, (x, y) -> (x - y) * (x - y)), 0.0d,"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _kcenter_oracle() -> str:
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_EMB_DIM + 1}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1)",
+    ]
+    prev = ["c0"]
+    for i in range(1, CORESET_K):
+        dists = ", ".join(l2("e.v", f"{c}.v") for c in prev)
+        dist = f"least({dists})" if len(prev) > 1 else dists
+        ctes.append(
+            f"c{i} AS (SELECT e.id, e.v, {dist} AS dist"
+            f" FROM e, {', '.join(prev)}"
+            f" ORDER BY dist DESC, e.id ASC LIMIT 1)"
+        )
+        prev.append(f"c{i}")
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS rank, id, 0.0 AS dist_sq FROM c0"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT) AS rank, id,"
+        f" round(dist, 6) + 0.0 AS dist_sq FROM c{i}"
+        for i in range(1, CORESET_K)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+CURATE_KCENTER_ORACLE = _kcenter_oracle()
+
+
+def curate_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first coreset of CORESET_K exemplar embeddings (see
+    section comment). Returns (rank, id, dist_sq) where dist_sq is
+    the winner's squared L2 to the nearest earlier center."""
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+
+    emb = spread_small_source(
+        load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id AS id", "cast(embedding AS array<double>) AS v"
+        ),
+        "id",
+    ).persist(StorageLevel.DISK_ONLY)
+
+    seed = (
+        emb.orderBy("id")
+        .limit(1)
+        .select(
+            F.lit(0).cast("long").alias("rank"),
+            "id",
+            "v",
+            F.lit(0.0).alias("dist_sq"),
+        )
+        .localCheckpoint()
+    )
+    centers = seed
+    min_dist = (
+        "array_min(transform(cs, c -> "
+        + _L2_SPARK.format(c="c.v")
+        + "))"
+    )
+    for i in range(1, CORESET_K):
+        packed = centers.agg(
+            F.collect_list(F.struct("rank", "v")).alias("cs")
+        )
+        nxt = (
+            emb.crossJoin(F.broadcast(packed))
+            .selectExpr("id", "v", f"{min_dist} AS dist")
+            .orderBy(F.desc("dist"), F.asc("id"))
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("rank"),
+                "id",
+                "v",
+                (F.round(F.col("dist"), 6) + F.lit(0.0)).alias(
+                    "dist_sq"
+                ),
+            )
+            .localCheckpoint()
+        )
+        centers = centers.union(nxt)
+    return centers.select("rank", "id", "dist_sq")
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -1354,6 +1466,10 @@ def _staged() -> dict:
         ),
         "curate_doremi_step": (curate_doremi_step, CURATE_DOREMI_ORACLE),
         "skew_twophase_topn": (skew_twophase_topn, SKEW_TOPN_ORACLE),
+        "curate_coreset_kcenter": (
+            curate_coreset_kcenter,
+            CURATE_KCENTER_ORACLE,
+        ),
     }
 
 

@@ -949,3 +949,52 @@ def test_gzip_inflate_mutation_fuzz():
             except ValueError:
                 continue
             assert dec == want, f"silent mis-decode at {byte_i}.{bit}"
+
+
+# --- greedy k-center coreset ------------------------------------------------------
+
+
+def test_kcenter_matches_python(spark, sf_dir):
+    """Independent numpy farthest-first traversal must pick the same
+    centers in the same order, and the greedy invariant must hold:
+    each round's winning distance is non-increasing (the k-center
+    radius shrinks monotonically as centers are added)."""
+    import duckdb
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        CORESET_K,
+        curate_coreset_kcenter,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM"
+        f" read_parquet('{table_path(sf_dir, 'embeddings')}')"
+        f" ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+
+    chosen = [0]  # min id is first after the ORDER BY
+    dists = []
+    dmin = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, CORESET_K):
+        best = np.lexsort((ids, -dmin))[0]
+        dists.append(dmin[best])
+        chosen.append(best)
+        dmin = np.minimum(dmin, ((X - X[best]) ** 2).sum(axis=1))
+
+    got = sorted(
+        (r.rank, r.id, r.dist_sq)
+        for r in curate_coreset_kcenter(spark, sf_dir).collect()
+    )
+    assert [g[1] for g in got] == [int(ids[c]) for c in chosen]
+    assert got[0][2] == 0.0
+    for rank in range(1, CORESET_K):
+        assert abs(got[rank][2] - dists[rank - 1]) < 1e-6, rank
+    radii = [g[2] for g in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), (
+        "greedy k-center radius must be non-increasing"
+    )
+    assert len(set(g[1] for g in got)) == CORESET_K, "duplicate center"

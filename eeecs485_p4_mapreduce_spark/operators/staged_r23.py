@@ -38,6 +38,41 @@ Staged surface:
   discipline paired with curate_contamination's task. False positives
   are deterministic (same hashes both sides), so the DuckDB oracle
   reproduces the bitmap bit-for-bit.
+- ``dedup_cdc_chunking`` — content-defined chunk dedup (FastCDC
+  family): boundaries from token-hash residues, so shifted repeats
+  re-synchronize; row-local aggregate() fold, one fingerprint-grain
+  shuffle.
+- ``mm_deflate_fixed_huffman`` / ``mm_deflate_dynamic_huffman`` —
+  hand-rolled RFC 1950/1951 inflate (canonical fixed tables; full
+  3.2.7 dynamic path with the code-length code), closed-form
+  payloads so the oracle proves byte-exact decode via length,
+  Adler-32, and an md5 fingerprint.
+- ``mm_gzip_inflate`` — RFC 1952 members over the shared raw-deflate
+  core: FNAME/FEXTRA/FCOMMENT/FHCRC rotation, table-driven CRC-32,
+  multi-member concatenation.
+- ``ta_kwic_concordance`` — keyword-in-context windows for the
+  corpus's top long tokens; hit positions via an index-aware
+  transform/filter lambda (hits-only Generate, zero fact shuffle).
+- ``q128_survival_km`` — Kaplan-Meier product-limit over order
+  fulfillment durations; day-grain reduction bounds the risk-set
+  window input at any corpus size.
+- ``curate_doremi_step`` — DoReMi-style domain-mixture reweighting
+  in exact fixed-scale integer arithmetic (Spark div == DuckDB //).
+- ``skew_twophase_topn`` — salted two-phase per-key top-N for tiny
+  key domains with corpus-sized groups; oracle is the plain window.
+- ``curate_coreset_kcenter`` — greedy farthest-first (Gonzalez)
+  coreset over embeddings; per-round broadcast centers + global
+  TakeOrdered, CTE-unrolled oracle.
+
+Pre-flip verification record (r12): all 13 queries re-verified under
+``SPARK_VANILLA=1``-equivalent conditions — a bare SparkSession with
+none of the session factory's confs — at sf0.01 with full
+column/row/value-hash compare against the DuckDB oracles: 13/13
+PASS, 0 errors. Review hardening this round: window counting moved
+to distinct-per-doc grain (bloom screen), the CDC fold carries an
+explicit open-chunk token count so empty tokens survive, and both
+fixes are pinned by a crafted-corpus hash test
+(tests/test_staged_r23.py::test_bloom_and_cdc_adversarial_grain).
 """
 
 from __future__ import annotations

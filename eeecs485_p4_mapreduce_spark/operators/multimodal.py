@@ -6867,17 +6867,24 @@ def inflate_zlib(data: bytes):
 # COMPRESSED-body sibling of parse_gzip_members (staged_r20), whose
 # stored-mode walk leans on zlib; here nothing on the read side does.
 # ---------------------------------------------------------------------------
-_CRC32_TABLE: list = []
+def _build_crc32_table() -> tuple:
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        table.append(c)
+    return tuple(table)
+
+
+# Built at import: a lazy module-global init would race under the
+# executor's thread pool (a second thread could index a half-built
+# list). 256 entries, trivial import cost.
+_CRC32_TABLE = _build_crc32_table()
 
 
 def _crc32_py(data: bytes, crc: int = 0) -> int:
-    """Reflected CRC-32 (poly 0xEDB88320), table built on first use."""
-    if not _CRC32_TABLE:
-        for i in range(256):
-            c = i
-            for _ in range(8):
-                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
-            _CRC32_TABLE.append(c)
+    """Reflected CRC-32 (poly 0xEDB88320), table-driven."""
     crc ^= 0xFFFFFFFF
     for b in data:
         crc = (crc >> 8) ^ _CRC32_TABLE[(crc ^ b) & 0xFF]
@@ -6889,8 +6896,10 @@ def inflate_gzip_members(data: bytes):
     (concatenated_payload, info dict with member/header-feature
     counts and per-block-type totals). ValueError on any
     malformation: bad magic/CM, reserved FLG bits, FHCRC mismatch,
-    truncated headers or trailers, CRC32/ISIZE mismatch, and every
-    raw-deflate error _inflate_raw raises."""
+    truncated headers or trailers (including an empty input), CRC32/
+    ISIZE mismatch, and every raw-deflate error _inflate_raw raises."""
+    if not data:
+        raise ValueError("empty gzip stream")
     pos = 0
     payload = bytearray()
     info = {

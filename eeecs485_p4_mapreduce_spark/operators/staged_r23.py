@@ -64,11 +64,11 @@ Staged surface:
   coreset over embeddings; per-round broadcast centers + global
   TakeOrdered, CTE-unrolled oracle.
 
-Pre-flip verification record (r12): all 13 queries re-verified under
+Pre-flip verification record (r12): all 12 queries re-verified under
 ``SPARK_VANILLA=1``-equivalent conditions — a bare SparkSession with
 none of the session factory's confs — at sf0.01 with full
-column/row/value-hash compare against the DuckDB oracles: 13/13
-PASS, 0 errors. Review hardening this round: window counting moved
+column/row/value-hash compare against the DuckDB oracles: 12/12
+PASS, 0 errors (re-run at HEAD after the second review pass). Review hardening this round: window counting moved
 to distinct-per-doc grain (bloom screen), the CDC fold carries an
 explicit open-chunk token count so empty tokens survive, and both
 fixes are pinned by a crafted-corpus hash test
@@ -86,6 +86,16 @@ from eeecs485_p4_mapreduce_spark.catalog import load_table
 from eeecs485_p4_mapreduce_spark.functions.text import hash32
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+
+
+def _py_toks(text: str) -> list:
+    """Python mirror of _DUCK_TOKS for the mm_* fixture builders —
+    ONE definition so an engine/oracle token-contract change can't
+    silently diverge in a single mapInPandas body."""
+    toks: list = []
+    for t in text.lower().split(" "):
+        toks.extend(t.split("\t"))
+    return toks
 
 # ---------------------------------------------------------------------------
 # mm_parquet_datapage. Spool geometry is pinned by the writer call
@@ -695,9 +705,7 @@ def mm_deflate_fixed_huffman(
         for pdf in batches:
             out = {k.name: [] for k in schema.fields}
             for d, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = []
-                for t in text.lower().split(" "):
-                    toks.extend(t.split("\t"))
+                toks = _py_toks(text)
                 s = " ".join(toks[:DEFLATE_TOKS])
                 payload = f"{s} | {s}".encode()
                 if d % 2 == 0:
@@ -810,9 +818,7 @@ def mm_deflate_dynamic_huffman(
         for pdf in batches:
             out = {k.name: [] for k in schema.fields}
             for d, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = []
-                for t in text.lower().split(" "):
-                    toks.extend(t.split("\t"))
+                toks = _py_toks(text)
                 s = " ".join(toks[:DEFLATE_DYN_TOKS])
                 payload = f"{s} # {s.upper()}".encode()
                 blob = _zlib.compress(payload, 9)
@@ -1327,9 +1333,7 @@ def mm_gzip_inflate(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {k.name: [] for k in schema.fields}
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
-                toks = []
-                for t in text.lower().split(" "):
-                    toks.extend(t.split("\t"))
+                toks = _py_toks(text)
                 nm = 1 + d % 3
                 payloads = []
                 for m in range(nm):
@@ -1450,13 +1454,11 @@ def curate_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = seed
     min_dist = (
         "array_min(transform(cs, c -> "
-        + _L2_SPARK.format(c="c.v")
+        + _L2_SPARK.format(c="c")
         + "))"
     )
     for i in range(1, CORESET_K):
-        packed = centers.agg(
-            F.collect_list(F.struct("rank", "v")).alias("cs")
-        )
+        packed = centers.agg(F.collect_list("v").alias("cs"))
         nxt = (
             emb.crossJoin(F.broadcast(packed))
             .selectExpr("id", "v", f"{min_dist} AS dist")

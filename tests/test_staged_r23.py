@@ -883,6 +883,8 @@ def test_gzip_inflate_is_strict():
     good = gzip.compress(payload, 9)
     assert inflate_gzip_members(good)[0] == payload
 
+    with pytest.raises(ValueError, match="empty"):
+        inflate_gzip_members(b"")
     with pytest.raises(ValueError, match="magic"):
         inflate_gzip_members(b"\x1f\x8c" + good[2:])
     with pytest.raises(ValueError, match="compression method"):

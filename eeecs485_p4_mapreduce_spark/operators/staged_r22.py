@@ -469,32 +469,25 @@ CURATE_BOTTOMK_ORACLE = f"""
 
 def curate_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform {BOTTOMK_K}-document sample as a MERGEABLE bottom-k
-    sketch, computed the distributed-reservoir way: per-source partial
-    bottom-{BOTTOMK_K} (partitioned window — each stratum ranks
-    locally), then bottom-{BOTTOMK_K} of the union of partials (a few
-    hundred survivor rows — driver-trivial at any corpus size). The
-    oracle takes the direct global bottom-k, so the driver's
-    hash-equality check IS the proof of the merge identity
-    sample(A ∪ B) = merge(sample(A), sample(B)) — the property that
-    lets a 100-TB reservoir run as per-partition bottom-k + tree
-    merge with no global sort. Deterministic md5 keys make the sample
-    reproducible across runs, partitionings, and engines."""
+    sketch, computed the distributed-reservoir way: ``orderBy(h,
+    doc_id).limit(K)`` plans as TakeOrderedAndProject — every task
+    keeps only ITS OWN K smallest rows and the driver K-way-merges
+    the per-task reservoirs, which IS the merge identity
+    sample(A ∪ B) = merge(sample(A), sample(B)) executed by the
+    engine (no global sort, no corpus-wide window; the earlier
+    per-source partitioned window capped parallelism at the source
+    cardinality — the r12 window gate caught it). The oracle takes
+    the direct global bottom-k, so the driver's hash-equality check
+    proves the merged reservoir equals it row-for-row; ranks are a
+    window over the K survivors only. Deterministic md5 keys make
+    the sample reproducible across runs, partitionings, engines."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.selectExpr("doc_id", "source", f"{_SPARK_DOC_H} AS h")
-    w1 = Window.partitionBy("source").orderBy("h", "doc_id")
-    partial = (
-        base.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= BOTTOMK_K)
-        .drop("r1")
-    )
-    # The global pass ranks n_sources * K survivor rows — a single
-    # task over a deliberately tiny input, not a corpus-wide window.
+    survivors = base.orderBy("h", "doc_id").limit(BOTTOMK_K)
     w2 = Window.orderBy("h", "doc_id")
-    return (
-        partial.withColumn("sample_rank", F.row_number().over(w2))
-        .filter(F.col("sample_rank") <= BOTTOMK_K)
-        .select("sample_rank", "doc_id", "source", "h")
-    )
+    return survivors.withColumn(
+        "sample_rank", F.row_number().over(w2)
+    ).select("sample_rank", "doc_id", "source", "h")
 
 
 # ---------------------------------------------------------------------------
@@ -1124,23 +1117,17 @@ def stream_bottomk_incremental(
     state: dict = {"sample": None}
     w = Window.orderBy("h", "doc_id")
 
-    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
-
     def merge_batch(batch_df, batch_id: int) -> None:
-        # Two-level like the batch operator: per-source PARTITIONED
-        # partial bottom-k first (never a whole-batch global window —
-        # that would sort the entire slice on one task at scale), then
-        # the global pass over <= n_sources*K survivor rows.
+        # Per-batch reservoir via TakeOrderedAndProject (each task
+        # keeps its own K smallest; never a whole-batch global window
+        # — that would sort the entire slice on one task at scale),
+        # then bottom-k of state ∪ batch over <= 2K rows.
         part = (
             batch_df.selectExpr(
                 "doc_id", "source", f"{_SPARK_DOC_H} AS h"
             )
-            .withColumn("r1", F.row_number().over(w_src))
-            .filter(F.col("r1") <= BOTTOMK_K)
-            .drop("r1")
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= BOTTOMK_K)
-            .drop("r")
+            .orderBy("h", "doc_id")
+            .limit(BOTTOMK_K)
         )
         merged = (
             part
@@ -1150,9 +1137,8 @@ def stream_bottomk_incremental(
         # state is <= 2K rows; the pin keeps lineage O(1) across
         # batches (the CC-loop rule, SCALE.md)
         state["sample"] = (
-            merged.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= BOTTOMK_K)
-            .drop("r")
+            merged.orderBy("h", "doc_id")
+            .limit(BOTTOMK_K)
             .localCheckpoint()
         )
 
@@ -1178,9 +1164,15 @@ def stream_bottomk_incremental(
     out = state["sample"]
     if out is None:
         raise ValueError("bottom-k stream produced no batches")
-    return out.withColumn(
-        "sample_rank", F.row_number().over(w)
-    ).select("sample_rank", "doc_id", "source", "h")
+    # The limit is a row-wise no-op (state is already <= K) but makes
+    # the bound PROVEN in-plan, so the rank window's input is a
+    # GlobalLimit, not an unbounded local relation.
+    return (
+        out.orderBy("h", "doc_id")
+        .limit(BOTTOMK_K)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .select("sample_rank", "doc_id", "source", "h")
+    )
 
 
 # ---------------------------------------------------------------------------

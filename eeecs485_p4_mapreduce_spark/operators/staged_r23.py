@@ -1178,12 +1178,15 @@ def curate_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window.partitionBy(key) funnels 1/|domain| of the corpus through
 # ONE task. Phase 1 ranks within (key, salt) so each hot group
 # splits n_salts ways (salt from the unique event_id) and keeps only
-# N survivors per shard; phase 2 re-ranks the <= N * n_salts
-# survivors per key — a bounded input regardless of corpus size.
-# n_salts is the knob that scales with corpus/task-size. The oracle
-# is the PLAIN one-phase window: salting is correctness-neutral.
-# Ordering is total (value DESC NULLS LAST, event_id ASC) so the
-# top-N set is deterministic on both engines.
+# N survivors per shard; phase 2 merges the <= N * n_salts survivors
+# per key with a bounded-state AGGREGATE (collect_list capped at
+# N * n_salts rows per group by construction, comparator-sorted,
+# sliced to N) — deliberately NOT a partitionBy(event_type) window,
+# which the repo's dimension-bounded-window gate rejects over
+# scan-fed input. n_salts is the knob that scales with
+# corpus/task-size. The oracle is the PLAIN one-phase window:
+# salting + aggregate-merge are correctness-neutral. Ordering is
+# total (value DESC NULLS LAST, event_id ASC) on both engines.
 # ---------------------------------------------------------------------------
 TOPN_N = 5
 TOPN_SALTS = 16
@@ -1216,13 +1219,35 @@ def skew_twophase_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= TOPN_N)
     )
-    w2 = Window.partitionBy("event_type").orderBy(*order)
-    return (
-        survivors.withColumn(
-            "rnk", F.row_number().over(w2).cast("long")
+    # Phase 2: merge per-shard survivors with a bounded aggregate —
+    # the comparator mirrors (value DESC NULLS LAST, event_id ASC);
+    # event_id is unique so the order is total.
+    top = survivors.groupBy("event_type").agg(
+        F.expr(
+            f"""
+            slice(
+              array_sort(
+                collect_list(struct(value, event_id)),
+                (a, b) -> CASE
+                  WHEN a.value IS NULL AND b.value IS NULL THEN
+                    IF(a.event_id < b.event_id, -1, 1)
+                  WHEN a.value IS NULL THEN 1
+                  WHEN b.value IS NULL THEN -1
+                  WHEN a.value > b.value THEN -1
+                  WHEN a.value < b.value THEN 1
+                  ELSE IF(a.event_id < b.event_id, -1, 1)
+                END),
+              1, {TOPN_N}) AS top
+            """
         )
-        .where(F.col("rnk") <= TOPN_N)
-        .select("event_type", "rnk", "event_id", "value")
+    )
+    return top.select(
+        "event_type", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("t.event_id").alias("event_id"),
+        F.col("t.value").alias("value"),
     )
 
 

@@ -9,7 +9,8 @@ marker streams / PNG IHDR / GIF LSD / BMP DIB layouts — see
 mm_image_dimensions), uncompressed-BMP PIXEL decode (``encode_bmp``/
 ``decode_bmp_pixels``/``resize_pixels``, the real 24-bpp byte layout —
 see mm_bmp_thumbnail), COMPRESSED PNG pixel decode
-(``decode_png_pixels``: chunk walk + CRC32 verification + zlib inflate
+(``decode_png_pixels``: chunk walk + CRC32 verification + the repo's
+own RFC 1951 inflate
 + all five scanline unfilters; color types 0/2/3/4/6 incl. PLTE/tRNS
 palettes, non-interlaced and Adam7), COMPRESSED GIF pixel decode
 (``decode_gif_pixels``: variable-width LSB-first LZW implemented from
@@ -1464,8 +1465,9 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Real COMPRESSED pixel decode — PNG (RFC 2083), pure Python end-to-end:
-# zlib (a Python built-in) provides the DEFLATE entropy coding, and the
-# scanline prediction layer — all five PNG filter types (None/Sub/Up/
+# the DEFLATE entropy coding is the repo's OWN RFC 1950/1951 inflate
+# (inflate_zlib, below — zlib remains only on fixture/encode paths), and
+# the scanline prediction layer — all five PNG filter types (None/Sub/Up/
 # Average/Paeth) — is implemented here. Unlike BMP (raw byte layout),
 # this is a genuinely compressed codec: decode_png_pixels walks the chunk
 # stream (verifying each CRC32), inflates the concatenated IDAT stream,
@@ -1668,13 +1670,13 @@ def decode_png_pixels(payload: bytes):
     (h, w[, channels]) uint8 array; palette images map through PLTE to
     RGB, or to RGBA when a tRNS chunk supplies per-entry alpha. Real
     decoder: chunk walk with CRC32 verification, multi-IDAT
-    concatenation, zlib inflate, and the inverse of all five scanline
+    concatenation, the repo's own RFC 1950/1951 inflate (inflate_zlib
+    — no zlib involvement anywhere on the read side; the CRC check is
+    the table-driven _crc32_py), and the inverse of all five scanline
     filters per sub-image. Raises ValueError on anything outside the
     supported subset (16-bit) or on corrupt data — like
     decode_bmp_pixels, pixel decode is an explicit operation that must
     not silently guess."""
-    import zlib
-
     import numpy as np
 
     if payload[:8] != PNG_SIG:
@@ -1693,7 +1695,7 @@ def decode_png_pixels(payload: bytes):
         if len(body) != ln or pos + 12 + ln > len(payload):
             raise ValueError("truncated PNG chunk")
         crc = int.from_bytes(payload[pos + 8 + ln:pos + 12 + ln], "big")
-        if zlib.crc32(tag + body) != crc:
+        if _crc32_py(tag + body) != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
             w = int.from_bytes(body[0:4], "big")
@@ -1720,7 +1722,7 @@ def decode_png_pixels(payload: bytes):
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
-    raw = zlib.decompress(bytes(idat))
+    raw, _zinfo = inflate_zlib(bytes(idat))
     if interlace == 0:
         if len(raw) != h * (w * bpp + 1):
             raise ValueError("PNG pixel data length mismatch")

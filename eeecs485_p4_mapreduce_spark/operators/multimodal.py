@@ -91,8 +91,8 @@ def decode_image(payload: bytes) -> "object":
 
     REAL for every format the header parser knows: uncompressed 24-bpp
     BMP (pure byte layout — decode_bmp_pixels), 8-bit PNG including
-    palettes and Adam7 interlace (zlib inflate + all five scanline
-    unfilters — decode_png_pixels), GIF87a/89a (variable-width LZW
+    palettes and Adam7 interlace (the repo's own RFC 1951 inflate +
+    all five scanline unfilters — decode_png_pixels), GIF87a/89a (variable-width LZW
     implemented from scratch — decode_gif_pixels), and baseline
     sequential JPEG with 4:2:2/4:2:0 subsampling and restart intervals
     (Huffman + IDCT — decode_jpeg_pixels). Unrecognized magic raises
@@ -909,9 +909,10 @@ def build_image_payload(fmt: str, width: int, height: int) -> bytes:
 # header, BGR triples, rows padded to 4-byte multiples, bottom-up row order,
 # negative-height top-down variant), and mm_bmp_thumbnail runs REAL pixel
 # math (decode → nearest-neighbor resize → channel sums) over those bytes.
-# PNG pixel decode is also real (zlib inflate + scanline unfilters — see
-# the PNG section below); JPEG/GIF pixel decode still requires an imaging
-# library and remains a declared stub in decode_image/resize_image.
+# PNG pixel decode is also real (the repo's own inflate + scanline
+# unfilters), as are GIF (from-scratch LZW) and baseline JPEG (Huffman +
+# IDCT) — see decode_image's dispatch; only perceptual audio
+# (MP3/AAC/Opus sample decode) remains a declared stub.
 # ---------------------------------------------------------------------------
 
 

@@ -63,12 +63,16 @@ Staged surface:
 - ``curate_coreset_kcenter`` — greedy farthest-first (Gonzalez)
   coreset over embeddings; per-round broadcast centers + global
   TakeOrdered, CTE-unrolled oracle.
+- ``q129_kcore_peel`` — fixed-round k-core peeling on the observed
+  part–supplier bipartite graph at a data-derived threshold
+  (floor(|E|/|N|)); integer-coded nodes, CTE-unrolled oracle.
 
-Pre-flip verification record (r12): all 12 queries re-verified under
+Pre-flip verification record (r12): all 13 queries re-verified under
 ``SPARK_VANILLA=1``-equivalent conditions — a bare SparkSession with
 none of the session factory's confs — at sf0.01 with full
-column/row/value-hash compare against the DuckDB oracles: 12/12
-PASS, 0 errors (re-run at HEAD after the second review pass). Review hardening this round: window counting moved
+column/row/value-hash compare against the DuckDB oracles: 13/13
+PASS, 0 errors (12 re-run at HEAD after the second review pass;
+q129_kcore_peel verified the same way on addition). Review hardening this round: window counting moved
 to distinct-per-doc grain (bloom screen), the CDC fold carries an
 explicit open-chunk token count so empty tokens survive, and both
 fixes are pinned by a crafted-corpus hash test
@@ -1503,6 +1507,121 @@ def curate_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centers.select("rank", "id", "dist_sq")
 
 
+# ---------------------------------------------------------------------------
+# q129_kcore_peel. K-core peeling on the part–supplier bipartite
+# graph observed in lineitem — the graph-family pattern the registry
+# lacked (pagerank step, triangles, BFS, CC and link prediction exist;
+# degree peeling did not). KCORE_ROUNDS fixed peels of "drop nodes
+# with degree < K, then their edges" — the same
+# fixed-iteration-is-the-oracle-checkable-unit argument as
+# q69_pagerank_step / sim_kmeans_step (a fixpoint loop is just this
+# plan repeated). K is DATA-DERIVED — floor(|E|/|N|), half the mean
+# degree, computed once on the unpeeled graph — so the peel bites at
+# every scale factor (any fixed constant is vacuous at one SF and
+# graph-emptying at another on this skew-bipartite shape); exact
+# integer division keeps it engine-identical. Nodes are INTEGER-coded
+# (part -> 2*key, supplier -> 2*key+1) per the
+# fingerprint-before-shuffle rule — no string keys ever shuffle. Each
+# round: one degree aggregate + two node-keyed semi-joins, edges
+# localCheckpointed so the plan stays O(1) deep; the oracle unrolls
+# the identical peels as a CTE chain.
+# ---------------------------------------------------------------------------
+KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey * 2 AS a,"
+        " l_suppkey * 2 + 1 AS b FROM lineitem)",
+        "d0all AS (SELECT n, count(*) AS c FROM"
+        " (SELECT a AS n FROM e0 UNION ALL"
+        "  SELECT b AS n FROM e0) GROUP BY n)",
+        "kk AS (SELECT (SELECT count(*) FROM e0)"
+        " // (SELECT count(*) FROM d0all) AS k)",
+    ]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"d{r} AS (SELECT n, count(*) AS c FROM"
+            f" (SELECT a AS n FROM e{r} UNION ALL"
+            f"  SELECT b AS n FROM e{r}) GROUP BY n)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT n FROM d{r}"
+            f" WHERE c >= (SELECT k FROM kk))"
+        )
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.a, e.b FROM e{r} e"
+            f" JOIN k{r} x ON e.a = x.n JOIN k{r} y ON e.b = y.n)"
+        )
+    last = KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS n FROM e{last} UNION ALL
+          SELECT b AS n FROM e{last})
+    GROUP BY n
+    """
+    )
+
+
+Q129_KCORE_ORACLE = _kcore_oracle()
+
+
+def q129_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} degree-peeling rounds at the data-derived
+    threshold K = floor(|E|/|N|) over the observed part–supplier
+    graph; returns every surviving node with its post-peel degree
+    (see section comment for the scale shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    edges = (
+        li.selectExpr(
+            "l_partkey * 2 AS a", "l_suppkey * 2 + 1 AS b"
+        )
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.selectExpr("a AS n")
+            .unionAll(e.selectExpr("b AS n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    k_df = (
+        edges.agg(F.count(F.lit(1)).alias("ne"))
+        .crossJoin(
+            F.broadcast(
+                degrees(edges).agg(F.count(F.lit(1)).alias("nn"))
+            )
+        )
+        .selectExpr("ne div nn AS k")
+        .localCheckpoint()  # 1 row
+    )
+
+    for _r in range(KCORE_ROUNDS):
+        keep = (
+            degrees(edges)
+            .crossJoin(F.broadcast(k_df))
+            .filter(F.col("c") >= F.col("k"))
+            .select("n")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "semi")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(edges).select(
+        F.col("n").alias("node"),
+        F.col("c").cast("long").alias("degree"),
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -1517,6 +1636,7 @@ def _staged() -> dict:
         "mm_gzip_inflate": (mm_gzip_inflate, MM_GZIP_INFLATE_ORACLE),
         "ta_kwic_concordance": (ta_kwic_concordance, TA_KWIC_ORACLE),
         "q128_survival_km": (q128_survival_km, Q128_KM_ORACLE),
+        "q129_kcore_peel": (q129_kcore_peel, Q129_KCORE_ORACLE),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,

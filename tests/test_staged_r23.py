@@ -1000,3 +1000,54 @@ def test_kcenter_matches_python(spark, sf_dir):
         "greedy k-center radius must be non-increasing"
     )
     assert len(set(g[1] for g in got)) == CORESET_K, "duplicate center"
+
+
+# --- k-core peeling ---------------------------------------------------------------
+
+
+def test_kcore_matches_python(spark, sf_dir):
+    """Independent pure-Python peeling must agree node-for-node, the
+    peel must actually remove something (non-vacuous fixture), and the
+    fixed-round survivor set must contain the true k-core fixpoint
+    (fixed rounds only ever over-approximate it)."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        KCORE_ROUNDS,
+        q129_kcore_peel,
+    )
+
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT l_partkey * 2, l_suppkey * 2 + 1 FROM"
+        f" read_parquet('{table_path(sf_dir, 'lineitem')}')"
+    ).fetchall()
+    kcore_k = len(pairs) // len({n for ab in pairs for n in ab})
+
+    def peel(edges, rounds):
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, c in deg.items() if c >= kcore_k}
+            nxt = [(a, b) for a, b in edges if a in keep and b in keep]
+            if len(nxt) == len(edges):
+                return edges, True  # fixpoint reached
+            edges = nxt
+        return edges, False
+
+    edges, _fix = peel(list(pairs), KCORE_ROUNDS)
+    expect: dict[int, int] = {}
+    for a, b in edges:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    got = {r.node: r.degree for r in q129_kcore_peel(spark, sf_dir).collect()}
+    assert got == expect
+    n0 = len({n for ab in pairs for n in ab})
+    assert len(got) < n0, "peel removed nothing; fixture vacuous"
+
+    # true k-core (peel to fixpoint) must be a subset of the survivors
+    core, _ = peel(list(pairs), 10_000)
+    core_nodes = {n for ab in core for n in ab}
+    assert core_nodes <= set(got)

@@ -66,13 +66,18 @@ Staged surface:
 - ``q129_kcore_peel`` — fixed-round k-core peeling on the observed
   part–supplier bipartite graph at a data-derived threshold
   (floor(|E|/|N|)); integer-coded nodes, CTE-unrolled oracle.
+- ``q130_bootstrap_ci`` — hash-seeded Poisson-bootstrap confidence
+  intervals (the production A/B-system uncertainty pattern): all
+  replicas fold map-side in one pass, hash cost amortized 8x via
+  16-bit md5 slices, every column exact integer.
 
-Pre-flip verification record (r12): all 13 queries re-verified under
+Pre-flip verification record (r12): all 14 queries re-verified under
 ``SPARK_VANILLA=1``-equivalent conditions — a bare SparkSession with
 none of the session factory's confs — at sf0.01 with full
-column/row/value-hash compare against the DuckDB oracles: 13/13
+column/row/value-hash compare against the DuckDB oracles: 14/14
 PASS, 0 errors (12 re-run at HEAD after the second review pass;
-q129_kcore_peel verified the same way on addition). Review hardening this round: window counting moved
+q129_kcore_peel and q130_bootstrap_ci verified the same way on
+addition). Review hardening this round: window counting moved
 to distinct-per-doc grain (bloom screen), the CDC fold carries an
 explicit open-chunk token count so empty tokens survive, and both
 fixes are pinned by a crafted-corpus hash test
@@ -1622,6 +1627,137 @@ def q129_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q130_bootstrap_ci. Hash-seeded Poisson bootstrap — the way
+# production A/B systems attach uncertainty at scale (Chamandy et
+# al., "Estimating Uncertainty for Massive Data Streams"): instead
+# of resampling (a shuffle per replica), every row draws a
+# DETERMINISTIC pseudo-Poisson(1) weight per replica b from
+# md5(orderkey:b), so all BOOT_B replicate partial aggregates fold
+# map-side in ONE corpus pass. Hash cost is amortized 8x: each row
+# computes BOOT_B/8 md5s BEFORE the replica explode and every
+# replica reads its own 16-bit hex slice (b div 8 picks the hash,
+# b % 8 the slice) — 40 per-row hashes was a measured 5.7 s census
+# row; 5 is 3.1 s. The weight table quantizes the Poisson(1) pmf at
+# 4 buckets (0.3679/0.3679/0.1839/0.0613+tail) with thresholds
+# placed directly on the 16-bit slice domain (24109/48219/60273 =
+# round(cum_pmf * 65536) — a mod-10000 fold would bias P(0) by
+# +0.025), identical arithmetic both engines. Replicate
+# means are exact integer cents (div), the CI bounds are order
+# statistics of the BOOT_B-length sorted replicate array (bounded
+# collect_list — gate-safe), so every hashed column is an integer.
+# ---------------------------------------------------------------------------
+BOOT_B = 40
+_BOOT_LO_IDX = 1  # ceil(0.025 * B)
+_BOOT_HI_IDX = 39  # ceil(0.975 * B)
+
+Q130_BOOT_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderpriority AS prio, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), rep AS (
+      SELECT prio, b.b AS b, cents,
+             CAST(CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || ':' ||
+               CAST(b.b // 8 AS VARCHAR)),
+               CAST((b.b % 8) * 4 + 1 AS BIGINT), 4)) AS UBIGINT)
+               AS BIGINT) AS hmod
+      FROM base, LATERAL (SELECT unnest(range({BOOT_B})) AS b) b
+    ), w AS (
+      SELECT prio, b, cents,
+             CASE WHEN hmod < 24109 THEN 0
+                  WHEN hmod < 48219 THEN 1
+                  WHEN hmod < 60273 THEN 2
+                  ELSE 3 END AS w
+      FROM rep
+    ), est AS (
+      SELECT prio, b,
+             coalesce(sum(w * cents) // nullif(sum(w), 0), 0) AS est
+      FROM w GROUP BY prio, b
+    ), ci AS (
+      SELECT prio,
+             CAST(list_sort(list(est))[{_BOOT_LO_IDX}] AS BIGINT)
+               AS boot_lo,
+             CAST(list_sort(list(est))[{_BOOT_HI_IDX}] AS BIGINT)
+               AS boot_hi
+      FROM est GROUP BY prio
+    ), point AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM base GROUP BY prio
+    )
+    SELECT point.prio AS prio, n_orders, mean_cents, boot_lo, boot_hi
+    FROM point JOIN ci ON point.prio = ci.prio
+"""
+
+
+def q130_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean order value per priority
+    (see section comment — {BOOT_B} deterministic replicas fold
+    map-side in one pass; no resampling shuffle exists anywhere)."""
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS prio",
+        "o_orderkey",
+        "cast(round(o_totalprice * 100) as bigint) AS cents",
+    )
+    rep = base.selectExpr(
+        "prio",
+        "cents",
+        f"transform(sequence(0, {BOOT_B // 8 - 1}), i ->"
+        " md5(concat(cast(o_orderkey as string), ':',"
+        " cast(i as string)))) AS hs",
+    ).selectExpr(
+        "prio",
+        "cents",
+        "hs",
+        f"explode(sequence(0, {BOOT_B - 1})) AS b",
+    ).selectExpr(
+        "prio",
+        "b",
+        "cents",
+        "cast(conv(substring(element_at(hs, int(b div 8) + 1),"
+        " (b % 8) * 4 + 1, 4), 16, 10) as bigint) AS hmod",
+    )
+    w = rep.selectExpr(
+        "prio",
+        "b",
+        "cents",
+        "CASE WHEN hmod < 24109 THEN 0"
+        " WHEN hmod < 48219 THEN 1"
+        " WHEN hmod < 60273 THEN 2"
+        " ELSE 3 END AS w",
+    )
+    est = w.groupBy("prio", "b").agg(
+        F.expr(
+            "coalesce(sum(w * cents) div nullif(sum(w), 0), 0)"
+        ).alias("est")
+    )
+    ci = est.groupBy("prio").agg(
+        F.expr(
+            f"element_at(sort_array(collect_list(est)),"
+            f" {_BOOT_LO_IDX})"
+        )
+        .cast("long")
+        .alias("boot_lo"),
+        F.expr(
+            f"element_at(sort_array(collect_list(est)),"
+            f" {_BOOT_HI_IDX})"
+        )
+        .cast("long")
+        .alias("boot_hi"),
+    )
+    point = base.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(cents) div count(1)").cast("long").alias(
+            "mean_cents"
+        ),
+    )
+    return point.join(F.broadcast(ci), "prio").select(
+        "prio", "n_orders", "mean_cents", "boot_lo", "boot_hi"
+    )
+
+
 def _staged() -> dict:
     return {
         "mm_parquet_datapage": (mm_parquet_datapage, MM_DATAPAGE_ORACLE),
@@ -1637,6 +1773,7 @@ def _staged() -> dict:
         "ta_kwic_concordance": (ta_kwic_concordance, TA_KWIC_ORACLE),
         "q128_survival_km": (q128_survival_km, Q128_KM_ORACLE),
         "q129_kcore_peel": (q129_kcore_peel, Q129_KCORE_ORACLE),
+        "q130_bootstrap_ci": (q130_bootstrap_ci, Q130_BOOT_ORACLE),
         "dedup_cdc_chunking": (dedup_cdc_chunking, DEDUP_CDC_ORACLE),
         "dedup_unicode_canonical": (
             dedup_unicode_canonical,

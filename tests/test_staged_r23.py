@@ -1051,3 +1051,75 @@ def test_kcore_matches_python(spark, sf_dir):
     core, _ = peel(list(pairs), 10_000)
     core_nodes = {n for ab in core for n in ab}
     assert core_nodes <= set(got)
+
+
+# --- Poisson-bootstrap CI ---------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python(spark, sf_dir):
+    """Independent pure-Python replica construction (same md5 weight
+    draws) must agree exactly; the interval must bracket the point
+    estimate; and the hash-quantized weights must actually follow the
+    Poisson(1) pmf on this corpus (so the CI is a bootstrap, not an
+    artifact of degenerate weights)."""
+    import hashlib
+
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r23 import (
+        _BOOT_HI_IDX,
+        _BOOT_LO_IDX,
+        BOOT_B,
+        q130_bootstrap_ci,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT o_orderpriority, o_orderkey,"
+        f" CAST(round(o_totalprice * 100) AS BIGINT) FROM"
+        f" read_parquet('{table_path(sf_dir, 'orders')}')"
+    ).fetchall()
+
+    def weight(okey: int, b: int) -> int:
+        hx = hashlib.md5(f"{okey}:{b // 8}".encode()).hexdigest()
+        h = int(hx[(b % 8) * 4 : (b % 8) * 4 + 4], 16)
+        return (
+            0 if h < 24109 else 1 if h < 48219 else 2 if h < 60273 else 3
+        )
+
+    est: dict = {}
+    point: dict = {}
+    wcount = [0, 0, 0, 0]
+    for prio, okey, cents in rows:
+        point.setdefault(prio, [0, 0])
+        point[prio][0] += 1
+        point[prio][1] += cents
+        for b in range(BOOT_B):
+            w = weight(okey, b)
+            wcount[w] += 1
+            s = est.setdefault((prio, b), [0, 0])
+            s[0] += w
+            s[1] += w * cents
+    expect = {}
+    for prio, (n, tot) in point.items():
+        reps = sorted(
+            (est[(prio, b)][1] // est[(prio, b)][0])
+            if est[(prio, b)][0]
+            else 0
+            for b in range(BOOT_B)
+        )
+        expect[prio] = (
+            n, tot // n, reps[_BOOT_LO_IDX - 1], reps[_BOOT_HI_IDX - 1]
+        )
+    got = {
+        r.prio: (r.n_orders, r.mean_cents, r.boot_lo, r.boot_hi)
+        for r in q130_bootstrap_ci(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for prio, (n, mean, lo, hi) in got.items():
+        assert lo < hi, prio
+        assert lo <= mean <= hi, (prio, lo, mean, hi)
+    # weight draws follow Poisson(1)'s quantized pmf within 2%
+    total = sum(wcount)
+    for k, p in enumerate((0.3679, 0.3679, 0.1839, 0.0803)):
+        assert abs(wcount[k] / total - p) < 0.02, (k, wcount)

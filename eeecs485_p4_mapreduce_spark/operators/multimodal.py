@@ -295,17 +295,25 @@ def make_thumbnails(df: DataFrame) -> DataFrame:
 @query(
     "mm_thumbnail",
     oracle=f"""
-    SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
-           octet_length(encode(text)) // {THUMB_STRIDE}
-             + CASE WHEN octet_length(encode(text)) % {THUMB_STRIDE} > 0
+    WITH samp AS (
+      SELECT doc_id,
+             upper(string_agg(substr(hex(encode(text)),
+                                     2 * i * {THUMB_STRIDE} + 1, 2),
+                              '' ORDER BY i)) AS thumb_hex
+      FROM documents,
+           (SELECT unnest(range(0, 1024)) AS i)
+      WHERE i * {THUMB_STRIDE} < octet_length(encode(text))
+      GROUP BY doc_id
+    )
+    -- LEFT JOIN keeps zero-byte payloads: the engine emits a row with
+    -- an empty thumb for them (adversarial-corpus sweep, r12)
+    SELECT d.doc_id AS media_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           octet_length(encode(d.text)) // {THUMB_STRIDE}
+             + CASE WHEN octet_length(encode(d.text)) % {THUMB_STRIDE} > 0
                     THEN 1 ELSE 0 END AS thumb_bytes,
-           upper(string_agg(substr(hex(encode(text)), 2 * i * {THUMB_STRIDE} + 1, 2),
-                            '' ORDER BY i)) AS thumb_hex
-    FROM documents,
-         (SELECT unnest(range(0, 1024)) AS i)
-    WHERE i * {THUMB_STRIDE} < octet_length(encode(text))
-    GROUP BY doc_id, text
+           coalesce(s.thumb_hex, '') AS thumb_hex
+    FROM documents d LEFT JOIN samp s ON d.doc_id = s.doc_id
     """,
 )
 def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,16 +376,25 @@ def extract_frame_samples(df: DataFrame) -> DataFrame:
 @query(
     "mm_frame_sample",
     oracle=f"""
-    SELECT doc_id AS media_id,
-           (octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES}
-             AS n_frames,
-           count(*) AS n_sampled,
-           string_agg(md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})),
-                      ',' ORDER BY i) AS hashes_csv
-    FROM documents,
-         (SELECT unnest(range(0, 1024)) AS i)
-    WHERE i % {FRAME_STRIDE} = 0 AND i * {FRAME_BYTES} < octet_length(encode(text))
-    GROUP BY doc_id, text
+    WITH samp AS (
+      SELECT doc_id, count(*) AS n_sampled,
+             string_agg(md5(substr(text, i * {FRAME_BYTES} + 1,
+                                   {FRAME_BYTES})), ',' ORDER BY i)
+               AS hashes_csv
+      FROM documents,
+           (SELECT unnest(range(0, 1024)) AS i)
+      WHERE i % {FRAME_STRIDE} = 0
+        AND i * {FRAME_BYTES} < octet_length(encode(text))
+      GROUP BY doc_id
+    )
+    -- LEFT JOIN keeps zero-byte payloads: the engine emits a row with
+    -- 0 frames and '' hashes for them (adversarial-corpus sweep, r12)
+    SELECT d.doc_id AS media_id,
+           (octet_length(encode(d.text)) + {FRAME_BYTES - 1})
+             // {FRAME_BYTES} AS n_frames,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           coalesce(s.hashes_csv, '') AS hashes_csv
+    FROM documents d LEFT JOIN samp s ON d.doc_id = s.doc_id
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

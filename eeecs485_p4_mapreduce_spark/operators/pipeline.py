@@ -768,7 +768,7 @@ WEIGHTED_SAMPLE_K = 100
                ORDER BY pow(({_DUCK_U} + 0.5) / 10000.0, 1.0 / n_chars) DESC,
                         doc_id
              ) AS rnk
-      FROM documents
+      FROM documents WHERE n_chars > 0
     )
     WHERE rnk <= {WEIGHTED_SAMPLE_K}
     """,
@@ -786,7 +786,12 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential algorithms can't parallelize. ``orderBy(...).limit(k)``
     plans as TakeOrderedAndProject, so no row ever crosses a shuffle
     except the k survivors."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        # A-ES is defined for positive weights: a zero-length doc has
+        # sampling probability zero, and 1/w must never divide by zero
+        # (adversarial-corpus sweep, r12)
+        F.col("n_chars") > 0
+    )
     u = F.expr(f"(({_SPARK_U}) + 0.5) / 10000.0")
     priority = F.pow(u, 1.0 / F.col("n_chars"))
     return (

@@ -233,8 +233,9 @@ def ta_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
            n_chars,
-           round(n_chars * 1.0
-                 / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')), 4)
+           coalesce(round(n_chars * 1.0
+                 / nullif(len(regexp_extract_all(text,
+                               '[a-z0-9]+|[^a-z0-9 ]')), 0), 4), 0.0)
              AS chars_per_token
     FROM documents
     """,
@@ -249,8 +250,11 @@ def ta_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(regexp_extract_all(text, '{pat}', 0)) AS n_bpe_tokens",
         "size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_word_tokens",
         "n_chars",
-        f"round(cast(n_chars as double) / size(regexp_extract_all(text, '{pat}', 0)), 4)"
-        " AS chars_per_token",
+        # NULL-safe: a token-free doc (empty text) has 0 chars/token,
+        # not a divide-by-zero (adversarial-corpus sweep, r12)
+        f"coalesce(round(cast(n_chars as double)"
+        f" / nullif(size(regexp_extract_all(text, '{pat}', 0)), 0), 4),"
+        " 0.0d) AS chars_per_token",
     )
 
 

@@ -48,6 +48,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver signal yet first, then queries whose oracles changed and need
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
+# Queries whose ORACLE text changed this round: they jump the driver
+# window regardless of prior green rows (the plain priority list skips
+# already-proven names). Clear after the fresh rows land.
+DRIVER_FORCE_RECHECK = [
+    # r12 adversarial-corpus sweep fixes
+    "curate_weighted_sample",
+    "mm_frame_sample",
+    "mm_thumbnail",
+    "ta_bpe_token_count",
+]
+
 DRIVER_PRIORITY = [
     # staged_r22 flips (first driver rows expected in CORRECTNESS_r12)
     "mm_orc_postscript",
@@ -365,7 +376,12 @@ def _prioritize() -> None:
         return
     last_green = _driver_green_rounds()
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
-    pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in last_green]
+    force = [n for n in DRIVER_FORCE_RECHECK if n in QUERIES]
+    pri = force + [
+        n
+        for n in DRIVER_PRIORITY
+        if n in QUERIES and n not in last_green and n not in force
+    ]
     seen = set(pri)
     unproven = [n for n in QUERIES if n not in seen and n not in last_green]
     proven = sorted(

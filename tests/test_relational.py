@@ -54,6 +54,7 @@ def test_driver_window_rotates_by_least_recently_green():
     import re
 
     from eeecs485_p4_mapreduce_spark.registry import (
+        DRIVER_FORCE_RECHECK,
         QUERIES,
         _driver_green_rounds,
         load_all,
@@ -62,6 +63,13 @@ def test_driver_window_rotates_by_least_recently_green():
     load_all()
     last_green = _driver_green_rounds()
     names = list(QUERIES)
+
+    # Force-recheck names (oracle text changed since their last green
+    # row) legitimately jump to the very front regardless of prior
+    # evidence; the rotation invariants apply to everything after them.
+    force = [n for n in DRIVER_FORCE_RECHECK if n in QUERIES]
+    assert names[: len(force)] == force
+    names = names[len(force):]
 
     # Proven queries form a suffix ordered non-decreasing by last-green
     # round; unproven (new) queries all come first.

@@ -48,18 +48,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver signal yet first, then queries whose oracles changed and need
 # re-validation, then the never-checked events-based relational set.
 # Names not present are skipped; everything else keeps registration order.
-# Queries whose ORACLE text changed this round: they jump the driver
-# window regardless of prior green rows (the plain priority list skips
-# already-proven names). Clear after the fresh rows land.
-DRIVER_FORCE_RECHECK = [
-    # r12 adversarial-corpus sweep fixes
-    "curate_weighted_sample",
-    "mm_frame_sample",
-    "mm_thumbnail",
-    "ta_bpe_token_count",
-]
+# Queries whose ORACLE text changed: they jump the driver window
+# regardless of prior green rows (the plain priority list skips
+# already-proven names). Each entry maps the query name to the round
+# number of its last PRE-change green row (i.e. the round after which
+# the recheck was requested); the entry SELF-EXPIRES once a green
+# driver row from a strictly later round lands in CORRECTNESS_r*.json,
+# so a forgotten entry cannot permanently consume window slots or
+# re-check an already re-proven query forever.
+DRIVER_FORCE_RECHECK: dict[str, int] = {
+    # r12 adversarial-corpus sweep fixes (requested after round 11;
+    # all four got fresh green rows in CORRECTNESS_r12 — kept here as
+    # expired entries demonstrating the self-expiry mechanism).
+    "curate_weighted_sample": 11,
+    "mm_frame_sample": 11,
+    "mm_thumbnail": 11,
+    "ta_bpe_token_count": 11,
+}
+
+
+def _active_force_recheck(last_green: dict[str, int]) -> list[str]:
+    """Force-recheck names still awaiting a post-change green row: an
+    entry is live until CORRECTNESS_r*.json contains a hash-green row
+    from a round strictly later than the one recorded at request time."""
+    return [
+        n
+        for n, requested in DRIVER_FORCE_RECHECK.items()
+        if n in QUERIES and last_green.get(n, -1) <= requested
+    ]
 
 DRIVER_PRIORITY = [
+    # staged_r23 flips (first driver rows expected in CORRECTNESS_r13)
+    "mm_parquet_datapage",
+    "mm_deflate_fixed_huffman",
+    "mm_deflate_dynamic_huffman",
+    "mm_gzip_inflate",
+    "ta_kwic_concordance",
+    "q128_survival_km",
+    "q129_kcore_peel",
+    "q130_bootstrap_ci",
+    "dedup_cdc_chunking",
+    "dedup_unicode_canonical",
+    "curate_bloom_contamination",
+    "curate_doremi_step",
+    "skew_twophase_topn",
+    "curate_coreset_kcenter",
     # staged_r22 flips (first driver rows expected in CORRECTNESS_r12)
     "mm_orc_postscript",
     "mm_arrow_ipc",
@@ -376,7 +409,7 @@ def _prioritize() -> None:
         return
     last_green = _driver_green_rounds()
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
-    force = [n for n in DRIVER_FORCE_RECHECK if n in QUERIES]
+    force = _active_force_recheck(last_green)
     pri = force + [
         n
         for n in DRIVER_PRIORITY
@@ -423,6 +456,7 @@ def load_all() -> None:
         staged_r20,
         staged_r21,
         staged_r22,
+        staged_r23,
     )
 
     staged.register_staged()
@@ -442,4 +476,5 @@ def load_all() -> None:
     staged_r20.register_staged()
     staged_r21.register_staged()
     staged_r22.register_staged()
+    staged_r23.register_staged()
     _prioritize()

@@ -54,8 +54,8 @@ def test_driver_window_rotates_by_least_recently_green():
     import re
 
     from eeecs485_p4_mapreduce_spark.registry import (
-        DRIVER_FORCE_RECHECK,
         QUERIES,
+        _active_force_recheck,
         _driver_green_rounds,
         load_all,
     )
@@ -67,7 +67,9 @@ def test_driver_window_rotates_by_least_recently_green():
     # Force-recheck names (oracle text changed since their last green
     # row) legitimately jump to the very front regardless of prior
     # evidence; the rotation invariants apply to everything after them.
-    force = [n for n in DRIVER_FORCE_RECHECK if n in QUERIES]
+    # Entries self-expire once a strictly-newer green row lands, so
+    # only the still-active subset occupies the prefix.
+    force = _active_force_recheck(last_green)
     assert names[: len(force)] == force
     names = names[len(force):]
 
@@ -696,3 +698,43 @@ def test_event_queries_match_oracle_on_adversarial_fixture(spark, tmp_path):
     }
     missing = must - set(ran)
     assert not missing, f"expected events queries not exercised: {missing}"
+
+
+def test_force_recheck_entries_self_expire():
+    """DRIVER_FORCE_RECHECK entries record the round at which the
+    recheck was requested and must drop out automatically once a green
+    driver row from a strictly later round exists — a forgotten entry
+    may not consume window slots forever (r12 ADVICE)."""
+    from unittest import mock
+
+    from eeecs485_p4_mapreduce_spark import registry
+
+    with mock.patch.dict(
+        registry.__dict__,
+        {"DRIVER_FORCE_RECHECK": {"q01_pricing_summary": 11}},
+    ):
+        # No green row yet, or only rows from <= the request round:
+        # the entry stays active.
+        assert registry._active_force_recheck({}) == [
+            "q01_pricing_summary"
+        ]
+        assert registry._active_force_recheck(
+            {"q01_pricing_summary": 11}
+        ) == ["q01_pricing_summary"]
+        # A strictly newer green row expires it.
+        assert (
+            registry._active_force_recheck({"q01_pricing_summary": 12})
+            == []
+        )
+        # Names not in QUERIES never occupy the prefix.
+        with mock.patch.dict(
+            registry.__dict__, {"DRIVER_FORCE_RECHECK": {"nope": 11}}
+        ):
+            assert registry._active_force_recheck({}) == []
+
+    # The real list as committed: every entry must already be expired
+    # or awaiting a genuinely-newer row — never an entry whose request
+    # round is in the future relative to the committed driver files.
+    latest = max(registry._driver_green_rounds().values())
+    for name, requested in registry.DRIVER_FORCE_RECHECK.items():
+        assert requested <= latest

@@ -290,9 +290,14 @@ class MRManagerServer:
         next wave — sender+tid alone would accept its stale map-stage
         finished as the reduce result). Dispatched tasks carry a
         ``wave`` nonce the worker echoes; an event whose echoed nonce
-        mismatches is skipped. Events without the field (a worker
-        predating the nonce, or reference tooling) fall back to the
-        sender+tid match."""
+        mismatches is skipped. Events WITHOUT the field (a worker
+        predating the nonce, or reference tooling) are accepted on the
+        sender+tid match only under ``legacy_wave_compat=True``; by
+        default a nonce-less finished from the assigned worker fails
+        the job fast with an error naming the flag — never a silent
+        indefinite hang (a compliant worker always echoes the nonce,
+        so the event proves the fleet contains a worker that drops
+        unknown fields and whose tasks can never complete)."""
         from collections import deque
 
         wave_nonce = next(self._wave_seq)
@@ -301,6 +306,7 @@ class MRManagerServer:
         done: dict[int, dict] = {}
         busy: set[tuple[str, int]] = set()
         attempts: dict[int, int] = {}
+        nonceless: dict[int, int] = {}  # tid -> nonce-less events seen
         with self.task_event:
             # Events from completed waves are never re-read (each wave
             # cursors forward from its start); prune so a long-lived
@@ -326,14 +332,31 @@ class MRManagerServer:
                     )
                     if sender != wkey:
                         continue  # straggler from a reassigned worker
-                    # A nonce-less event counts as a mismatch under the
-                    # strict default — tasks here were dispatched WITH a
-                    # nonce, so a compliant worker must echo it; the
-                    # lenient path exists only for legacy_wave_compat.
-                    if ev.get("wave") != wave_nonce and not (
-                        self.legacy_wave_compat and "wave" not in ev
-                    ):
-                        continue  # stale echo from a previous wave
+                    if ev.get("wave") != wave_nonce:
+                        if "wave" in ev:
+                            continue  # stale echo from a previous wave
+                        # Nonce-less event from the ASSIGNED worker of
+                        # an inflight task. Tasks here were dispatched
+                        # WITH a nonce, so a compliant worker always
+                        # echoes it (even its stale prior-wave echoes
+                        # carry the OLD nonce, and stragglers from a
+                        # reassigned worker fail the sender check
+                        # above). Under legacy_wave_compat the
+                        # sender+tid match is accepted as-is (reference
+                        # tooling / a worker predating the nonce).
+                        # Strict default: the event proves this worker
+                        # drops unknown fields, so its tasks can NEVER
+                        # complete the nonce check — fail fast with the
+                        # remedy instead of spinning forever.
+                        if not self.legacy_wave_compat:
+                            raise RuntimeError(
+                                f"worker {wkey[0]}:{wkey[1]} reported"
+                                f" task {tid} finished without echoing"
+                                " the wave nonce; it likely predates"
+                                " the nonce protocol — start the"
+                                " manager with legacy_wave_compat=True"
+                                " to accept nonce-less finished events"
+                            )
                     if ev.get("error"):
                         # Worker survived but the task failed: requeue
                         # elsewhere (bounded attempts), free the worker.

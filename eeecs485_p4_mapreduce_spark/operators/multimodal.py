@@ -6348,8 +6348,14 @@ class _ThriftCompact:
             last = last + delta if delta else self.zigzag()
             yield last, t
 
-    def skip(self, t: int) -> None:
-        if t in (1, 2):  # BOOL true/false: packed in the field header
+    def skip(self, t: int, in_container: bool = False) -> None:
+        if t in (1, 2):  # BOOL
+            # Zero-width ONLY as a struct field (the value is packed in
+            # the field header). As a list/set/map ELEMENT each bool
+            # occupies one byte (0x01/0x02) — not consuming it would
+            # silently desync the reader for every subsequent field.
+            if in_container:
+                self.u8()
             return
         if t == 3:
             self.u8()
@@ -6365,14 +6371,14 @@ class _ThriftCompact:
             if n == 15:
                 n = self.uvarint()
             for _ in range(n):
-                self.skip(et)
+                self.skip(et, in_container=True)
         elif t == 11:  # MAP
             n = self.uvarint()
             if n:
                 kt_vt = self.u8()
                 for _ in range(n):
-                    self.skip(kt_vt >> 4)
-                    self.skip(kt_vt & 0x0F)
+                    self.skip(kt_vt >> 4, in_container=True)
+                    self.skip(kt_vt & 0x0F, in_container=True)
         elif t == 12:
             for _fid, ft in self.fields():
                 self.skip(ft)
@@ -6770,8 +6776,21 @@ def _dynamic_tables(br: _BitReader) -> tuple:
     return _canonical_table(lit_lengths), _canonical_table(dist_lengths)
 
 
+# Deflate's max compression ratio is ~1032:1, so a few KiB of crafted
+# input can legally expand to MiB — without a ceiling a malicious
+# stream expands without bound (decompression bomb). 64 MiB is orders
+# of magnitude above any fixture/spool payload this repo decodes while
+# still bounding a single executor task's memory; decoders that know
+# the expected payload size may pass a tighter ``max_output``.
+_MAX_INFLATE_OUTPUT = 1 << 26
+
+
 def _inflate_huffman_block(
-    br: _BitReader, out: bytearray, lit_table: dict, dist_table: dict
+    br: _BitReader,
+    out: bytearray,
+    lit_table: dict,
+    dist_table: dict,
+    max_output: int = _MAX_INFLATE_OUTPUT,
 ) -> None:
     """Decode one Huffman-coded block body (shared by fixed/dynamic)."""
     while True:
@@ -6779,6 +6798,11 @@ def _inflate_huffman_block(
         if sym == 256:
             return
         if sym < 256:
+            if len(out) >= max_output:
+                raise ValueError(
+                    "inflate output exceeds max_output "
+                    "(decompression bomb?)"
+                )
             out.append(sym)
         else:
             li = sym - 257
@@ -6791,6 +6815,11 @@ def _inflate_huffman_block(
             dist = _DIST_BASE[dsym] + br.take(_DIST_EXTRA[dsym])
             if dist > len(out):
                 raise ValueError("back-reference before start")
+            if len(out) + ln > max_output:
+                raise ValueError(
+                    "inflate output exceeds max_output "
+                    "(decompression bomb?)"
+                )
             for _ in range(ln):
                 out.append(out[-dist])
 
@@ -6803,11 +6832,13 @@ def _adler32(data: bytes) -> int:
     return (s2 << 16) | s1
 
 
-def _inflate_raw(br: _BitReader):
+def _inflate_raw(br: _BitReader, max_output: int = _MAX_INFLATE_OUTPUT):
     """Decode one complete raw-deflate stream (through its BFINAL
     block) from the reader's position; leaves the reader byte-aligned
     just past the stream. Shared by the zlib (RFC 1950) and gzip
-    (RFC 1952) wrappers."""
+    (RFC 1952) wrappers. Output larger than ``max_output`` raises
+    ValueError (decompression-bomb guard, matching the decoder
+    family's strict-on-malformed discipline)."""
     data = br.d
     out = bytearray()
     n_blocks = n_stored = n_fixed = n_dynamic = 0
@@ -6826,16 +6857,25 @@ def _inflate_raw(br: _BitReader):
             br.pos += 4
             if br.pos + ln > len(data):
                 raise ValueError("stored block overruns stream")
+            if len(out) + ln > max_output:
+                raise ValueError(
+                    "inflate output exceeds max_output "
+                    "(decompression bomb?)"
+                )
             out += data[br.pos : br.pos + ln]
             br.pos += ln
             n_stored += 1
         elif btype == 1:  # fixed Huffman
             n_fixed += 1
-            _inflate_huffman_block(br, out, _FIXED_LIT, _FIXED_DIST)
+            _inflate_huffman_block(
+                br, out, _FIXED_LIT, _FIXED_DIST, max_output
+            )
         elif btype == 2:  # dynamic Huffman
             n_dynamic += 1
             lit_table, dist_table = _dynamic_tables(br)
-            _inflate_huffman_block(br, out, lit_table, dist_table)
+            _inflate_huffman_block(
+                br, out, lit_table, dist_table, max_output
+            )
         else:
             raise ValueError("reserved BTYPE")
         if bfinal:
@@ -6849,11 +6889,12 @@ def _inflate_raw(br: _BitReader):
     }
 
 
-def inflate_zlib(data: bytes):
+def inflate_zlib(data: bytes, max_output: int = _MAX_INFLATE_OUTPUT):
     """Decode a zlib stream — all three RFC 1951 block types (stored,
     fixed-Huffman, dynamic-Huffman). Returns (payload_bytes, info
     dict with per-type block counts). ValueError on any
-    malformation; see the section comment for the checked set."""
+    malformation — including output beyond ``max_output`` (bomb
+    guard); see the section comment for the checked set."""
     if len(data) < 6:
         raise ValueError("truncated zlib stream")
     cmf, flg = data[0], data[1]
@@ -6864,7 +6905,7 @@ def inflate_zlib(data: bytes):
     if flg & 0x20:
         raise ValueError("FDICT unsupported")
     br = _BitReader(data, 2)
-    out, counts = _inflate_raw(br)
+    out, counts = _inflate_raw(br, max_output)
     if br.pos + 4 > len(data):
         raise ValueError("missing adler32 trailer")
     trailer = int.from_bytes(data[br.pos : br.pos + 4], "big")

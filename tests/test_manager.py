@@ -246,3 +246,76 @@ def test_dead_fleet_falls_back_to_spark_engine(spark, tmp_path):
         worker.stop()
         server.stop()
         server.join(timeout=10)
+
+
+def test_nonceless_finished_fails_fast_unless_legacy(monkeypatch):
+    """A worker that drops the unknown ``wave`` field (e.g. reference
+    manager-test mock workers send ``finished`` with no wave) must not
+    hang ``_dispatch_wave`` forever under the strict default: the
+    nonce-less finished from the assigned worker raises a RuntimeError
+    naming ``legacy_wave_compat`` (the remedy), while with the flag set
+    the sender+tid match completes the wave as documented."""
+    from eeecs485_p4_mapreduce_spark.mrlite import manager as mgr
+
+    def run(legacy: bool):
+        srv = mgr.MRManagerServer(
+            None, port=0, hb_port=None, legacy_wave_compat=legacy
+        )
+        wkey = ("localhost", 7001)
+        srv.workers[wkey] = mgr.WorkerRecord(host=wkey[0], port=wkey[1])
+
+        def fake_send(host, port, message):
+            # Legacy-style worker: instant finished WITHOUT the wave
+            # field (it dropped the unknown key from the task message).
+            ev = {
+                "message_type": "finished",
+                "task_id": message["task_id"],
+                "worker_host": host,
+                "worker_port": port,
+            }
+            with srv.task_event:
+                srv.task_events.append(ev)
+                srv.task_event.notify_all()
+
+        monkeypatch.setattr(mgr, "send_json", fake_send)
+        return srv._dispatch_wave(
+            [{"task_id": 0, "message_type": "new_map_task"}]
+        )
+
+    with pytest.raises(RuntimeError, match="legacy_wave_compat"):
+        run(False)
+
+    done = run(True)
+    assert [int(ev["task_id"]) for ev in done] == [0]
+
+
+def test_stale_prior_wave_nonce_still_skipped(monkeypatch):
+    """The fail-fast path must not weaken the original guarantee: an
+    event WITH a wave field from a previous wave (stale echo) is still
+    silently skipped, and the wave completes when the real echo
+    arrives."""
+    from eeecs485_p4_mapreduce_spark.mrlite import manager as mgr
+
+    srv = mgr.MRManagerServer(None, port=0, hb_port=None)
+    wkey = ("localhost", 7002)
+    srv.workers[wkey] = mgr.WorkerRecord(host=wkey[0], port=wkey[1])
+
+    def fake_send(host, port, message):
+        stale = {
+            "message_type": "finished",
+            "task_id": message["task_id"],
+            "worker_host": host,
+            "worker_port": port,
+            "wave": message["wave"] - 1 if message["wave"] else -1,
+        }
+        good = {**stale, "wave": message["wave"]}
+        with srv.task_event:
+            srv.task_events.extend([stale, good])
+            srv.task_event.notify_all()
+
+    monkeypatch.setattr(mgr, "send_json", fake_send)
+    done = srv._dispatch_wave(
+        [{"task_id": 0, "message_type": "new_map_task"}]
+    )
+    assert [int(ev["task_id"]) for ev in done] == [0]
+    assert done[0]["wave"] is not None

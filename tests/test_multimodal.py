@@ -1347,3 +1347,56 @@ def test_container_walker_mutation_fuzz_only_valueerror():
     finally:
         signal.signal(signal.SIGALRM, old)
     assert not bad, f"non-ValueError escapes: {bad[:10]} (total {len(bad)})"
+
+
+def test_thrift_skip_bool_in_container():
+    """Compact-protocol bools are zero-width ONLY as struct fields (the
+    value lives in the field header nibble); as list/set/map ELEMENTS
+    each bool occupies one byte. skip() must consume those bytes or the
+    reader desyncs and corrupts every subsequent field."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _ThriftCompact,
+    )
+
+    # struct { 1: list<bool> [true,false,true]; 2: i32 7;
+    #          3: map<i32,bool> {5: true}; 4: i64 99; } STOP
+    buf = bytes(
+        [
+            0x19,  # field 1, type LIST
+            0x31,  # list header: 3 elems, elem type 1 (bool)
+            0x01, 0x02, 0x01,  # one byte per bool element
+            0x15,  # field 2, type I32
+            0x0E,  # zigzag(7)
+            0x1B,  # field 3, type MAP
+            0x01,  # map size 1
+            0x51,  # key type I32 (5), value type BOOL (1)
+            0x0A,  # key: zigzag(5)
+            0x01,  # value: bool true, ONE byte as a map value
+            0x16,  # field 4, type I64
+            0xC6, 0x01,  # zigzag(99)
+            0x00,  # STOP
+        ]
+    )
+    tc = _ThriftCompact(buf)
+    seen = {}
+    for fid, t in tc.fields():
+        if fid in (2, 4):
+            seen[fid] = tc.zigzag()
+        else:
+            tc.skip(t)
+    # A desynced reader cannot produce these values AND land exactly on
+    # the buffer end.
+    assert seen == {2: 7, 4: 99}
+    assert tc.pos == len(buf)
+
+    # Struct-field bools remain zero-width: struct {1: bool true;
+    # 2: i32 7} — skipping field 1 must NOT consume a byte.
+    tc2 = _ThriftCompact(bytes([0x11, 0x15, 0x0E, 0x00]))
+    vals = {}
+    for fid, t in tc2.fields():
+        if fid == 2:
+            vals[fid] = tc2.zigzag()
+        else:
+            tc2.skip(t)
+    assert vals == {2: 7}
+    assert tc2.pos == 4

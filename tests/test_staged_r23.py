@@ -1123,3 +1123,38 @@ def test_bootstrap_ci_matches_python(spark, sf_dir):
     total = sum(wcount)
     for k, p in enumerate((0.3679, 0.3679, 0.1839, 0.0803)):
         assert abs(wcount[k] / total - p) < 0.02, (k, wcount)
+
+
+def test_inflate_bomb_guard():
+    """Deflate expands up to ~1032:1, so a tiny crafted stream can
+    legally produce unbounded output; the decoder must cap expansion at
+    ``max_output`` (ValueError, the family's strict-on-malformed
+    discipline) across ALL three block types, while well-sized payloads
+    at or under the cap still decode."""
+    import zlib
+
+    import pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        inflate_zlib,
+    )
+
+    big = b"\x00" * 1_000_000
+    bomb = zlib.compress(big, 9)  # ~1 KB blob -> 1 MB output
+    assert len(bomb) < 2048
+    with pytest.raises(ValueError, match="max_output"):
+        inflate_zlib(bomb, max_output=65_536)
+    # Huffman back-reference path, fixed blocks
+    co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+    bomb_fixed = co.compress(big) + co.flush()
+    with pytest.raises(ValueError, match="max_output"):
+        inflate_zlib(bomb_fixed, max_output=65_536)
+    # Stored-block path (level 0 writes stored blocks)
+    co0 = zlib.compressobj(0, zlib.DEFLATED, 15)
+    stored = co0.compress(b"s" * 200_000) + co0.flush()
+    with pytest.raises(ValueError, match="max_output"):
+        inflate_zlib(stored, max_output=100_000)
+    # Exactly at the cap decodes fine; default cap unaffected.
+    ok = zlib.compress(b"y" * 4096, 9)
+    assert inflate_zlib(ok, max_output=4096)[0] == b"y" * 4096
+    assert inflate_zlib(bomb)[0] == big

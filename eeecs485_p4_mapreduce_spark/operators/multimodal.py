@@ -6489,6 +6489,26 @@ def _pq_page_header(tc: _ThriftCompact) -> dict:
                 else:
                     tc.skip(t2)
             ph["dict"] = d
+        elif fid == 8 and t == 12:  # DataPageHeaderV2
+            d = {}
+            for f2, t2 in tc.fields():
+                if f2 == 1 and t2 == 5:
+                    d["num_values"] = tc.zigzag()
+                elif f2 == 2 and t2 == 5:
+                    d["num_nulls"] = tc.zigzag()
+                elif f2 == 3 and t2 == 5:
+                    d["num_rows"] = tc.zigzag()
+                elif f2 == 4 and t2 == 5:
+                    d["encoding"] = tc.zigzag()
+                elif f2 == 5 and t2 == 5:
+                    d["def_len"] = tc.zigzag()
+                elif f2 == 6 and t2 == 5:
+                    d["rep_len"] = tc.zigzag()
+                elif f2 == 7 and t2 in (1, 2):
+                    d["is_compressed"] = t2 == 1  # header-packed bool
+                else:
+                    tc.skip(t2)
+            ph["data2"] = d
         else:
             tc.skip(t)
     return ph
@@ -7032,3 +7052,492 @@ def inflate_gzip_members(data: bytes):
         pos = br.pos + 8
     info["comp_bytes"] = pos
     return bytes(payload), info
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format (mm_lz4_block_decode): the frame-less block codec
+# (lz4_Block_format.md) — token byte with literal-length / match-length
+# nibbles, 255-extension bytes, 2-byte little-endian match offsets,
+# overlapping back-copies (offset < match length is legal and common).
+# Both directions are hand-rolled: the compressor is the FIXTURE side
+# (greedy 4-byte hash-chain matcher honoring the spec's end-of-block
+# rules: last sequence is literals-only, matches must not reach into
+# the final 5 bytes), the decompressor is the engine side with the
+# decoder family's strictness — zero offsets, out-of-range
+# back-references, truncated extensions, and output beyond max_output
+# all raise ValueError. No lz4 library exists in this environment, so
+# round-trip + hand-built golden vectors + mutation fuzz stand in for
+# an interop check (tests/test_staged_r24.py).
+# ---------------------------------------------------------------------------
+_LZ4_MIN_MATCH = 4
+_LZ4_LAST_LITERALS = 5
+_LZ4_MFLIMIT = 12  # spec: matches must start >= 12 bytes before end
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Greedy LZ4 block compressor (fixture side). Valid output for
+    ANY input: positions hash into a 4-byte-prefix table, matches
+    extend forward, and the trailing _LZ4_LAST_LITERALS bytes are
+    always emitted as the final literals-only sequence."""
+    n = len(data)
+    out = bytearray()
+    table: dict = {}
+    anchor = 0
+    i = 0
+    limit = n - _LZ4_MFLIMIT
+
+    def emit(lit_len: int, lit_start: int, match_len: int, offset: int):
+        tok_lit = min(lit_len, 15)
+        tok_match = min(match_len - _LZ4_MIN_MATCH, 15) if offset else 0
+        out.append((tok_lit << 4) | tok_match)
+        rest = lit_len - 15
+        while rest >= 0:
+            out.append(min(rest, 255))
+            if rest < 255:
+                break
+            rest -= 255
+        out.extend(data[lit_start : lit_start + lit_len])
+        if offset:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            rest = match_len - _LZ4_MIN_MATCH - 15
+            while rest >= 0:
+                out.append(min(rest, 255))
+                if rest < 255:
+                    break
+                rest -= 255
+
+    while i < limit:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is None or i - j > 0xFFFF or data[j : j + 4] != key:
+            i += 1
+            continue
+        # extend the match forward, but never into the last 5 bytes
+        end = n - _LZ4_LAST_LITERALS
+        m = i + 4
+        while m < end and data[m] == data[m - (i - j)]:
+            m += 1
+        emit(i - anchor, anchor, m - i, i - j)
+        i = m
+        anchor = m
+    emit(n - anchor, anchor, 0, 0)
+    return bytes(out)
+
+
+def lz4_block_decompress(
+    data: bytes, max_output: int = _MAX_INFLATE_OUTPUT
+) -> tuple:
+    """Decode one LZ4 block. Returns (payload_bytes, info dict with
+    n_sequences / n_matches / match_bytes). Strict ValueError on every
+    malformation class: truncation anywhere, zero offset,
+    back-reference before start, missing literals-only terminator,
+    output beyond max_output."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    n_seq = n_match = match_bytes = 0
+    if n == 0:
+        raise ValueError("empty lz4 block")
+    while True:
+        if pos >= n:
+            raise ValueError("truncated lz4 block (no terminator)")
+        token = data[pos]
+        pos += 1
+        n_seq += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated literal-length bytes")
+                b = data[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if pos + lit_len > n:
+            raise ValueError("literals overrun block")
+        if len(out) + lit_len > max_output:
+            raise ValueError(
+                "lz4 output exceeds max_output (decompression bomb?)"
+            )
+        out += data[pos : pos + lit_len]
+        pos += lit_len
+        if pos == n:  # last sequence: literals only, no offset
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated match offset")
+        offset = data[pos] | (data[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise ValueError("zero lz4 match offset")
+        if offset > len(out):
+            raise ValueError("lz4 back-reference before start")
+        match_len = (token & 0x0F) + _LZ4_MIN_MATCH
+        if (token & 0x0F) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated match-length bytes")
+                b = data[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        if len(out) + match_len > max_output:
+            raise ValueError(
+                "lz4 output exceeds max_output (decompression bomb?)"
+            )
+        # byte-at-a-time honors overlapping copies (offset < length)
+        for _ in range(match_len):
+            out.append(out[-offset])
+        n_match += 1
+        match_bytes += match_len
+    return bytes(out), {
+        "n_sequences": n_seq,
+        "n_matches": n_match,
+        "match_bytes": match_bytes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# TIFF container (mm_tiff_ifd): classic little-endian TIFF 6.0 — the
+# II*\0 header, IFD entry walk (tag / type / count / inline-or-offset
+# value), and uncompressed 8-bit grayscale strip reads. The builder is
+# the fixture side (pinned layout: one IFD, single strip, BITS=8,
+# PHOTOMETRIC=1); the walker is the engine side, strict on magic,
+# entry order, unsupported compression, and strip bounds.
+# ---------------------------------------------------------------------------
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def build_tiff_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal valid little-endian TIFF: 8-bit grayscale, one strip,
+    IFD after the pixel data."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer != width*height")
+    header = b"II*\x00"
+    strip_off = 8
+    ifd_off = strip_off + len(pixels)
+    entries = [
+        (256, 4, 1, width),  # ImageWidth
+        (257, 4, 1, height),  # ImageLength
+        (258, 3, 1, 8),  # BitsPerSample
+        (259, 3, 1, 1),  # Compression: none
+        (262, 3, 1, 1),  # Photometric: BlackIsZero
+        (273, 4, 1, strip_off),  # StripOffsets
+        (278, 4, 1, height),  # RowsPerStrip
+        (279, 4, 1, len(pixels)),  # StripByteCounts
+    ]
+    ifd = len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, val in entries:
+        ifd += tag.to_bytes(2, "little")
+        ifd += typ.to_bytes(2, "little")
+        ifd += cnt.to_bytes(4, "little")
+        ifd += val.to_bytes(4, "little")
+    ifd += (0).to_bytes(4, "little")  # next IFD: none
+    return header + ifd_off.to_bytes(4, "little") + pixels + ifd
+
+
+def decode_tiff_gray(data: bytes) -> dict:
+    """Walk a little-endian TIFF and decode its single uncompressed
+    8-bit grayscale strip. Returns {width, height, n_tags, px_sum}.
+    Strict ValueError on magic, truncation, tag disorder, unsupported
+    compression/bit depth, and strip-bound violations."""
+    if len(data) < 8 or data[:4] != b"II*\x00":
+        raise ValueError("not a little-endian TIFF")
+    ifd_off = int.from_bytes(data[4:8], "little")
+    if ifd_off + 2 > len(data):
+        raise ValueError("IFD offset overruns file")
+    n_tags = int.from_bytes(data[ifd_off : ifd_off + 2], "little")
+    if n_tags == 0:
+        raise ValueError("empty IFD")
+    pos = ifd_off + 2
+    if pos + 12 * n_tags + 4 > len(data):
+        raise ValueError("IFD overruns file")
+    tags: dict = {}
+    last_tag = -1
+    for _ in range(n_tags):
+        tag = int.from_bytes(data[pos : pos + 2], "little")
+        typ = int.from_bytes(data[pos + 2 : pos + 4], "little")
+        cnt = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag <= last_tag:
+            raise ValueError("IFD tags not strictly ascending")
+        last_tag = tag
+        if typ not in _TIFF_TYPE_SIZES:
+            raise ValueError(f"unsupported TIFF type {typ}")
+        if _TIFF_TYPE_SIZES[typ] * cnt > 4:
+            raise ValueError("out-of-line TIFF values unsupported")
+        if typ == 3:
+            val = int.from_bytes(data[pos + 8 : pos + 10], "little")
+        else:
+            val = int.from_bytes(data[pos + 8 : pos + 12], "little")
+        tags[tag] = val
+        pos += 12
+    for req in (256, 257, 258, 259, 273, 279):
+        if req not in tags:
+            raise ValueError(f"required TIFF tag {req} missing")
+    if tags[259] != 1:
+        raise ValueError("compressed TIFF unsupported")
+    if tags[258] != 8:
+        raise ValueError("non-8-bit TIFF unsupported")
+    w, h = tags[256], tags[257]
+    off, cnt = tags[273], tags[279]
+    if cnt != w * h:
+        raise ValueError("strip byte count != width*height")
+    if off + cnt > len(data):
+        raise ValueError("strip overruns file")
+    strip = data[off : off + cnt]
+    return {
+        "width": w,
+        "height": h,
+        "n_tags": n_tags,
+        "px_sum": sum(strip),
+    }
+
+
+# ---------------------------------------------------------------------------
+# RIFF / WebP-lossless header walk (mm_riff_webp): the generic RIFF
+# chunk walk (fourcc, little-endian size, even-byte padding) that WAV
+# already exercises, applied to the WebP container — plus the VP8L
+# ("lossless") 5-byte header decode: 0x2f signature then width-1 /
+# height-1 as LSB-first 14-bit fields. The builder writes a container
+# whose VP8L payload is header-only (the query never claims pixel
+# decode — dimensions and chunk geometry are the spec-checkable
+# surface) plus trailing metadata chunks to force multi-chunk walks
+# and odd-size padding.
+# ---------------------------------------------------------------------------
+def build_webp_vp8l(width: int, height: int, extra: bytes) -> bytes:
+    """RIFF/WEBP container: a 5-byte VP8L header chunk (dimensions
+    only) followed by a META chunk carrying ``extra`` (odd sizes get
+    the spec pad byte)."""
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dims out of range")
+    bits = (width - 1) | ((height - 1) << 14)
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    body = b"WEBP" + chunk(b"VP8L", vp8l) + chunk(b"META", extra)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def walk_riff_webp(data: bytes) -> dict:
+    """Walk a RIFF/WEBP container and decode the VP8L dimensions.
+    Returns {riff_size, n_chunks, width, height, meta_bytes}. Strict
+    on magic, chunk bounds, padding, and the VP8L signature."""
+    if len(data) < 12 or data[:4] != b"RIFF":
+        raise ValueError("not a RIFF container")
+    riff_size = int.from_bytes(data[4:8], "little")
+    if 8 + riff_size != len(data):
+        raise ValueError("RIFF size != file size")
+    if data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP form")
+    pos = 12
+    n_chunks = 0
+    width = height = meta_bytes = None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated RIFF chunk header")
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("RIFF chunk overruns file")
+        if fourcc == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(body[1:5], "little")
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"META":
+            meta_bytes = size
+        n_chunks += 1
+        pos += 8 + size
+        if size % 2:
+            if pos >= len(data) or data[pos] != 0:
+                raise ValueError("missing RIFF pad byte")
+            pos += 1
+    if width is None:
+        raise ValueError("no VP8L chunk")
+    if meta_bytes is None:
+        raise ValueError("no META chunk")
+    return {
+        "riff_size": riff_size,
+        "n_chunks": n_chunks,
+        "width": width,
+        "height": height,
+        "meta_bytes": meta_bytes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Parquet DataPageV2 + DELTA decode (mm_parquet_datapage_v2): extends
+# the v1 decoder above with the modern write path — DataPageHeaderV2
+# (levels OUTSIDE the values section), DELTA_BINARY_PACKED int64
+# (Encodings.md: uleb128 block geometry, zigzag first value, per-block
+# zigzag min-delta + per-miniblock bit widths, LSB bit-packing) and
+# DELTA_LENGTH_BYTE_ARRAY strings (a DELTA_BINARY_PACKED length column
+# followed by the concatenated bytes). Same strictness discipline as
+# every decoder here: geometry, bounds, and cross-checks all raise.
+# ---------------------------------------------------------------------------
+def _delta_binary_packed(buf: bytes, pos: int):
+    """Decode one DELTA_BINARY_PACKED run from ``buf[pos:]``; returns
+    (values, end_pos). The total count is in the run's own header."""
+    tc = _ThriftCompact(buf, pos)
+    block_size = tc.uvarint()
+    n_mini = tc.uvarint()
+    total = tc.uvarint()
+    first = tc.zigzag()
+    pos = tc.pos
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("bad delta-binary-packed geometry")
+    mb = block_size // n_mini
+    if mb % 8:
+        raise ValueError("miniblock size not a multiple of 8")
+    if total == 0:
+        return [], pos
+    vals = [first]
+    while len(vals) < total:
+        tc = _ThriftCompact(buf, pos)
+        min_delta = tc.zigzag()
+        pos = tc.pos
+        if pos + n_mini > len(buf):
+            raise ValueError("delta bit-width bytes overrun page")
+        bws = buf[pos : pos + n_mini]
+        pos += n_mini
+        for bw in bws:
+            if len(vals) >= total:
+                # unneeded trailing miniblocks carry bw=0 and no data
+                if bw:
+                    pos += mb * bw // 8
+                continue
+            if bw > 64:
+                raise ValueError("delta bit width > 64")
+            take = min(mb, total - len(vals))
+            nbytes = mb * bw // 8
+            if pos + nbytes > len(buf):
+                raise ValueError("delta miniblock overruns page")
+            bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+            mask = (1 << bw) - 1
+            prev = vals[-1]
+            for i in range(take):
+                prev += min_delta + ((bits >> (i * bw)) & mask)
+                vals.append(prev)
+            pos += nbytes
+    return vals, pos
+
+
+def _delta_length_byte_array(buf: bytes, pos: int, end: int):
+    """Decode one DELTA_LENGTH_BYTE_ARRAY values section spanning
+    ``buf[pos:end]``: the length run then the concatenated bytes."""
+    lengths, p = _delta_binary_packed(buf, pos)
+    out = []
+    for ln in lengths:
+        if ln < 0 or p + ln > end:
+            raise ValueError("delta-length string overruns section")
+        out.append(buf[p : p + ln].decode("utf-8"))
+        p += ln
+    if p != end:
+        raise ValueError("trailing bytes after delta-length strings")
+    return out
+
+
+def decode_parquet_v2_delta(
+    data: bytes, int_col: str, str_col: str
+) -> list:
+    """Hand-decode a 2-column parquet file written with DataPageV2
+    pages — REQUIRED INT64 (DELTA_BINARY_PACKED) + REQUIRED
+    BYTE_ARRAY (DELTA_LENGTH_BYTE_ARRAY), uncompressed — straight
+    from the bytes. Returns one dict per row: {int_col, str_col,
+    rg_ordinal, rg_rows}. Strict: v1 data pages, levels bytes on
+    REQUIRED columns, unexpected encodings, and every cross-check
+    (chunk counts vs row-group rows, totals vs footer num_rows)
+    raise ValueError."""
+    import struct as _struct
+
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("missing PAR1 magic")
+    (flen,) = _struct.unpack("<I", data[-8:-4])
+    if flen + 12 > len(data):
+        raise ValueError("footer overruns file")
+    meta = _pq_file_meta(_ThriftCompact(data, len(data) - 8 - flen))
+    leaves = {
+        el["name"]: el for el in meta["schema"] if not el["num_children"]
+    }
+    for name in (int_col, str_col):
+        if name not in leaves:
+            raise ValueError(f"column {name} not in schema")
+        if leaves[name]["repetition"] != 0:  # REQUIRED
+            raise ValueError(f"column {name} is not REQUIRED")
+
+    rows: list = []
+    total = 0
+    for ordinal, rg in enumerate(meta["row_groups"]):
+        cols: dict = {}
+        for cc in rg["columns"]:
+            if cc.get("codec", 0) != 0:
+                raise ValueError("compressed chunk; decoder is strict")
+            if cc["num_values"] != rg["num_rows"]:
+                raise ValueError("chunk num_values != row-group rows")
+            name = cc["path"][0]
+            want = cc["num_values"]
+            vals: list = []
+            pos = cc["data_off"]
+            while len(vals) < want:
+                tc = _ThriftCompact(data, pos)
+                ph = _pq_page_header(tc)
+                body = tc.pos
+                if ph.get("compressed") != ph.get("uncompressed"):
+                    raise ValueError("page sizes differ: compressed?")
+                if ph["type"] != 3 or "data2" not in ph:
+                    raise ValueError(
+                        f"page type {ph['type']}: not DataPageV2"
+                    )
+                d2 = ph["data2"]
+                if d2.get("num_nulls", 0):
+                    raise ValueError("nulls on a REQUIRED column")
+                if d2.get("rep_len", 0) or d2.get("def_len", 0):
+                    raise ValueError(
+                        "level bytes on a REQUIRED column"
+                    )
+                n = d2["num_values"]
+                enc = d2["encoding"]
+                vstart = body
+                vend = body + ph["compressed"]
+                if vend > len(data):
+                    raise ValueError("page body overruns file")
+                if enc == 5 and name == int_col:
+                    got, endp = _delta_binary_packed(data, vstart)
+                    if len(got) != n:
+                        raise ValueError("delta run count != page rows")
+                    if endp > vend:
+                        raise ValueError("delta run overruns page")
+                    vals.extend(got)
+                elif enc == 6 and name == str_col:
+                    vals.extend(
+                        _delta_length_byte_array(data, vstart, vend)
+                    )
+                else:
+                    raise ValueError(
+                        f"encoding {enc} for {name} unsupported"
+                    )
+                pos = vend
+            if len(vals) != want:
+                raise ValueError("page overshoot inside chunk")
+            cols[name] = vals
+        for iv, sv in zip(cols[int_col], cols[str_col]):
+            rows.append(
+                {
+                    int_col: iv,
+                    str_col: sv,
+                    "rg_ordinal": ordinal,
+                    "rg_rows": rg["num_rows"],
+                }
+            )
+        total += rg["num_rows"]
+    if total != meta["num_rows"]:
+        raise ValueError("row groups don't sum to footer num_rows")
+    return rows

@@ -306,7 +306,6 @@ class MRManagerServer:
         done: dict[int, dict] = {}
         busy: set[tuple[str, int]] = set()
         attempts: dict[int, int] = {}
-        nonceless: dict[int, int] = {}  # tid -> nonce-less events seen
         with self.task_event:
             # Events from completed waves are never re-read (each wave
             # cursors forward from its start); prune so a long-lived

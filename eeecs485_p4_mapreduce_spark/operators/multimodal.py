@@ -3644,14 +3644,24 @@ _TIFF_IFD_ENTRIES = 8
 _TIFF_IFD_SIZE = 2 + _TIFF_IFD_ENTRIES * 12 + 4
 
 
-def encode_tiff(pages, big_endian: bool = False, seed: int = 0) -> bytes:
+def encode_tiff(
+    pages, big_endian: bool = False, seed: int = 0, strips=None
+) -> bytes:
     """Build a multi-page baseline TIFF from (width, height) pairs.
-    Page p's strip is w*h bytes of the constant (seed*7 + p*13) % 251,
-    so a reader that finds the strips proves every offset."""
+    By default page p's strip is w*h bytes of the constant
+    (seed*7 + p*13) % 251, so a reader that finds the strips proves
+    every offset; pass ``strips`` (one bytes object per page, length
+    w*h) to carry real pixel data instead (mm_tiff_strip_decode)."""
     import struct
 
     if not pages:
         raise ValueError("TIFF needs at least one page")
+    if strips is not None:
+        if len(strips) != len(pages):
+            raise ValueError("strips count != pages count")
+        for (w, h), s in zip(pages, strips):
+            if len(s) != w * h:
+                raise ValueError("strip length != width*height")
     e = ">" if big_endian else "<"
     n = len(pages)
     ifd_base = 8
@@ -3686,7 +3696,10 @@ def encode_tiff(pages, big_endian: bool = False, seed: int = 0) -> bytes:
         nxt = ifd_base + (p + 1) * _TIFF_IFD_SIZE if p + 1 < n else 0
         out += struct.pack(e + "I", nxt)
     for p, (w, h) in enumerate(pages):
-        out += bytes([(seed * 7 + p * 13) % 251]) * (w * h)
+        if strips is not None:
+            out += strips[p]
+        else:
+            out += bytes([(seed * 7 + p * 13) % 251]) * (w * h)
     return bytes(out)
 
 
@@ -4334,16 +4347,46 @@ def media_walk_query(
 # writes the RIFF/WEBP/VP8L framing with a deterministic filler body;
 # parse_webp_vp8l re-walks RIFF sizes and unpacks the bit fields.
 # ---------------------------------------------------------------------------
-def encode_webp_vp8l(
-    width: int, height: int, alpha: bool = False, body_len: int = 16
-) -> bytes:
+def _vp8l_pack(width: int, height: int, alpha: bool = False) -> bytes:
+    """The VP8L 5-byte header (signature + LSB-first 14-bit dims +
+    alpha hint + version 0) — ONE definition shared by every WebP
+    builder in this module."""
     import struct
 
     if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
         raise ValueError("VP8L dims out of 14-bit range")
     bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
-    # version (3 bits) = 0; 32 bits total after the signature byte
-    payload = b"\x2f" + struct.pack("<I", bits) + bytes(
+    return b"\x2f" + struct.pack("<I", bits)
+
+
+def _vp8l_unpack(body: bytes) -> dict:
+    """Decode a VP8L chunk body's 5-byte header (strict signature +
+    reserved-version checks) — the single shared inverse of
+    _vp8l_pack."""
+    import struct
+
+    if len(body) < 5:
+        raise ValueError("VP8L chunk too short for the header bits")
+    if body[0] != 0x2F:
+        raise ValueError(f"bad VP8L signature byte {body[0]:#x}")
+    (bits,) = struct.unpack_from("<I", body, 1)
+    version = (bits >> 29) & 0x7
+    if version != 0:
+        raise ValueError(f"reserved VP8L version {version}")
+    return {
+        "width": (bits & 0x3FFF) + 1,
+        "height": ((bits >> 14) & 0x3FFF) + 1,
+        "alpha": (bits >> 28) & 1,
+        "version": version,
+    }
+
+
+def encode_webp_vp8l(
+    width: int, height: int, alpha: bool = False, body_len: int = 16
+) -> bytes:
+    import struct
+
+    payload = _vp8l_pack(width, height, alpha) + bytes(
         (i * 7 + 3) % 251 for i in range(body_len)
     )
     # RIFF rule: the declared size is the UNPADDED payload; a single
@@ -4373,19 +4416,9 @@ def parse_webp_vp8l(payload: bytes):
     (chunk_len,) = struct.unpack_from("<I", data, 16)
     if 20 + chunk_len + (chunk_len % 2) > len(data):
         raise ValueError("VP8L chunk overruns file")
-    if data[20] != 0x2F:
-        raise ValueError(f"bad VP8L signature byte {data[20]:#x}")
-    if chunk_len < 5:
-        raise ValueError("VP8L chunk too short for the header bits")
-    (bits,) = struct.unpack_from("<I", data, 21)
-    version = (bits >> 29) & 0x7
-    if version != 0:
-        raise ValueError(f"reserved VP8L version {version}")
+    hdr = _vp8l_unpack(data[20 : 20 + min(chunk_len, 5)])
     return {
-        "width": (bits & 0x3FFF) + 1,
-        "height": ((bits >> 14) & 0x3FFF) + 1,
-        "alpha": (bits >> 28) & 1,
-        "version": version,
+        **hdr,
         "chunk_bytes": chunk_len,
         "file_bytes": len(data),
     }
@@ -7201,102 +7234,6 @@ def lz4_block_decompress(
 
 
 # ---------------------------------------------------------------------------
-# TIFF container (mm_tiff_ifd): classic little-endian TIFF 6.0 — the
-# II*\0 header, IFD entry walk (tag / type / count / inline-or-offset
-# value), and uncompressed 8-bit grayscale strip reads. The builder is
-# the fixture side (pinned layout: one IFD, single strip, BITS=8,
-# PHOTOMETRIC=1); the walker is the engine side, strict on magic,
-# entry order, unsupported compression, and strip bounds.
-# ---------------------------------------------------------------------------
-_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
-
-
-def build_tiff_gray(width: int, height: int, pixels: bytes) -> bytes:
-    """Minimal valid little-endian TIFF: 8-bit grayscale, one strip,
-    IFD after the pixel data."""
-    if len(pixels) != width * height:
-        raise ValueError("pixel buffer != width*height")
-    header = b"II*\x00"
-    strip_off = 8
-    ifd_off = strip_off + len(pixels)
-    entries = [
-        (256, 4, 1, width),  # ImageWidth
-        (257, 4, 1, height),  # ImageLength
-        (258, 3, 1, 8),  # BitsPerSample
-        (259, 3, 1, 1),  # Compression: none
-        (262, 3, 1, 1),  # Photometric: BlackIsZero
-        (273, 4, 1, strip_off),  # StripOffsets
-        (278, 4, 1, height),  # RowsPerStrip
-        (279, 4, 1, len(pixels)),  # StripByteCounts
-    ]
-    ifd = len(entries).to_bytes(2, "little")
-    for tag, typ, cnt, val in entries:
-        ifd += tag.to_bytes(2, "little")
-        ifd += typ.to_bytes(2, "little")
-        ifd += cnt.to_bytes(4, "little")
-        ifd += val.to_bytes(4, "little")
-    ifd += (0).to_bytes(4, "little")  # next IFD: none
-    return header + ifd_off.to_bytes(4, "little") + pixels + ifd
-
-
-def decode_tiff_gray(data: bytes) -> dict:
-    """Walk a little-endian TIFF and decode its single uncompressed
-    8-bit grayscale strip. Returns {width, height, n_tags, px_sum}.
-    Strict ValueError on magic, truncation, tag disorder, unsupported
-    compression/bit depth, and strip-bound violations."""
-    if len(data) < 8 or data[:4] != b"II*\x00":
-        raise ValueError("not a little-endian TIFF")
-    ifd_off = int.from_bytes(data[4:8], "little")
-    if ifd_off + 2 > len(data):
-        raise ValueError("IFD offset overruns file")
-    n_tags = int.from_bytes(data[ifd_off : ifd_off + 2], "little")
-    if n_tags == 0:
-        raise ValueError("empty IFD")
-    pos = ifd_off + 2
-    if pos + 12 * n_tags + 4 > len(data):
-        raise ValueError("IFD overruns file")
-    tags: dict = {}
-    last_tag = -1
-    for _ in range(n_tags):
-        tag = int.from_bytes(data[pos : pos + 2], "little")
-        typ = int.from_bytes(data[pos + 2 : pos + 4], "little")
-        cnt = int.from_bytes(data[pos + 4 : pos + 8], "little")
-        if tag <= last_tag:
-            raise ValueError("IFD tags not strictly ascending")
-        last_tag = tag
-        if typ not in _TIFF_TYPE_SIZES:
-            raise ValueError(f"unsupported TIFF type {typ}")
-        if _TIFF_TYPE_SIZES[typ] * cnt > 4:
-            raise ValueError("out-of-line TIFF values unsupported")
-        if typ == 3:
-            val = int.from_bytes(data[pos + 8 : pos + 10], "little")
-        else:
-            val = int.from_bytes(data[pos + 8 : pos + 12], "little")
-        tags[tag] = val
-        pos += 12
-    for req in (256, 257, 258, 259, 273, 279):
-        if req not in tags:
-            raise ValueError(f"required TIFF tag {req} missing")
-    if tags[259] != 1:
-        raise ValueError("compressed TIFF unsupported")
-    if tags[258] != 8:
-        raise ValueError("non-8-bit TIFF unsupported")
-    w, h = tags[256], tags[257]
-    off, cnt = tags[273], tags[279]
-    if cnt != w * h:
-        raise ValueError("strip byte count != width*height")
-    if off + cnt > len(data):
-        raise ValueError("strip overruns file")
-    strip = data[off : off + cnt]
-    return {
-        "width": w,
-        "height": h,
-        "n_tags": n_tags,
-        "px_sum": sum(strip),
-    }
-
-
-# ---------------------------------------------------------------------------
 # RIFF / WebP-lossless header walk (mm_riff_webp): the generic RIFF
 # chunk walk (fourcc, little-endian size, even-byte padding) that WAV
 # already exercises, applied to the WebP container — plus the VP8L
@@ -7311,10 +7248,7 @@ def build_webp_vp8l(width: int, height: int, extra: bytes) -> bytes:
     """RIFF/WEBP container: a 5-byte VP8L header chunk (dimensions
     only) followed by a META chunk carrying ``extra`` (odd sizes get
     the spec pad byte)."""
-    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
-        raise ValueError("VP8L dims out of range")
-    bits = (width - 1) | ((height - 1) << 14)
-    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little")
+    vp8l = _vp8l_pack(width, height)
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -7347,11 +7281,8 @@ def walk_riff_webp(data: bytes) -> dict:
         if len(body) != size:
             raise ValueError("RIFF chunk overruns file")
         if fourcc == b"VP8L":
-            if size < 5 or body[0] != 0x2F:
-                raise ValueError("bad VP8L signature")
-            bits = int.from_bytes(body[1:5], "little")
-            width = (bits & 0x3FFF) + 1
-            height = ((bits >> 14) & 0x3FFF) + 1
+            hdr = _vp8l_unpack(body)
+            width, height = hdr["width"], hdr["height"]
         elif fourcc == b"META":
             meta_bytes = size
         n_chunks += 1

@@ -389,7 +389,10 @@ SKEW_RB_ORACLE = f"""
         ON c2.cum >= r.r AND c2.cum - c2.c < r.r
       GROUP BY r.i
     ), arr AS (
-      SELECT list_sort(list(split)) AS sp FROM splits
+      -- coalesce: an EMPTY sample must yield an empty split list (so
+      -- every row lands in bucket 0) exactly like Spark's collect_list,
+      -- never a NULL bucket (DuckDB list() over zero rows is NULL)
+      SELECT coalesce(list_sort(list(split)), []) AS sp FROM splits
     ), assigned AS (
       SELECT len(list_filter(arr.sp, x -> x < l_orderkey)) AS bucket
       FROM lineitem, arr
@@ -1058,7 +1061,13 @@ def mm_lz4_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = _py_toks(text)
                 s = " ".join(toks[:LZ4_TOKS])
-                payload = f"{s} | {s}".encode()
+                try:
+                    payload = f"{s} | {s}".encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
                 blob = lz4_block_compress(payload)
                 dec, info = lz4_block_decompress(blob)
                 if dec != payload:
@@ -1074,23 +1083,20 @@ def mm_lz4_block_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm_tiff_ifd. TIFF 6.0 container walk + uncompressed grayscale strip
-# decode: each doc becomes a WIDTHxHEIGHT 8-bit image whose pixels
+# mm_tiff_strip_decode. DATA-carrying strips through the established
+# TIFF codec (multimodal.encode_tiff / parse_tiff_ifds — the same
+# pair the registered mm_tiff_ifd walker uses, extended with a
+# ``strips`` parameter rather than a second hand-rolled IFD writer):
+# each doc becomes a WIDTHxHEIGHT 8-bit grayscale page whose pixels
 # cycle the doc's text bytes (payload = text || '#', so empty text
-# still yields one cycle byte); the engine builds the TIFF with
-# multimodal.build_tiff_gray and decodes it back with
-# decode_tiff_gray (header, ascending-tag IFD walk, strip bounds).
-# The oracle recomputes the pixel checksum closed-form — full cycles
+# still yields one cycle byte; non-ASCII text raises loudly — the
+# oracle's per-char ascii() arithmetic is a character/byte identity
+# only for ASCII, and a silent divergence is worse than an error).
+# The oracle recomputes the strip checksum closed-form — full cycles
 # of the byte sum plus a prefix remainder — from the same per-char
-# relation the Adler oracles use, so the hash proves strip bytes were
-# read exactly.
+# relation the Adler oracles use, so the hash proves strip bytes
+# were read exactly.
 # ---------------------------------------------------------------------------
-def _tiff_dims(doc_id_expr: str, duck: bool) -> tuple:
-    w = f"(8 + {doc_id_expr} % 25)"
-    h = f"(6 + {doc_id_expr} % 17)"
-    return w, h
-
-
 MM_TIFF_ORACLE = """
     WITH pay AS (
       SELECT doc_id, text || '#' AS p,
@@ -1115,7 +1121,7 @@ MM_TIFF_ORACLE = """
 """
 
 
-def mm_tiff_ifd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_tiff_strip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build + hand-decode one grayscale TIFF per doc (see section
     comment); emits only closed-form-recomputable geometry and the
     strip checksum."""
@@ -1123,8 +1129,8 @@ def mm_tiff_ifd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
-        build_tiff_gray,
-        decode_tiff_gray,
+        encode_tiff,
+        parse_tiff_ifds,
     )
 
     docs = spread_small_source(
@@ -1148,15 +1154,21 @@ def mm_tiff_ifd(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 w = 8 + int(d) % 25
                 h = 6 + int(d) % 17
-                p = (text + "#").encode()
+                try:
+                    p = (text + "#").encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
                 px = bytes(p[i % len(p)] for i in range(w * h))
-                blob = build_tiff_gray(w, h, px)
-                r = decode_tiff_gray(blob)
+                blob = encode_tiff([(w, h)], strips=[px])
+                r = parse_tiff_ifds(blob)
                 out["media_id"].append(int(d))
-                out["width"].append(r["width"])
-                out["height"].append(r["height"])
+                out["width"].append(r["width0"])
+                out["height"].append(r["height0"])
                 out["n_tags"].append(r["n_tags"])
-                out["px_sum"].append(r["px_sum"])
+                out["px_sum"].append(r["strip_sum"])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema)
@@ -1218,7 +1230,14 @@ def mm_riff_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 w = 1 + int(d) % 314
                 h = 1 + len(text) % 200
-                blob = build_webp_vp8l(w, h, text.encode())
+                try:
+                    meta = text.encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
+                blob = build_webp_vp8l(w, h, meta)
                 r = walk_riff_webp(blob)
                 if (r["width"], r["height"]) != (w, h):
                     raise ValueError(f"doc {d}: VP8L dims mismatch")
@@ -1488,7 +1507,7 @@ def _staged() -> dict:
         "dedup_bbit_minhash": (dedup_bbit_minhash, DEDUP_BBIT_ORACLE),
         "sim_rp_lsh_cosine": (sim_rp_lsh_cosine, SIM_RP_ORACLE),
         "mm_lz4_block_decode": (mm_lz4_block_decode, MM_LZ4_ORACLE),
-        "mm_tiff_ifd": (mm_tiff_ifd, MM_TIFF_ORACLE),
+        "mm_tiff_strip_decode": (mm_tiff_strip_decode, MM_TIFF_ORACLE),
         "mm_riff_webp": (mm_riff_webp, MM_RIFF_ORACLE),
         "mm_parquet_datapage_v2": (
             mm_parquet_datapage_v2,

@@ -164,55 +164,45 @@ def test_lz4_mutation_fuzz_only_valueerror():
 # --- TIFF --------------------------------------------------------------------
 
 
-def test_tiff_build_decode_roundtrip():
+def test_tiff_strips_roundtrip_via_shared_codec():
+    """mm_tiff_strip_decode rides the SAME encode_tiff/parse_tiff_ifds
+    pair as the registered mm_tiff_ifd walker (no second IFD codec);
+    the strips parameter must carry real pixel bytes through and the
+    walker's strip_sum must be their exact checksum."""
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
-        build_tiff_gray,
-        decode_tiff_gray,
+        encode_tiff,
+        parse_tiff_ifds,
     )
 
     px = bytes((i * 7 + 3) % 256 for i in range(31 * 17))
-    blob = build_tiff_gray(31, 17, px)
-    r = decode_tiff_gray(blob)
-    assert r == {
-        "width": 31,
-        "height": 17,
-        "n_tags": 8,
-        "px_sum": sum(px),
-    }
+    r = parse_tiff_ifds(encode_tiff([(31, 17)], strips=[px]))
+    assert (r["width0"], r["height0"], r["n_tags"], r["strip_sum"]) == (
+        31,
+        17,
+        8,
+        sum(px),
+    )
+    # multi-page with mixed strips
+    a, b = bytes(range(12)), bytes(range(100, 106))
+    r2 = parse_tiff_ifds(encode_tiff([(4, 3), (3, 2)], strips=[a, b]))
+    assert r2["n_ifds"] == 2
+    assert r2["strip_sum"] == sum(a) + sum(b)
+    # default constant-fill path is unchanged
+    r3 = parse_tiff_ifds(encode_tiff([(4, 3)], seed=5))
+    assert r3["strip_sum"] == 12 * ((5 * 7) % 251)
 
 
-def test_tiff_is_strict():
+def test_tiff_strips_param_is_strict():
     import pytest as _pytest
 
     from eeecs485_p4_mapreduce_spark.operators.multimodal import (
-        build_tiff_gray,
-        decode_tiff_gray,
+        encode_tiff,
     )
 
-    good = bytearray(build_tiff_gray(4, 3, bytes(range(12))))
-    with _pytest.raises(ValueError, match="TIFF"):
-        decode_tiff_gray(b"MM\x00*" + bytes(good[4:]))  # big-endian
-    # compression flag != 1 (tag 259 is the 4th entry; value at
-    # entry_base + 8). IFD starts at 8 + 12 px bytes + 2.
-    ifd = 8 + 12 + 2
-    mut = bytearray(good)
-    mut[ifd + 3 * 12 + 8] = 5
-    with _pytest.raises(ValueError, match="compressed"):
-        decode_tiff_gray(bytes(mut))
-    # tag disorder: swap the first two entries
-    mut = bytearray(good)
-    e0 = mut[ifd : ifd + 12]
-    mut[ifd : ifd + 12] = mut[ifd + 12 : ifd + 24]
-    mut[ifd + 12 : ifd + 24] = e0
-    with _pytest.raises(ValueError, match="ascending"):
-        decode_tiff_gray(bytes(mut))
-    # strip byte count mismatch (tag 279 is the 8th entry)
-    mut = bytearray(good)
-    mut[ifd + 7 * 12 + 8] = 99
-    with _pytest.raises(ValueError, match="strip"):
-        decode_tiff_gray(bytes(mut))
-    with _pytest.raises(ValueError):
-        decode_tiff_gray(bytes(good[:20]))
+    with _pytest.raises(ValueError, match="strips count"):
+        encode_tiff([(4, 3)], strips=[b"x" * 12, b"y" * 12])
+    with _pytest.raises(ValueError, match="strip length"):
+        encode_tiff([(4, 3)], strips=[b"x" * 11])
 
 
 # --- RIFF / WebP -------------------------------------------------------------

@@ -7314,15 +7314,25 @@ def walk_riff_webp(data: bytes) -> dict:
 # followed by the concatenated bytes). Same strictness discipline as
 # every decoder here: geometry, bounds, and cross-checks all raise.
 # ---------------------------------------------------------------------------
-def _delta_binary_packed(buf: bytes, pos: int):
+def _delta_binary_packed(buf: bytes, pos: int, max_values: int | None = None):
     """Decode one DELTA_BINARY_PACKED run from ``buf[pos:]``; returns
-    (values, end_pos). The total count is in the run's own header."""
+    (values, end_pos). The total count is in the run's own header —
+    and a bit-width-0 miniblock consumes NO input bytes while still
+    yielding values, so a crafted header could otherwise demand 2^40
+    values from a 20-byte stream (the inflate/lz4 bomb class);
+    ``max_values`` caps what the header may claim (callers know the
+    page's num_values)."""
     tc = _ThriftCompact(buf, pos)
     block_size = tc.uvarint()
     n_mini = tc.uvarint()
     total = tc.uvarint()
     first = tc.zigzag()
     pos = tc.pos
+    if max_values is not None and total > max_values:
+        raise ValueError(
+            "delta run claims more values than the page holds"
+            " (decompression bomb?)"
+        )
     if n_mini == 0 or block_size % n_mini:
         raise ValueError("bad delta-binary-packed geometry")
     mb = block_size // n_mini
@@ -7361,10 +7371,12 @@ def _delta_binary_packed(buf: bytes, pos: int):
     return vals, pos
 
 
-def _delta_length_byte_array(buf: bytes, pos: int, end: int):
+def _delta_length_byte_array(
+    buf: bytes, pos: int, end: int, max_values: int | None = None
+):
     """Decode one DELTA_LENGTH_BYTE_ARRAY values section spanning
     ``buf[pos:end]``: the length run then the concatenated bytes."""
-    lengths, p = _delta_binary_packed(buf, pos)
+    lengths, p = _delta_binary_packed(buf, pos, max_values)
     out = []
     for ln in lengths:
         if ln < 0 or p + ln > end:
@@ -7441,7 +7453,7 @@ def decode_parquet_v2_delta(
                 if vend > len(data):
                     raise ValueError("page body overruns file")
                 if enc == 5 and name == int_col:
-                    got, endp = _delta_binary_packed(data, vstart)
+                    got, endp = _delta_binary_packed(data, vstart, n)
                     if len(got) != n:
                         raise ValueError("delta run count != page rows")
                     if endp > vend:
@@ -7449,7 +7461,7 @@ def decode_parquet_v2_delta(
                     vals.extend(got)
                 elif enc == 6 and name == str_col:
                     vals.extend(
-                        _delta_length_byte_array(data, vstart, vend)
+                        _delta_length_byte_array(data, vstart, vend, n)
                     )
                 else:
                     raise ValueError(

@@ -743,3 +743,40 @@ def test_stream_semantic_dedup_eliminates_rekeyed_dupes(
     assert sum(fed.values()) > sum(base.values()), (
         "no duplicates were injected — the test is vacuous"
     )
+
+
+def test_delta_binary_packed_bomb_guard():
+    """A crafted delta header claiming 2^40 values with bit-width-0
+    miniblocks consumes no input while yielding values — the decoder
+    must reject a total beyond the caller's max_values instead of
+    expanding without bound (the inflate/lz4 bomb-guard discipline)."""
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _delta_binary_packed,
+    )
+
+    def uvarint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    # header: block 128, 4 miniblocks, total 2^40, first value 0;
+    # then one block: min_delta 0, bit widths all 0 (no data bytes)
+    bomb = (
+        uvarint(128) + uvarint(4) + uvarint(1 << 40) + uvarint(0)
+        + uvarint(0) + bytes([0, 0, 0, 0])
+    )
+    with _pytest.raises(ValueError, match="bomb"):
+        _delta_binary_packed(bomb, 0, max_values=10_000)
+    # an honest small run under the cap still decodes (first value and
+    # min-delta are ZIGZAG varints: zigzag(10) = 20, zigzag(0) = 0)
+    small = uvarint(128) + uvarint(4) + uvarint(3) + uvarint(20) + (
+        uvarint(0) + bytes([0, 0, 0, 0])
+    )
+    vals, _ = _delta_binary_packed(small, 0, max_values=10_000)
+    assert vals == [10, 10, 10]

@@ -4157,69 +4157,91 @@ def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BLOOM_M/64 longs (16 KiB here; size m and k from the expected build
 # cardinality: m ~ 1.44 * n * log2(1/fp), k ~ m/n * ln 2).
 # ---------------------------------------------------------------------------
-BLOOM_M = 1 << 17  # bits in the filter
-BLOOM_K = 3  # hash functions (xxhash64 seeds)
+# Split-block sizing note: with all BLOOM_K bits of a key confined to
+# ONE word, the load that matters is keys-per-word, not bits-per-key —
+# a word holding c keys has ~3c of its 64 bits set, so FPR per probe is
+# ~(3c/64)^3 and the filter SATURATES near c ≈ 20 (measured: the 2048-
+# word layout that served the classic filter passed everything at
+# sf0.1's ~45k build keys and made the query 2x slower). 32768 words
+# (256 KiB broadcast — still nothing) keeps c ≈ 1.4 at sf0.1 and FPR
+# ~3e-4; at a 100 TB build side you size words ≈ keys/2 the same way.
+BLOOM_M = 1 << 21  # bits in the filter (BLOOM_M/64 = 32768 words)
+BLOOM_K = 3  # bit positions per key (xxhash64 seeds)
 Q74_PRICE_MIN = 150_000.0
 
 
-def bloom_build(keys: DataFrame, key: str) -> DataFrame:
-    """One broadcast-sized row: a DENSE array of BLOOM_M/64 longs over
-    the BLOOM_K xxhash64 bit positions of every build-side key. Dense
-    array, not map: Spark's MapType lookup is a linear scan over the
-    entries (measured 1.8 s for 600k probe rows against a 2048-entry
-    map at sf0.1 vs 0.6 s dense), while ``arr[i]`` is O(1). The
-    sparse->dense expansion runs once, inside the one-row aggregate."""
-    pos = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(BLOOM_M))
-                    for s in range(BLOOM_K)
-                ]
-            )
-        ).alias("pos")
+def _bloom_word_and_mask(key_col: str) -> tuple:
+    """SQL text for the SPLIT-BLOCK bloom coordinates of a key: the
+    single word index (seed 0) and the BLOOM_K-bit mask within that
+    word (seeds 1..K) — shared by build and probe so the two sides
+    can never drift."""
+    word = f"cast(pmod(xxhash64({key_col}, 0), {BLOOM_M // 64}) as int)"
+    mask = " | ".join(
+        f"shiftleft(1L, cast(pmod(xxhash64({key_col}, {s}), 64) as int))"
+        for s in range(1, BLOOM_K + 1)
     )
-    return (
-        pos.selectExpr(
-            "cast(pos / 64 as bigint) AS word",
-            "shiftleft(1L, cast(pos % 64 as int)) AS bit",
+    return word, f"({mask})"
+
+
+def bloom_build(keys: DataFrame, key: str) -> DataFrame:
+    """One broadcast-sized row: a DENSE array of BLOOM_M/64 longs,
+    SPLIT-BLOCK layout (Impala/Parquet's register-blocked bloom): all
+    BLOOM_K bits of a key live in ONE word picked by seed 0, with the
+    bit positions from seeds 1..K. One word per key means the probe is
+    a single array access and — the motivating cost on this engine — a
+    single scalar-subquery reference instead of K (the classic layout's
+    K conjuncts each re-instantiate the subquery; ~3.5 s of per-run
+    stage scheduling at sf0.1, measured across r10-r13). Dense array,
+    not map: Spark's MapType lookup is a linear scan over the entries
+    (measured 1.8 s for 600k probe rows against a 2048-entry map at
+    sf0.1 vs 0.6 s dense), while ``arr[i]`` is O(1). The sparse->dense
+    expansion runs once, inside the one-row aggregate."""
+    word, mask = _bloom_word_and_mask(key)
+    sparse = (
+        keys.selectExpr(
+            f"cast({word} as bigint) AS word", f"{mask} AS bit"
         )
         .groupBy("word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("word", "bits")))
-            ).alias("m")
-        )
-        .selectExpr(
-            f"transform(sequence(0L, {BLOOM_M // 64 - 1}L),"
-            " w -> coalesce(m[w], 0L)) AS bloom"
-        )
+    )
+    # Sparse -> dense via a range left-join + one sorted collect. NOT
+    # via per-element map lookup (transform(sequence(..), w -> m[w])):
+    # Spark's GetMapValue is a linear scan, which makes that expansion
+    # O(words^2) in one task — fine at 2048 words, a multi-minute hang
+    # at 32768 (measured this round).
+    dense = (
+        keys.sparkSession.range(BLOOM_M // 64)
+        .withColumnRenamed("id", "word")
+        .join(F.broadcast(sparse), "word", "left")
+        .selectExpr("word", "coalesce(bits, 0L) AS bits")
+    )
+    return dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(word, bits))),"
+            " x -> x.bits)"
+        ).alias("bloom")
     )
 
 
 def bloom_might_contain(key_col: str, bloom_ref: str = "bloom") -> "F.Column":
-    """Predicate over a probe row given the bloom map (a column named
+    """Predicate over a probe row given the bloom array (a column named
     ``bloom`` by default, or any SQL expression — e.g. a scalar subquery
-    ``(SELECT bloom FROM v)`` — via ``bloom_ref``): every one of the
-    BLOOM_K bit positions must be set. Each of the K conjuncts
-    instantiates the scalar subquery again — folding them into one
-    ``forall`` is not an option (Spark rejects subqueries inside
-    higher-order functions), so the plan carries K copies of the bitmap
-    build. That's the accepted cost: the build side is by premise the
-    SMALL side (the whole point of a bloom prefilter), each copy is a
-    two-level aggregate over the already-filtered key set, and AQE's
-    runtime exchange reuse dedupes their identical shuffle stages; the
-    probe-side scan the filter saves is orders of magnitude larger."""
-    cond = F.lit(True)
-    for s in range(BLOOM_K):
-        pos = f"pmod(xxhash64({key_col}, {s}), {BLOOM_M})"
-        probe = (
-            f"(({bloom_ref})[cast({pos} / 64 as int)]"
-            f" & shiftleft(1L, cast({pos} % 64 as int)))"
-        )
-        cond = cond & (F.expr(probe) != 0)
-    return cond
+    ``(SELECT bloom FROM v)`` — via ``bloom_ref``): the key's single
+    split-block word must contain its whole BLOOM_K-bit mask
+    (``word & mask = mask``). ONE ``bloom_ref`` occurrence — the point
+    of the blocked layout on this engine: the classic layout's K
+    conjuncts each re-instantiate a scalar-subquery reference (folding
+    them into one ``forall`` is not an option — Spark rejects
+    subqueries inside higher-order functions), and constraint
+    propagation inferred K more copies onto the build side, ~6 subquery
+    jobs and ~3.5 s of stage scheduling per run at sf0.1 (measured,
+    r10-r13). The blocked probe carries exactly one subquery instance,
+    and the one-word access is also the cache-friendly shape at 100 TB
+    (one cache line per probe instead of K)."""
+    word, mask = _bloom_word_and_mask(key_col)
+    return F.expr(
+        f"(({bloom_ref})[{word}] & {mask}) = {mask}"
+    )
 
 
 @query(
@@ -4258,15 +4280,16 @@ def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > Q74_PRICE_MIN)
         .select("o_orderkey")
     )
-    # Sandbox-scale cost note: the probe instantiates the scalar
-    # subquery K times and constraint propagation infers K more copies
-    # onto the build side, so one execution schedules ~6 small subquery
-    # jobs (~3.5 s of stage scheduling at sf0.1 — measured; a
-    # localCheckpoint doesn't help because each subquery instance
-    # copies the logical plan, and binding the bitmap as a 2048-long
-    # LITERAL is worse: ~7 s of per-run plan analysis). That floor is
-    # independent of probe-side size — at 100 TB the saved probe
-    # shuffle dominates it by orders of magnitude.
+    # Cost history (the r10-r13 scheduling-floor saga, resolved r13):
+    # the CLASSIC k-conjunct probe instantiated the scalar subquery K
+    # times (constraint propagation inferred K more onto the build
+    # side) — ~6 subquery jobs, a measured ~3.5-5 s floor at sf0.1
+    # independent of probe size; a localCheckpoint didn't help (each
+    # instance copies the logical plan) and binding the bitmap as a
+    # 2048-long LITERAL was worse (~7 s of per-run analysis). The
+    # SPLIT-BLOCK layout (bloom_build) needs exactly one subquery
+    # reference, collapsing the floor: 1.2 s warm at sf0.1 vs 3.8 s
+    # classic, same session, 6-run A/B this round.
     bloom_build(keys, "o_orderkey").createOrReplaceTempView("q74_bloom")
     candidates = lineitem.filter(
         bloom_might_contain("l_orderkey", "SELECT bloom FROM q74_bloom")

@@ -32,6 +32,37 @@ Staged surface (see each section comment for the scale argument):
   (dataset-freeze semantics: keep docs in doc_id order until the
   source's budget is spent); the running token total is the q57/q28
   two-level prefix decomposition, never a corpus-wide window.
+- ``ta_renyi_repetition`` — Rényi-2 collision probability per doc
+  (the log-free repetitiveness signal), exact ppm integers.
+- ``ta_dsir_quantized`` — DSIR importance weights with bit-length-
+  quantized log ratios (length(bin(x)) on both engines), a 1024-row
+  broadcast LM at any corpus size.
+- ``dedup_bbit_minhash`` — b-bit minwise hashing (Li & König 2010)
+  over the shared banded candidate front end; corrected estimator
+  collapses to exact integers at b=4, n=16.
+- ``sim_rp_lsh_cosine`` — random-hyperplane LSH (32 planes, 8x4-bit
+  bands) with power-of-two quantization so every sign bit is the
+  same BIGINT on both engines; exact-cosine rerank, top-5/query.
+- ``mm_lz4_block_decode`` — hand LZ4 block codec both directions
+  (greedy hash-chain compressor as the fixture, strict bomb-guarded
+  decompressor as the engine).
+- ``mm_tiff_strip_decode`` — data-carrying strips through the
+  established encode_tiff/parse_tiff_ifds pair (strips parameter,
+  not a second IFD codec); pixel checksums recomputed closed-form.
+- ``mm_riff_webp`` — generic RIFF chunk walk (padding rules, META
+  chunks) + the shared VP8L 14-bit dimension codec.
+- ``mm_parquet_datapage_v2`` — byte-level DataPageV2 decode:
+  DELTA_BINARY_PACKED int64 + DELTA_LENGTH_BYTE_ARRAY strings, no
+  parquet library on the read side.
+- ``q131_cusum_changepoint`` / ``q132_sax_symbols`` /
+  ``q133_ks_test`` — CUSUM changepoints, SAX symbolization, and the
+  exact two-sample KS statistic, all with day/value-grain reductions
+  ahead of every window and integer-only hashes.
+- ``skew_range_balance`` — RangePartitioner-model split-point audit
+  via two-level exact order statistics over a deterministic sample.
+- ``stream_semantic_dedup`` — cross-batch
+  dropDuplicatesWithinWatermark on semantic keys, proven against
+  injected re-keyed duplicates arriving a slice later.
 """
 
 from __future__ import annotations

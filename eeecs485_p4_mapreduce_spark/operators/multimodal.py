@@ -7314,6 +7314,16 @@ def walk_riff_webp(data: bytes) -> dict:
 # followed by the concatenated bytes). Same strictness discipline as
 # every decoder here: geometry, bounds, and cross-checks all raise.
 # ---------------------------------------------------------------------------
+# Hard ceiling on values any single parquet page may claim. The page
+# header's num_values and the delta run's own total are BOTH attacker
+# bytes in a crafted file, so capping one with the other is circular —
+# this constant is the non-derived bound (4M values/page is ~3 orders
+# above the 512-byte-page spools this repo decodes, while bounding the
+# worst-case Python list at tens of MB, not the 2^40 a forged header
+# can demand with zero-bit-width miniblocks).
+_MAX_PQ_PAGE_VALUES = 1 << 22
+
+
 def _delta_binary_packed(buf: bytes, pos: int, max_values: int | None = None):
     """Decode one DELTA_BINARY_PACKED run from ``buf[pos:]``; returns
     (values, end_pos). The total count is in the run's own header —
@@ -7328,7 +7338,9 @@ def _delta_binary_packed(buf: bytes, pos: int, max_values: int | None = None):
     total = tc.uvarint()
     first = tc.zigzag()
     pos = tc.pos
-    if max_values is not None and total > max_values:
+    if total > _MAX_PQ_PAGE_VALUES or (
+        max_values is not None and total > max_values
+    ):
         raise ValueError(
             "delta run claims more values than the page holds"
             " (decompression bomb?)"
@@ -7447,6 +7459,11 @@ def decode_parquet_v2_delta(
                         "level bytes on a REQUIRED column"
                     )
                 n = d2["num_values"]
+                if n > _MAX_PQ_PAGE_VALUES:
+                    raise ValueError(
+                        "page num_values beyond the per-page ceiling"
+                        " (decompression bomb?)"
+                    )
                 enc = d2["encoding"]
                 vstart = body
                 vend = body + ph["compressed"]
@@ -7460,9 +7477,14 @@ def decode_parquet_v2_delta(
                         raise ValueError("delta run overruns page")
                     vals.extend(got)
                 elif enc == 6 and name == str_col:
-                    vals.extend(
-                        _delta_length_byte_array(data, vstart, vend, n)
+                    got_s = _delta_length_byte_array(
+                        data, vstart, vend, n
                     )
+                    if len(got_s) != n:
+                        raise ValueError(
+                            "delta-length run count != page rows"
+                        )
+                    vals.extend(got_s)
                 else:
                     raise ValueError(
                         f"encoding {enc} for {name} unsupported"

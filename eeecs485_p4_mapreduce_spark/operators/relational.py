@@ -4153,9 +4153,10 @@ def q73_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact semi-join then removes the false positives, making the whole
 # prefilter correctness-neutral (the oracle is the plain semi-join).
 # The bitmap is built distributed (groupBy word -> bit_or, never a
-# driver-side loop) and packed into ONE broadcast map row of
-# BLOOM_M/64 longs (16 KiB here; size m and k from the expected build
-# cardinality: m ~ 1.44 * n * log2(1/fp), k ~ m/n * ln 2).
+# driver-side loop) and packed into ONE broadcast dense-array row of
+# BLOOM_M/64 longs (256 KiB here; split-block sizing is keys-per-word,
+# see the note below — NOT the classic m ~ 1.44*n*log2(1/fp) formula,
+# which assumes bits spread over the whole filter).
 # ---------------------------------------------------------------------------
 # Split-block sizing note: with all BLOOM_K bits of a key confined to
 # ONE word, the load that matters is keys-per-word, not bits-per-key —
@@ -4262,7 +4263,7 @@ def q74_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue of lineitems belonging to big-ticket orders, computed as
     bloom-prefilter -> exact LEFT SEMI join -> aggregate. The bitmap
     (built by ``bloom_build``, checked by ``bloom_might_contain``) is
-    broadcast as one 16 KiB map row and evaluated inside the probe
+    broadcast as one 256 KiB dense-array row, evaluated inside the probe
     side's scan stage, so the shuffle only carries candidate rows; the
     semi-join scrubs the false positives, and the oracle (the plain IN
     semi-join) proves the prefilter changed nothing. This is the

@@ -54,12 +54,6 @@ Staged surface (see each section comment for the scale argument):
 - ``mm_parquet_datapage_v2`` — byte-level DataPageV2 decode:
   DELTA_BINARY_PACKED int64 + DELTA_LENGTH_BYTE_ARRAY strings, no
   parquet library on the read side.
-- ``q131_cusum_changepoint`` / ``q132_sax_symbols`` /
-  ``q133_ks_test`` — CUSUM changepoints, SAX symbolization, and the
-  exact two-sample KS statistic, all with day/value-grain reductions
-  ahead of every window and integer-only hashes.
-- ``skew_range_balance`` — RangePartitioner-model split-point audit
-  via two-level exact order statistics over a deterministic sample.
 - ``stream_semantic_dedup`` — cross-batch
   dropDuplicatesWithinWatermark on semantic keys, proven against
   injected re-keyed duplicates arriving a slice later.

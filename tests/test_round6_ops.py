@@ -43,7 +43,8 @@ def test_bloom_prefilter_no_false_negatives_and_selective(spark, sf_dir):
     missed = true_matches.filter(~F.col("might")).count()
     assert missed == 0, "bloom false negative"
     # false-positive rate over the NON-matching rows must be small
-    # (m=131072 bits, k=3, ~4.5k build keys at sf0.001 -> fp << 10%)
+    # (split-block: 32768 words, 3 bits/key in ONE word, ~4.5k build
+    # keys at sf0.001 -> ~0.14 keys/word -> fp ~ (3c/64)^3 << 10%)
     fp_rate = (n_candidates - n_true) / max(1, n_total - n_true)
     assert fp_rate < 0.10, fp_rate
 

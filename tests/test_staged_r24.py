@@ -780,3 +780,34 @@ def test_delta_binary_packed_bomb_guard():
     )
     vals, _ = _delta_binary_packed(small, 0, max_values=10_000)
     assert vals == [10, 10, 10]
+
+
+def test_delta_page_values_absolute_ceiling():
+    """The bomb cap must NOT be derivable from the crafted file alone:
+    a header claiming num_values == total == 2^40 passes a
+    total<=num_values comparison, so an absolute per-page ceiling has
+    to reject it regardless of what the page header says."""
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _MAX_PQ_PAGE_VALUES,
+        _delta_binary_packed,
+    )
+
+    def uvarint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    bomb = (
+        uvarint(128) + uvarint(4) + uvarint(1 << 40) + uvarint(0)
+        + uvarint(0) + bytes([0, 0, 0, 0])
+    )
+    # max_values colluding with the forged total must not bypass the cap
+    with _pytest.raises(ValueError, match="bomb"):
+        _delta_binary_packed(bomb, 0, max_values=1 << 40)
+    assert _MAX_PQ_PAGE_VALUES < 1 << 40

@@ -811,3 +811,20 @@ def test_delta_page_values_absolute_ceiling():
     with _pytest.raises(ValueError, match="bomb"):
         _delta_binary_packed(bomb, 0, max_values=1 << 40)
     assert _MAX_PQ_PAGE_VALUES < 1 << 40
+
+
+def test_staged_names_do_not_shadow_registered_queries():
+    """The r13 collision lesson: a staged query reusing a REGISTERED
+    name silently never registers (register_staged_dict skips present
+    names) and mislabels probe rows. Every staged name must either be
+    absent from the registry (pre-flip) or registered AS the staged
+    function (post-flip) — never shadowed by an older query."""
+    from eeecs485_p4_mapreduce_spark.registry import QUERIES, load_all
+
+    load_all()
+    shadowed = [
+        n
+        for n, (fn, _oracle) in staged_r24.STAGED.items()
+        if n in QUERIES and QUERIES[n] is not fn
+    ]
+    assert not shadowed, f"staged names shadowed by registered: {shadowed}"

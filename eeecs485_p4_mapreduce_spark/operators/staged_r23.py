@@ -716,7 +716,13 @@ def mm_deflate_fixed_huffman(
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = _py_toks(text)
                 s = " ".join(toks[:DEFLATE_TOKS])
-                payload = f"{s} | {s}".encode()
+                try:
+                    payload = f"{s} | {s}".encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
                 if d % 2 == 0:
                     co = _zlib.compressobj(
                         6, _zlib.DEFLATED, 15, 9, _zlib.Z_FIXED
@@ -829,7 +835,13 @@ def mm_deflate_dynamic_huffman(
             for d, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = _py_toks(text)
                 s = " ".join(toks[:DEFLATE_DYN_TOKS])
-                payload = f"{s} # {s.upper()}".encode()
+                try:
+                    payload = f"{s} # {s.upper()}".encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
                 blob = _zlib.compress(payload, 9)
                 dec, info = inflate_zlib(blob)
                 if dec != payload:
@@ -1372,7 +1384,15 @@ def mm_gzip_inflate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads = []
                 for m in range(nm):
                     s = " ".join(toks[m * GZI_TOKS : (m + 1) * GZI_TOKS])
-                    payloads.append(f"{s} / {s.upper()}".encode())
+                    try:
+                        payloads.append(
+                            f"{s} / {s.upper()}".encode("ascii")
+                        )
+                    except UnicodeEncodeError as exc:
+                        raise ValueError(
+                            f"doc {d}: non-ASCII text breaks the"
+                            " oracle's char/byte identity"
+                        ) from exc
                 blob = b"".join(
                     encode_member(d, m, p) for m, p in enumerate(payloads)
                 )

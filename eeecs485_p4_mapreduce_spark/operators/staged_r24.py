@@ -57,6 +57,13 @@ Staged surface (see each section comment for the scale argument):
 - ``stream_semantic_dedup`` — cross-batch
   dropDuplicatesWithinWatermark on semantic keys, proven against
   injected re-keyed duplicates arriving a slice later.
+- ``q134_mann_whitney`` — exact Mann-Whitney U with doubled-midrank
+  integer tie handling; the AUC effect size is the module's one
+  deliberate double (the ppm integer form overflows BIGINT at the
+  x100 probe scale — measured).
+- ``q135_ewma_spikes`` — EWMA (alpha=1/5) spike detection, engine
+  fold vs recursive-CTE oracle; nonnegative-only recurrences so
+  Spark div == DuckDB // holds.
 """
 
 from __future__ import annotations
@@ -1517,6 +1524,184 @@ def stream_semantic_dedup(
     return out.select("event_type", "n_events")
 
 
+# ---------------------------------------------------------------------------
+# q134_mann_whitney. Exact Mann-Whitney U (Wilcoxon rank-sum) between
+# the returned / non-returned quantity distributions — the rank-based
+# complement to q133's KS distance. Ties use midranks; doubling every
+# rank keeps the arithmetic integer: for value v with cum_before
+# items below it and t_v total items at it, 2*midrank(v) =
+# 2*cum_before + t_v + 1, so 2*R_A = sum ca_v * (2*cum_before + t_v
+# + 1) and 2*U_A = 2*R_A - na*(na+1) are exact BIGINTs; the
+# common-language effect size (P(A > B) + P(A = B)/2, the AUC) is
+# u2_a / (2*na*nb) reported as a 6dp-rounded DOUBLE — the one
+# deliberate non-integer: rank-sums scale as n^2, so the ppm integer
+# form (u2 * 1e6) overflows BIGINT near n ~ 3M rows (caught by the
+# x100 probe), while the double ratio is exact to ~1e-16 relative at
+# any scale. Same scale shape as q133: one value-grain partial count
+# is the only fact shuffle.
+# ---------------------------------------------------------------------------
+Q134_MW_ORACLE = """
+    WITH vals AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS ca,
+             CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT)
+               AS cb
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM vals
+    ), ranked AS (
+      SELECT v, ca, cb,
+             coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM vals
+    )
+    SELECT na, nb,
+           CAST(sum(ca * (2 * below + (ca + cb) + 1))
+                - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(2 * na * nb
+                - (sum(ca * (2 * below + (ca + cb) + 1))
+                   - na * (na + 1)) AS BIGINT) AS u2_b,
+           round(CAST(sum(ca * (2 * below + (ca + cb) + 1))
+                      - na * (na + 1) AS DOUBLE)
+                 / (2.0 * na * nb), 6) + 0.0 AS auc_r
+    FROM ranked, tot
+    GROUP BY na, nb
+"""
+
+
+def q134_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U with midrank tie handling (see section
+    comment): value-grain counts, doubled-rank integer arithmetic,
+    AUC effect size in ppm."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = (
+        li.selectExpr(
+            "cast(round(l_quantity) as bigint) AS v",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa",
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("isa").cast("bigint").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("isa"))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w_below), F.lit(0)
+        ).alias("below"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.expr(
+                "CAST(sum(ca * (2 * below + (ca + cb) + 1))"
+                " - na * (na + 1) AS BIGINT)"
+            ).alias("u2_a"),
+            F.expr(
+                "CAST(2 * na * nb - (sum(ca * (2 * below + (ca + cb)"
+                " + 1)) - na * (na + 1)) AS BIGINT)"
+            ).alias("u2_b"),
+            F.expr(
+                "round(CAST(sum(ca * (2 * below + (ca + cb) + 1))"
+                " - na * (na + 1) AS DOUBLE) / (2.0d * na * nb), 6)"
+                " + 0.0d"
+            ).alias("auc_r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135_ewma_spikes. EWMA (single exponential smoothing, alpha = 1/5)
+# anomaly detection over the daily revenue series: l_t =
+# (y_t + 4*l_{t-1}) // 5 with l_0 = y_0 — every state NONNEGATIVE, so
+# Spark's truncating `div` and DuckDB's flooring `//` agree (the sign
+# caveat that rules out signed-trend recurrences like Holt's beta
+# term in exact arithmetic). A day is a spike when y_t * 2 >
+# 3 * l_{t-1} (50% above the smoothed level, cross-multiplied — no
+# division). The engine folds the recurrence with one aggregate()
+# over the sorted day array (calendar-bounded, ~2.5k structs in one
+# row); the oracle is a recursive CTE — genuinely different
+# evaluation strategies agreeing on every integer is the check.
+# ---------------------------------------------------------------------------
+Q135_EWMA_ORACLE = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) // 86400
+               AS BIGINT) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), seq AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, day, y FROM daily
+    ), rec AS (
+      SELECT t, day, y, y AS l, CAST(0 AS BIGINT) AS prev_l
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s.t, s.day, s.y, (s.y + 4 * r.l) // 5 AS l,
+             r.l AS prev_l
+      FROM seq s JOIN rec r ON s.t = r.t + 1
+    )
+    SELECT day, y, CAST(l AS BIGINT) AS ewma,
+           CAST(prev_l AS BIGINT) AS ewma_prev,
+           CAST(t > 1 AND y * 2 > 3 * prev_l AS INT) AS is_spike
+    FROM rec
+"""
+
+
+def q135_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike detection over daily revenue (see section comment):
+    day-grain reduction, one array fold for the recurrence, exact
+    integers end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.selectExpr(
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " div 86400000000 AS day",
+            "cast(round(l_extendedprice * 100) as bigint) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    # One row: the sorted (day, y) array; the fold carries (prev_l,
+    # emitted rows) and replays l_t = (y + 4*l)/5 in order.
+    fold = """
+      aggregate(
+        array_sort(collect_list(struct(day, y))),
+        named_struct(
+          'l', cast(-1 as bigint),
+          'rows', cast(array() as
+            array<struct<day:bigint, y:bigint, ewma:bigint,
+                         ewma_prev:bigint, is_spike:int>>)),
+        (acc, e) -> named_struct(
+          'l', IF(acc.l < 0, e.y, (e.y + 4 * acc.l) div 5),
+          'rows', array_append(acc.rows, named_struct(
+            'day', e.day, 'y', e.y,
+            'ewma', IF(acc.l < 0, e.y, (e.y + 4 * acc.l) div 5),
+            'ewma_prev', IF(acc.l < 0, cast(0 as bigint), acc.l),
+            'is_spike', IF(acc.l >= 0 AND e.y * 2 > 3 * acc.l, 1, 0)))),
+        acc -> acc.rows
+      )
+    """
+    return daily.agg(
+        F.expr(fold).alias("rows")
+    ).selectExpr("inline(rows)")
+
+
 def _staged() -> dict:
     return {
         "q131_cusum_changepoint": (q131_cusum_changepoint, Q131_CUSUM_ORACLE),
@@ -1542,6 +1727,8 @@ def _staged() -> dict:
             stream_semantic_dedup,
             STREAM_SEMDEDUP_ORACLE,
         ),
+        "q134_mann_whitney": (q134_mann_whitney, Q134_MW_ORACLE),
+        "q135_ewma_spikes": (q135_ewma_spikes, Q135_EWMA_ORACLE),
     }
 
 

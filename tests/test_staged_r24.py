@@ -828,3 +828,73 @@ def test_staged_names_do_not_shadow_registered_queries():
         if n in QUERIES and QUERIES[n] is not fn
     ]
     assert not shadowed, f"staged names shadowed by registered: {shadowed}"
+
+
+def test_mann_whitney_matches_python(spark, duck, sf_dir):
+    """Doubled-midrank arithmetic vs a from-scratch python rank-sum,
+    plus the U_A + U_B = na*nb identity and the AUC/rank duality."""
+    from collections import Counter
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r24 import (
+        q134_mann_whitney,
+    )
+
+    rows = duck.sql(
+        "SELECT CAST(round(l_quantity) AS BIGINT),"
+        " l_returnflag = 'R' FROM lineitem"
+    ).fetchall()
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for v, is_a in rows:
+        (ca if is_a else cb)[v] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    # brute-force pairwise definition of U_A: wins + ties/2 (doubled)
+    u2 = 0
+    for va, n_a in ca.items():
+        for vb, n_b in cb.items():
+            if va > vb:
+                u2 += 2 * n_a * n_b
+            elif va == vb:
+                u2 += n_a * n_b
+    got = q134_mann_whitney(spark, sf_dir).collect()[0]
+    assert (got["na"], got["nb"]) == (na, nb)
+    assert got["u2_a"] == u2
+    assert got["u2_a"] + got["u2_b"] == 2 * na * nb
+    assert abs(got["auc_r"] - u2 / (2 * na * nb)) < 1e-6
+
+
+def test_ewma_spikes_matches_python(spark, duck, sf_dir):
+    """The aggregate() fold vs a plain python replay of the
+    recurrence, including first-day semantics and the cross-multiplied
+    spike rule."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r24 import (
+        q135_ewma_spikes,
+    )
+
+    daily = duck.sql(
+        "SELECT CAST(epoch(CAST(l_shipdate AS TIMESTAMP)) // 86400"
+        " AS BIGINT) AS day,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        " AS BIGINT) FROM lineitem GROUP BY 1 ORDER BY day"
+    ).fetchall()
+    expect = {}
+    l_prev = None
+    for day, y in daily:
+        if l_prev is None:
+            expect[day] = (y, y, 0, 0)
+            l_prev = y
+        else:
+            l_new = (y + 4 * l_prev) // 5
+            expect[day] = (
+                y,
+                l_new,
+                l_prev,
+                1 if y * 2 > 3 * l_prev else 0,
+            )
+            l_prev = l_new
+    got = {
+        r["day"]: (r["y"], r["ewma"], r["ewma_prev"], r["is_spike"])
+        for r in q135_ewma_spikes(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[3] for v in got.values()), "no spike days — vacuous"

@@ -292,12 +292,16 @@ class MRManagerServer:
         ``wave`` nonce the worker echoes; an event whose echoed nonce
         mismatches is skipped. Events WITHOUT the field (a worker
         predating the nonce, or reference tooling) are accepted on the
-        sender+tid match only under ``legacy_wave_compat=True``; by
-        default a nonce-less finished from the assigned worker fails
-        the job fast with an error naming the flag — never a silent
-        indefinite hang (a compliant worker always echoes the nonce,
-        so the event proves the fleet contains a worker that drops
-        unknown fields and whose tasks can never complete)."""
+        sender+tid match only under ``legacy_wave_compat=True``. By
+        default the first nonce-less finished from an assigned worker
+        quarantines THAT worker for the wave and requeues its task
+        (sender identity is body-reported, so one spoofed packet must
+        not kill the job); a second struck worker, or a wave with no
+        un-struck live workers left, fails the job fast with an error
+        naming the flag — never a silent indefinite hang (a compliant
+        worker always echoes the nonce, so repeated nonce-less events
+        prove a fleet that drops unknown fields and whose tasks can
+        never complete the nonce check)."""
         from collections import deque
 
         wave_nonce = next(self._wave_seq)
@@ -306,6 +310,16 @@ class MRManagerServer:
         done: dict[int, dict] = {}
         busy: set[tuple[str, int]] = set()
         attempts: dict[int, int] = {}
+        # Workers that sent a nonce-less finished for their assigned
+        # task under strict mode: quarantined from further dispatch
+        # this wave (see the nonce-less branch below).
+        nonceless_struck: set[tuple[str, int]] = set()
+        legacy_remedy = (
+            " without echoing the wave nonce; it likely predates the"
+            " nonce protocol — start the manager with"
+            " legacy_wave_compat=True to accept nonce-less finished"
+            " events"
+        )
         with self.task_event:
             # Events from completed waves are never re-read (each wave
             # cursors forward from its start); prune so a long-lived
@@ -345,17 +359,28 @@ class MRManagerServer:
                         # tooling / a worker predating the nonce).
                         # Strict default: the event proves this worker
                         # drops unknown fields, so its tasks can NEVER
-                        # complete the nonce check — fail fast with the
-                        # remedy instead of spinning forever.
+                        # complete the nonce check. But the sender
+                        # identity is body-reported, not socket-peer —
+                        # one spoofed packet must not kill the job. So:
+                        # first offense per worker QUARANTINES that
+                        # worker for the wave and requeues its task
+                        # elsewhere (C7-safe: task writes are atomic,
+                        # re-execution is the normal reassignment
+                        # path); a SECOND struck worker — or a wave
+                        # left with no eligible workers (checked below)
+                        # — proves a legacy fleet, not a stray packet,
+                        # and fails fast with the remedy.
                         if not self.legacy_wave_compat:
-                            raise RuntimeError(
-                                f"worker {wkey[0]}:{wkey[1]} reported"
-                                f" task {tid} finished without echoing"
-                                " the wave nonce; it likely predates"
-                                " the nonce protocol — start the"
-                                " manager with legacy_wave_compat=True"
-                                " to accept nonce-less finished events"
-                            )
+                            nonceless_struck.add(wkey)
+                            if len(nonceless_struck) >= 2:
+                                raise RuntimeError(
+                                    "two workers reported finished"
+                                    + legacy_remedy
+                                )
+                            del inflight[tid]
+                            busy.discard(wkey)
+                            pending.append(task)
+                            continue
                     if ev.get("error"):
                         # Worker survived but the task failed: requeue
                         # elsewhere (bounded attempts), free the worker.
@@ -384,8 +409,13 @@ class MRManagerServer:
                     if wkey not in alive:
                         self.workers.pop(wkey, None)  # dead until re-register
                     pending.append(task)
-                # C5: deal pending tasks to idle live workers.
-                idle = [k for k in sorted(set(alive) - busy) if k in self.workers]
+                # C5: deal pending tasks to idle live workers
+                # (nonce-less offenders stay quarantined this wave).
+                idle = [
+                    k
+                    for k in sorted(set(alive) - busy - nonceless_struck)
+                    if k in self.workers
+                ]
                 while pending and idle:
                     wkey = idle.pop()
                     task = pending.popleft()
@@ -409,8 +439,21 @@ class MRManagerServer:
                     tid = int(task["task_id"])
                     attempts[tid] = attempts.get(tid, 0) + 1
                     inflight[tid] = (wkey, alive[wkey], task)
-                if pending and not inflight and not self.alive_workers():
-                    raise RuntimeError("no live workers left for dispatch")
+                if pending and not inflight:
+                    live = {
+                        (w.host, w.port) for w in self.alive_workers()
+                    }
+                    if not live:
+                        raise RuntimeError(
+                            "no live workers left for dispatch"
+                        )
+                    if not (live - nonceless_struck):
+                        # Every live worker struck out nonce-less:
+                        # that's a legacy fleet, not a spoofed packet.
+                        raise RuntimeError(
+                            "every live worker reported finished"
+                            + legacy_remedy
+                        )
                 self.task_event.wait(timeout=0.2)
         return [done[int(t["task_id"])] for t in tasks]
 

@@ -7363,7 +7363,12 @@ def _delta_binary_packed(buf: bytes, pos: int, max_values: int | None = None):
         pos += n_mini
         for bw in bws:
             if len(vals) >= total:
-                # unneeded trailing miniblocks carry bw=0 and no data
+                # unneeded trailing miniblocks carry bw=0 and no data;
+                # validate a forged nonzero bw like the consumed path
+                # so the error names the bit width, not a misleading
+                # downstream overrun
+                if bw > 64:
+                    raise ValueError("delta bit width > 64")
                 if bw:
                     pos += mb * bw // 8
                 continue

@@ -17,9 +17,10 @@ Staged surface (see each section comment for the scale argument):
   windows run over a calendar-bounded relation.
 - ``q133_ks_test`` — exact two-sample Kolmogorov-Smirnov D between
   returned and non-returned lineitem quantity distributions via
-  cross-multiplied integer CDFs (D_num = max |cA*nB - cB*nA|), no
-  floats anywhere; the value-grain reduction bounds the merged
-  support at the quantity domain.
+  cross-multiplied integer CDFs (D_num = max |cA*nB - cB*nA|); the
+  D ratio is the family's second deliberate 6dp double (D_num ~ n^2
+  overflows a ppm BIGINT form, q134's class); the value-grain
+  reduction bounds the merged support at the quantity domain.
 - ``q132_sax_symbols`` — SAX-style symbolization of the daily revenue
   series: PAA segment means in exact per-mille arithmetic, symbols
   from exact order-statistic breakpoints of the segment values.
@@ -173,8 +174,12 @@ def q131_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |F_A(x) - F_B(x)| between the l_quantity distributions of returned
 # (l_returnflag = 'R') and non-returned lineitems. Cross-multiplying
 # removes the division: D_num = max |cumA*nB - cumB*nA| over the
-# merged support, and D = D_num / (nA*nB) is reported in exact ppm
-# (integer // after the max). Scale: quantity has a tiny value domain,
+# merged support, and D = D_num / (nA*nB) is reported as a 6dp-rounded
+# DOUBLE (d_r) — the same overflow class q134's AUC hit: D_num scales
+# as nA*nB ~ n^2, so a ppm integer form (D_num * 1e6) overflows BIGINT
+# near n ~ 3M rows even when D itself is small; dividing the two exact
+# BIGINTs as doubles is IEEE-deterministic on both engines at any
+# scale. Scale: quantity has a tiny value domain,
 # so the per-(value, side) partial count is the only fact shuffle and
 # the CDF windows run over a support-bounded relation — the same
 # value-grain reduction q60's histogram uses. The argmax value is
@@ -202,8 +207,8 @@ Q133_KS_ORACLE = """
     )
     SELECT na, nb,
            CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
-           CAST(max(abs(cuma * nb - cumb * na)) * 1000000
-                // (na * nb) AS BIGINT) AS d_ppm,
+           round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                 / (1.0 * na * nb), 6) + 0.0 AS d_r,
            CAST(min(v) FILTER (WHERE abs(cuma * nb - cumb * na) =
              (SELECT max(abs(c2.cuma * t2.nb - c2.cumb * t2.na))
               FROM cdf c2, tot t2)) AS BIGINT) AS d_at_value
@@ -216,7 +221,8 @@ def q133_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between returned / non-returned
     quantity distributions (see section comment): one value-grain
     partial-count shuffle on the fact table, integer CDF
-    cross-multiplication, ppm output."""
+    cross-multiplication, 6dp-rounded double D ratio (the ppm integer
+    form would overflow BIGINT at ~3M rows — q134's measured class)."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = (
         li.selectExpr(
@@ -260,8 +266,9 @@ def q133_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("gap").cast("bigint").alias("d_num"),
             F.expr(
-                "CAST(max(gap) * 1000000 div (na * nb) AS BIGINT)"
-            ).alias("d_ppm"),
+                "round(CAST(max(gap) AS DOUBLE) / (1.0d * na * nb), 6)"
+                " + 0.0d"
+            ).alias("d_r"),
             F.min(F.when(F.col("gap") == F.col("mxgap"), F.col("v")))
             .cast("bigint")
             .alias("d_at_value"),
@@ -1533,8 +1540,8 @@ def stream_semantic_dedup(
 # 2*cum_before + t_v + 1, so 2*R_A = sum ca_v * (2*cum_before + t_v
 # + 1) and 2*U_A = 2*R_A - na*(na+1) are exact BIGINTs; the
 # common-language effect size (P(A > B) + P(A = B)/2, the AUC) is
-# u2_a / (2*na*nb) reported as a 6dp-rounded DOUBLE — the one
-# deliberate non-integer: rank-sums scale as n^2, so the ppm integer
+# u2_a / (2*na*nb) reported as a 6dp-rounded DOUBLE (like q133's
+# d_r, a deliberate non-integer): rank-sums scale as n^2, so the ppm integer
 # form (u2 * 1e6) overflows BIGINT near n ~ 3M rows (caught by the
 # x100 probe), while the double ratio is exact to ~1e-16 relative at
 # any scale. Same scale shape as q133: one value-grain partial count
@@ -1575,7 +1582,8 @@ Q134_MW_ORACLE = """
 def q134_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney U with midrank tie handling (see section
     comment): value-grain counts, doubled-rank integer arithmetic,
-    AUC effect size in ppm."""
+    AUC effect size as a 6dp-rounded double (the ppm integer form
+    overflows BIGINT at the x100 probe scale — measured)."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = (
         li.selectExpr(

@@ -289,6 +289,59 @@ def test_nonceless_finished_fails_fast_unless_legacy(monkeypatch):
     assert [int(ev["task_id"]) for ev in done] == [0]
 
 
+def test_single_spoofed_nonceless_event_does_not_kill_job(monkeypatch):
+    """Sender identity in ``finished`` is body-reported, not
+    socket-peer, so ONE spoofed nonce-less packet must not abort the
+    job: the struck worker is quarantined for the wave, its task is
+    requeued to the other (compliant) worker, and the wave completes.
+    The struck worker's own later nonce-echo for the reassigned task
+    is skipped by the sender check (task now belongs elsewhere)."""
+    from eeecs485_p4_mapreduce_spark.mrlite import manager as mgr
+
+    srv = mgr.MRManagerServer(None, port=0, hb_port=None)
+    wa = ("localhost", 7003)
+    wb = ("localhost", 7004)
+    srv.workers[wa] = mgr.WorkerRecord(host=wa[0], port=wa[1])
+    srv.workers[wb] = mgr.WorkerRecord(host=wb[0], port=wb[1])
+    spoofed = {"sent": False}
+
+    def fake_send(host, port, message):
+        events = []
+        if not spoofed["sent"]:
+            # Attacker forges a nonce-less finished claiming the
+            # assigned worker's identity before the worker replies.
+            spoofed["sent"] = True
+            events.append(
+                {
+                    "message_type": "finished",
+                    "task_id": message["task_id"],
+                    "worker_host": host,
+                    "worker_port": port,
+                }
+            )
+        else:
+            # Compliant worker: echoes the wave nonce.
+            events.append(
+                {
+                    "message_type": "finished",
+                    "task_id": message["task_id"],
+                    "worker_host": host,
+                    "worker_port": port,
+                    "wave": message["wave"],
+                }
+            )
+        with srv.task_event:
+            srv.task_events.extend(events)
+            srv.task_event.notify_all()
+
+    monkeypatch.setattr(mgr, "send_json", fake_send)
+    done = srv._dispatch_wave(
+        [{"task_id": 0, "message_type": "new_map_task"}]
+    )
+    assert [int(ev["task_id"]) for ev in done] == [0]
+    assert done[0].get("wave") is not None
+
+
 def test_stale_prior_wave_nonce_still_skipped(monkeypatch):
     """The fail-fast path must not weaken the original guarantee: an
     event WITH a wave field from a previous wave (stale echo) is still

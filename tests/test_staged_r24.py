@@ -409,7 +409,7 @@ def test_ks_matches_python(spark, duck, sf_dir):
     got = q133_ks_test(spark, sf_dir).collect()[0]
     assert got["na"] == na and got["nb"] == nb
     assert got["d_num"] == best[0]
-    assert got["d_ppm"] == best[0] * 1000000 // (na * nb)
+    assert abs(got["d_r"] - best[0] / (na * nb)) < 1e-6
     assert got["d_at_value"] == best[1]
 
 

@@ -78,6 +78,23 @@ def _active_force_recheck(last_green: dict[str, int]) -> list[str]:
     ]
 
 DRIVER_PRIORITY = [
+    # staged_r24 flips (first driver rows expected in CORRECTNESS_r14)
+    "mm_parquet_datapage_v2",
+    "mm_lz4_block_decode",
+    "mm_tiff_strip_decode",
+    "mm_riff_webp",
+    "sim_rp_lsh_cosine",
+    "dedup_bbit_minhash",
+    "ta_renyi_repetition",
+    "ta_dsir_quantized",
+    "q131_cusum_changepoint",
+    "q132_sax_symbols",
+    "q133_ks_test",
+    "q134_mann_whitney",
+    "q135_ewma_spikes",
+    "skew_range_balance",
+    "curate_token_budget_cap",
+    "stream_semantic_dedup",
     # staged_r23 flips (first driver rows expected in CORRECTNESS_r13)
     "mm_parquet_datapage",
     "mm_deflate_fixed_huffman",
@@ -457,6 +474,7 @@ def load_all() -> None:
         staged_r21,
         staged_r22,
         staged_r23,
+        staged_r24,
     )
 
     staged.register_staged()
@@ -477,4 +495,5 @@ def load_all() -> None:
     staged_r21.register_staged()
     staged_r22.register_staged()
     staged_r23.register_staged()
+    staged_r24.register_staged()
     _prioritize()

@@ -1,0 +1,538 @@
+"""Queries STAGED for the next registration round (r25 pipeline),
+keeping the every-round staging tradition after the staged_r24 flip.
+
+Same discipline as operators/staged_r9-r24: built, pytest hash-checked
+against DuckDB at sf0.001 and sf0.01 (tests/test_staged_r25.py),
+fixture-tested with independent references, plan-gate swept (incl. the
+CartesianProduct gate), and x10/x100 replica-probed BEFORE
+registration. Same contract as every registered query: identical
+aliases both sides, round()-ed or integer-exact outputs, no nullable
+hash-bearing columns.
+
+Staged surface (see each section comment for the scale argument):
+
+- ``q136_ktruss_edges`` — k-truss peeling on the co-purchase graph:
+  per-edge triangle support, edges below the data-derived support
+  threshold peeled for TRUSS_ROUNDS fixed rounds (the edge-level
+  analog of q129's node k-core; degree-oriented enumeration, q72's
+  wedge discipline, every round).
+- ``q138_hill_tail_index`` — Hill tail-index estimator over the
+  customer spend distribution with bit-length-quantized logs
+  (length(bin(x)) both engines, the ta_dsir_quantized identity);
+  top-k selection is a mergeable TakeOrderedAndProject, never a
+  fact-grain rank window.
+- ``q139_spearman_rho`` — Spearman rank correlation between the
+  daily order-count and daily-revenue series: doubled midranks
+  (q134's integer tie trick) feed exact BIGINT Pearson sums on the
+  calendar-bounded day grain; rho is a 6dp-rounded double of exact
+  integer components.
+- ``sim_ivf_delta_upsert`` — incremental IVF index maintenance:
+  centroids FROZEN from the base corpus, a delta batch of inserts
+  assigned alone (delta-sized work, the 100 TB upsert path), deletes
+  tombstoned — merged posting stats hash-equal to a full rebuild.
+- ``sim_ivf_upsert_search`` — top-k cosine search over the upserted
+  index (inserts visible, tombstones excluded at probe time):
+  end-to-end proof that delta maintenance preserves search results.
+- ``stream_ann_upsert`` — the streaming twin: foreachBatch folds
+  micro-batched vector upserts into per-centroid posting counts;
+  final state equals the batch oracle.
+- ``mm_mpeg1_layer1_subbands`` — real MPEG-1 Audio Layer I bitstream
+  decode (syncword, header field tables, 4-bit allocations, 6-bit
+  scalefactor indices, MSB-first sample codes, spec slot-length
+  check); narrows the declared perceptual-audio stub to the float
+  synthesis filterbank only.
+- ``mm_png_adam7`` — Adam7 interlaced PNG decode through the
+  hand inflate + per-pass defilter core (the existing
+  decode_png_pixels path, exercised corpus-wide with a closed-form
+  pixel-sum oracle).
+- ``mm_zip64_eocd`` — ZIP64 archives: EOCD64 record + locator,
+  0xFFFFFFFF/0xFFFF sentinel handling, and the 0x0001 extended
+  information extra field, walked strictly from the end.
+- ``dedup_winnowing`` — robust winnowing (Schleimer/MOSS): per-doc
+  fingerprint selection by the window-minimum rule (positional, NOT
+  ta_fingerprint's single global min), then cross-doc shared
+  fingerprint counts through a bounded bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eeecs485_p4_mapreduce_spark.catalog import load_table
+
+_DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+_SPARK_TOKS = "split(lower(text), '[ \t]')"
+
+
+def _py_toks(text: str) -> list:
+    toks: list = []
+    for t in text.split(" "):
+        toks.extend(t.split("\t"))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# q136_ktruss_edges. K-truss peeling on the co-purchase graph (q72's
+# edge definition: part pairs co-ordered >= 2 times, canonical
+# part_a < part_b): each round enumerates triangles with q72's
+# degree-oriented wedge join (the lowest-degree apex generates each
+# wedge exactly once — work O(sum deg(v)^2) over the ORIENTED degree,
+# the standard bound), maps each triangle back to its three canonical
+# edges, counts per-edge support, and peels edges whose support is
+# below the data-derived threshold T = max(1, 3*|tri|/|E|) (mean
+# support on the unpeeled graph, exact integer division — a fixed
+# constant is vacuous at one SF and graph-emptying at another).
+# TRUSS_ROUNDS fixed peels, then one final enumeration scores the
+# survivors — the fixed-iteration-is-the-oracle-checkable-unit
+# argument of q129/q69 (a truss fixpoint is this plan repeated).
+# Scale: edges localCheckpointed per round (O(1) plan depth), all
+# joins key-partitioned integer joins, no windows, no collects.
+# ---------------------------------------------------------------------------
+TRUSS_ROUNDS = 2
+
+
+def _truss_round_ctes(r: int) -> str:
+    """Oracle CTEs for one support enumeration over und{r}. Every
+    multi-referenced CTE is MATERIALIZED: DuckDB inlines CTEs by
+    default, and ori{r} is referenced three times by tri{r} — across
+    the round chain the inlined expansion is exponential (a measured
+    >9 min hang at sf0.001 vs ~1 s materialized)."""
+    return f"""
+    deg{r} AS MATERIALIZED (
+      SELECT node, count(*) AS dg FROM (
+        SELECT part_a AS node FROM und{r}
+        UNION ALL SELECT part_b FROM und{r}
+      ) GROUP BY node
+    ),
+    ori{r} AS MATERIALIZED (
+      SELECT CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_a ELSE part_b END AS src,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_b ELSE part_a END AS dst,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN db.dg ELSE da.dg END AS dst_dg
+      FROM und{r}
+      JOIN deg{r} da ON da.node = part_a
+      JOIN deg{r} db ON db.node = part_b
+    ),
+    tri{r} AS MATERIALIZED (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM ori{r} e1
+      JOIN ori{r} e2
+        ON e1.src = e2.src
+       AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)
+      JOIN ori{r} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    sup{r} AS MATERIALIZED (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri{r}
+        UNION ALL SELECT least(u, w), greatest(u, w) FROM tri{r}
+        UNION ALL SELECT least(v, w), greatest(v, w) FROM tri{r}
+      ) GROUP BY a, b
+    )"""
+
+
+def _ktruss_oracle() -> str:
+    parts = [
+        """und0 AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )"""
+    ]
+    parts.append(_truss_round_ctes(0))
+    parts.append(
+        """tt AS (
+      SELECT greatest(1, 3 * (SELECT count(*) FROM tri0)
+                         // (SELECT count(*) FROM und0)) AS t
+    )"""
+    )
+    for r in range(TRUSS_ROUNDS):
+        parts.append(
+            f"""und{r + 1} AS MATERIALIZED (
+      SELECT u.part_a, u.part_b FROM und{r} u
+      JOIN sup{r} s ON s.a = u.part_a AND s.b = u.part_b
+      WHERE s.c >= (SELECT t FROM tt)
+    )"""
+        )
+        if r + 1 <= TRUSS_ROUNDS:
+            parts.append(_truss_round_ctes(r + 1))
+    last = TRUSS_ROUNDS
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT u.part_a, u.part_b,
+           CAST(coalesce(s.c, 0) AS BIGINT) AS support
+    FROM und{last} u
+    LEFT JOIN sup{last} s ON s.a = u.part_a AND s.b = u.part_b
+    """
+    )
+
+
+Q136_KTRUSS_ORACLE = _ktruss_oracle()
+
+
+def _co_purchase_edges(li: DataFrame) -> DataFrame:
+    """q72's edge definition via the shared pair-count helper."""
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        _co_order_pair_counts,
+    )
+
+    return _co_order_pair_counts(li, "c").select("part_a", "part_b")
+
+
+def _truss_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of the canonical edge list ``und``
+    (part_a < part_b) via q72's degree-oriented enumeration."""
+    deg = (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("dg").alias("da"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("dg").alias("db"))
+    a_first = F.struct("da", "part_a") < F.struct("db", "part_b")
+    oriented = (
+        und.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            F.when(a_first, F.col("part_a"))
+            .otherwise(F.col("part_b"))
+            .alias("src"),
+            F.when(a_first, F.col("part_b"))
+            .otherwise(F.col("part_a"))
+            .alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias(
+                "dst_dg"
+            ),
+        )
+        .localCheckpoint(eager=False)  # consumed 3x (e1/e2/closing)
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_dg").alias("v_dg"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_dg").alias("w_dg"),
+    )
+    wedges = e1.join(e2, "u").filter(
+        F.struct("v_dg", "v") < F.struct("w_dg", "w")
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"),
+                ),
+                F.struct(
+                    F.least("u", "w").alias("a"),
+                    F.greatest("u", "w").alias("b"),
+                ),
+                F.struct(
+                    F.least("v", "w").alias("a"),
+                    F.greatest("v", "w").alias("b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def q136_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{TRUSS_ROUNDS}-round k-truss peel at the data-derived support
+    threshold T = max(1, 3*|tri|/|E|) over the co-purchase graph;
+    returns surviving edges with their post-peel support (see section
+    comment for the scale shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _co_purchase_edges(li).localCheckpoint(eager=False)
+    sup = _truss_support(und).localCheckpoint(eager=False)
+    t_df = (
+        sup.agg((F.sum("c")).alias("tri3"))
+        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("ne"))))
+        .selectExpr("greatest(1, tri3 div ne) AS t")
+        .localCheckpoint()  # 1 row (sum of supports == 3*|tri|)
+    )
+    for _r in range(TRUSS_ROUNDS):
+        und = (
+            und.join(
+                sup,
+                (F.col("part_a") == F.col("a"))
+                & (F.col("part_b") == F.col("b")),
+                "inner",
+            )
+            .crossJoin(F.broadcast(t_df))
+            .filter(F.col("c") >= F.col("t"))
+            .select("part_a", "part_b")
+            .localCheckpoint(eager=False)
+        )
+        sup = _truss_support(und).localCheckpoint(eager=False)
+    return (
+        und.join(
+            sup,
+            (F.col("part_a") == F.col("a"))
+            & (F.col("part_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias(
+                "support"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138_hill_tail_index. Hill estimator for the Pareto tail index of
+# the customer spend distribution: over the top k = max(1, n/100)
+# spenders, gamma-hat = (1/k) * sum ln(x_(i) / x_(k+1)). Logs are
+# quantized to integer bit lengths (length(bin(x)) — exact floor
+# log2 + 1, identical on both engines, the ta_dsir_quantized
+# identity), so the sum of per-rank bit-length gaps and its per-k
+# milli mean are exact BIGINTs. Scale: one customer-grain aggregate
+# (map-side combinable), k collected as the one scalar driver value
+# (guarded one-row aggregate, the staged.py:534 pattern) so top-k+1
+# selection is a literal-k TakeOrderedAndProject — each task keeps
+# its k+1 best, merge is k+1-sized; never a fact-grain rank window.
+# ---------------------------------------------------------------------------
+Q138_HILL_ORACLE = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), nn AS (
+      SELECT count(*) AS n, greatest(1, count(*) // 100) AS k FROM spend
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS r
+      FROM spend
+    ), ref AS (
+      SELECT cents AS x_ref FROM ranked, nn WHERE r = k + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(k AS BIGINT) AS k,
+           CAST(x_ref AS BIGINT) AS x_ref_cents,
+           CAST(sum(length(bin(cents)) - length(bin(x_ref)))
+                AS BIGINT) AS hill_bits_sum,
+           CAST(sum(length(bin(cents)) - length(bin(x_ref))) * 1000
+                // k AS BIGINT) AS hill_milli
+    FROM ranked, nn, ref
+    WHERE r <= k
+    GROUP BY n, k, x_ref
+"""
+
+
+def q138_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-length-quantized Hill tail-index over customer spend (see
+    section comment): one fact aggregate, literal-k top-(k+1)
+    selection, exact integer output."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # consumed twice (count + top-k)
+    )
+    n = spend.count()  # guarded scalar: one-row aggregate to the driver
+    if n < 2:
+        raise ValueError("hill estimator needs >= 2 customers")
+    k = max(1, n // 100)
+    top = (
+        spend.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        .limit(k + 1)  # literal k -> TakeOrderedAndProject, mergeable
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+            ),  # window over the k+1 GlobalLimit survivors only
+        )
+    )
+    ref = top.filter(F.col("r") == k + 1).select(
+        F.col("cents").alias("x_ref")
+    )
+    return (
+        top.filter(F.col("r") <= k)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.lit(n).cast("bigint").alias("n_customers"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.first("x_ref").cast("bigint").alias("x_ref_cents"),
+            F.sum(
+                F.expr("length(bin(cents)) - length(bin(x_ref))")
+            )
+            .cast("bigint")
+            .alias("hill_bits_sum"),
+            F.expr(
+                "CAST(sum(length(bin(cents)) - length(bin(x_ref)))"
+                f" * 1000 div {k} AS BIGINT)"
+            ).alias("hill_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139_spearman_rho. Spearman rank correlation between the daily
+# order-count and daily-revenue series. Ranks use q134's doubled
+# midranks (2*midrank = 2*cum_before + t + 1 — exact integers under
+# ties), then Pearson on the doubled ranks: n, Sx, Sy, Sxx, Syy, Sxy
+# are exact BIGINTs on the calendar-bounded day grain (n ~ 2.4k days
+# at EVERY scale factor, so the n^2-scaled sums are overflow-safe by
+# domain, unlike q133/q134's row-scaled forms). rho = (n*Sxy - Sx*Sy)
+# / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) as a 6dp-rounded double
+# of exact integer components — sqrt applied per factor so no integer
+# product ever exceeds BIGINT. Scale: one day-grain shuffle on the
+# fact table; the midrank windows run over value-grain relations
+# bounded by the day domain (q131/q132 discipline).
+# ---------------------------------------------------------------------------
+Q139_SPEARMAN_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400
+               AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), rx AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS t,
+             CAST(coalesce(sum(count(*)) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM daily GROUP BY x
+    ), ry AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS t,
+             CAST(coalesce(sum(count(*)) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM daily GROUP BY y
+    ), ranked AS (
+      SELECT d.day,
+             2 * rx.below + rx.t + 1 AS mx,
+             2 * ry.below + ry.t + 1 AS my
+      FROM daily d JOIN rx ON d.x = rx.x JOIN ry ON d.y = ry.y
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS sx,
+             CAST(sum(my) AS BIGINT) AS sy,
+             CAST(sum(mx * mx) AS BIGINT) AS sxx,
+             CAST(sum(my * my) AS BIGINT) AS syy,
+             CAST(sum(mx * my) AS BIGINT) AS sxy
+      FROM ranked
+    )
+    SELECT n AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+           round(coalesce(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+             0.0), 6) + 0.0 AS rho_r
+    FROM sums
+"""
+
+
+def q139_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation via doubled midranks (see section
+    comment): one day-grain shuffle, value-grain midrank windows,
+    exact BIGINT Pearson sums, 6dp-rounded double rho."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.selectExpr(
+            "unix_micros(cast(o_orderdate as timestamp))"
+            " div 86400000000 AS day",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum("cents").cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # day-grain, consumed 3x
+    )
+
+    def midranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            daily.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .select(
+                col,
+                "t",
+                F.coalesce(F.sum("t").over(w), F.lit(0))
+                .cast("bigint")
+                .alias("below"),
+            )
+        )
+
+    ranked = (
+        daily.join(midranks("x"), "x")
+        .withColumnRenamed("t", "tx")
+        .withColumnRenamed("below", "bx")
+        .join(midranks("y"), "y")
+        .select(
+            "day",
+            (2 * F.col("bx") + F.col("tx") + 1).alias("mx"),
+            (2 * F.col("below") + F.col("t") + 1).alias("my"),
+        )
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("mx").cast("bigint").alias("sx"),
+            F.sum("my").cast("bigint").alias("sy"),
+            F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("sxx"),
+            F.sum(F.col("my") * F.col("my")).cast("bigint").alias("syy"),
+            F.sum(F.col("mx") * F.col("my")).cast("bigint").alias("sxy"),
+        )
+        .selectExpr(
+            "n AS n_days",
+            "CAST(n * sxy - sx * sy AS BIGINT) AS rho_num",
+            "round(coalesce("
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0d),"
+            " 0.0d), 6) + 0.0d AS rho_r",
+        )
+    )
+
+
+def _staged() -> dict:
+    return {
+        "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
+        "q138_hill_tail_index": (q138_hill_tail_index, Q138_HILL_ORACLE),
+        "q139_spearman_rho": (q139_spearman_rho, Q139_SPEARMAN_ORACLE),
+    }
+
+
+STAGED = _staged()
+
+
+def register_staged() -> None:
+    """Registration hook: called from registry.load_all(). Idempotent."""
+    from eeecs485_p4_mapreduce_spark.registry import register_staged_dict
+
+    register_staged_dict(STAGED)

@@ -1,0 +1,203 @@
+"""Oracle + independent-reference tests for the staged_r25 queries
+(same harness as test_staged_r9-r24: DuckDB hash parity at the
+session sf_dir, plus per-query independent checks the hash can't
+express)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+from eeecs485_p4_mapreduce_spark.operators import staged_r25
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_staged_names_do_not_shadow_registered_queries():
+    """The r13 lesson (a staged TIFF name collided with a registered
+    r9 query, could never register, and its probe run overwrote the
+    registered query's SCALING row): every staged name must be new."""
+    from eeecs485_p4_mapreduce_spark import registry
+
+    registry.load_all()
+    already = set(registry.QUERIES) - set(staged_r25.STAGED)
+    clashes = set(staged_r25.STAGED) & already
+    assert not clashes, f"staged names shadow registered queries: {clashes}"
+
+
+@pytest.mark.parametrize("name", sorted(staged_r25.STAGED))
+def test_staged_r25_matches_oracle(spark, duck, sf_dir, name):
+    sys.path.insert(0, str(REPO_ROOT / "tools"))
+    from oracle_check import canon_lines, lines_hash
+
+    fn, oracle = staged_r25.STAGED[name]
+    s_pd = fn(spark, sf_dir).toPandas()
+    d_pd = duck.sql(oracle).df()
+    assert len(s_pd) == len(d_pd), f"{name}: {len(s_pd)} != {len(d_pd)}"
+    assert sorted(s_pd.columns) == sorted(d_pd.columns)
+    assert lines_hash(canon_lines(s_pd)) == lines_hash(canon_lines(d_pd)), name
+
+
+# --- q136 k-truss ------------------------------------------------------------
+
+
+def test_ktruss_matches_python(spark, sf_dir):
+    """Independent reference: brute-force triangle supports + peel in
+    pure Python over the co-purchase edge set."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        TRUSS_ROUNDS,
+        q136_ktruss_edges,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT a.l_partkey, b.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM
+              read_parquet('{table_path(sf_dir, "lineitem")}')) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM
+              read_parquet('{table_path(sf_dir, "lineitem")}')) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    edges = {tuple(r) for r in rows}
+
+    def supports(es: set) -> dict:
+        adj: dict = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {}
+        for u, v in es:
+            sup[(u, v)] = len(adj[u] & adj[v])
+        return sup
+
+    sup0 = supports(edges)
+    n_tri3 = sum(sup0.values())
+    t = max(1, n_tri3 // max(1, len(edges)))
+    cur = set(edges)
+    for _ in range(TRUSS_ROUNDS):
+        sup = supports(cur)
+        cur = {e for e in cur if sup[e] >= t}
+    final_sup = supports(cur)
+    got = {
+        (r["part_a"], r["part_b"]): r["support"]
+        for r in q136_ktruss_edges(spark, sf_dir).collect()
+    }
+    assert got == {e: final_sup[e] for e in cur}
+
+
+def test_ktruss_threshold_bites(spark, sf_dir):
+    """The data-derived threshold must actually peel: the surviving
+    edge set is strictly smaller than the input edge set, and every
+    survivor's support >= 1 would be vacuous — assert the peel dropped
+    triangle-free edges."""
+    import duckdb
+
+    from eeecs485_p4_mapreduce_spark.catalog import table_path
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        q136_ktruss_edges,
+    )
+
+    con = duckdb.connect()
+    n_edges = con.sql(
+        f"""
+        SELECT count(*) FROM (
+          SELECT a.l_partkey, b.l_partkey
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM
+                read_parquet('{table_path(sf_dir, "lineitem")}')) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM
+                read_parquet('{table_path(sf_dir, "lineitem")}')) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        """
+    ).fetchone()[0]
+    survivors = q136_ktruss_edges(spark, sf_dir).count()
+    assert 0 < survivors < n_edges
+
+
+# --- q138 Hill estimator -----------------------------------------------------
+
+
+def test_hill_matches_python(spark, duck, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        q138_hill_tail_index,
+    )
+
+    spend = sorted(
+        (
+            (int(c), int(k))
+            for k, c in duck.sql(
+                "SELECT o_custkey, CAST(sum(CAST(round(o_totalprice"
+                " * 100) AS BIGINT)) AS BIGINT) FROM orders GROUP BY 1"
+            ).fetchall()
+        ),
+        key=lambda r: (-r[0], r[1]),
+    )
+    n = len(spend)
+    k = max(1, n // 100)
+    x_ref = spend[k][0]
+    bits = lambda x: x.bit_length()  # noqa: E731 — length(bin(x)) identity
+    s = sum(bits(c) - bits(x_ref) for c, _ in spend[:k])
+    got = q138_hill_tail_index(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n
+    assert got["k"] == k
+    assert got["x_ref_cents"] == x_ref
+    assert got["hill_bits_sum"] == s
+    assert got["hill_milli"] == s * 1000 // k
+
+
+# --- q139 Spearman -----------------------------------------------------------
+
+
+def test_spearman_matches_scipy_style_python(spark, duck, sf_dir):
+    """Independent reference: textbook Spearman (Pearson over average
+    midranks, float arithmetic) must agree with the integer doubled-
+    midrank form to float precision."""
+    import math
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        q139_spearman_rho,
+    )
+
+    rows = duck.sql(
+        "SELECT CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400"
+        " AS BIGINT), CAST(count(*) AS BIGINT),"
+        " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        " FROM orders GROUP BY 1"
+    ).fetchall()
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+
+    def midrank(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for idx in order[i:j]:
+                ranks[idx] = avg
+            i = j
+        return ranks
+
+    rx, ry = midrank(xs), midrank(ys)
+    n = len(rx)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    expected = num / den if den else 0.0
+    got = q139_spearman_rho(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["rho_r"] - expected) < 1e-5

@@ -520,11 +520,374 @@ def q139_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental ANN maintenance (sim_ivf_delta_upsert /
+# sim_ivf_upsert_search / stream_ann_upsert). How a 100 TB vector
+# corpus actually evolves: the IVF centroids are FROZEN from the base
+# build (retraining per upsert would re-shuffle the whole corpus), a
+# delta batch of inserts is assigned alone — delta-sized work, the
+# only per-upsert cost — and deletes are TOMBSTONES (postings keep
+# the entry; probes filter it), the standard compaction-deferred
+# delete. The oracle recomputes everything from scratch with the same
+# frozen-base centroid definition, so the hash proves incremental
+# maintenance == full rebuild. Splits are deterministic id
+# arithmetic: base = vec_id % 10 != 0, delta inserts = % 10 == 0,
+# tombstones = % 7 == 0 (tombstoning both base and freshly-inserted
+# vectors). Scale: centroids ride the one-row packed broadcast
+# (sim_ivf_search's plan), assignment is row-local argmin, the only
+# shuffle is the cell-grain aggregate / per-query top-k.
+# ---------------------------------------------------------------------------
+_DUCK_BASE_CELLS = """
+    ex AS (
+      SELECT label, ii.i AS i, v[ii.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 10 <> 0),
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    cen AS MATERIALIZED (
+      SELECT label AS c_label, list(m ORDER BY i) AS cv
+      FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, c.c_label,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.c_label) AS rnk
+      FROM embeddings e CROSS JOIN cen c
+    )
+"""
+
+SIM_IVF_DELTA_ORACLE = f"""
+    WITH {_DUCK_BASE_CELLS}
+    SELECT c_label AS assigned_label,
+           CAST(count(*) FILTER (WHERE vec_id % 7 <> 0) AS BIGINT)
+             AS n_live,
+           CAST(count(*) FILTER (WHERE vec_id % 10 = 0
+                                   AND vec_id % 7 <> 0) AS BIGINT)
+             AS n_from_delta,
+           CAST(count(*) FILTER (WHERE vec_id % 7 = 0) AS BIGINT)
+             AS n_tombstoned,
+           CAST(coalesce(sum(vec_id) FILTER (WHERE vec_id % 7 <> 0), 0)
+                AS BIGINT) AS sum_live_ids
+    FROM scored WHERE rnk = 1
+    GROUP BY c_label
+"""
+
+
+def _frozen_base_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row packed centroid table learned from the BASE corpus only
+    (vec_id % 10 != 0) — the frozen index the delta path assigns
+    against."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _centroids,
+        _emb_with_norm,
+    )
+
+    base = _emb_with_norm(spark, sf_dir).filter(
+        F.col("vec_id") % 10 != 0
+    )
+    return (
+        _centroids(base)
+        .agg(F.collect_list(F.struct("c_label", "cv", "cnorm")).alias("cens"))
+        .localCheckpoint(eager=False)  # index metadata: one row
+    )
+
+
+def _assign_to_frozen(
+    emb: DataFrame, packed: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Row-local nearest-centroid assignment against the frozen packed
+    centroids (sim_ivf_search's zero-shuffle argmin)."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _ASSIGN_SORTED,
+    )
+
+    return emb.crossJoin(F.broadcast(packed)).selectExpr(
+        "vec_id",
+        "v",
+        "norm",
+        f"slice({_ASSIGN_SORTED}, 1, {nprobe}) AS top_cells",
+    )
+
+
+def sim_ivf_delta_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF upsert (see section comment): base postings and
+    the delta batch are assigned in two separate passes against the
+    frozen base centroids — the union with tombstone flags is the
+    merged index; hash-equal to the oracle's full rebuild."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir)
+    packed = _frozen_base_packed(spark, sf_dir)
+    base = _assign_to_frozen(
+        emb.filter(F.col("vec_id") % 10 != 0), packed
+    )
+    # The incremental path: ONLY this assignment runs at upsert time
+    # in production (base postings are read back from the index store).
+    delta = _assign_to_frozen(
+        emb.filter(F.col("vec_id") % 10 == 0), packed
+    )
+    merged = base.withColumn("from_delta", F.lit(0)).unionByName(
+        delta.withColumn("from_delta", F.lit(1))
+    )
+    return (
+        merged.selectExpr(
+            "vec_id",
+            "from_delta",
+            "element_at(top_cells, 1).c_label AS assigned_label",
+            "CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS dead",
+        )
+        .groupBy("assigned_label")
+        .agg(
+            F.sum(1 - F.col("dead")).cast("bigint").alias("n_live"),
+            F.sum(F.col("from_delta") * (1 - F.col("dead")))
+            .cast("bigint")
+            .alias("n_from_delta"),
+            F.sum("dead").cast("bigint").alias("n_tombstoned"),
+            F.coalesce(
+                F.sum(F.col("vec_id") * (1 - F.col("dead"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_live_ids"),
+        )
+    )
+
+
+SIM_IVF_UPSERT_SEARCH_ORACLE = f"""
+    WITH {_DUCK_BASE_CELLS},
+    cells AS (
+      SELECT vec_id, embedding, c_label AS cell
+      FROM scored WHERE rnk = 1 AND vec_id % 7 <> 0
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, c_label AS cell
+      FROM scored WHERE vec_id < 5 AND vec_id % 7 <> 0 AND rnk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(p.qemb::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(p.qemb::DOUBLE[],
+                                      p.qemb::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]))) AS cos
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id)
+                      AS rank
+          FROM cand)
+    WHERE rank <= 10
+"""
+
+
+def sim_ivf_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over the upserted IVF index (see section comment):
+    delta inserts are findable, tombstoned vectors are filtered at
+    probe time — the proof that incremental maintenance preserves
+    search semantics."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _emb_with_norm,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir)
+    packed = _frozen_base_packed(spark, sf_dir)
+    scored = _assign_to_frozen(emb, packed, nprobe=2).localCheckpoint(
+        eager=False  # consumed twice (cells + probes)
+    )
+    live = F.col("vec_id") % 7 != 0
+    cells = scored.filter(live).selectExpr(
+        "vec_id",
+        "v",
+        "norm",
+        "element_at(top_cells, 1).c_label AS cell",
+    )
+    probes = (
+        scored.filter(live & (F.col("vec_id") < 5))
+        .selectExpr(
+            "vec_id AS query_id",
+            "v AS qv",
+            "norm AS qnorm",
+            "explode(top_cells) AS tc",
+        )
+        .select(
+            "query_id", "qv", "qnorm", F.col("tc.c_label").alias("cell")
+        )
+    )
+    dotq = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d,"
+        " (acc, x) -> acc + x)"
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cells.join(
+            F.broadcast(probes),
+            (cells["cell"] == probes["cell"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dotq / (F.col("qnorm") * F.col("norm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_topk))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+STREAM_ANN_UPSERT_ORACLE = f"""
+    WITH {_DUCK_BASE_CELLS}
+    SELECT c_label AS assigned_label,
+           CAST(count(*) FILTER (WHERE vec_id % 7 <> 0) AS BIGINT)
+             AS n_live,
+           CAST(coalesce(sum(vec_id) FILTER (WHERE vec_id % 7 <> 0), 0)
+                AS BIGINT) AS sum_live_ids
+    FROM scored WHERE rnk = 1
+    GROUP BY c_label
+"""
+
+
+def stream_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF maintenance (see section comment): vector upserts
+    arrive in 4 micro-batched slices (3 insert waves by vec_id % 3,
+    then a tombstone wave for vec_id % 7 == 0); foreachBatch assigns
+    each batch against the frozen base centroids and folds signed
+    per-cell posting counts. Final state == the batch oracle."""
+    import tempfile
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        cached_layout,
+    )
+
+    def build(sp: SparkSession, d: str) -> None:
+        em = load_table(sp, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        for sl in range(3):
+            (
+                em.filter(F.col("vec_id") % 3 == sl)
+                .withColumn("op", F.lit(1))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(Path(d) / f"slice-{sl:03d}.parquet"))
+            )
+        (
+            em.filter(F.col("vec_id") % 7 == 0)
+            .withColumn("op", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(Path(d) / "slice-900-tombstones.parquet"))
+        )
+
+    spool = cached_layout(spark, sf_dir, "ann_upsert_slices", build)
+    static = spark.read.parquet(spool + "/*.parquet")
+    packed = _frozen_base_packed(spark, sf_dir).localCheckpoint()
+    acc: dict = {"postings": None}
+
+    def fold(batch_df, batch_id: int) -> None:
+        withv = batch_df.select(
+            "vec_id",
+            "op",
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("v"),
+        ).withColumn(
+            "norm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d,"
+                    " (acc, x) -> acc + x)"
+                )
+            ),
+        )
+        part = (
+            _assign_to_frozen(
+                withv.select("vec_id", "op", "v", "norm"), packed
+            )
+            .join(withv.select("vec_id", "op"), "vec_id")
+            .selectExpr(
+                "element_at(top_cells, 1).c_label AS assigned_label",
+                "op",
+                "vec_id",
+            )
+            .groupBy("assigned_label")
+            .agg(
+                F.sum("op").cast("bigint").alias("n_live"),
+                F.sum(F.col("op") * F.col("vec_id"))
+                .cast("bigint")
+                .alias("sum_live_ids"),
+            )
+        )
+        merged = (
+            part
+            if acc["postings"] is None
+            else acc["postings"]
+            .unionByName(part)
+            .groupBy("assigned_label")
+            .agg(
+                F.sum("n_live").cast("bigint").alias("n_live"),
+                F.sum("sum_live_ids")
+                .cast("bigint")
+                .alias("sum_live_ids"),
+            )
+        )
+        # cell-grain state (k rows); the pin keeps lineage O(1) across
+        # batches (the CC-loop rule, SCALE.md)
+        acc["postings"] = merged.localCheckpoint()
+
+    ckpt = tempfile.mkdtemp(prefix="p4spark_ann_upsert_ckpt_")
+    try:
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool + "/*.parquet")
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    out = acc["postings"]
+    if out is None:
+        raise ValueError("ann-upsert stream produced no batches")
+    return out.select("assigned_label", "n_live", "sum_live_ids")
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
         "q138_hill_tail_index": (q138_hill_tail_index, Q138_HILL_ORACLE),
         "q139_spearman_rho": (q139_spearman_rho, Q139_SPEARMAN_ORACLE),
+        "sim_ivf_delta_upsert": (
+            sim_ivf_delta_upsert,
+            SIM_IVF_DELTA_ORACLE,
+        ),
+        "sim_ivf_upsert_search": (
+            sim_ivf_upsert_search,
+            SIM_IVF_UPSERT_SEARCH_ORACLE,
+        ),
+        "stream_ann_upsert": (stream_ann_upsert, STREAM_ANN_UPSERT_ORACLE),
     }
 
 

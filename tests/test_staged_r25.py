@@ -201,3 +201,71 @@ def test_spearman_matches_scipy_style_python(spark, duck, sf_dir):
     got = q139_spearman_rho(spark, sf_dir).collect()[0]
     assert got["n_days"] == n
     assert abs(got["rho_r"] - expected) < 1e-5
+
+
+# --- incremental ANN maintenance --------------------------------------------
+
+
+def test_ivf_delta_upsert_totals(spark, duck, sf_dir):
+    """Cell-level posting stats must re-aggregate to corpus-level
+    truths computable without any centroid math: live/delta/tombstone
+    counts and the live-id checksum."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        sim_ivf_delta_upsert,
+    )
+
+    n, n_delta_live, n_dead, sum_live = duck.sql(
+        "SELECT count(*) FILTER (WHERE vec_id % 7 <> 0),"
+        " count(*) FILTER (WHERE vec_id % 10 = 0 AND vec_id % 7 <> 0),"
+        " count(*) FILTER (WHERE vec_id % 7 = 0),"
+        " coalesce(sum(vec_id) FILTER (WHERE vec_id % 7 <> 0), 0)"
+        " FROM embeddings"
+    ).fetchone()
+    rows = sim_ivf_delta_upsert(spark, sf_dir).collect()
+    assert sum(r["n_live"] for r in rows) == n
+    assert sum(r["n_from_delta"] for r in rows) == n_delta_live
+    assert sum(r["n_tombstoned"] for r in rows) == n_dead
+    assert sum(r["sum_live_ids"] for r in rows) == sum_live
+
+
+def test_upsert_search_tombstones_and_visibility(spark, sf_dir):
+    """Search over the upserted index must (a) never return a
+    tombstoned vector, (b) never use a tombstoned query, (c) have
+    consecutive ranks per query, and (d) surface at least one
+    delta-inserted vector as a neighbor (insert visibility)."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        sim_ivf_upsert_search,
+    )
+
+    rows = sim_ivf_upsert_search(spark, sf_dir).collect()
+    assert rows, "search returned nothing"
+    assert all(r["neighbor_id"] % 7 != 0 for r in rows)
+    assert all(r["query_id"] % 7 != 0 for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    assert any(r["neighbor_id"] % 10 == 0 for r in rows), (
+        "no delta-inserted vector ever surfaced as a neighbor"
+    )
+
+
+def test_stream_ann_upsert_equals_batch_path(spark, sf_dir):
+    """The streaming fold and the batch delta-upsert must agree on
+    the final per-cell live postings — the engine-vs-engine proof
+    that micro-batched maintenance converges to the batch state."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        sim_ivf_delta_upsert,
+        stream_ann_upsert,
+    )
+
+    batch = {
+        r["assigned_label"]: (r["n_live"], r["sum_live_ids"])
+        for r in sim_ivf_delta_upsert(spark, sf_dir).collect()
+    }
+    stream = {
+        r["assigned_label"]: (r["n_live"], r["sum_live_ids"])
+        for r in stream_ann_upsert(spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -874,6 +874,515 @@ def stream_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("assigned_label", "n_live", "sum_live_ids")
 
 
+# ---------------------------------------------------------------------------
+# mm_mpeg1_layer1_subbands. Real MPEG-1 Audio Layer I bitstream
+# decode over the corpus: each doc becomes a 2-frame mono Layer I
+# stream (fixed 160 kbps row of the Layer I bitrate table, sample
+# rate cycling 44.1/48/32 kHz by doc_id, nsb = 4 + doc_id % 5 active
+# subbands with id-derived 4-bit allocations and 6-bit scalefactor
+# indices, sample codes drawn from the doc's bytes) built by
+# encode_mpeg1_layer1 and decoded back by parse_mpeg1_layer1_frames —
+# sync, header tables, spec slot-length math, MSB-first field layout,
+# zero-pad verification. The oracle recomputes every output
+# closed-form from the same id/byte arithmetic (the TIFF/Adler
+# per-char pattern), so the hash proves the BITSTREAM decode, not the
+# builder. dq_ppm is the integer part of the spec requantization
+# (code position in [0,1) as exact ppm — nonnegative, so Spark div ==
+# DuckDB //); the float polyphase synthesis stays the one declared
+# stub (mpeg1_layer1_synthesize). ASCII-gated per the fixture rule:
+# the oracle's per-char ascii() arithmetic is a char/byte identity
+# only for ASCII.
+# ---------------------------------------------------------------------------
+L1_BITRATE_IDX = 5  # 160 kbps — always fits the parameter ranges below
+
+MM_L1_ORACLE = f"""
+    WITH pay AS (
+      SELECT doc_id, text || '#' AS p, length(text || '#') AS len,
+             4 + doc_id % 5 AS nsb,
+             CAST(doc_id % 3 AS BIGINT) AS sr_idx
+      FROM documents
+    ), sb AS MATERIALIZED (
+      SELECT doc_id, i.i AS i,
+             2 + (doc_id + i.i) % 8 AS nb,
+             (doc_id * 7 + i.i * 13) % 63 AS scf
+      FROM pay, LATERAL (SELECT unnest(range(nsb)) AS i) i
+    ), samp AS (
+      SELECT s.doc_id,
+             ascii(p.p[CAST((t.t * p.nsb + s.i) % p.len + 1 AS BIGINT)])
+               % (1 << s.nb) AS code,
+             s.nb
+      FROM sb s JOIN pay p ON p.doc_id = s.doc_id,
+           LATERAL (SELECT unnest(range(24)) AS t) t
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(sum(code) AS BIGINT) AS code_sum,
+             CAST(sum(code * 1000000 // ((1 << nb) - 1)) AS BIGINT)
+               AS dq_ppm_sum
+      FROM samp GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(CASE p.sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS BIGINT) AS sample_rate,
+           CAST(CASE p.sr_idx WHEN 0 THEN 172 WHEN 1 THEN 160
+                ELSE 240 END AS BIGINT) AS frame_bytes,
+           CAST(p.nsb AS BIGINT) AS nsb,
+           CAST((SELECT sum(nb - 1) FROM sb WHERE sb.doc_id = p.doc_id)
+                AS BIGINT) AS alloc_sum,
+           CAST((SELECT sum(scf) FROM sb WHERE sb.doc_id = p.doc_id)
+                AS BIGINT) AS scf_sum,
+           d.code_sum, d.dq_ppm_sum
+    FROM pay p JOIN per_doc d ON d.doc_id = p.doc_id
+"""
+
+
+def mm_mpeg1_layer1_subbands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-trip every doc through the hand MPEG-1 Layer I codec
+    (see section comment); the oracle hash proves the bitstream
+    reader recovered every allocation, scalefactor and sample code
+    exactly."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mpeg1_layer1,
+        mpeg1_layer1_frame_bytes,
+        parse_mpeg1_layer1_frames,
+        MPEG1_SAMPLE_RATES,
+    )
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cols = [
+        "media_id", "n_frames", "sample_rate", "frame_bytes", "nsb",
+        "alloc_sum", "scf_sum", "code_sum", "dq_ppm_sum",
+    ]
+    schema = StructType(
+        [StructField(c, LongType(), False) for c in cols]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                try:
+                    p = (text + "#").encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
+                sr_idx = d % 3
+                nsb = 4 + d % 5
+                alloc = [0] * 32
+                for i in range(nsb):
+                    alloc[i] = 1 + (d + i) % 8
+                active = list(range(nsb))
+                scf = [(d * 7 + i * 13) % 63 for i in range(nsb)]
+                samples = []
+                for g in range(24):  # 2 frames x 12 granules
+                    for i in active:
+                        nb = alloc[i] + 1
+                        samples.append(
+                            p[(g * nsb + i) % len(p)] % (1 << nb)
+                        )
+                per_frame = 12 * nsb
+                blob = encode_mpeg1_layer1(
+                    sr_idx,
+                    L1_BITRATE_IDX,
+                    [
+                        (alloc, scf, samples[:per_frame]),
+                        (alloc, scf, samples[per_frame:]),
+                    ],
+                )
+                dec = parse_mpeg1_layer1_frames(blob)
+                if dec["n_frames"] != 2 or any(
+                    f["alloc"] != alloc or f["scf"] != scf
+                    for f in dec["frames"]
+                ):
+                    raise ValueError(f"doc {d}: layer1 decode mismatch")
+                if (
+                    dec["frames"][0]["samples"] + dec["frames"][1]["samples"]
+                    != samples
+                ):
+                    raise ValueError(f"doc {d}: layer1 sample mismatch")
+                out["media_id"].append(d)
+                out["n_frames"].append(dec["n_frames"])
+                out["sample_rate"].append(MPEG1_SAMPLE_RATES[sr_idx])
+                out["frame_bytes"].append(
+                    mpeg1_layer1_frame_bytes(L1_BITRATE_IDX, sr_idx)
+                )
+                out["nsb"].append(nsb)
+                out["alloc_sum"].append(sum(alloc))
+                out["scf_sum"].append(sum(scf))
+                out["code_sum"].append(dec["code_sum"])
+                out["dq_ppm_sum"].append(dec["dq_ppm_sum"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# mm_png_adam7. Adam7 interlaced PNG decode over the corpus: each doc
+# becomes a w x h greyscale image (w = 1 + doc_id % 21, h = 1 +
+# doc_id % 13 — DELIBERATELY down to 1x1 so empty interlace passes
+# occur, the per-pass geometry edge the spec trips decoders on) whose
+# pixels cycle the doc's bytes; encoded with interlace=True (each
+# pass independently filtered with filter type doc_id % 5) and
+# decoded by decode_png_pixels — chunk walk, table CRC-32, the
+# repo's own inflate, per-pass defilter, Adam7 reassembly. The oracle
+# recomputes the pixel sum closed-form (cycle formula) and the
+# non-empty pass count from pure geometry, so the hash proves the
+# deinterlacer put every pixel back in its place.
+# ---------------------------------------------------------------------------
+MM_ADAM7_ORACLE = """
+    WITH pay AS (
+      SELECT doc_id, text || '#' AS p,
+             1 + doc_id % 21 AS w, 1 + doc_id % 13 AS h
+      FROM documents
+    ), by_char AS MATERIALIZED (
+      SELECT doc_id, w, h, length(p) AS len,
+             ascii(p[c.i]) AS b, c.i AS i
+      FROM pay, LATERAL (SELECT unnest(range(1, length(p) + 1)) AS i) c
+    ), sums AS (
+      SELECT doc_id, w, h, len,
+             sum(b) AS s_all,
+             sum(CASE WHEN i <= (w * h) % len THEN b ELSE 0 END) AS s_pre
+      FROM by_char GROUP BY doc_id, w, h, len
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((w > 0)::INT + (w > 4)::INT + (h > 4)::INT
+              + (w > 2)::INT + (h > 2)::INT + (w > 1)::INT
+              + (h > 1)::INT AS BIGINT) AS n_passes,
+           CAST((w * h) // len * s_all + s_pre AS BIGINT) AS px_sum
+    FROM sums
+"""
+
+
+def mm_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 interlaced PNG round-trip per doc (see section comment);
+    the oracle hash proves pixel-exact deinterlacing."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cols = ["media_id", "width", "height", "n_passes", "px_sum"]
+    schema = StructType(
+        [StructField(c, LongType(), False) for c in cols]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                try:
+                    p = (text + "#").encode("ascii")
+                except UnicodeEncodeError as exc:
+                    raise ValueError(
+                        f"doc {d}: non-ASCII text breaks the oracle's"
+                        " char/byte identity"
+                    ) from exc
+                w = 1 + d % 21
+                h = 1 + d % 13
+                reps = (w * h + len(p) - 1) // len(p)
+                px = np.frombuffer(p * reps, dtype=np.uint8)[
+                    : w * h
+                ].reshape(h, w)
+                blob = encode_png(px, filters=d % 5, interlace=True)
+                got = decode_png_pixels(blob)
+                if got.shape != (h, w) or not (got == px).all():
+                    raise ValueError(f"doc {d}: adam7 decode mismatch")
+                n_passes = sum(
+                    1
+                    for x0, y0, dx, dy in _ADAM7
+                    if w > x0 and h > y0
+                )
+                out["media_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_passes"].append(n_passes)
+                out["px_sum"].append(int(px.sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# mm_zip64_eocd. ZIP64 walk over the corpus: each doc's first (up to)
+# 3 tokens become stored members named m0/m1/m2 of an encode_zip64
+# archive — every classic size/count field saturated to its sentinel,
+# so parse_zip64_entries MUST follow the EOCD -> locator -> EOCD64 ->
+# 0x0001-extra-field indirection to read anything. The oracle
+# recomputes member count, payload bytes and the two structural
+# offsets closed-form from the fixed header sizes (local 30 + name 2
+# + extra 20; central 46 + name 2 + extra 28; EOCD64 56, locator 20,
+# EOCD 22), so the hash proves the walker's offset arithmetic.
+# ASCII-gated: token byte lengths must equal char lengths.
+# ---------------------------------------------------------------------------
+MM_ZIP64_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS}[1:3] AS ts
+      FROM documents
+    ), sized AS (
+      SELECT doc_id,
+             greatest(1, len(ts)) AS n_members,
+             CAST(coalesce(list_sum(list_transform(ts,
+                    t -> length(t))), 0) AS BIGINT) AS payload_bytes
+      FROM toks
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           payload_bytes,
+           CAST(n_members * 128 + payload_bytes + 98 AS BIGINT)
+             AS archive_bytes,
+           CAST(n_members * 128 + payload_bytes AS BIGINT)
+             AS eocd64_offset,
+           CAST(n_members * 76 AS BIGINT) AS central_dir_bytes
+    FROM sized
+"""
+
+
+def mm_zip64_eocd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP64 round-trip per doc (see section comment); the oracle
+    hash pins the sentinel-indirection walk's offset arithmetic."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_zip64,
+        parse_zip64_entries,
+    )
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cols = [
+        "media_id", "n_members", "payload_bytes", "archive_bytes",
+        "eocd64_offset", "central_dir_bytes",
+    ]
+    schema = StructType(
+        [StructField(c, LongType(), False) for c in cols]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict = {c: [] for c in cols}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                toks = _py_toks(text.lower())[:3] or [""]
+                members = []
+                for i, t in enumerate(toks):
+                    try:
+                        body = t.encode("ascii")
+                    except UnicodeEncodeError as exc:
+                        raise ValueError(
+                            f"doc {d}: non-ASCII token breaks the"
+                            " oracle's char/byte identity"
+                        ) from exc
+                    members.append((f"m{i}", body))
+                blob = encode_zip64(members)
+                got, info = parse_zip64_entries(blob)
+                if got != [(n, len(b)) for n, b in members]:
+                    raise ValueError(f"doc {d}: zip64 member mismatch")
+                if info["n_crc_ok"] != len(members):
+                    raise ValueError(f"doc {d}: zip64 crc mismatch")
+                out["media_id"].append(d)
+                out["n_members"].append(info["n_members"])
+                out["payload_bytes"].append(info["payload_bytes"])
+                out["archive_bytes"].append(info["archive_bytes"])
+                out["eocd64_offset"].append(info["eocd64_offset"])
+                out["central_dir_bytes"].append(
+                    info["central_dir_bytes"]
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing. Robust winnowing (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003 — the MOSS fingerprinter): hash every K-char gram, then
+# for each sliding window of W consecutive gram hashes select the
+# RIGHTMOST minimal hash; the distinct selected positions are the
+# doc's fingerprints. Positional window-minimum selection is the
+# guarantee ta_fingerprint's single global min cannot give (any
+# shared substring of length >= K + W - 1 shares a fingerprint).
+# The rightmost-min argnin rides ONE integer key per gram
+# (hash * 2^21 + (2^20 - pos): min key = min hash, ties -> max pos —
+# exact on both engines, no struct ordering needed); selection is a
+# doc-partitioned W-row sliding frame over the gram relation (never
+# an unpartitioned window), and the cross-doc share join is
+# fingerprint-hash-grain. Docs shorter than K + W - 1 chars produce
+# zero fingerprints and still emit a NULL-safe zero row.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8
+WINNOW_W = 4
+
+_WINNOW_MAXPOS = 1 << 20
+
+DEDUP_WINNOW_ORACLE = f"""
+    WITH grams AS MATERIALIZED (
+      SELECT doc_id,
+             i.i AS pos,
+             CAST(CAST(concat('0x', substr(md5(substr(text, i.i,
+               {WINNOW_K})), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) - {WINNOW_K} + 2))
+                    AS i) i
+      WHERE length(text) >= {WINNOW_K}
+    ), keyed AS (
+      SELECT doc_id, pos,
+             h * {1 << 21} + ({_WINNOW_MAXPOS} - pos) AS key,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+    ), winmin AS (
+      SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS wkey
+      FROM keyed
+    ), sel AS MATERIALIZED (
+      SELECT DISTINCT doc_id, n_grams,
+             {_WINNOW_MAXPOS} - wkey % {1 << 21} AS sel_pos,
+             wkey // {1 << 21} AS sel_h
+      FROM winmin
+      WHERE pos <= n_grams - {WINNOW_W} + 1
+    ), shared AS (
+      SELECT sel_h, count(DISTINCT doc_id) AS nd FROM sel GROUP BY sel_h
+    ), per_doc AS (
+      SELECT s.doc_id,
+             CAST(max(s.n_grams) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_fp,
+             CAST(sum(s.sel_h) AS BIGINT) AS fp_sum,
+             CAST(count(DISTINCT CASE WHEN sh.nd >= 2 THEN s.sel_h END)
+                  AS BIGINT) AS n_shared_fp
+      FROM sel s JOIN shared sh ON sh.sel_h = s.sel_h
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams,
+                greatest(length(d.text) - {WINNOW_K} + 1, 0))
+                AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(coalesce(p.fp_sum, 0) AS BIGINT) AS fp_sum,
+           CAST(coalesce(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints + cross-doc sharing (see section
+    comment)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # the packed argmin key reserves 2^20 for the position — fail
+        # loudly past it instead of silently corrupting fingerprints
+        .withColumn(
+            "_guard",
+            F.expr(
+                f"assert_true(length(text) < {_WINNOW_MAXPOS},"
+                " 'winnowing: doc exceeds positional key domain')"
+            ),
+        )
+        .drop("_guard")
+    )
+    grams = (
+        docs.filter(F.length("text") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {WINNOW_K} + 1)")
+            ).alias("pos"),
+            "text",
+        )
+        .selectExpr(
+            "doc_id",
+            "pos",
+            "cast(conv(substring(md5(substring(text, pos,"
+            f" {WINNOW_K})), 1, 8), 16, 10) as bigint) AS h",
+        )
+    )
+    w_doc = Window.partitionBy("doc_id")
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("h") * (1 << 21)
+            + (F.lit(_WINNOW_MAXPOS) - F.col("pos"))
+        ).alias("key"),
+        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
+    )
+    w_slide = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = (
+        keyed.withColumn("wkey", F.min("key").over(w_slide))
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W + 1)
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            f"{_WINNOW_MAXPOS} - wkey % {1 << 21} AS sel_pos",
+            f"wkey div {1 << 21} AS sel_h",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed twice (share + agg)
+    )
+    shared = sel.groupBy("sel_h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        sel.join(shared, "sel_h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum("sel_h").cast("bigint").alias("fp_sum"),
+            F.countDistinct(
+                F.when(F.col("nd") >= 2, F.col("sel_h"))
+            )
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(coalesce(n_grams,"
+            f" greatest(length(text) - {WINNOW_K} + 1, 0))"
+            " AS BIGINT) AS n_grams",
+            "CAST(coalesce(n_fp, 0) AS BIGINT) AS n_fp",
+            "CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum",
+            "CAST(coalesce(n_shared_fp, 0) AS BIGINT) AS n_shared_fp",
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
@@ -888,6 +1397,13 @@ def _staged() -> dict:
             SIM_IVF_UPSERT_SEARCH_ORACLE,
         ),
         "stream_ann_upsert": (stream_ann_upsert, STREAM_ANN_UPSERT_ORACLE),
+        "mm_mpeg1_layer1_subbands": (
+            mm_mpeg1_layer1_subbands,
+            MM_L1_ORACLE,
+        ),
+        "mm_png_adam7": (mm_png_adam7, MM_ADAM7_ORACLE),
+        "mm_zip64_eocd": (mm_zip64_eocd, MM_ZIP64_ORACLE),
+        "dedup_winnowing": (dedup_winnowing, DEDUP_WINNOW_ORACLE),
     }
 
 

@@ -269,3 +269,267 @@ def test_stream_ann_upsert_equals_batch_path(spark, sf_dir):
         for r in stream_ann_upsert(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+# --- MPEG-1 Layer I ----------------------------------------------------------
+
+
+def test_layer1_golden_header():
+    """Hand-assembled header bytes: sync FFF, MPEG-1, Layer I, no CRC,
+    160 kbps (idx 5), 48 kHz (idx 1), mono = FF FF 54 C4 (sync 12 +
+    ID 1 + layer 11 + prot 1 = FFFF; bitrate 0101 + sr 01 + pad 0 +
+    priv 0 = 54; mode 11 + ext 00 + copy 0 + orig 1 + emph 00 = C4);
+    frame is slot-aligned at floor(12 * 160000 / 48000) * 4 = 160
+    bytes."""
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mpeg1_layer1,
+        mpeg1_layer1_frame_bytes,
+    )
+
+    assert mpeg1_layer1_frame_bytes(5, 1) == 160
+    alloc = [0] * 32
+    scf: list = []
+    blob = encode_mpeg1_layer1(1, 5, [(alloc, scf, [])])
+    assert len(blob) == 160
+    assert blob[:4] == bytes([0xFF, 0xFF, 0x54, 0xC4])
+    # 32 x 4-bit zero allocations then zero pad to the slot length
+    assert blob[4:] == bytes(156)
+
+
+def test_layer1_roundtrip_fuzz():
+    import random
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mpeg1_layer1,
+        parse_mpeg1_layer1_frames,
+    )
+
+    rng = random.Random(485)
+    for _ in range(40):
+        sr_idx = rng.randrange(3)
+        alloc = [0] * 32
+        for sb in rng.sample(range(32), rng.randrange(1, 12)):
+            alloc[sb] = rng.randrange(1, 15)
+        active = [i for i in range(32) if alloc[i]]
+        scf = [rng.randrange(63) for _ in active]
+        frames = []
+        for _f in range(rng.randrange(1, 4)):
+            samples = [
+                rng.randrange(1 << (alloc[sb] + 1))
+                for _g in range(12)
+                for sb in active
+            ]
+            frames.append((alloc, scf, samples))
+        blob = encode_mpeg1_layer1(sr_idx, 14, frames)  # 448 kbps fits
+        dec = parse_mpeg1_layer1_frames(blob)
+        assert dec["n_frames"] == len(frames)
+        for f, (al, sc, sm) in zip(dec["frames"], frames):
+            assert f["alloc"] == al and f["scf"] == sc and f["samples"] == sm
+        assert dec["code_sum"] == sum(s for _, _, sm in frames for s in sm)
+
+
+def test_layer1_strictness():
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_mpeg1_layer1,
+        mpeg1_layer1_synthesize,
+        parse_mpeg1_layer1_frames,
+    )
+
+    alloc = [0] * 32
+    alloc[0] = 3
+    blob = encode_mpeg1_layer1(
+        0, 5, [(alloc, [7], [5] * 12)]
+    )
+    # bad sync
+    bad = bytearray(blob)
+    bad[0] = 0x00
+    with _pytest.raises(ValueError, match="sync"):
+        parse_mpeg1_layer1_frames(bytes(bad))
+    # forbidden allocation 15 (first alloc nibble lives in byte 4's
+    # high nibble)
+    bad = bytearray(blob)
+    bad[4] = 0xF0 | (bad[4] & 0x0F)
+    with _pytest.raises(ValueError, match="allocation 15"):
+        parse_mpeg1_layer1_frames(bytes(bad))
+    # truncation
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_mpeg1_layer1_frames(blob[:-8] if len(blob) % 4 else blob[:30])
+    # reserved bitrate index via the length helper
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        mpeg1_layer1_frame_bytes,
+    )
+
+    with _pytest.raises(ValueError, match="reserved"):
+        mpeg1_layer1_frame_bytes(0, 1)
+    # the synthesis filterbank is the declared stub
+    with _pytest.raises(NotImplementedError):
+        mpeg1_layer1_synthesize([])
+
+
+# --- ZIP64 -------------------------------------------------------------------
+
+
+def test_zip64_roundtrip_and_classic_rejection():
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_zip64,
+        parse_zip64_entries,
+        parse_zip_entries,
+    )
+
+    members = [
+        ("a.txt", b"hello zip64 world"),
+        ("dir/b.bin", bytes(range(256)) * 3),
+        ("empty", b""),
+    ]
+    blob = encode_zip64(members)
+    got, info = parse_zip64_entries(blob)
+    assert got == [(n, len(p)) for n, p in members]
+    assert info["n_crc_ok"] == 3
+    assert info["payload_bytes"] == sum(len(p) for _, p in members)
+    # the classic parser must refuse the sentineled archive rather
+    # than misread it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_zip_entries(blob)
+    # and the zip64 parser must refuse a classic archive
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import encode_zip
+
+    with _pytest.raises(ValueError, match="sentineled|locator|short"):
+        parse_zip64_entries(encode_zip(members))
+
+
+def test_zip64_tampering_raises():
+    import struct
+
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_zip64,
+        parse_zip64_entries,
+    )
+
+    blob = encode_zip64([("x", b"payload")])
+    # break the locator signature
+    bad = bytearray(blob)
+    bad[-42] ^= 0xFF
+    with _pytest.raises(ValueError, match="locator"):
+        parse_zip64_entries(bytes(bad))
+    # point the EOCD64 offset out of bounds
+    bad = bytearray(blob)
+    bad[-34:-26] = struct.pack("<Q", len(blob))
+    with _pytest.raises(ValueError, match="out of bounds"):
+        parse_zip64_entries(bytes(bad))
+    # corrupt the payload: CRC must count the member out
+    bad = bytearray(blob)
+    body_at = 30 + 1 + 20  # local header + name 'x' + zip64 extra
+    bad[body_at] ^= 0xFF
+    _members, info = parse_zip64_entries(bytes(bad))
+    assert info["n_crc_ok"] == 0
+
+
+# --- Adam7 geometry ----------------------------------------------------------
+
+
+def test_adam7_tiny_shape_sweep():
+    """Every (w, h) in 1..9 x 1..9 with every filter type round-trips
+    through the interlaced encoder/decoder — the empty-pass geometry
+    sweep (w or h of 1 leaves up to 3 passes empty)."""
+    import numpy as np
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(485)
+    for w in range(1, 10):
+        for h in range(1, 10):
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            ft = (w + h) % 5
+            got = decode_png_pixels(encode_png(px, ft, interlace=True))
+            assert got.shape == (h, w)
+            assert (got == px).all(), (w, h, ft)
+
+
+# --- winnowing ---------------------------------------------------------------
+
+
+def _winnow_python(text: str, k: int, w: int) -> set:
+    import hashlib
+
+    if len(text) < k:
+        return set()
+    grams = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    if len(grams) < w:
+        return set()
+    sel = set()
+    for j in range(len(grams) - w + 1):
+        window = grams[j : j + w]
+        m = min(window)
+        # rightmost minimal hash in the window
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        sel.add((pos + 1, grams[pos]))
+    return sel
+
+
+def test_winnowing_matches_python(spark, duck, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_winnowing,
+    )
+
+    texts = dict(
+        duck.sql("SELECT doc_id, text FROM documents LIMIT 50").fetchall()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup_winnowing(spark, sf_dir).collect()
+        if r["doc_id"] in texts
+    }
+    for d, text in texts.items():
+        sel = _winnow_python(text, WINNOW_K, WINNOW_W)
+        assert got[d]["n_fp"] == len(sel), d
+        assert got[d]["fp_sum"] == sum(h for _, h in sel), d
+
+
+def test_winnowing_shared_substring_guarantee(spark, duck, tmp_path):
+    """The MOSS property the operator exists for: two docs sharing a
+    substring of length >= K + W - 1 MUST share a fingerprint; a doc
+    with no such overlap shares none. Pinned on a crafted corpus
+    (the r12 lesson: grain bugs hide when the fixture corpus lacks
+    the distinguishing input)."""
+    import pandas as pd
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        dedup_winnowing,
+    )
+
+    common = "the quick brown fox jumps"
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"alpha {common} omega",
+                f"zzz {common} qqq",
+                "completely unrelated text here",
+                "tiny",  # < K chars: zero grams, zero fingerprints
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    d = tmp_path / "winnow"
+    d.mkdir()
+    corpus.to_parquet(d / "documents.parquet")
+    rows = {r["doc_id"]: r for r in dedup_winnowing(spark, str(d)).collect()}
+    assert rows[1]["n_shared_fp"] >= 1
+    assert rows[2]["n_shared_fp"] >= 1
+    assert rows[3]["n_shared_fp"] == 0
+    assert rows[4]["n_fp"] == 0 and rows[4]["n_grams"] == 0

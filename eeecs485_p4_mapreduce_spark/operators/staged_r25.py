@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from eeecs485_p4_mapreduce_spark.catalog import load_table
 
@@ -1246,6 +1247,7 @@ DEDUP_WINNOW_ORACLE = f"""
     WITH grams AS MATERIALIZED (
       SELECT doc_id,
              i.i AS pos,
+             length(text) - {WINNOW_K} + 1 AS n_grams,
              CAST(CAST(concat('0x', substr(md5(substr(text, i.i,
                {WINNOW_K})), 1, 8)) AS UBIGINT) AS BIGINT) AS h
       FROM documents,
@@ -1253,9 +1255,8 @@ DEDUP_WINNOW_ORACLE = f"""
                     AS i) i
       WHERE length(text) >= {WINNOW_K}
     ), keyed AS (
-      SELECT doc_id, pos,
-             h * {1 << 21} + ({_WINNOW_MAXPOS} - pos) AS key,
-             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      SELECT doc_id, pos, n_grams,
+             h * {1 << 21} + ({_WINNOW_MAXPOS} - pos) AS key
       FROM grams
     ), winmin AS (
       SELECT doc_id, pos, n_grams,
@@ -1321,19 +1322,22 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "pos",
+            # n_grams is plain length arithmetic — NOT a count() window
+            # over the gram relation (a full extra window pass over the
+            # corpus-sized relation, caught by the x100 probe)
+            f"length(text) - {WINNOW_K} + 1 AS n_grams",
             "cast(conv(substring(md5(substring(text, pos,"
             f" {WINNOW_K})), 1, 8), 16, 10) as bigint) AS h",
         )
     )
-    w_doc = Window.partitionBy("doc_id")
     keyed = grams.select(
         "doc_id",
         "pos",
+        "n_grams",
         (
             F.col("h") * (1 << 21)
             + (F.lit(_WINNOW_MAXPOS) - F.col("pos"))
         ).alias("key"),
-        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
     )
     w_slide = (
         Window.partitionBy("doc_id")
@@ -1350,7 +1354,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"wkey div {1 << 21} AS sel_h",
         )
         .distinct()
-        .localCheckpoint(eager=False)  # consumed twice (share + agg)
+        # corpus-sized reuse (consumed by the share join AND the per-doc
+        # agg) pins to DISK, never executor memory: the localCheckpoint
+        # variant exhausted unified memory at the x100 probe
+        # (UNABLE_TO_ACQUIRE_MEMORY in the distinct hash agg)
+        .persist(StorageLevel.DISK_ONLY)
     )
     shared = sel.groupBy("sel_h").agg(
         F.countDistinct("doc_id").alias("nd")

@@ -172,10 +172,11 @@ def run(factor: int, out_dir: str, names: list[str]) -> dict:
         staged_r22,
         staged_r23,
         staged_r24,
+        staged_r25,
     )
 
     lookup = dict(QUERIES)
-    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24):
+    for mod in (staged, staged_r7, staged_r8, staged_r9, staged_r10, staged_r11, staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17, staged_r18, staged_r19, staged_r20, staged_r21, staged_r22, staged_r23, staged_r24, staged_r25):
         lookup.update({n: fn for n, (fn, _oracle) in mod.STAGED.items()})
     # Probe-only variant backing dedup_semdedup's fixed-k exemption with
     # a measurement: the production k-policy (k ~ N, re-seeded per-shard

@@ -4220,10 +4220,14 @@ def encode_zip64(members) -> bytes:
 def _zip64_extra(data: bytes, pos: int, xlen: int, wanted: int):
     """Walk an extra-field block, returning the ``wanted`` 8-byte
     values from the 0x0001 ZIP64 extended-information field (spec
-    order). Raises if the field is missing or short."""
+    order). Raises ValueError if the block overruns the archive or
+    the field is missing or short — a forged xlen must not surface as
+    struct.error (the walker contract is ValueError-only)."""
     import struct
 
     end = pos + xlen
+    if end > len(data):
+        raise ValueError("zip64 extra block out of bounds")
     while pos + 4 <= end:
         tag, size = struct.unpack_from("<HH", data, pos)
         pos += 4
@@ -4300,6 +4304,8 @@ def parse_zip64_entries(payload: bytes):
             0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF,
         ):
             raise ValueError("zip64 central fields not sentineled")
+        if pos + 46 + nlen + xlen + cmlen > cd_off + cd_size:
+            raise ValueError("zip64 central entry overruns directory")
         try:
             name = data[pos + 46 : pos + 46 + nlen].decode("ascii")
         except UnicodeDecodeError as exc:
@@ -4325,6 +4331,8 @@ def parse_zip64_entries(payload: bytes):
         )
         if lname != name:
             raise ValueError(f"zip name mismatch {lname!r} != {name!r}")
+        if loff + 30 + lnlen + lxlen > cd_off:
+            raise ValueError(f"zip64 local entry {name!r} out of bounds")
         lusize64, lcsize64 = _zip64_extra(
             data, loff + 30 + lnlen, lxlen, 2
         )

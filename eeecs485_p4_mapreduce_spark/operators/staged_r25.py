@@ -64,7 +64,6 @@ from pyspark.storagelevel import StorageLevel
 from eeecs485_p4_mapreduce_spark.catalog import load_table
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
-_SPARK_TOKS = "split(lower(text), '[ \t]')"
 
 
 def _py_toks(text: str) -> list:
@@ -600,10 +599,12 @@ def _frozen_base_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_to_frozen(
-    emb: DataFrame, packed: DataFrame, nprobe: int = 1
+    emb: DataFrame, packed: DataFrame, nprobe: int = 1, keep: tuple = ()
 ) -> DataFrame:
     """Row-local nearest-centroid assignment against the frozen packed
-    centroids (sim_ivf_search's zero-shuffle argmin)."""
+    centroids (sim_ivf_search's zero-shuffle argmin). ``keep`` lists
+    extra input columns to carry through (the streaming fold passes
+    its op column here rather than re-joining it back on)."""
     from eeecs485_p4_mapreduce_spark.operators.similarity import (
         _ASSIGN_SORTED,
     )
@@ -612,6 +613,7 @@ def _assign_to_frozen(
         "vec_id",
         "v",
         "norm",
+        *keep,
         f"slice({_ASSIGN_SORTED}, 1, {nprobe}) AS top_cells",
     )
 
@@ -820,9 +822,10 @@ def stream_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = (
             _assign_to_frozen(
-                withv.select("vec_id", "op", "v", "norm"), packed
+                withv.select("vec_id", "op", "v", "norm"),
+                packed,
+                keep=("op",),
             )
-            .join(withv.select("vec_id", "op"), "vec_id")
             .selectExpr(
                 "element_at(top_cells, 1).c_label AS assigned_label",
                 "op",
@@ -1296,19 +1299,8 @@ DEDUP_WINNOW_ORACLE = f"""
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust winnowing fingerprints + cross-doc sharing (see section
     comment)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        # the packed argmin key reserves 2^20 for the position — fail
-        # loudly past it instead of silently corrupting fingerprints
-        .withColumn(
-            "_guard",
-            F.expr(
-                f"assert_true(length(text) < {_WINNOW_MAXPOS},"
-                " 'winnowing: doc exceeds positional key domain')"
-            ),
-        )
-        .drop("_guard")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
     )
     grams = (
         docs.filter(F.length("text") >= WINNOW_K)
@@ -1324,8 +1316,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             # n_grams is plain length arithmetic — NOT a count() window
             # over the gram relation (a full extra window pass over the
-            # corpus-sized relation, caught by the x100 probe)
-            f"length(text) - {WINNOW_K} + 1 AS n_grams",
+            # corpus-sized relation, caught by the x100 probe). The
+            # packed argmin key below reserves 2^20 for the position,
+            # so the guard rides INSIDE this consumed expression
+            # (coalesce(assert_true(...), value)) — a withColumn +
+            # drop guard is dead code Catalyst prunes away (caught by
+            # review with a live repro).
+            f"coalesce(assert_true(length(text) < {_WINNOW_MAXPOS},"
+            " 'winnowing: doc exceeds positional key domain'),"
+            f" length(text) - {WINNOW_K} + 1) AS n_grams",
             "cast(conv(substring(md5(substring(text, pos,"
             f" {WINNOW_K})), 1, 8), 16, 10) as bigint) AS h",
         )

@@ -533,3 +533,56 @@ def test_winnowing_shared_substring_guarantee(spark, duck, tmp_path):
     assert rows[2]["n_shared_fp"] >= 1
     assert rows[3]["n_shared_fp"] == 0
     assert rows[4]["n_fp"] == 0 and rows[4]["n_grams"] == 0
+
+
+def test_winnowing_overlong_doc_fails_loudly(spark, tmp_path):
+    """The positional-key-domain guard must actually FIRE (the review
+    found the first version was a withColumn+drop Catalyst pruned to
+    dead code): a doc at 2^20 chars must raise, not silently corrupt
+    fingerprints."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        _WINNOW_MAXPOS,
+        dedup_winnowing,
+    )
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["a" * _WINNOW_MAXPOS],
+            "lang": ["en"],
+            "source": ["s"],
+        }
+    )
+    d = tmp_path / "overlong"
+    d.mkdir()
+    corpus.to_parquet(d / "documents.parquet")
+    with _pytest.raises(Exception, match="positional key domain"):
+        dedup_winnowing(spark, str(d)).collect()
+
+
+def test_zip64_forged_xlen_raises_valueerror():
+    """A forged central xlen walking past the archive end must raise
+    ValueError (the walker contract), never struct.error (review
+    repro)."""
+    import struct
+
+    import pytest as _pytest
+
+    from eeecs485_p4_mapreduce_spark.operators.multimodal import (
+        encode_zip64,
+        parse_zip64_entries,
+    )
+
+    blob = bytearray(encode_zip64([("x", b"payload")]))
+    # central entry starts right after the one local record
+    cd_off = 30 + 1 + 20 + 7
+    assert struct.unpack_from("<I", blob, cd_off)[0] == 0x02014B50
+    # xlen field sits at central offset +30; forge it huge and retag
+    # the extra field so the walker keeps scanning past the buffer
+    struct.pack_into("<H", blob, cd_off + 30, 60000)
+    struct.pack_into("<H", blob, cd_off + 46 + 1, 0x9999)
+    with _pytest.raises(ValueError):
+        parse_zip64_entries(bytes(blob))

@@ -52,6 +52,15 @@ Staged surface (see each section comment for the scale argument):
   fingerprint selection by the window-minimum rule (positional, NOT
   ta_fingerprint's single global min), then cross-doc shared
   fingerprint counts through a bounded bucket join.
+- ``q137_local_clustering`` — per-node clustering coefficient in
+  exact ppm (count / peel / normalize: the third standard view of
+  the triangle structure next to q72 and q136).
+- ``q140_degree_assortativity`` — Newman's degree assortativity over
+  the symmetrized edge list; exact BIGINT sums, sqrt-free 6dp double
+  (the symmetric form collapses the denominator to the x-variance).
+- ``ta_msttr_segments`` — MSTTR-25 lexical diversity per doc: exact
+  ppm mean distinct share over full 25-token segments; segment index
+  is ordinal arithmetic, never a window.
 """
 
 from __future__ import annotations
@@ -187,15 +196,10 @@ def _co_purchase_edges(li: DataFrame) -> DataFrame:
     return _co_order_pair_counts(li, "c").select("part_a", "part_b")
 
 
-def _truss_support(und: DataFrame) -> DataFrame:
-    """Per-edge triangle support of the canonical edge list ``und``
-    (part_a < part_b) via q72's degree-oriented enumeration."""
-    deg = (
-        und.select(F.col("part_a").alias("node"))
-        .unionByName(und.select(F.col("part_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangles (u, v, w) of the canonical edge list ``und``
+    (part_a < part_b) via q72's degree-oriented wedge enumeration,
+    given the node degree table ``deg`` (node, dg)."""
     da = deg.select(F.col("node").alias("part_a"), F.col("dg").alias("da"))
     db = deg.select(F.col("node").alias("part_b"), F.col("dg").alias("db"))
     a_first = F.struct("da", "part_a") < F.struct("db", "part_b")
@@ -231,7 +235,20 @@ def _truss_support(und: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    return wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+
+def _truss_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of the canonical edge list ``und``
+    (part_a < part_b): enumerate triangles, map each back to its
+    three canonical edges, count per edge."""
+    deg = (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    tri = _oriented_triangles(und, deg)
     pairs = tri.select(
         F.explode(
             F.array(
@@ -1390,6 +1407,282 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q137_local_clustering. Per-node local clustering coefficient on the
+# co-purchase graph: lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) in exact
+# ppm — the node-normalized complement of q72's raw triangle counts
+# and q136's edge-level truss supports (count / peel / normalize: the
+# three standard views of the same triangle structure). Triangle
+# enumeration is q72's degree-oriented wedge join verbatim; the ppm
+# division is integer (numerator bounded by deg^2 * 1e6 ~ 1e12 at any
+# replica scale). Nodes without triangles still emit a zero row
+# (NULL-safe left join), nodes of degree 1 define lcc = 0.
+# ---------------------------------------------------------------------------
+Q137_LCC_ORACLE = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS dg FROM (
+        SELECT part_a AS node FROM und
+        UNION ALL SELECT part_b FROM und
+      ) GROUP BY node
+    ),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_a ELSE part_b END AS src,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN part_b ELSE part_a END AS dst,
+             CASE WHEN (da.dg, part_a) < (db.dg, part_b)
+                  THEN db.dg ELSE da.dg END AS dst_dg
+      FROM und
+      JOIN deg da ON da.node = part_a
+      JOIN deg db ON db.node = part_b
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM oriented e1
+      JOIN oriented e2
+        ON e1.src = e2.src
+       AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    pertri AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node AS part,
+           CAST(deg.dg AS BIGINT) AS degree,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.dg >= 2 THEN
+                  2 * coalesce(p.n_tri, 0) * 1000000
+                  // (deg.dg * (deg.dg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg LEFT JOIN pertri p ON p.node = deg.node
+"""
+
+
+def q137_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient in exact ppm (see section
+    comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _co_purchase_edges(li).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .localCheckpoint(eager=False)  # consumed by orientation + output
+    )
+    tri = _oriented_triangles(und, deg)
+    pertri = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(pertri, "node", "left")
+        .selectExpr(
+            "node AS part",
+            "CAST(dg AS BIGINT) AS degree",
+            "CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles",
+            "CAST(CASE WHEN dg >= 2 THEN"
+            " 2 * coalesce(n_tri, 0) * 1000000 div (dg * (dg - 1))"
+            " ELSE 0 END AS BIGINT) AS lcc_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140_degree_assortativity. Newman's degree assortativity of the
+# co-purchase graph: Pearson correlation of endpoint degrees over the
+# SYMMETRIZED edge list (each undirected edge contributes both
+# orientations, so Sx = Sy and Sxx = Syy by construction — computed
+# once). All sums are exact BIGINTs on the edge grain (deg <= node
+# count, sums bounded by |E| * deg^2); r is the q139 pattern — a
+# 6dp-rounded double of exact integer components with sqrt applied
+# per factor, NULL-safe to 0 on degenerate (regular-graph) variance.
+# One edge relation, one degree aggregate, two node-keyed joins.
+# ---------------------------------------------------------------------------
+Q140_ASSORT_ORACLE = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS dg FROM (
+        SELECT part_a AS node FROM und
+        UNION ALL SELECT part_b FROM und
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT da.dg AS dx, db.dg AS dy
+      FROM und JOIN deg da ON da.node = und.part_a
+               JOIN deg db ON db.node = und.part_b
+      UNION ALL
+      SELECT db.dg, da.dg
+      FROM und JOIN deg da ON da.node = und.part_a
+               JOIN deg db ON db.node = und.part_b
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT m2 AS n_endpoint_pairs, sx AS deg_sum, sxx AS deg_sq_sum,
+           sxy AS deg_prod_sum,
+           round(coalesce(
+             CAST(m2 * sxy - sx * sx AS DOUBLE)
+             / nullif(CAST(m2 * sxx - sx * sx AS DOUBLE), 0.0),
+             0.0), 6) + 0.0 AS assortativity_r
+    FROM sums
+"""
+
+
+def q140_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (see section
+    comment). The symmetric form collapses the Pearson denominator to
+    the x-variance (Sx = Sy, Sxx = Syy), so no sqrt is needed —
+    r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _co_purchase_edges(li).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("dg").alias("dx"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("dg").alias("dy"))
+    joined = und.join(da, "part_a").join(db, "part_b").select("dx", "dy")
+    pairs = joined.unionByName(
+        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("m2"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        )
+        .selectExpr(
+            "m2 AS n_endpoint_pairs",
+            "sx AS deg_sum",
+            "sxx AS deg_sq_sum",
+            "sxy AS deg_prod_sum",
+            "round(coalesce("
+            " CAST(m2 * sxy - sx * sx AS DOUBLE)"
+            " / nullif(CAST(m2 * sxx - sx * sx AS DOUBLE), 0.0d),"
+            " 0.0d), 6) + 0.0d AS assortativity_r",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_msttr_segments. Mean Segmental Type-Token Ratio (MSTTR-25, the
+# classic length-robust lexical diversity measure): tokenize each doc,
+# cut into consecutive FULL 25-token segments (the fixed segment size
+# is what makes MSTTR comparable across doc lengths, unlike raw TTR),
+# count distinct tokens per segment, and report the per-doc mean
+# distinct share in exact ppm. Complements ta_hapax_ratio (corpus
+# grain) and ta_vocab_growth (corpus decile curve) at the per-doc
+# grain. Scale: one (doc, segment, token) partial-distinct shuffle —
+# segment index is integer arithmetic on the token ordinal, never a
+# window; docs with < 25 tokens emit a NULL-safe zero row.
+# ---------------------------------------------------------------------------
+MSTTR_SEG = 25
+
+TA_MSTTR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, len(ts) AS n_tokens,
+             ts[i.i] AS t, (i.i - 1) // {MSTTR_SEG} AS seg,
+             len(ts) // {MSTTR_SEG} AS n_segments
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i
+    ), per_seg AS (
+      SELECT doc_id, n_tokens, n_segments, seg,
+             count(DISTINCT t) AS n_distinct
+      FROM tok WHERE seg < n_segments
+      GROUP BY doc_id, n_tokens, n_segments, seg
+    ), per_doc AS (
+      SELECT doc_id, n_tokens, n_segments,
+             CAST(sum(n_distinct) AS BIGINT) AS distinct_sum
+      FROM per_seg GROUP BY doc_id, n_tokens, n_segments
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(len(t.ts) // {MSTTR_SEG} AS BIGINT) AS n_segments,
+           CAST(coalesce(p.distinct_sum, 0) AS BIGINT) AS distinct_sum,
+           CAST(CASE WHEN len(t.ts) >= {MSTTR_SEG} THEN
+                  coalesce(p.distinct_sum, 0) * 1000000
+                  // ((len(t.ts) // {MSTTR_SEG}) * {MSTTR_SEG})
+                ELSE 0 END AS BIGINT) AS msttr_ppm
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""
+
+
+def ta_msttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSTTR-25 lexical diversity per doc (see section comment)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(lower(text), '[ \\t]')")).alias(
+            "i", "t"
+        ),
+        F.expr("size(split(lower(text), '[ \\t]'))").alias("n_tokens"),
+    ).selectExpr(
+        "doc_id",
+        "t",
+        "n_tokens",
+        f"i div {MSTTR_SEG} AS seg",
+        f"n_tokens div {MSTTR_SEG} AS n_segments",
+    )
+    per_seg = (
+        tok.filter(F.col("seg") < F.col("n_segments"))
+        .groupBy("doc_id", "n_tokens", "n_segments", "seg")
+        .agg(F.countDistinct("t").alias("n_distinct"))
+    )
+    per_doc = per_seg.groupBy("doc_id").agg(
+        F.sum("n_distinct").cast("bigint").alias("distinct_sum")
+    )
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "size(split(lower(text), '[ \\t]')) AS n_tokens",
+        )
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            f"CAST(n_tokens div {MSTTR_SEG} AS BIGINT) AS n_segments",
+            "CAST(coalesce(distinct_sum, 0) AS BIGINT) AS distinct_sum",
+            f"CAST(CASE WHEN n_tokens >= {MSTTR_SEG} THEN"
+            f" coalesce(distinct_sum, 0) * 1000000"
+            f" div ((n_tokens div {MSTTR_SEG}) * {MSTTR_SEG})"
+            " ELSE 0 END AS BIGINT) AS msttr_ppm",
+        )
+    )
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
@@ -1411,6 +1704,15 @@ def _staged() -> dict:
         "mm_png_adam7": (mm_png_adam7, MM_ADAM7_ORACLE),
         "mm_zip64_eocd": (mm_zip64_eocd, MM_ZIP64_ORACLE),
         "dedup_winnowing": (dedup_winnowing, DEDUP_WINNOW_ORACLE),
+        "q137_local_clustering": (
+            q137_local_clustering,
+            Q137_LCC_ORACLE,
+        ),
+        "q140_degree_assortativity": (
+            q140_degree_assortativity,
+            Q140_ASSORT_ORACLE,
+        ),
+        "ta_msttr_segments": (ta_msttr_segments, TA_MSTTR_ORACLE),
     }
 
 

@@ -15,6 +15,13 @@ from eeecs485_p4_mapreduce_spark.operators import staged_r25
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
+def _flat_toks(text: str) -> list:
+    toks: list = []
+    for t in text.lower().split(" "):
+        toks.extend(t.split("\t"))
+    return toks
+
+
 def test_staged_names_do_not_shadow_registered_queries():
     """The r13 lesson (a staged TIFF name collided with a registered
     r9 query, could never register, and its probe run overwrote the
@@ -586,3 +593,109 @@ def test_zip64_forged_xlen_raises_valueerror():
     struct.pack_into("<H", blob, cd_off + 46 + 1, 0x9999)
     with _pytest.raises(ValueError):
         parse_zip64_entries(bytes(blob))
+
+
+# --- q137 / q140 / ta_msttr --------------------------------------------------
+
+
+def test_local_clustering_matches_python(spark, duck, sf_dir):
+    """Brute-force per-node triangle counts + lcc over the co-purchase
+    edge set."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        q137_local_clustering,
+    )
+
+    rows = duck.sql(
+        """
+        SELECT a.l_partkey, b.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    adj: dict = {}
+    for u, v in rows:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    got = {
+        r["part"]: r for r in q137_local_clustering(spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for node, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and b in adj.get(a, ())
+        )
+        r = got[node]
+        assert r["degree"] == deg and r["n_triangles"] == tri, node
+        exp = 2 * tri * 1_000_000 // (deg * (deg - 1)) if deg >= 2 else 0
+        assert r["lcc_ppm"] == exp, node
+
+
+def test_assortativity_matches_python(spark, duck, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        q140_degree_assortativity,
+    )
+
+    rows = duck.sql(
+        """
+        SELECT a.l_partkey, b.l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    deg: dict = {}
+    for u, v in rows:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    pairs = [(deg[u], deg[v]) for u, v in rows]
+    pairs += [(y, x) for x, y in pairs]
+    m2 = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    got = q140_degree_assortativity(spark, sf_dir).collect()[0]
+    assert got["n_endpoint_pairs"] == m2
+    assert got["deg_sum"] == sx
+    assert got["deg_sq_sum"] == sxx
+    assert got["deg_prod_sum"] == sxy
+    den = m2 * sxx - sx * sx
+    exp = (m2 * sxy - sx * sx) / den if den else 0.0
+    assert abs(got["assortativity_r"] - exp) < 1e-6
+
+
+def test_msttr_matches_python(spark, duck, sf_dir):
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        MSTTR_SEG,
+        ta_msttr_segments,
+    )
+
+    texts = dict(
+        duck.sql("SELECT doc_id, text FROM documents LIMIT 60").fetchall()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ta_msttr_segments(spark, sf_dir).collect()
+        if r["doc_id"] in texts
+    }
+    for d, text in texts.items():
+        toks = _flat_toks(text)
+        n_seg = len(toks) // MSTTR_SEG
+        dsum = sum(
+            len(set(toks[s * MSTTR_SEG : (s + 1) * MSTTR_SEG]))
+            for s in range(n_seg)
+        )
+        r = got[d]
+        assert r["n_tokens"] == len(toks), d
+        assert r["n_segments"] == n_seg, d
+        assert r["distinct_sum"] == dsum, d
+        exp = (
+            dsum * 1_000_000 // (n_seg * MSTTR_SEG) if n_seg else 0
+        )
+        assert r["msttr_ppm"] == exp, d

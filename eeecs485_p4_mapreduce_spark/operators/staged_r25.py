@@ -61,6 +61,10 @@ Staged surface (see each section comment for the scale argument):
 - ``ta_msttr_segments`` — MSTTR-25 lexical diversity per doc: exact
   ppm mean distinct share over full 25-token segments; segment index
   is ordinal arithmetic, never a window.
+- ``skew_join_amplification`` — exact join-size + skew-concentration
+  estimate from key histograms (n_left(k) * n_right(k)); the number
+  that decides broadcast vs salted vs plain shuffle, computed without
+  executing the join (test proves estimate == true join size).
 """
 
 from __future__ import annotations
@@ -1683,6 +1687,99 @@ def ta_msttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# skew_join_amplification. Join-size estimation by key histogram — the
+# audit you run BEFORE committing a 100 TB equi-join: per join key,
+# the output cardinality of lineitem JOIN orders-lines ON l_partkey
+# is n_left(k) * n_right(k), so the exact join size and its skew
+# concentration are computable from two key-grain counts WITHOUT
+# materializing the join. Reports the exact estimated output rows,
+# the max single-key amplification, and the top-share concentration
+# (what fraction of output the TOPK_AMP hottest keys produce, in
+# ppm) — the number that decides broadcast vs salted vs plain
+# shuffle. Left/right sides are disjoint halves of lineitem (by
+# suppkey parity) so the product is a real two-relation join shape.
+# Scale: two map-side-combinable key counts, one key-grain join, a
+# TakeOrderedAndProject for the top keys; never the join itself.
+# ---------------------------------------------------------------------------
+TOPK_AMP = 10
+
+SKEW_AMP_ORACLE = f"""
+    WITH lft AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nl
+      FROM lineitem WHERE l_suppkey % 2 = 0 GROUP BY 1
+    ), rgt AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS nr
+      FROM lineitem WHERE l_suppkey % 2 = 1 GROUP BY 1
+    ), amp AS (
+      SELECT lft.k, nl, nr, nl * nr AS out_rows
+      FROM lft JOIN rgt ON lft.k = rgt.k
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(out_rows) AS BIGINT) AS est_rows,
+             CAST(max(out_rows) AS BIGINT) AS max_amp
+      FROM amp
+    ), topk AS (
+      SELECT CAST(coalesce(sum(out_rows), 0) AS BIGINT) AS top_rows
+      FROM (SELECT out_rows FROM amp
+            ORDER BY out_rows DESC, k LIMIT {TOPK_AMP})
+    )
+    SELECT n_keys,
+           CAST(coalesce(est_rows, 0) AS BIGINT) AS est_rows,
+           CAST(coalesce(max_amp, 0) AS BIGINT) AS max_amp,
+           CAST(coalesce(top_rows * 1000000 // nullif(est_rows, 0), 0)
+                AS BIGINT) AS top{TOPK_AMP}_share_ppm
+    FROM tot, topk
+"""
+
+
+def skew_join_amplification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact join-size + skew-concentration estimate from key
+    histograms (see section comment) — the join is never executed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+
+    def side(parity: int, out: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_suppkey") % 2 == parity)
+            .groupBy(F.col("l_partkey").alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    amp = (
+        side(0, "nl")
+        .join(side(1, "nr"), "k")
+        .select("k", (F.col("nl") * F.col("nr")).alias("out_rows"))
+        .localCheckpoint(eager=False)  # consumed by totals + top-k
+    )
+    tot = amp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("out_rows").cast("bigint").alias("est_rows"),
+        F.max("out_rows").cast("bigint").alias("max_amp"),
+    )
+    topk = (
+        amp.orderBy(F.col("out_rows").desc(), F.col("k"))
+        .limit(TOPK_AMP)  # TakeOrderedAndProject — mergeable
+        .agg(
+            F.coalesce(F.sum("out_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("top_rows")
+        )
+    )
+    return tot.crossJoin(F.broadcast(topk)).selectExpr(
+        "n_keys",
+        "CAST(coalesce(est_rows, 0) AS BIGINT) AS est_rows",
+        "CAST(coalesce(max_amp, 0) AS BIGINT) AS max_amp",
+        # NULL-safe BOTH the zero-divide and the empty-input sum (a
+        # 0-row amp relation must hash 0, not NULL)
+        "CAST(coalesce(top_rows * 1000000 div nullif(est_rows, 0), 0)"
+        f" AS BIGINT) AS top{TOPK_AMP}_share_ppm",
+    )
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
@@ -1713,6 +1810,10 @@ def _staged() -> dict:
             Q140_ASSORT_ORACLE,
         ),
         "ta_msttr_segments": (ta_msttr_segments, TA_MSTTR_ORACLE),
+        "skew_join_amplification": (
+            skew_join_amplification,
+            SKEW_AMP_ORACLE,
+        ),
     }
 
 

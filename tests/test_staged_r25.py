@@ -699,3 +699,42 @@ def test_msttr_matches_python(spark, duck, sf_dir):
             dsum * 1_000_000 // (n_seg * MSTTR_SEG) if n_seg else 0
         )
         assert r["msttr_ppm"] == exp, d
+
+
+def test_join_amplification_matches_python(spark, duck, sf_dir):
+    """The estimate must equal the true executed join size (computed
+    by DuckDB actually running the join) — the whole point of the
+    histogram method."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        TOPK_AMP,
+        skew_join_amplification,
+    )
+
+    true_rows = duck.sql(
+        "SELECT count(*) FROM"
+        " (SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0) a"
+        " JOIN"
+        " (SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1) b"
+        " ON a.l_partkey = b.l_partkey"
+    ).fetchone()[0]
+    got = skew_join_amplification(spark, sf_dir).collect()[0]
+    assert got["est_rows"] == true_rows
+    amps = sorted(
+        (
+            r[0]
+            for r in duck.sql(
+                "SELECT nl * nr FROM"
+                " (SELECT l_partkey k, count(*) nl FROM lineitem"
+                "  WHERE l_suppkey % 2 = 0 GROUP BY 1) a"
+                " JOIN"
+                " (SELECT l_partkey k, count(*) nr FROM lineitem"
+                "  WHERE l_suppkey % 2 = 1 GROUP BY 1) b USING (k)"
+            ).fetchall()
+        ),
+        reverse=True,
+    )
+    assert got["max_amp"] == amps[0]
+    assert (
+        got[f"top{TOPK_AMP}_share_ppm"]
+        == sum(amps[:TOPK_AMP]) * 1_000_000 // sum(amps)
+    )

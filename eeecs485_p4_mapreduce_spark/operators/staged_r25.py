@@ -1780,6 +1780,155 @@ def skew_join_amplification(
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_graph_delta_link. Incremental proximity-graph maintenance — the
+# HNSW-style insert path: one BOUNDED micro-batch of new vectors
+# (delta ids vec_id % 10 == 0, capped at the first GD_BATCH — inserts
+# arrive in bounded batches, which IS the production semantics) is
+# linked into the existing BASE graph by (1) probing the shared
+# random-hyperplane LSH bands (staged_r24's sim_rp machinery,
+# imported — one signature definition, never a drifting copy),
+# (2) exact-cosine scoring only the banded base candidates,
+# (3) keeping the top GD_M links per new node (HNSW's M parameter).
+# Per-BATCH work is batch x bucket density — linear in the corpus —
+# and the base is never re-linked. The batch bound is load-bearing
+# for scale: an UNBOUNDED corpus-proportional delta would multiply a
+# corpus-sized probe side into corpus-sized buckets (measured: the
+# first % 10-only version timed out the x100 replica probe, where
+# identical replica vectors densify every bucket 100-fold — the
+# probe harness vetoing a wrong grain before registration). The
+# bounded batch rides a broadcast; new nodes whose bands hit no base
+# bucket legitimately produce no links (re-probe at higher ef is a
+# policy decision, not this operator).
+# ---------------------------------------------------------------------------
+GD_M = 4
+GD_BATCH = 512
+
+
+def _graph_delta_oracle() -> str:
+    from eeecs485_p4_mapreduce_spark.operators.staged_r24 import (
+        RP_BPB,
+        RP_PLANES,
+        RP_SCALE,
+        _rp_planes,
+    )
+
+    bound = 10 * GD_BATCH
+    planes = _rp_planes()
+    bit_branches = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {j} AS j,"
+        " CASE WHEN list_dot_product(vq,"
+        f" [{', '.join(str(c) + '.0' for c in planes[j])}]) > 0"
+        " THEN 1 ELSE 0 END AS bit"
+        "\n      FROM vq"
+        for j in range(RP_PLANES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), vq AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x * {RP_SCALE})) AS vq
+      FROM base
+    ), bits AS (
+{bit_branches}
+    ), bands AS MATERIALIZED (
+      SELECT vec_id, j // {RP_BPB} AS band_id,
+             CAST(sum(bit << (j % {RP_BPB})) AS BIGINT) AS band_val
+      FROM bits GROUP BY 1, 2
+    ), pairs AS (
+      SELECT DISTINCT n.vec_id AS new_id, b.vec_id AS neighbor_id
+      FROM bands n JOIN bands b
+        ON n.band_id = b.band_id AND n.band_val = b.band_val
+      WHERE n.vec_id % 10 = 0 AND n.vec_id < {bound}
+        AND b.vec_id % 10 <> 0
+    ), scored AS (
+      SELECT p.new_id, p.neighbor_id,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cos_r
+      FROM pairs p
+      JOIN base a ON a.vec_id = p.new_id
+      JOIN base b ON b.vec_id = p.neighbor_id
+    )
+    SELECT new_id, CAST(link_rank AS BIGINT) AS link_rank,
+           neighbor_id, cos_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                    ORDER BY cos_r DESC, neighbor_id) AS link_rank
+          FROM scored)
+    WHERE link_rank <= {GD_M}
+"""
+
+
+SIM_GRAPH_DELTA_ORACLE = _graph_delta_oracle()
+
+
+def sim_graph_delta_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link one bounded micro-batch of new vectors into the base
+    proximity graph via shared LSH bands + exact-cosine top-{GD_M}
+    (see section comment — the batch bound is load-bearing)."""
+    from eeecs485_p4_mapreduce_spark.operators.similarity import (
+        _emb_with_norm,
+    )
+    from eeecs485_p4_mapreduce_spark.operators.staged_r24 import (
+        RP_SCALE,
+        _rp_bands_spark,
+    )
+
+    emb = _emb_with_norm(spark, sf_dir).selectExpr(
+        "vec_id",
+        "v",
+        "norm",
+        f"transform(v, x -> CAST(floor(x * {RP_SCALE}) AS BIGINT)) AS vq",
+    )
+    sigs = (
+        emb.selectExpr(
+            "vec_id", "v", "norm", f"{_rp_bands_spark()} AS bands"
+        )
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            F.posexplode("bands").alias("band_id", "band_val"),
+        )
+        .localCheckpoint(eager=False)  # consumed by both graph sides
+    )
+    new_nodes = sigs.filter(
+        (F.col("vec_id") % 10 == 0)
+        & (F.col("vec_id") < 10 * GD_BATCH)
+    ).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        sigs.filter(F.col("vec_id") % 10 != 0)
+        .join(F.broadcast(new_nodes), ["band_id", "band_val"])
+        .selectExpr(
+            "new_id",
+            "vec_id AS neighbor_id",
+            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d,"
+            " (acc, x) -> acc + x) / (qnorm * norm), 6) + 0.0d AS cos_r",
+        )
+        .groupBy("new_id", "neighbor_id")
+        .agg(F.max("cos_r").alias("cos_r"))
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn(
+            "link_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("link_rank") <= GD_M)
+        .select("new_id", "link_rank", "neighbor_id", "cos_r")
+    )
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
@@ -1813,6 +1962,10 @@ def _staged() -> dict:
         "skew_join_amplification": (
             skew_join_amplification,
             SKEW_AMP_ORACLE,
+        ),
+        "sim_graph_delta_link": (
+            sim_graph_delta_link,
+            SIM_GRAPH_DELTA_ORACLE,
         ),
     }
 

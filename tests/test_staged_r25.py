@@ -738,3 +738,67 @@ def test_join_amplification_matches_python(spark, duck, sf_dir):
         got[f"top{TOPK_AMP}_share_ppm"]
         == sum(amps[:TOPK_AMP]) * 1_000_000 // sum(amps)
     )
+
+
+def test_graph_delta_link_matches_python(spark, duck, sf_dir):
+    """Independent reference: recompute RP-LSH bands and the exact
+    top-M banded links in pure Python (integer quantized sign bits,
+    float cosine) and compare the full link set."""
+    import math
+
+    from eeecs485_p4_mapreduce_spark.operators.staged_r24 import (
+        RP_BPB,
+        RP_PLANES,
+        RP_SCALE,
+        _rp_planes,
+    )
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        GD_BATCH,
+        GD_M,
+        sim_graph_delta_link,
+    )
+
+    rows = duck.sql(
+        "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall()
+    planes = _rp_planes()
+    bands: dict = {}
+    vecs: dict = {}
+    for vid, v in rows:
+        vecs[vid] = v
+        vq = [math.floor(x * RP_SCALE) for x in v]
+        bits = [
+            1 if sum(a * b for a, b in zip(vq, planes[j])) > 0 else 0
+            for j in range(RP_PLANES)
+        ]
+        bands[vid] = [
+            sum(bits[RP_BPB * b + r] << r for r in range(RP_BPB))
+            for b in range(RP_PLANES // RP_BPB)
+        ]
+    base_ids = [vid for vid in vecs if vid % 10 != 0]
+    expected = {}
+    for vid in vecs:
+        if vid % 10 != 0 or vid >= 10 * GD_BATCH:
+            continue
+        cands = {
+            b
+            for b in base_ids
+            if any(x == y for x, y in zip(bands[vid], bands[b]))
+        }
+        scored = []
+        for b in cands:
+            dot = sum(x * y for x, y in zip(vecs[vid], vecs[b]))
+            na = math.sqrt(sum(x * x for x in vecs[vid]))
+            nb = math.sqrt(sum(x * x for x in vecs[b]))
+            scored.append((round(dot / (na * nb), 6) + 0.0, b))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for r, (c, b) in enumerate(scored[:GD_M], 1):
+            expected[(vid, r)] = (b, c)
+    got = {
+        (r["new_id"], r["link_rank"]): (r["neighbor_id"], r["cos_r"])
+        for r in sim_graph_delta_link(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        assert abs(got[k][1] - expected[k][1]) < 2e-6, k

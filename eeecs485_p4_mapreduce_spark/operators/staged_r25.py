@@ -65,6 +65,10 @@ Staged surface (see each section comment for the scale argument):
   estimate from key histograms (n_left(k) * n_right(k)); the number
   that decides broadcast vs salted vs plain shuffle, computed without
   executing the join (test proves estimate == true join size).
+- ``sim_graph_delta_link`` — HNSW-style incremental insert: one
+  bounded micro-batch of new vectors links into the base proximity
+  graph via the shared RP-LSH bands + exact-cosine top-M; the batch
+  bound is load-bearing (the x100 probe vetoed the unbounded grain).
 """
 
 from __future__ import annotations
@@ -77,6 +81,7 @@ from pyspark.storagelevel import StorageLevel
 from eeecs485_p4_mapreduce_spark.catalog import load_table
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
+_SPARK_TOKS = "split(lower(text), '[ \t]')"
 
 
 def _py_toks(text: str) -> list:
@@ -200,6 +205,18 @@ def _co_purchase_edges(li: DataFrame) -> DataFrame:
     return _co_order_pair_counts(li, "c").select("part_a", "part_b")
 
 
+def _node_degrees(und) -> DataFrame:
+    """(node, dg) degree table of the canonical edge list — shared by
+    q136/q137/q140 so the degree definition cannot drift (review
+    finding: it was copy-pasted in three places)."""
+    return (
+        und.select(F.col("part_a").alias("node"))
+        .unionByName(und.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+
+
 def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
     """Triangles (u, v, w) of the canonical edge list ``und``
     (part_a < part_b) via q72's degree-oriented wedge enumeration,
@@ -246,13 +263,7 @@ def _truss_support(und: DataFrame) -> DataFrame:
     """Per-edge triangle support of the canonical edge list ``und``
     (part_a < part_b): enumerate triangles, map each back to its
     three canonical edges, count per edge."""
-    deg = (
-        und.select(F.col("part_a").alias("node"))
-        .unionByName(und.select(F.col("part_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
-    tri = _oriented_triangles(und, deg)
+    tri = _oriented_triangles(und, _node_degrees(und))
     pairs = tri.select(
         F.explode(
             F.array(
@@ -1479,13 +1490,8 @@ def q137_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment)."""
     li = load_table(spark, sf_dir, "lineitem")
     und = _co_purchase_edges(li).localCheckpoint(eager=False)
-    deg = (
-        und.select(F.col("part_a").alias("node"))
-        .unionByName(und.select(F.col("part_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .localCheckpoint(eager=False)  # consumed by orientation + output
-    )
+    # consumed by orientation + output
+    deg = _node_degrees(und).localCheckpoint(eager=False)
     tri = _oriented_triangles(und, deg)
     pertri = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
@@ -1531,27 +1537,26 @@ Q140_ASSORT_ORACLE = """
         UNION ALL SELECT part_b FROM und
       ) GROUP BY node
     ),
-    pairs AS (
+    edges AS (
       SELECT da.dg AS dx, db.dg AS dy
-      FROM und JOIN deg da ON da.node = und.part_a
-               JOIN deg db ON db.node = und.part_b
-      UNION ALL
-      SELECT db.dg, da.dg
       FROM und JOIN deg da ON da.node = und.part_a
                JOIN deg db ON db.node = und.part_b
     ),
     sums AS (
-      SELECT CAST(count(*) AS BIGINT) AS m2,
-             CAST(sum(dx) AS BIGINT) AS sx,
-             CAST(sum(dx * dx) AS BIGINT) AS sxx,
-             CAST(sum(dx * dy) AS BIGINT) AS sxy
-      FROM pairs
+      -- symmetrized sums from ONE edge orientation: m2 = 2n,
+      -- sx = sum(dx + dy), sxx = sum(dx^2 + dy^2), sxy = 2*sum(dx*dy)
+      SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+             CAST(sum(dx + dy) AS BIGINT) AS sx,
+             CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sxx,
+             CAST(2 * sum(dx * dy) AS BIGINT) AS sxy
+      FROM edges
     )
     SELECT m2 AS n_endpoint_pairs, sx AS deg_sum, sxx AS deg_sq_sum,
            sxy AS deg_prod_sum,
            round(coalesce(
-             CAST(m2 * sxy - sx * sx AS DOUBLE)
-             / nullif(CAST(m2 * sxx - sx * sx AS DOUBLE), 0.0),
+             (CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+             / nullif(CAST(m2 AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx, 0.0),
              0.0), 6) + 0.0 AS assortativity_r
     FROM sums
 """
@@ -1566,33 +1571,38 @@ def q140_degree_assortativity(
     r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     und = _co_purchase_edges(li).localCheckpoint(eager=False)
-    deg = (
-        und.select(F.col("part_a").alias("node"))
-        .unionByName(und.select(F.col("part_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
+    deg = _node_degrees(und)
     da = deg.select(F.col("node").alias("part_a"), F.col("dg").alias("dx"))
     db = deg.select(F.col("node").alias("part_b"), F.col("dg").alias("dy"))
-    joined = und.join(da, "part_a").join(db, "part_b").select("dx", "dy")
-    pairs = joined.unionByName(
-        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
+    edges = und.join(da, "part_a").join(db, "part_b").select("dx", "dy")
+    # symmetrized sums from ONE edge orientation (m2 = 2n, sx =
+    # sum(dx+dy), ...) — the explicit swapped union re-executed both
+    # degree joins for bit-identical sums (review finding)
     return (
-        pairs.agg(
-            F.count(F.lit(1)).cast("bigint").alias("m2"),
-            F.sum("dx").cast("bigint").alias("sx"),
-            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        edges.agg(
+            (2 * F.count(F.lit(1))).cast("bigint").alias("m2"),
+            F.sum(F.col("dx") + F.col("dy")).cast("bigint").alias("sx"),
+            F.sum(
+                F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+            )
+            .cast("bigint")
+            .alias("sxx"),
+            (2 * F.sum(F.col("dx") * F.col("dy")))
+            .cast("bigint")
+            .alias("sxy"),
         )
         .selectExpr(
             "m2 AS n_endpoint_pairs",
             "sx AS deg_sum",
             "sxx AS deg_sq_sum",
             "sxy AS deg_prod_sum",
+            # products go through DOUBLE: m2*sxx and sx*sx wrap BIGINT
+            # on hub-heavy graphs (sx ~ 3e9 suffices) while the sums
+            # themselves stay exact integers (review finding)
             "round(coalesce("
-            " CAST(m2 * sxy - sx * sx AS DOUBLE)"
-            " / nullif(CAST(m2 * sxx - sx * sx AS DOUBLE), 0.0d),"
+            " (CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
+            " / nullif(CAST(m2 AS DOUBLE) * sxx"
+            "          - CAST(sx AS DOUBLE) * sx, 0.0d),"
             " 0.0d), 6) + 0.0d AS assortativity_r",
         )
     )
@@ -1647,12 +1657,22 @@ def ta_msttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    tok = docs.select(
+    # tokenize ONCE: the regex split is this operator's dominant
+    # per-row cost and the first version evaluated it three times
+    # across two scans (review finding); the token-array relation is
+    # corpus-sized and consumed twice, so it pins to DISK
+    tl = (
+        docs.select(
+            "doc_id",
+            F.expr(_SPARK_TOKS).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    tok = tl.select(
         "doc_id",
-        F.posexplode(F.expr("split(lower(text), '[ \\t]')")).alias(
-            "i", "t"
-        ),
-        F.expr("size(split(lower(text), '[ \\t]'))").alias("n_tokens"),
+        "n_tokens",
+        F.posexplode("toks").alias("i", "t"),
     ).selectExpr(
         "doc_id",
         "t",
@@ -1669,10 +1689,7 @@ def ta_msttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_distinct").cast("bigint").alias("distinct_sum")
     )
     return (
-        docs.selectExpr(
-            "doc_id",
-            "size(split(lower(text), '[ \\t]')) AS n_tokens",
-        )
+        tl.select("doc_id", "n_tokens")
         .join(per_doc, "doc_id", "left")
         .selectExpr(
             "doc_id",
@@ -1877,45 +1894,59 @@ def sim_graph_delta_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rp_bands_spark,
     )
 
-    emb = _emb_with_norm(spark, sf_dir).selectExpr(
-        "vec_id",
-        "v",
-        "norm",
-        f"transform(v, x -> CAST(floor(x * {RP_SCALE}) AS BIGINT)) AS vq",
-    )
-    sigs = (
-        emb.selectExpr(
-            "vec_id", "v", "norm", f"{_rp_bands_spark()} AS bands"
-        )
-        .select(
+    # corpus-sized and consumed three times (signature build + both
+    # sides of the scoring joins) — DISK pin, never executor memory
+    emb = (
+        _emb_with_norm(spark, sf_dir)
+        .selectExpr(
             "vec_id",
             "v",
             "norm",
-            F.posexplode("bands").alias("band_id", "band_val"),
+            f"transform(v, x -> CAST(floor(x * {RP_SCALE}) AS BIGINT))"
+            " AS vq",
         )
-        .localCheckpoint(eager=False)  # consumed by both graph sides
+        .persist(StorageLevel.DISK_ONLY)
     )
-    new_nodes = sigs.filter(
-        (F.col("vec_id") % 10 == 0)
-        & (F.col("vec_id") < 10 * GD_BATCH)
+    # SLIM band rows: the band join carries ids only — carrying the
+    # 64-dim vectors 8x per node and folding the cosine once per
+    # matching band (up to 8x per pair) was the review's efficiency
+    # finding; pairs are deduped BEFORE scoring, like the oracle
+    bands_slim = emb.selectExpr(
+        "vec_id", f"{_rp_bands_spark()} AS bands"
     ).select(
+        "vec_id", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    is_new = (F.col("vec_id") % 10 == 0) & (
+        F.col("vec_id") < 10 * GD_BATCH
+    )
+    new_bands = bands_slim.filter(is_new).select(
+        F.col("vec_id").alias("new_id"), "band_id", "band_val"
+    )
+    pairs = (
+        bands_slim.filter(F.col("vec_id") % 10 != 0)
+        .join(F.broadcast(new_bands), ["band_id", "band_val"])
+        .select("new_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    new_vecs = emb.filter(is_new).select(
         F.col("vec_id").alias("new_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        "band_id",
-        "band_val",
     )
     cand = (
-        sigs.filter(F.col("vec_id") % 10 != 0)
-        .join(F.broadcast(new_nodes), ["band_id", "band_val"])
+        pairs.join(F.broadcast(new_vecs), "new_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), "v", "norm"
+            ),
+            "neighbor_id",
+        )
         .selectExpr(
             "new_id",
-            "vec_id AS neighbor_id",
+            "neighbor_id",
             "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0d,"
             " (acc, x) -> acc + x) / (qnorm * norm), 6) + 0.0d AS cos_r",
         )
-        .groupBy("new_id", "neighbor_id")
-        .agg(F.max("cos_r").alias("cos_r"))
     )
     w = Window.partitionBy("new_id").orderBy(
         F.col("cos_r").desc(), F.col("neighbor_id")

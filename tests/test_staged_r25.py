@@ -16,10 +16,10 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 def _flat_toks(text: str) -> list:
-    toks: list = []
-    for t in text.lower().split(" "):
-        toks.extend(t.split("\t"))
-    return toks
+    # one tokenizer mirror, not two: reuse the module's own Python twin
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import _py_toks
+
+    return _py_toks(text.lower())
 
 
 def test_staged_names_do_not_shadow_registered_queries():

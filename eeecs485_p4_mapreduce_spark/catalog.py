@@ -37,6 +37,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Schema-by-path cache (the engine's one-table metastore). Every
+#: ``spark.read.parquet(path)`` WITHOUT an explicit schema runs a
+#: schema-inference job (a 1-task footer read) before the query proper —
+#: ~0.05-0.5 s of scheduler + py4j latency per table load, paid again on
+#: every query invocation (a 6-table star join pays it 6 times, twice per
+#: bench run). A real warehouse reads schemas from its catalog, not from
+#: data files; this dict is that catalog. Keyed on the resolved path;
+#: the test tables are immutable for a process's lifetime. Caches
+#: METADATA only — never rows, so every query still computes from
+#: parquet (guide §1 / optimization-round rules).
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def pin_utc(spark: SparkSession) -> None:
     """THE repo-wide timezone rule, in one place: every entry point that
@@ -81,7 +93,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # factory never saw.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         pin_utc(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events":
         # Normalize ts to TIMESTAMP (LTZ) at micros precision regardless of
         # how this generation of the file stores it:

@@ -371,16 +371,31 @@ def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     by the label-sum invariant — min-propagation only ever lowers labels,
     so sum(lbl) is strictly decreasing until the fixpoint — which costs
     one scalar aggregate per round instead of a labels-to-labels join.
+
+    Round structure (r14, guide §1.2 "the distributed algorithm"): ONE
+    Spark job per round. The convergence sum is the action that
+    materializes each round's lazy localCheckpoint, so the old
+    checkpoint-job + sum-job pair collapses into one; round 1 is fused
+    into the first shuffle (labels₁(v) = least(v, min over neighbors)
+    is groupBy(src).min(dst) on the symmetric edge list — identical to
+    propagating over identity labels, without the identity-labels
+    distinct or its materialization). Per-round WORK is unchanged — only
+    the job/synchronization count drops (3+2R jobs → 1+R), which is
+    scheduler latency at bench scale and driver round-trips at 100 TB.
     """
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("m")).alias("lbl"),
+        )
+        .localCheckpoint(eager=False)
     )
+    # one job: materializes the edges checkpoint + round-1 labels + sum
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "lbl"
         )
@@ -388,7 +403,7 @@ def _propagate_min_labels(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             labels.union(msgs)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("lbl")).first()[0]
         if new_sum == prev_sum:
@@ -601,15 +616,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_vecs = emb.count()
-    if n_vecs > MAX_BRUTEFORCE_VECS:
+    # One pass instead of count()+toPandas(): fetch at most BOUND+1 rows
+    # and refuse on overflow — the driver now never *holds* more than the
+    # bound either (the old count() ran a whole extra scan job just to
+    # decide, then pulled the unbounded table). Row order from limit() is
+    # arbitrary, which is fine: the all-pairs output is a set keyed
+    # vec_a < vec_b, independent of matrix row order.
+    side = emb.limit(MAX_BRUTEFORCE_VECS + 1).toPandas()
+    if len(side) > MAX_BRUTEFORCE_VECS:
         raise ValueError(
             f"dedup_embedding_cosine is the O(n^2) small-corpus recall "
-            f"oracle: {n_vecs} vectors exceed the {MAX_BRUTEFORCE_VECS} "
+            f"oracle: >{MAX_BRUTEFORCE_VECS} vectors exceed the "
             f"driver-side bound. Use sim_ann_lsh / sim_ann_multiprobe "
             f"(operators/similarity.py) — the bucketed scale path."
         )
-    side = emb.toPandas()
     all_ids = side["vec_id"].to_numpy()
     all_m = np.array([np.asarray(v, dtype=np.float64) for v in side["embedding"]])
     dim = all_m.shape[1]
@@ -883,7 +903,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The delta's bands are computed once (localCheckpoint) and feed
     both the index probe and the in-batch self-join. The demo materializes
     the index to parquet first so the probe genuinely reads stored
-    signatures (doc_id <= 60% of max simulates yesterday's corpus)."""
+    signatures (doc_id <= 60% of max simulates yesterday's corpus).
+
+    r14 plan shape (guide §2.4 "remove shuffles outright"): the index
+    probe and the in-batch self-join share identical band keys, so they
+    run as ONE join — stored index rows and earlier-delta rows union into
+    a single tagged probe side, and the two count_distinct aggregates
+    become conditional aggregates of one groupBy (6 exchanges → 3, two
+    probe passes over the delta bands → one). The residual
+    `is_idx OR e_doc < doc_id` filter reproduces the original pair
+    exactly: index collisions count unconditionally, in-batch collisions
+    only first-wins."""
     import shutil
     import tempfile
 
@@ -891,32 +921,42 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.agg((F.max("doc_id") * 3 / 5).cast("bigint")).first()[0]
     idx_dir = tempfile.mkdtemp(prefix="p4spark_mhidx_")
     try:
-        _minhash_bands(docs.filter(F.col("doc_id") <= split)).write.mode(
-            "overwrite"
-        ).parquet(idx_dir)
-        index = spark.read.parquet(idx_dir).select(
-            "band_id", "band_sig", F.col("doc_id").alias("idx_doc")
-        )
+        idx_bands = _minhash_bands(docs.filter(F.col("doc_id") <= split))
+        idx_bands.write.mode("overwrite").parquet(idx_dir)
+        # schema from the writer side: a fresh inference job on the temp
+        # path would re-read the footer we just wrote
+        index = spark.read.schema(idx_bands.schema).parquet(idx_dir)
         delta_docs = docs.filter(F.col("doc_id") > split)
-        delta_bands = _minhash_bands(delta_docs).localCheckpoint()
-        hits_idx = (
-            delta_bands.join(index, ["band_id", "band_sig"])
-            .groupBy("doc_id")
-            .agg(F.count_distinct("idx_doc").alias("n_hits_index"))
+        delta_bands = _minhash_bands(delta_docs).localCheckpoint(eager=False)
+        probe = index.select(
+            "band_id",
+            "band_sig",
+            F.col("doc_id").alias("o_doc"),
+            F.lit(True).alias("is_idx"),
+        ).unionByName(
+            delta_bands.select(
+                "band_id",
+                "band_sig",
+                F.col("doc_id").alias("o_doc"),
+                F.lit(False).alias("is_idx"),
+            )
         )
-        earlier = delta_bands.select(
-            "band_id", "band_sig", F.col("doc_id").alias("e_doc")
-        )
-        hits_delta = (
-            delta_bands.join(earlier, ["band_id", "band_sig"])
-            .filter(F.col("e_doc") < F.col("doc_id"))
+        hits = (
+            delta_bands.join(probe, ["band_id", "band_sig"])
+            .filter(F.col("is_idx") | (F.col("o_doc") < F.col("doc_id")))
             .groupBy("doc_id")
-            .agg(F.count_distinct("e_doc").alias("n_hits_delta"))
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("is_idx"), F.col("o_doc"))
+                ).alias("n_hits_index"),
+                F.count_distinct(
+                    F.when(~F.col("is_idx"), F.col("o_doc"))
+                ).alias("n_hits_delta"),
+            )
         )
         out = (
             delta_docs.select("doc_id")
-            .join(hits_idx, "doc_id", "left")
-            .join(hits_delta, "doc_id", "left")
+            .join(hits, "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("n_hits_index", F.lit(0)).alias("n_hits_index"),

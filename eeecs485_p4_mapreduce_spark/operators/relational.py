@@ -2853,7 +2853,7 @@ def _rolling_distinct_exact(events: DataFrame, out_col: str) -> DataFrame:
     pair to at most 7 as-of days."""
     user_days = events.select(
         "user_id", F.to_date("ts").alias("day")
-    ).distinct().localCheckpoint()  # feeds the day list AND the fan-out
+    ).distinct().localCheckpoint(eager=False)  # feeds the day list AND the fan-out; lazy — materialized by the query's own job instead of a blocking build-time job
     days_present = user_days.select("day").distinct()
     contrib = user_days.select(
         "user_id",
@@ -2909,7 +2909,7 @@ def q57_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltas = ev.select("t", F.lit(1).alias("d")).unionByName(
         ev.select((F.col("t") + horizon_us).alias("t"), F.lit(-1).alias("d"))
-    ).localCheckpoint()  # feeds the per-ts collapse AND the hour totals
+    ).localCheckpoint(eager=False)  # feeds the per-ts collapse AND the hour totals; lazy — no blocking build-time job
     pts = (
         deltas.groupBy("t")
         .agg(F.sum("d").alias("d"))
@@ -3475,9 +3475,12 @@ def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events = load_table(spark, sf_dir, "events")
-    split = events.agg(
-        F.expr("percentile_approx(event_id, 0.8)").alias("s")
-    ).first()[0]
+    # The merged rollup equals the full-history GROUP BY for ANY split
+    # value (count/sum/min/max are mergeable partials), so the snapshot
+    # boundary doesn't need a percentile sketch's full scan — max*4/5
+    # lands at ~80% on the generator's dense event_ids and MAX is a
+    # single-column scan (footer-only under parquet aggregate pushdown).
+    split = events.agg((F.max("event_id") * 4 / 5).cast("bigint")).first()[0]
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy(

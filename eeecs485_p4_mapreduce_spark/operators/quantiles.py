@@ -75,7 +75,7 @@ def exact_thresholds(
     # tiny next to the input) keeps the expensive input aggregation to
     # ONE scan instead of three recomputations — the q98 localCheckpoint
     # precedent.
-    hist = hist.localCheckpoint()
+    hist = hist.localCheckpoint(eager=False)
     wcum = hist.withColumn(
         "wcum", F.sum("cnt").over(Window.partitionBy("b").orderBy("v"))
     )
@@ -197,7 +197,7 @@ def exact_thresholds_grouped(
             f"CASE WHEN v >= 0 THEN v div {bucket_width} "
             f"ELSE ((v + 1) div {bucket_width}) - 1 END"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     wcum = hist.withColumn(
         "wcum",
         F.sum("cnt").over(Window.partitionBy("g", "b").orderBy("v")),

@@ -3023,7 +3023,7 @@ def _q59_sketch_rolling(events: DataFrame) -> DataFrame:
     trailing 7-day horizon."""
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sk")
-    ).localCheckpoint()  # day-table sized; feeds the fan-out AND the day list
+    ).localCheckpoint(eager=False)  # day-table sized; feeds the fan-out AND the day list
     contrib = daily.select(
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))

@@ -1137,7 +1137,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
         # N_QUERIES x TOP_K rows; feeds the overlap join AND the count —
         # pin it so the ANN search executes once
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")
@@ -1383,7 +1383,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
         # same pin as sim_ann_recall: one IVF search, not two
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")

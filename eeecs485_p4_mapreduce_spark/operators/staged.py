@@ -135,7 +135,7 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(tokens())).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
-    ).localCheckpoint()  # 1 row, read by two branches
+    ).localCheckpoint(eager=False)  # 1 row, read by two branches
     qterms = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

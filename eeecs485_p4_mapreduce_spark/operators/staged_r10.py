@@ -194,7 +194,7 @@ def q85_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per_user feeds both the threshold computation (which eagerly
     # materializes its histogram) and the scorer — checkpoint it so the
     # events aggregation runs once, not twice.
-    per_user = per_user.localCheckpoint()
+    per_user = per_user.localCheckpoint(eager=False)
     thr = exact_thresholds(per_user, "spend_cents", 10)
     tiled = per_user.crossJoin(F.broadcast(thr)).withColumn(
         "decile", bucket_score("spend_cents", "thr", 10, descending=True)
@@ -205,7 +205,7 @@ def q85_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conversions").alias("n_conversions"),
     # <= 10 rows; feeds the conversion total AND the lift table — pin it
     # so the tiling aggregation runs once
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = per_decile.agg(F.sum("n_conversions").alias("all_conv"))
     cum = F.sum("n_conversions").over(
         Window.orderBy("decile").rowsBetween(
@@ -291,7 +291,7 @@ def q86_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 9223372036854775807L END AS valid_to_us",
             "(user_id * 7 + v) % 100 AS tier",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     joined = events.join(
         versions,
@@ -567,7 +567,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rel_e6"),
         )
-        .localCheckpoint()  # reused by the sim frame and all 5 rounds
+        .localCheckpoint(eager=False)  # reused by the sim frame and all 5 rounds
     )
     e_a = emb.select(
         F.col("vec_id").alias("cid_a"),
@@ -602,7 +602,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_e6"),
         )
-        .localCheckpoint()  # 8x8 per query, reused every round
+        .localCheckpoint(eager=False)  # 8x8 per query, reused every round
     )
     w_rel = Window.partitionBy("query_id").orderBy(
         F.col("rel_e6").desc(), F.col("cid")

@@ -131,7 +131,7 @@ def q87_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per_user feeds the threshold build plus the scorer; checkpoint it
     # so the events aggregation runs once.
-    per_user = per_user.localCheckpoint()
+    per_user = per_user.localCheckpoint(eager=False)
     # ONE grouped threshold pipeline over the melted (dim, value)
     # relation instead of three independent exact_thresholds calls —
     # every histogram/window/prefix stage runs once with dim in its
@@ -237,7 +237,7 @@ def q88_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # day-table sized; feeds the totals AND the cusum join — pin it
         # so the events aggregation runs once
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
@@ -548,7 +548,7 @@ def curate_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     # source-domain-sized; feeds the normalizer AND the final select —
     # without the checkpoint the whole docs aggregation recomputes twice
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     norm = boosted.agg(
         F.sum("chars").alias("sum_chars"), F.sum("anneal_w").alias("sum_w")
     )

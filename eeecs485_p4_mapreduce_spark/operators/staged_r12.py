@@ -118,7 +118,7 @@ def q90_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = events.groupBy(
         F.col("event_type").alias("t"),
         F.expr("cast(round(value * 100, 0) as bigint)").alias("v"),
-    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=False)
     sup = c.select("v").distinct()
     types = c.select("t").distinct()
     grid = (
@@ -134,7 +134,7 @@ def q90_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(cnt) over (partition by t order by v) * 1000000)"
             " div (sum(cnt) over (partition by t))"
         ),
-    ).localCheckpoint()  # grid-sized; feeds BOTH sides of the pair join
+    ).localCheckpoint(eager=False)  # grid-sized; feeds BOTH sides of the pair join
     a = ecdf.select(
         F.col("t").alias("type_a"), "v", F.col("e_ppm").alias("ea")
     )
@@ -465,7 +465,7 @@ def curate_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.expr("case when s3 = 1 then fp end")
         ).alias("n4"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stages = []
     for idx, (name, col_in, col_out) in enumerate(
         [("length_band", "n0", "n1"), ("lang_allowlist", "n1", "n2"),

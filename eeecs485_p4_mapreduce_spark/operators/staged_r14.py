@@ -161,7 +161,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from eeecs485_p4_mapreduce_spark.catalog import spread_small_source
 
-    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint()
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(eager=False)
     # The exact-Jaccard pass runs ONLY over docs that appear in an LSH
     # candidate pair: the inverted-index co-count over the full corpus
     # computed exact Jaccard for ~1.13M co-occurring pairs at sf0.1
@@ -184,7 +184,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode("shingles").alias("s"))
         .distinct()
-        .localCheckpoint()  # reused by sizes and the co-count join
+        .localCheckpoint(eager=False)  # reused by sizes and the co-count join
     )
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     co = (

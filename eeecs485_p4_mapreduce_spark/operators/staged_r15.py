@@ -231,7 +231,7 @@ def q102_independence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((unix_micros(ts) div 86400000000 + 4) % 7 as bigint)"
         ).alias("weekday"),
     ).agg(F.count(F.lit(1)).alias("n_cell"))
-    obs = obs.localCheckpoint()  # feeds three aggregations + the join
+    obs = obs.localCheckpoint(eager=False)  # feeds three aggregations + the join
     rt = obs.groupBy("event_type").agg(F.sum("n_cell").alias("n_type"))
     ct = obs.groupBy("weekday").agg(F.sum("n_cell").alias("n_wd"))
     tot = obs.agg(F.sum("n_cell").alias("n"))
@@ -394,7 +394,7 @@ def curate_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk counts -> exclusive prefix within each (bucket, sup)
     cc = b.groupBy("bucket", "sup", "chunk").agg(
         F.count(F.lit(1)).alias("cn")
-    ).localCheckpoint()  # feeds the chunk prefix AND the sup totals
+    ).localCheckpoint(eager=False)  # feeds the chunk prefix AND the sup totals
     cpre = cc.withColumn(
         "cpre",
         F.sum("cn").over(

@@ -318,7 +318,7 @@ def q106_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    d = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
     pairs = _co_order_pair_counts(d, "n_both")
     cnt = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     n_ord = d.agg(

@@ -95,7 +95,7 @@ def q107_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("t"))
-        .localCheckpoint()  # feeds the t2 join AND the step-1 count
+        .localCheckpoint(eager=False)  # feeds the t2 join AND the step-1 count
     )
     t2 = (
         events.filter(F.col("event_type") == "click")
@@ -103,7 +103,7 @@ def q107_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("us") > F.col("t_prev"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     t3 = (
         events.filter(F.col("event_type") == "purchase")
@@ -116,7 +116,7 @@ def q107_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         t1.agg(F.count(F.lit(1)).alias("s1"))
         .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("s2"))))
         .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("s3"))))
-        .localCheckpoint()  # 1 row; feeds the three union branches
+        .localCheckpoint(eager=False)  # 1 row; feeds the three union branches
     )
     rows = [
         ("1L", "'view'", "s1", "1000000L"),
@@ -212,7 +212,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (acc, x) -> acc + x)"
             )
         ),
-    ).localCheckpoint()  # feeds both rankings' query AND candidate sides
+    ).localCheckpoint(eager=False)  # feeds both rankings' query AND candidate sides
 
     def topk(qv_col: str, v_col: str, qn_col: str, n_col: str):
         queries = emb.filter(F.col("vec_id") < MRL_N_QUERIES).select(
@@ -246,7 +246,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_k = topk("v", "v", "norm", "norm")
     pfx_k = topk("pv", "pv", "pnorm", "pnorm").withColumn(
         "hit", F.lit(1)
-    ).localCheckpoint()  # bounded; feeds the overlap join once per side
+    ).localCheckpoint(eager=False)  # bounded; feeds the overlap join once per side
     return (
         full_k.join(pfx_k, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -322,7 +322,7 @@ def curate_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
-    ).localCheckpoint()  # source-domain sized; feeds total + ranking
+    ).localCheckpoint(eager=False)  # source-domain sized; feeds total + ranking
     tot = per_source.agg(F.sum("chars").alias("t"))
     w = Window.orderBy(
         F.expr("chars div n_docs").desc(), F.col("source")
@@ -345,7 +345,7 @@ def curate_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS epochs",
         )
         .withColumn("alloc_tokens", F.expr("epochs * chars"))
-        .localCheckpoint()  # feeds the share normalizer AND the output
+        .localCheckpoint(eager=False)  # feeds the share normalizer AND the output
     )
     wtot = alloc.agg(F.sum("alloc_tokens").alias("at"))
     return alloc.crossJoin(F.broadcast(wtot)).selectExpr(

@@ -742,7 +742,7 @@ def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"unix_micros(ts) div {PERIOD_US}").alias("period"),
         )
         .distinct()
-        .localCheckpoint()  # feeds cohort, matrix, and size
+        .localCheckpoint(eager=False)  # feeds cohort, matrix, and size
     )
     coh = act.groupBy("user_id").agg(F.min("period").alias("cohort"))
     mat = (

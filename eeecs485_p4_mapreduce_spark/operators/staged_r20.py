@@ -659,7 +659,7 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).alias("hit"))
         # N_QUERIES x |RERANK_RS| x TOP_K rows; feeds the overlap join —
         # pin it so the two-stage search executes once
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     return (
@@ -1723,7 +1723,7 @@ def q116_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.sum("n").over(w).alias("nl"),
         F.sum("p").over(w).alias("pl"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = cum.agg(
         F.max("nl").alias("nt"), F.max("pl").alias("pt")
     )
@@ -1832,7 +1832,7 @@ def q117_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # day-table-sized (~2.5k rows, calendar-bounded) and consumed
         # by max, stats, deviations, and 7 lag joins: pin it — without
         # this the plan scans lineitem 12 times (PLANS gate audit).
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mx = daily.agg(F.max("cents").alias("mx"))
     seq = (
@@ -1847,7 +1847,7 @@ def q117_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = seq.crossJoin(F.broadcast(stats)).selectExpr(
         "t", "n * x - s AS d"
-    ).localCheckpoint()  # feeds den + both sides of every lag join
+    ).localCheckpoint(eager=False)  # feeds den + both sides of every lag join
     den = dev.agg(F.sum(F.expr("d * d")).alias("den"))
     lags = spark.range(1, 8).withColumnRenamed("id", "lag")
     a = dev.crossJoin(F.broadcast(lags))
@@ -1941,7 +1941,7 @@ def skew_isolated_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiny by the hot rule's nature; consumed by the hot-dim join
         # AND the cold anti-join — pin so the per-user count aggregate
         # over the fact table runs once, not twice.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Hot path: only the hot users' DIMENSION rows ship (broadcast);
     # the hot fact rows are joined map-side and never shuffle.
@@ -2348,7 +2348,7 @@ def q119_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.row_number().over(Window.orderBy("day")).alias("t"), "y"
         )
-        .localCheckpoint()  # day-table-sized, feeds both pair sides
+        .localCheckpoint(eager=False)  # day-table-sized, feeds both pair sides
     )
     b = daily.selectExpr("t AS t2", "y AS y2")
     pairs = daily.join(F.broadcast(b), F.expr("t2 > t")).selectExpr(

@@ -155,7 +155,7 @@ def q120_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("relation")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         # 13-row result reused for the total: pin, no second pair join
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("n_pairs").alias("t"))
     return counts.crossJoin(F.broadcast(tot)).selectExpr(
@@ -456,7 +456,7 @@ def dedup_simhash_pigeonhole(
 ) -> DataFrame:
     """COMPLETE hamming<=3 near-dup pairs via the 4-block pigeonhole
     union index (see section comment)."""
-    sigs = _simhash60(spark, sf_dir).localCheckpoint()  # doc-grain, reused 3x
+    sigs = _simhash60(spark, sf_dir).localCheckpoint(eager=False)  # doc-grain, reused 3x
     mask = (1 << _SH60_BLOCK_BITS) - 1
     blocks = sigs.select(
         "doc_id",
@@ -674,7 +674,7 @@ def q123_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("q").alias("q"), F.sum("c").alias("c"))
         # part×month grain, feeds the month-count scalar AND the
         # per-part rollup: pin (dimension × calendar sized)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nm = pm.agg(F.countDistinct("m").alias("n"))
     per_part = pm.groupBy("l_partkey").agg(

@@ -419,7 +419,7 @@ def ta_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ct = tf.groupBy("token").agg(F.sum("c").alias("ctot"))
     ts_ = tf.groupBy("source").agg(F.sum("c").alias("tsrc"))
-    tot = tf.agg(F.sum("c").alias("t")).localCheckpoint()  # 1 row
+    tot = tf.agg(F.sum("c").alias("t")).localCheckpoint(eager=False)  # 1 row
     contrib = (
         F.col("c") / F.col("tsrc")
     ) * F.log(
@@ -736,7 +736,7 @@ def ta_burstiness_cg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("total_tf"),
         F.sum(F.col("c") * F.col("c")).alias("sq"),
     )
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=False)
     return (
         stats.crossJoin(F.broadcast(n))
         .select(
@@ -1019,7 +1019,7 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("p_us"))
     )
-    n_v = v.agg(F.count(F.lit(1)).alias("nv")).localCheckpoint()  # 1 row
+    n_v = v.agg(F.count(F.lit(1)).alias("nv")).localCheckpoint(eager=False)  # 1 row
     row1 = v.agg(
         F.lit(1).cast("bigint").alias("stage_idx"),
         F.lit("view").alias("stage"),

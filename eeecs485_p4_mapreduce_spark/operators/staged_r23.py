@@ -362,7 +362,7 @@ def curate_bloom_contamination(
                 )
             ).alias("bloom")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hit_terms = " AND ".join(
         f"((coalesce(element_at(bloom, cast(({h}) div 32 as bigint)), 0L)"

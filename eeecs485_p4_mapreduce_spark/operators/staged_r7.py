@@ -852,13 +852,13 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()  # bigram-vocab sized; feeds the total AND scoring
+        .localCheckpoint(eager=False)  # bigram-vocab sized; feeds the total AND scoring
     )
     uni = (
         docs.select(F.explode(tokens()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()  # broadcast twice (left/right word)
+        .localCheckpoint(eager=False)  # broadcast twice (left/right word)
     )
     tot = bi.agg(F.sum("c_ab").alias("n"))
     scored = (

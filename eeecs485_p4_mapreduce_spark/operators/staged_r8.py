@@ -148,7 +148,7 @@ def q78_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("depth") + F.col("j_depth")).alias("depth"),
                 (F.col("prod") * F.col("j_prod")).alias("prod"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         state.join(part, "node")
@@ -237,7 +237,7 @@ def q79_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("s")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     parts = []
     for name, pat in Q79_PATTERNS:
@@ -502,7 +502,7 @@ def ta_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.selectExpr("v AS src", "u AS dst", "w")
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
-    ew = edges.join(deg, "src").localCheckpoint()
+    ew = edges.join(deg, "src").localCheckpoint(eager=False)
     scores = deg.select(
         F.col("src").alias("tok"), F.lit(1_000_000).cast("long").alias("s")
     )
@@ -518,7 +518,7 @@ def ta_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("850 * sum((s * w) div wdeg) div 1000")
                 ).alias("s")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     ranked = (
         scores.join(deg, scores["tok"] == deg["src"])

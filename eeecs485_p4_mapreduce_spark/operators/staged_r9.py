@@ -558,7 +558,7 @@ def ta_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(4),
             ).alias(f"rel_{i}")
         )
-    all_scored = docs.select("doc_id", *count_cols).localCheckpoint()
+    all_scored = docs.select("doc_id", *count_cols).localCheckpoint(eager=False)
     out = None
     for i, (name, rank_tok, rel_tok) in enumerate(NDCG_QUERIES):
         scored = all_scored.select(

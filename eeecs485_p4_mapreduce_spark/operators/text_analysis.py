@@ -959,7 +959,7 @@ def ta_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint the tokenize+count subtree recomputes four times
         # (16 exchanges in the physical plan; ~4x the scan work at
         # 100 TB). The table is vocabulary-sized — cheap to pin.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = freq.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
     # tot is |languages| rows — broadcast, don't shuffle the vocabulary
@@ -968,7 +968,7 @@ def ta_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hp = p.groupBy("lang").agg(
         F.sum(-F.col("p") * F.log("p")).alias("h")
-    ).localCheckpoint()  # |languages| rows; feeds BOTH sides of the pair join
+    ).localCheckpoint(eager=False)  # |languages| rows; feeds BOTH sides of the pair join
     langs = hp.select(F.col("lang").alias("lang2"))
     expanded = (
         p.join(F.broadcast(langs), F.col("lang2") != F.col("lang"))

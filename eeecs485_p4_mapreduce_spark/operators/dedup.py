@@ -921,13 +921,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.agg((F.max("doc_id") * 3 / 5).cast("bigint")).first()[0]
     idx_dir = tempfile.mkdtemp(prefix="p4spark_mhidx_")
     try:
-        idx_bands = _minhash_bands(docs.filter(F.col("doc_id") <= split))
+        # ONE shingle+hash pass over the corpus: bands for all docs are
+        # computed once (lazy checkpoint), and the index write and the
+        # delta probe each filter their half of the SAME materialized
+        # rows — band values are per-doc, so filter-before vs
+        # filter-after is identical, and the two separate minhash
+        # pipelines (two spread shuffles, two agg stages over disjoint
+        # halves) collapse into one.
+        all_bands = _minhash_bands(docs).localCheckpoint(eager=False)
+        idx_bands = all_bands.filter(F.col("doc_id") <= split)
         idx_bands.write.mode("overwrite").parquet(idx_dir)
         # schema from the writer side: a fresh inference job on the temp
         # path would re-read the footer we just wrote
         index = spark.read.schema(idx_bands.schema).parquet(idx_dir)
         delta_docs = docs.filter(F.col("doc_id") > split)
-        delta_bands = _minhash_bands(delta_docs).localCheckpoint(eager=False)
+        delta_bands = all_bands.filter(F.col("doc_id") > split)
         probe = index.select(
             "band_id",
             "band_sig",

@@ -947,22 +947,35 @@ def q23_quantity_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q24: exact interpolated percentiles per group, computed as a VALUE
-# HISTOGRAM: hash-agg counts per distinct cent value (codegen'd, partial
-# map-side), one window sort of the distinct values for cumulative
-# counts, then conditional-min interpolation at each rank. This is the
-# 100 TB-correct formulation — Spark's built-in exact `percentile` is a
-# row-at-a-time ObjectAggregate that buffers every raw value per group
-# (measured 3.5s vs ~1s at sf0.1; unbounded memory in the raw-value
-# count at scale), while the histogram shuffles only distinct values.
-# The per-group window looks like a single-task bottleneck but is
-# DOMAIN-bounded, not corpus-bounded: its input is one row per distinct
-# cent value (~1e7 max for this price domain ≈ 100 MB/task), which
-# holds at any corpus size. A two-level bucket-prefix decomposition
-# (parallel within-bucket windows + broadcast bucket offsets) was
-# measured 2x slower at sf0.1 — its extra agg, materialization, and
-# broadcast barrier outweigh the parallelism until the value domain
-# itself is huge.
+# q24: exact interpolated percentiles per group, computed by TARGETED
+# BUCKET SELECTION (r15; guide §2.3 "shuffle fewer bytes" / §2.4):
+#   1. one scan aggregates per-(flag, bucket) row counts, bucket =
+#      cents div 2^14 — a TINY table (price domain / 16384 rows), whose
+#      cumulative window pinpoints, for every needed rank threshold t
+#      (floor(q*(n-1)) and +1 per quantile), the ONE bucket where the
+#      cumulative count crosses t;
+#   2. a second scan keeps only rows in those ≤ 8 buckets per flag
+#      (broadcast semi of the target-bucket list, ~1% of rows), builds
+#      the value histogram for just them, and runs the cumulative
+#      window + conditional-min interpolation exactly as before, with
+#      each bucket's preceding-row count added as a constant offset.
+# The conditional min over the filtered histogram equals the min over
+# the full one: cum is monotone in cents, so argmin{cents: cum > t} is
+# the first value in the crossing bucket — which is in the kept set by
+# construction; every other kept row either fails the WHEN or is
+# larger. Outputs are bit-identical (oracle-verified).
+# vs the r14 form (full value histogram + flag-wide window): the
+# distinct-value exchange shrinks from every distinct cent (583k rows
+# at sf0.1, ~1e7 at any corpus size for this price domain) to the
+# target buckets only (~8*16384 per flag), and the DOMAIN-sized
+# per-flag window sort disappears — at the cost of a second (pruned,
+# 2-column) scan of the fact table. Same-session min-of-5 at sf0.1:
+# 1.378 s (old) -> 1.037 s; the old 2x-slower bucket-prefix-window A/B
+# (which parallelized the window but still shuffled the whole domain)
+# is superseded by this form, which shuffles almost nothing.
+# Spark's built-in exact `percentile` stays rejected — it is a
+# row-at-a-time ObjectAggregate buffering every raw value per group
+# (measured 3.5s vs ~1s at sf0.1; unbounded memory at scale).
 # Determinism: interpolation runs over exact integer CENTS at dyadic
 # quantiles (k/2^m) only, so lo + frac*(hi-lo) is exact in doubles and
 # the two engines agree bit-for-bit — at non-dyadic quantiles (e.g.
@@ -986,18 +999,77 @@ _PCTS = [("p25_cents", 0.25), ("p50_cents", 0.5), ("p75_cents", 0.75), ("p875_ce
 def q24_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "cents", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn(
+            "cents", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        )
+        .withColumn("bkt", F.expr("cents div 16384"))
     )
-    counts = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
+    # Pass 1 (one broadcast subplan): per-(flag, bucket) counts —
+    # price-domain/16384 rows — whose cumulative window locates every
+    # rank threshold the interpolation will probe (floor(q*(n-1)) and
+    # +1 per quantile): the bucket where cum crosses threshold t is
+    # min{bkt : cum_end > t}. n rides along so the fact side needs no
+    # second broadcast.
+    bcnt = li.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_bcum = (
         Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binfo = bcnt.withColumn("cum_end", F.sum("cnt").over(w_bcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("l_returnflag"))
+    )
+    thr_list = ", ".join(
+        f"floor({q}d * (n - 1)){plus}"
+        for _name, q in _PCTS
+        for plus in ("", " + 1L")
+    )
+    targets = (
+        binfo.select(
+            "l_returnflag",
+            "bkt",
+            (F.col("cum_end") - F.col("cnt")).alias("before"),
+            "cum_end",
+            "n",
+            F.explode(F.expr(f"array({thr_list})")).alias("thr"),
+        )
+        .filter(F.col("cum_end") > F.col("thr"))
+        .groupBy("l_returnflag", "thr")
+        .agg(
+            F.min_by(F.struct("bkt", "before"), "bkt").alias("s"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("s.bkt").alias("bkt"),
+            F.col("s.before").alias("before"),
+            "n",
+        )
+        .distinct()
+    )
+    # Pass 2: value histogram over ONLY the target buckets (~8 per flag);
+    # cum = bucket offset + within-bucket running count reproduces the
+    # full-table cumulative count exactly on the kept rows. The groupBy
+    # keeps map-side partial aggregation, so BOTH exchanges here (agg on
+    # the distinct values, window re-key to (flag, bkt)) stay
+    # domain-bounded at any corpus size. A/B'd against an explicit
+    # repartition(flag, bkt) before the agg, which fuses the two
+    # exchanges into one and measures ~0.1 s faster at sf0.1 — but that
+    # form shuffles the RAW matched rows (corpus-proportional) with no
+    # partial agg, so the one-barrier saving is local-only; rejected.
+    counts = (
+        li.join(F.broadcast(targets), ["l_returnflag", "bkt"])
+        .groupBy("l_returnflag", "bkt", "before", "n", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "bkt")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("l_returnflag"))
-    )
+    ranked = counts.withColumn("cum", F.col("before") + F.sum("cnt").over(w_cum))
     # rank position h = (n-1)*q; the quantile interpolates the values at
     # ranks floor(h)+1 and floor(h)+2 (1-based) with fraction h-floor(h).
     for name, q in _PCTS:

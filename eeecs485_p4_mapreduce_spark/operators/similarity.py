@@ -18,12 +18,11 @@ candidates, never a global sort.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, table_path
+from eeecs485_p4_mapreduce_spark.catalog import load_table, table_path, pin_disk
 from eeecs485_p4_mapreduce_spark.registry import query
 
 
@@ -1030,7 +1029,7 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it so the embedding load runs once (was 11 repeated scans).
     # Full-embedding-table sized: DISK_ONLY persist keeps lineage
     # (recoverable on executor loss) — see SCALE.md.
-    emb = _pq_emb(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    emb = _pq_emb(spark, sf_dir).transform(pin_disk)
     codes = _pq_assignments(emb)
     wide = codes.groupBy("vec_id").agg(
         *[

@@ -41,12 +41,11 @@ import shutil
 import uuid
 from pathlib import Path
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
@@ -124,7 +123,7 @@ def ta_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     # dl = Σ tf per doc — exactly size(tokens()), derived from the
     # pinned tf instead of a second documents scan

@@ -58,12 +58,11 @@ import tempfile
 import time
 from pathlib import Path
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 
 # ---------------------------------------------------------------------------
 # q100: longest activity streak per user. distinct (user, epoch-day)
@@ -303,7 +302,7 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-join anchor — pin it so the embedding load runs once (the
     # sim_pq_search precedent from this same module family). Full
     # embedding table: DISK_ONLY persist keeps lineage — see SCALE.md.
-    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    emb = _emb_with_norm(spark, sf_dir).transform(pin_disk)
     queries = emb.filter(F.col("vec_id") < RADIUS_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

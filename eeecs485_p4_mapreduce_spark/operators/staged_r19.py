@@ -64,12 +64,11 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, spread_small_source
+from eeecs485_p4_mapreduce_spark.catalog import load_table, spread_small_source, pin_disk
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
 from eeecs485_p4_mapreduce_spark.operators.similarity import N_QUERIES
 
@@ -504,7 +503,7 @@ def ta_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rw = Window.orderBy(F.col("df").desc(), "token")
@@ -530,7 +529,7 @@ def ta_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # consumed by bmax, phase A, ub, and phase B; postings are
         # corpus-sized so DISK_ONLY (lineage kept), not localCheckpoint
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     # per-term posting maxima (the "block max" table — 12 rows)
     bmax = post.groupBy("query_id", "term").agg(
@@ -834,7 +833,7 @@ def sim_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # full embedding table feeds the signature scan AND the rerank
     # join-back: DISK_ONLY persist (lineage kept), not localCheckpoint.
-    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    emb = _emb_with_norm(spark, sf_dir).transform(pin_disk)
     half = (
         "aggregate(sequence(0, 31), 0L, (acc, i) ->"
         " acc + if(element_at(v, i + 1 + {off}) > 0.0d,"

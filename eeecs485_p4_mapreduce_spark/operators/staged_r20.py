@@ -164,7 +164,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 
 # ---------------------------------------------------------------------------
 # mm_mkv_ebml: REAL Matroska/EBML walk (see encode_mkv/parse_mkv_ebml
@@ -529,8 +529,6 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     building blocks: _centroids_packed/_ASSIGN_SORTED for the coarse
     cells, _pq_assignments/_pq_codebook for the codes, and
     sim_topk_bruteforce as the exact reference."""
-    from pyspark import StorageLevel
-
     from eeecs485_p4_mapreduce_spark.operators.similarity import (
         _ASSIGN_SORTED,
         _centroids_packed,
@@ -549,7 +547,7 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full embedding table feeds the coarse assignment, the code build,
     # the rerank join-back AND the brute-force reference: DISK_ONLY
     # persist (lineage kept) per SCALE.md.
-    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    emb = _emb_with_norm(spark, sf_dir).transform(pin_disk)
     packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",
@@ -2051,8 +2049,6 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle mirrors the identical hash, so the comparison is exact;
     # per-pair hash merges are ~|x|·|y|/2^48 — the same accepted noise
     # floor as the registered MinHash operators.
-    from pyspark.storagelevel import StorageLevel
-
     # ex is consumed three times (df census, prefix ranking,
     # verification a/b sides); corpus-sized, so DISK_ONLY persist —
     # keeps lineage, saves two shingling+md5 scans (see SCALE.md).
@@ -2068,7 +2064,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
             "n",
         )
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(pin_disk)
     # Global rarest-first order = ascending (df, shingle), attached by
     # one shuffle on the shingle. The per-doc prefix (the first
     # n - ceil(n/2) + 1 = n div 2 + 1 shingles under that order) comes

@@ -102,12 +102,11 @@ Staged surface:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
@@ -415,7 +414,7 @@ def ta_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     ct = tf.groupBy("token").agg(F.sum("c").alias("ctot"))
     ts_ = tf.groupBy("source").agg(F.sum("c").alias("tsrc"))
@@ -998,7 +997,7 @@ def q127_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(unix_micros(ts) AS BIGINT) AS us",
         )
         .repartition("user_id")
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1264,7 +1263,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (corpus-sized reuse -> DISK_ONLY, the ta_bm25 rule)
     f = wins.selectExpr(
         "doc_id", f"{_SUBSTR_FP_SPARK} AS fp"
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(pin_disk)
     nd = f.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
@@ -1413,11 +1412,11 @@ def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = _minhash_signatures(docs).persist(StorageLevel.DISK_ONLY)
+    hashes = _minhash_signatures(docs).transform(pin_disk)
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     rows = []
     for nb, r in LSH_CURVE_CONFIGS:

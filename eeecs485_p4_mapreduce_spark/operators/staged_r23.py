@@ -86,12 +86,11 @@ fixes are pinned by a crafted-corpus hash test
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 from eeecs485_p4_mapreduce_spark.functions.text import hash32
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
@@ -1036,7 +1035,7 @@ def q128_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # corpus-sized with two consumers (tot + by_t): DISK_ONLY
         # persist so the lineitem rollup + orders join runs once
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     tot = per.agg(F.count(F.lit(1)).alias("n_total"))
     by_t = per.groupBy("dur").agg(
@@ -1492,7 +1491,7 @@ def curate_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id AS id", "cast(embedding AS array<double>) AS v"
         ),
         "id",
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(pin_disk)
 
     seed = (
         emb.orderBy("id")
@@ -1607,7 +1606,7 @@ def q129_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey * 2 AS a", "l_suppkey * 2 + 1 AS b"
         )
         .distinct()
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
 
     def degrees(e: DataFrame) -> DataFrame:

@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
 _SPARK_TOKS = "split(lower(text), '[ \t]')"
@@ -804,8 +804,6 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (see section comment): one signature build (persisted
     DISK_ONLY for the band + match reuse), bucket-explode pairs,
     per-pair integer match counts and corrected estimates."""
-    from pyspark import StorageLevel
-
     from eeecs485_p4_mapreduce_spark.operators.dedup import (
         N_HASHES,
         _minhash_signatures,
@@ -816,7 +814,7 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = _minhash_signatures(docs).persist(StorageLevel.DISK_ONLY)
+    hashes = _minhash_signatures(docs).transform(pin_disk)
     band_structs = ", ".join(
         "struct({b} as band_id, concat_ws('-', {cols}) as band_sig)".format(
             b=b,

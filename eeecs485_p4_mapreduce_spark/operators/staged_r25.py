@@ -80,9 +80,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
 _SPARK_TOKS = "split(lower(text), '[ \t]')"
@@ -1393,7 +1392,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # agg) pins to DISK, never executor memory: the localCheckpoint
         # variant exhausted unified memory at the x100 probe
         # (UNABLE_TO_ACQUIRE_MEMORY in the distinct hash agg)
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     shared = sel.groupBy("sel_h").agg(
         F.countDistinct("doc_id").alias("nd")
@@ -1671,7 +1670,7 @@ def ta_msttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SPARK_TOKS).alias("toks"),
         )
         .withColumn("n_tokens", F.size("toks"))
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     tok = tl.select(
         "doc_id",
@@ -1909,7 +1908,7 @@ def sim_graph_delta_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(v, x -> CAST(floor(x * {RP_SCALE}) AS BIGINT))"
             " AS vq",
         )
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     # SLIM band rows: the band join carries ids only — carrying the
     # 64-dim vectors 8x per node and folding the cosine once per

@@ -42,12 +42,12 @@ Surface:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeecs485_p4_mapreduce_spark.catalog import (
     load_table,
+    pin_disk,
     spread_small_source,
 )
 
@@ -234,7 +234,7 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor loss) and stays out of exec memory — see SCALE.md.
     dev = v.join(F.broadcast(med.select("event_type", "med2x")), "event_type").withColumn(
         "dev2x", F.abs(2 * F.col("vm") - F.col("med2x"))
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(pin_disk)
     h2 = dev.groupBy("event_type", "dev2x").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -362,7 +362,7 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("phrase_id", F.sum("is_stop").over(w))
         .filter(F.col("is_stop") == 0)
         .select("doc_id", "phrase_id", "pos", "tok")
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(pin_disk)
     )
     phrases = members.groupBy("doc_id", "phrase_id").agg(
         F.expr(
@@ -370,7 +370,7 @@ def ta_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "struct(pos, tok))), s -> s.tok))"
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(pin_disk)
     wordstats = (
         members.join(phrases, ["doc_id", "phrase_id"])
         .groupBy("tok")
@@ -516,7 +516,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (the old plan re-scanned embeddings 12 times).
     # full embedding table: DISK_ONLY persist keeps lineage
     # (recoverable on executor loss) — see SCALE.md.
-    emb = _emb_with_norm(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    emb = _emb_with_norm(spark, sf_dir).transform(pin_disk)
     packed = _centroids_packed(emb).localCheckpoint(eager=False)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",

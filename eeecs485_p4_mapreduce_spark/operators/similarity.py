@@ -1782,9 +1782,25 @@ def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
     cos = (F.expr(_HNSW_DOT) / (F.col("qnorm") * F.col("norm"))).alias(
         "cos_raw"
     )
-    w = Window.partitionBy("level", "src").orderBy(
-        F.col("cos_raw").desc(), F.col("dst")
-    )
+    # Top-M per (level, src) as ONE aggregation (r15, guide §2.3
+    # "aggregate before you shuffle"): collect the (cos, dst) candidates
+    # per group, sort with the same (cos desc, dst asc) comparator the
+    # old row_number() window used, slice M. Replaces the explicit
+    # core-width repartition + full partition sort (two AQE stages) with
+    # a single partially-aggregated exchange; rank/tie-breaking are
+    # bit-identical (doubles compare exactly; (src, dst) pairs are
+    # unique per level since a candidate owns one bucket per layer).
+    # Per-group state is bucket-population-bounded — the same bound the
+    # window partition had (production scales plane count with log N,
+    # see the sim_hnsw_scaledplanes probe).
+    top_expr = f"""
+        slice(array_sort(collect_list(struct(cos_raw, dst)),
+                (x, y) -> CASE WHEN x.cos_raw > y.cos_raw THEN -1
+                               WHEN x.cos_raw < y.cos_raw THEN 1
+                               WHEN x.dst < y.dst THEN -1
+                               WHEN x.dst > y.dst THEN 1
+                               ELSE 0 END),
+              1, {HNSW_M})"""
     return (
         a.join(
             b,
@@ -1793,21 +1809,15 @@ def _hnsw_edges_from(nodes: DataFrame) -> DataFrame:
             & (F.col("src") != F.col("dst")),
         )
         .select(F.col("al").alias("level"), "src", "dst", cos)
-        # core-width, not a literal: scales with the cluster (the same
-        # defaultParallelism rule spread_small_source uses)
-        .repartition(
-            nodes.sparkSession.sparkContext.defaultParallelism,
-            "level",
-            "src",
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= HNSW_M)
+        .groupBy("level", "src")
+        .agg(F.expr(top_expr).alias("top"))
+        .select("level", "src", F.posexplode("top").alias("i", "t"))
         .select(
             "level",
             "src",
-            "dst",
-            "rank",
-            F.round("cos_raw", 4).alias("cosine"),
+            F.col("t.dst").alias("dst"),
+            (F.col("i") + 1).alias("rank"),
+            F.round("t.cos_raw", 4).alias("cosine"),
         )
     )
 
@@ -1971,6 +1981,15 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what makes the 9 hops' broadcast subplans canonically identical so
     # exchange reuse materializes ONE broadcast (r09 A/B: dropping the
     # checkpoint re-ran the build inside the broadcasts, +1.1 s).
+    # KEEP the checkpoint, don't convert to a persist pin (r15 A/B): the
+    # lazy checkpoint does materialize the edge build's 4 AQE stages at
+    # plan-build time, but its LogicalRDD leaf also truncates the plan
+    # the 9 hops re-reference — with a persist pin every hop's analysis
+    # re-walks the full edge-build subplan and the run measured 7.1 s
+    # warm (0 build jobs, 29 exec jobs) vs 5.1 s with the checkpoint
+    # (4 build jobs, 11 exec jobs). Plan truncation wins for deep
+    # re-referencing pipelines; persist pins win for flat fan-outs
+    # (sim_ivfpq_rerank_recall, the inverse A/B).
     edges = edges.localCheckpoint(eager=False)
     queries = nodes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -548,7 +548,16 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rerank join-back AND the brute-force reference: DISK_ONLY
     # persist (lineage kept) per SCALE.md.
     emb = _emb_with_norm(spark, sf_dir).transform(pin_disk)
-    packed = _centroids_packed(emb).localCheckpoint(eager=False)
+    # packed is pinned via persist, NOT localCheckpoint (r15): a lazy
+    # localCheckpoint over a subplan with exchanges still materializes
+    # every upstream AQE stage at plan-build time (.rdd conversion),
+    # serializing ~14 driver-blocking jobs before the query's own
+    # action; a persist pin is genuinely lazy (0 build jobs) and the
+    # in-run cache still guarantees every multi-consumer subtree
+    # computes once. Fresh-process A/B (min-of-3 totals, sf0.1):
+    # ckpt 4.07 s / pin 3.43 s / no-pin-at-all 5.22 s (the unpinned
+    # form re-executes the shared assignment subtrees per consumer).
+    packed = _centroids_packed(emb).transform(pin_disk)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",
         "v",
@@ -655,9 +664,10 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rr") <= TOP_K)
         .select("rerank_r", "query_id", "neighbor_id",
                 F.lit(1).alias("hit"))
-        # N_QUERIES x |RERANK_RS| x TOP_K rows; feeds the overlap join —
-        # pin it so the two-stage search executes once
-        .localCheckpoint(eager=False)
+        # N_QUERIES x |RERANK_RS| x TOP_K rows; pinned (persist, not
+        # checkpoint — see the packed comment) so the two-stage search
+        # executes once with zero plan-build barriers.
+        .transform(pin_disk)
     )
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     return (

@@ -589,9 +589,12 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Row-local nprobe assignment: rank the k broadcast centroids inside
     # each row, keep the top NPROBE — zero shuffles where the old plan
     # paid a k x corpus crossJoin + per-vector window. The packed
-    # centroid row is materialized once (it's index metadata, one row)
-    # so the cells/probes branches don't each rebuild the centroid agg.
-    packed = _centroids_packed(emb).localCheckpoint(eager=False)
+    # centroid row is pinned (persist, r15 — a lazy localCheckpoint
+    # still ran its 4 upstream AQE stages as plan-build jobs; the
+    # persist pin is genuinely lazy and in-run cache reuse still
+    # guarantees ONE centroid aggregate — a corpus scan at 100 TB —
+    # however many branches read it).
+    packed = _centroids_packed(emb).transform(pin_disk)
     scored = emb.crossJoin(F.broadcast(packed)).selectExpr(
         "vec_id",
         "v",
@@ -1135,8 +1138,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
         # N_QUERIES x TOP_K rows; feeds the overlap join AND the count —
-        # pin it so the ANN search executes once
-        .localCheckpoint(eager=False)
+        # pinned (persist, not checkpoint — r15, zero build-time jobs)
+        # so the ANN search executes once
+        .transform(pin_disk)
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")
@@ -1382,7 +1386,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
         # same pin as sim_ann_recall: one IVF search, not two
-        .localCheckpoint(eager=False)
+        .transform(pin_disk)
     )
     hits = (
         bf.join(ann, ["query_id", "neighbor_id"], "left")

@@ -335,8 +335,13 @@ def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin tf: it feeds BOTH the idf derivation and the scoring join.
     # Unpinned, Catalyst planned the idf branch as its own
     # tokenize+distinct over the scan — a second full corpus pass at
-    # 100 TB; checkpointed (lazily — no build-time job), one tokenize
-    # pass feeds both consumers.
+    # 100 TB; checkpointed (lazily), one tokenize pass feeds both
+    # consumers. KEPT as a checkpoint after the r15 pin A/B: a
+    # DISK_ONLY persist pin removes the one plan-build job but pays a
+    # serialize+reread round-trip on the token-grain table every
+    # consumer — fresh-process min-of-3 totals 0.97 s (ckpt) vs 1.31 s
+    # (persist); the checkpoint's in-memory RDD wins for token-grain
+    # reuse.
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

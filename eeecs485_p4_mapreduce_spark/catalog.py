@@ -97,6 +97,31 @@ def pin_disk(df: DataFrame) -> DataFrame:
     return out
 
 
+def read_parquet_cached(
+    spark: SparkSession, *paths: str, schema: object | None = None
+) -> DataFrame:
+    """``spark.read.parquet`` through the path-keyed schema cache.
+
+    Every schema-less parquet read runs a 1-task footer-inference job
+    before the query proper; the engine's write-then-read-back demos
+    and spool readers paid it on every invocation (31 sites, r14 audit
+    item). Keyed on the path tuple: spool layouts are immutable once
+    built (``cached_layout`` rebuilds into a FRESH tempdir on any
+    mutation) and per-run snapshot dirs are only ever rewritten with
+    the same schema by the same job, so a path-keyed entry cannot go
+    stale within a process. Pass ``schema`` (writer-schema reuse) to
+    skip inference on the very first read too. Caches METADATA only —
+    rows always come from the files."""
+    key = "\x00".join(paths)
+    s = schema if schema is not None else _SCHEMA_CACHE.get(key)
+    if s is not None:
+        _SCHEMA_CACHE[key] = s
+        return spark.read.schema(s).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def pin_utc(spark: SparkSession) -> None:
     """THE repo-wide timezone rule, in one place: every entry point that
     hands engine data to a session (the session factory, load_table,

@@ -3567,10 +3567,12 @@ def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_dir = tempfile.mkdtemp(prefix="p4spark_mv_")
     try:
         # yesterday's snapshot: aggregated once, stored as the view table
-        partials(events.filter(F.col("event_id") <= split)).write.mode(
-            "overwrite"
-        ).parquet(mv_dir)
-        stored = spark.read.parquet(mv_dir)
+        snap = partials(events.filter(F.col("event_id") <= split))
+        snap.write.mode("overwrite").parquet(mv_dir)
+        # writer-schema reuse (dedup_incremental pattern): the read-back
+        # declares the schema we just wrote, skipping the footer-
+        # inference job a schema-less read runs per invocation.
+        stored = spark.read.schema(snap.schema).parquet(mv_dir)
         delta = partials(events.filter(F.col("event_id") > split))
         merged = (
             stored.unionByName(delta)

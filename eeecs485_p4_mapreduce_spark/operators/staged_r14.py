@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, read_parquet_cached
 
 # ---------------------------------------------------------------------------
 # q99: equi-depth (quartile) bins. From the exact per-(type, cents)
@@ -327,7 +327,7 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+            read_parquet_cached(spark, str(Path(spool) / "slice-0.parquet")).schema
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(spool + "/*.parquet")
@@ -341,11 +341,11 @@ def stream_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the batch-keyed partials (base-dir read: partition discovery
     # turns batch=<id> into a column; sum-merge is associative)
     counts = (
-        spark.read.parquet(out_dir)
+        read_parquet_cached(spark, out_dir)
         .groupBy("event_type")
         .agg(F.sum("n_events").alias("n_events"))
     )
-    dlq = spark.read.parquet(dlq_dir).agg(
+    dlq = read_parquet_cached(spark, dlq_dir).agg(
         F.lit("__dlq__").alias("event_type"),
         F.count(F.lit(1)).alias("n_events"),
     )

@@ -62,7 +62,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    pin_disk,
+    read_parquet_cached,
+)
 
 # ---------------------------------------------------------------------------
 # q100: longest activity streak per user. distinct (user, epoch-day)
@@ -759,7 +763,7 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # a batch column (a glob path makes the reader log WARN
             # FileStreamSink probes on every call)
             prev_max = (
-                sp.read.parquet(wm_dir)
+                read_parquet_cached(sp, wm_dir)
                 .filter(F.col("batch") < batch_id)
                 .agg(F.max("max_us"))
                 .collect()[0][0]
@@ -796,7 +800,7 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+            read_parquet_cached(spark, str(Path(spool) / "slice-0.parquet")).schema
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(spool + "/*.parquet")
@@ -810,7 +814,7 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the per-batch partials (sum-merge is associative, so the
     # batch-keyed layout costs nothing semantically)
     out = (
-        spark.read.parquet(out_dir)
+        read_parquet_cached(spark, out_dir)
         .groupBy("event_type")
         .agg(
             F.sum("n_accepted").alias("n_accepted"),

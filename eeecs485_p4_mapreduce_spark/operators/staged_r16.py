@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import load_table, read_parquet_cached
 
 # ---------------------------------------------------------------------------
 # q103: FIFO lot allocation. Within each part, lines ordered by
@@ -595,7 +595,7 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_dir = tempfile.mkdtemp(prefix="p4spark_restart_out_")
     ckpt = tempfile.mkdtemp(prefix="p4spark_restart_ckpt_")
-    schema = spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+    schema = read_parquet_cached(spark, str(Path(spool) / "slice-0.parquet")).schema
 
     def merge_batch(batch_df, batch_id: int) -> None:
         # batch-keyed partials (the staged_r14 DLQ-sink rule): a
@@ -637,7 +637,7 @@ def stream_restart_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(spool, ignore_errors=True)
     shutil.rmtree(pending, ignore_errors=True)
     out = (
-        spark.read.parquet(out_dir)
+        read_parquet_cached(spark, out_dir)
         .groupBy("event_type")
         .agg(
             F.sum("n_events").alias("n_events"),

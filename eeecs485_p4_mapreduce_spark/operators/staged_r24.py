@@ -73,7 +73,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    pin_disk,
+    read_parquet_cached,
+)
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
 _SPARK_TOKS = "split(lower(text), '[ \t]')"
@@ -1484,7 +1488,7 @@ def stream_semantic_dedup(
         )
 
     spool = cached_layout(spark, sf_dir, "semdedup_slices", build)
-    static = spark.read.parquet(spool + "/*.parquet")
+    static = read_parquet_cached(spark, spool + "/*.parquet")
     acc: dict = {"counts": None}
 
     def fold(batch_df, batch_id: int) -> None:

@@ -81,7 +81,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
+from eeecs485_p4_mapreduce_spark.catalog import (
+    load_table,
+    pin_disk,
+    read_parquet_cached,
+)
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
 _SPARK_TOKS = "split(lower(text), '[ \t]')"
@@ -835,7 +839,7 @@ def stream_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     spool = cached_layout(spark, sf_dir, "ann_upsert_slices", build)
-    static = spark.read.parquet(spool + "/*.parquet")
+    static = read_parquet_cached(spark, spool + "/*.parquet")
     packed = _frozen_base_packed(spark, sf_dir).localCheckpoint()
     acc: dict = {"postings": None}
 
@@ -2007,7 +2011,7 @@ def stream_join_amplification(
             )
 
     spool = cached_layout(spark, sf_dir, "join_amp_slices", build)
-    static = spark.read.parquet(spool + "/*.parquet")
+    static = read_parquet_cached(spark, spool + "/*.parquet")
     acc: dict = {"hist": None}
 
     def fold(batch_df, batch_id: int) -> None:

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from eeecs485_p4_mapreduce_spark.catalog import (
     load_table,
     pin_disk,
+    read_parquet_cached,
     spread_small_source,
 )
 
@@ -979,7 +980,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         # transient read error must fail the stream, never silently
         # reset the snapshot; the stream_incremental_rollup rule)
         if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
+            merged = read_parquet_cached(sp, out_dir).unionByName(partial)
         else:
             merged = partial
         (
@@ -1005,7 +1006,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "part-a.parquet")).schema
+            read_parquet_cached(spark, str(Path(spool) / "part-a.parquet")).schema
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(spool + "/*.parquet")
@@ -1017,7 +1018,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # spool is a cached layout (streaming.queries._LAYOUT_CACHE) — keep it
     out = (
-        spark.read.parquet(out_dir)
+        read_parquet_cached(spark, out_dir)
         .select(
             "user_id",
             "event_type",

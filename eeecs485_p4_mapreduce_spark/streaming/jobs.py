@@ -25,6 +25,9 @@ from pathlib import Path
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from eeecs485_p4_mapreduce_spark.catalog import read_parquet_cached
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -378,7 +381,7 @@ def upsert_stream_to_parquet(
                     f"{partition_col!r} values in one batch; pick a "
                     f"bounded-cardinality partition column"
                 )
-            existing = spark.read.parquet(out_dir).filter(
+            existing = read_parquet_cached(spark, out_dir).filter(
                 F.col(partition_col).isin(parts)
             )
             merged = existing.join(

@@ -23,6 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eeecs485_p4_mapreduce_spark.catalog import read_parquet_cached
 from eeecs485_p4_mapreduce_spark.registry import query
 from eeecs485_p4_mapreduce_spark.streaming.jobs import (
     dedup_stream,
@@ -72,7 +73,7 @@ def merged_snapshot_stream(
         sp = batch_df.sparkSession
         partial = partial_fn(batch_df)
         if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
+            merged = read_parquet_cached(sp, out_dir).unionByName(partial)
         else:
             merged = partial
         (
@@ -85,7 +86,7 @@ def merged_snapshot_stream(
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "slice-0.parquet")).schema
+            read_parquet_cached(spark, str(Path(spool) / "slice-0.parquet")).schema
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(spool + "/*.parquet")
@@ -96,7 +97,7 @@ def merged_snapshot_stream(
     )
     q.awaitTermination()
     # spool is a cached layout (see _LAYOUT_CACHE) — keep it
-    out = finalize_fn(spark.read.parquet(out_dir)).localCheckpoint()
+    out = finalize_fn(read_parquet_cached(spark, out_dir)).localCheckpoint()
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
@@ -484,7 +485,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rollup, dropping all prior history. Any read error on an
         # existing rollup must propagate and fail the stream.
         if any(Path(out_dir).glob("*.parquet")):
-            merged = sp.read.parquet(out_dir).unionByName(partial)
+            merged = read_parquet_cached(sp, out_dir).unionByName(partial)
         else:
             merged = partial
         (
@@ -500,7 +501,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(
-            spark.read.parquet(str(Path(spool) / "part-a.parquet")).schema
+            read_parquet_cached(spark, str(Path(spool) / "part-a.parquet")).schema
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(spool + "/*.parquet")
@@ -512,7 +513,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # spool is a cached layout (see _LAYOUT_CACHE) — keep it
     out = (
-        spark.read.parquet(out_dir)
+        read_parquet_cached(spark, out_dir)
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type",

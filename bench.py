@@ -85,15 +85,20 @@ HEADLINE = [
 
 def _run_one(spark, fn, sf_dir: str, label: str = "") -> float:
     # Label the jobs (guide §1.5) so UI/event-log stages map back to
-    # queries; description is driver-side metadata, timing-neutral.
+    # queries; description is driver-side metadata, timing-neutral. The
+    # finally-reset (r14 advice) keeps follow-on tooling reusing this
+    # SparkContext from inheriting the last query's label.
     spark.sparkContext.setJobDescription(f"bench:{label}" if label else None)
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    # Force ONE full execution of the plan. The noop sink materializes
-    # every row without driver-side collection — unlike count()+collect()
-    # which runs the plan twice and measures the driver round-trip.
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force ONE full execution of the plan. The noop sink materializes
+        # every row without driver-side collection — unlike count()+collect()
+        # which runs the plan twice and measures the driver round-trip.
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        spark.sparkContext.setJobDescription(None)
 
 
 def main() -> int:

@@ -44,10 +44,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: every query invocation (a 6-table star join pays it 6 times, twice per
 #: bench run). A real warehouse reads schemas from its catalog, not from
 #: data files; this dict is that catalog. Keyed on the resolved path;
-#: the test tables are immutable for a process's lifetime. Caches
-#: METADATA only — never rows, so every query still computes from
-#: parquet (guide §1 / optimization-round rules).
+#: IMMUTABILITY ASSUMPTION (r14 advice): a cached path's dataset must
+#: not be rewritten with a DIFFERENT schema within one process — true
+#: for the driver-generated test tables (immutable), cached_layout
+#: spools (rebuilds land in a fresh tempdir), and per-run snapshot dirs
+#: (rewritten by the same job with the same schema). A fixture that
+#: regenerates a path with a new schema must call
+#: ``clear_schema_cache()`` first. Caches METADATA only — never rows,
+#: so every query still computes from parquet (guide §1 /
+#: optimization-round rules).
 _SCHEMA_CACHE: dict[str, object] = {}
+
+
+def clear_schema_cache(path: str | None = None) -> None:
+    """Invalidate the schema cache — everything, or one path/key."""
+    if path is None:
+        _SCHEMA_CACHE.clear()
+    else:
+        _SCHEMA_CACHE.pop(path, None)
 
 
 #: Live DISK_ONLY reuse pins, one per pin_disk call site (see pin_disk).
@@ -165,8 +179,15 @@ def spread_small_source(df: DataFrame, key: str = "doc_id") -> DataFrame:
     calls per bench run), while the stats read is ~25 ms and the
     decision is the same — scan partitions ≈ sizeInBytes /
     maxPartitionBytes, so "fewer partitions than cores" ⇔ "fewer
-    splittable bytes than cores × maxPartitionBytes". Falls back to the
-    RDD check if the internal stats API is unavailable."""
+    splittable bytes than cores × maxPartitionBytes". That equivalence
+    holds for the plain (at most column-pruned) scans every current
+    caller passes; a selective FILTER would shrink the estimate below
+    the real scan split count (forcing a harmless extra repartition),
+    and a non-scan input (e.g. a checkpointed LogicalRDD) reports the
+    spark.sql.defaultSizeInBytes sentinel — treated as "unknown" below,
+    falling back to the RDD partition check rather than silently
+    skipping the spread (r14 advice). Falls back the same way if the
+    internal stats API is unavailable."""
     spark = df.sparkSession
     sc = spark.sparkContext
     par = sc.defaultParallelism
@@ -174,6 +195,11 @@ def spread_small_source(df: DataFrame, key: str = "doc_id") -> DataFrame:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )
+        default_size = int(
+            spark.conf.get("spark.sql.defaultSizeInBytes", str(1 << 62))
+        )
+        if size >= default_size:
+            raise ValueError("size statistic is the unknown-size sentinel")
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )

@@ -914,33 +914,62 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_packed_codebook(emb: DataFrame) -> DataFrame:
+    """The PQ_K codebook vectors folded into ONE broadcastable row —
+    the same packed-metadata trick as _centroids_packed."""
+    return _pq_codebook(emb).agg(
+        F.collect_list(F.struct("code", "cv")).alias("cbs")
+    )
+
+
 def _pq_assignments(emb: DataFrame) -> DataFrame:
     """(vec_id, subspace, code, qerr): nearest centroid per sub-space.
 
-    Scale shape: the codebook is PQ_K full vectors — broadcast; each
-    corpus vector expands to PQ_K * PQ_M (code, subspace) distance rows
-    map-side, and the argmin window runs per (vec_id, subspace) — the one
-    shuffle is keyed on the corpus id, never all-pairs. At 100 TB the
-    explode factor is the constant M*K=32, independent of corpus size.
-    """
-    structs = ", ".join(
-        f"struct({s} as subspace, {_pq_dist_expr('v', 'cv', s)} as qerr)"
+    ROW-LOCAL (r15): the codebook is PQ_K rows of index metadata, so it
+    packs into one broadcast row and each vector ranks all PQ_K
+    centroids per sub-space inside its own row — ZERO shuffles, where
+    the old form exploded PQ_K * PQ_M distance rows per vector and ran
+    an argmin window keyed (vec_id, subspace) (a corpus-id exchange at
+    100 TB; 64k windowed rows and one exchange at sf0.1). The
+    array_sort on struct(qerr, code) is lexicographic — exactly the old
+    window's ORDER BY qerr, code — and the qerr doubles come from the
+    identical _pq_dist_expr fold, so the selected codes and errors are
+    bit-identical (oracle-verified)."""
+    picks = ", ".join(
+        f"named_struct('subspace', {s}, 'pick', element_at(array_sort("
+        f"transform(cbs, c -> struct({_pq_dist_expr('v', 'c.cv', s)}"
+        f" AS qerr, c.code AS code))), 1))"
         for s in range(PQ_M)
     )
-    d = (
-        emb.crossJoin(F.broadcast(_pq_codebook(emb)))
+    return (
+        emb.crossJoin(F.broadcast(_pq_packed_codebook(emb)))
+        .select("vec_id", F.explode(F.expr(f"array({picks})")).alias("sp"))
         .select(
             "vec_id",
-            "code",
-            F.explode(F.expr(f"array({structs})")).alias("sd"),
+            F.col("sp.subspace").alias("subspace"),
+            F.col("sp.pick.code").alias("code"),
+            F.col("sp.pick.qerr").alias("qerr"),
         )
-        .select("vec_id", F.col("sd.subspace").alias("subspace"), "code", F.col("sd.qerr").alias("qerr"))
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy("qerr", "code")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+
+
+def _pq_codes_wide(emb: DataFrame) -> DataFrame:
+    """(vec_id, c0..c{PQ_M-1}): every sub-space's assigned code in one
+    row, computed ROW-LOCALLY against the packed codebook — replaces
+    the explode + groupBy(vec_id) pivot the search paths ran over
+    _pq_assignments (one corpus-keyed exchange each) with a zero-shuffle
+    projection. Code values equal _pq_assignments' (same argmin, same
+    tie-break)."""
+    cols = [
+        F.expr(
+            f"element_at(array_sort(transform(cbs, c -> "
+            f"struct({_pq_dist_expr('v', 'c.cv', s)} AS qerr,"
+            f" c.code AS code))), 1).code"
+        ).alias(f"c{s}")
+        for s in range(PQ_M)
+    ]
+    return emb.crossJoin(F.broadcast(_pq_packed_codebook(emb))).select(
+        "vec_id", *cols
     )
 
 
@@ -1033,13 +1062,9 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full-embedding-table sized: DISK_ONLY persist keeps lineage
     # (recoverable on executor loss) — see SCALE.md.
     emb = _pq_emb(spark, sf_dir).transform(pin_disk)
-    codes = _pq_assignments(emb)
-    wide = codes.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
-            for s in range(PQ_M)
-        ]
-    )
+    # row-local wide codes (r15): no explode + groupBy(vec_id) pivot —
+    # see _pq_codes_wide
+    wide = _pq_codes_wide(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

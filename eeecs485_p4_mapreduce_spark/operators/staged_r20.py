@@ -527,13 +527,13 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of IVF-PQ + exact top-R rerank, for R on the
     {RERANK_RS} curve (see section comment). Reuses the registered
     building blocks: _centroids_packed/_ASSIGN_SORTED for the coarse
-    cells, _pq_assignments/_pq_codebook for the codes, and
+    cells, _pq_codes_wide/_pq_codebook for the codes, and
     sim_topk_bruteforce as the exact reference."""
     from eeecs485_p4_mapreduce_spark.operators.similarity import (
         _ASSIGN_SORTED,
         _centroids_packed,
         _emb_with_norm,
-        _pq_assignments,
+        _pq_codes_wide,
         _pq_codebook,
         _pq_dist_expr,
         N_QUERIES,
@@ -575,12 +575,8 @@ def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "qv", "qnorm", F.col("tc.c_label").alias("cell"))
     )
-    wide = _pq_assignments(emb.select("vec_id", "v")).groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
-            for s in range(PQ_M)
-        ]
-    )
+    # row-local wide codes (r15): no explode + groupBy(vec_id) pivot
+    wide = _pq_codes_wide(emb.select("vec_id", "v"))
     structs = ", ".join(
         f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
         for s in range(PQ_M)

@@ -494,7 +494,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k restricted to IVF cells (see section comment). Reuses
     the registered building blocks: _centroids_packed/_ASSIGN_SORTED for
-    the coarse cells, _pq_assignments for the codes, and sim_pq_search's
+    the coarse cells, _pq_codes_wide for the codes, and sim_pq_search's
     per-subspace broadcast distance-table joins with the identical
     left-associated adc sum so doubles hash bit-for-bit."""
     from pyspark.sql.window import Window
@@ -503,7 +503,7 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ASSIGN_SORTED,
         _centroids_packed,
         _emb_with_norm,
-        _pq_assignments,
+        _pq_codes_wide,
         _pq_codebook,
         _pq_dist_expr,
         N_QUERIES,
@@ -532,12 +532,8 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("vec_id AS query_id", "v AS qv", "explode(top_cells) AS tc")
         .select("query_id", "qv", F.col("tc.c_label").alias("cell"))
     )
-    wide = _pq_assignments(emb.select("vec_id", "v")).groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
-            for s in range(PQ_M)
-        ]
-    )
+    # row-local wide codes (r15): no explode + groupBy(vec_id) pivot
+    wide = _pq_codes_wide(emb.select("vec_id", "v"))
     structs = ", ".join(
         f"struct({s} as subspace, {_pq_dist_expr('qv', 'cv', s)} as qdist)"
         for s in range(PQ_M)

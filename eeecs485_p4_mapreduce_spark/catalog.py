@@ -64,6 +64,28 @@ def clear_schema_cache(path: str | None = None) -> None:
         _SCHEMA_CACHE.pop(path, None)
 
 
+def dump_plan_evidence(df: DataFrame, name: str) -> DataFrame:
+    """Plan-evidence hook (r14 audit item 4): queries whose RESULT is
+    checkpointed return a plan truncated to ``Scan ExistingRDD``, so
+    their committed explain dumps show none of the join/agg structure.
+    When ``$SPARK_GRAFT_PLAN_EVIDENCE`` names a directory, write the
+    PRE-checkpoint subtree's ``explain("formatted")`` there; otherwise
+    (every normal run, the driver, the bench) this is an exact no-op.
+    Returns ``df`` so it chains."""
+    out_dir = os.environ.get("SPARK_GRAFT_PLAN_EVIDENCE")
+    if out_dir:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(buf.getvalue())
+    return df
+
+
 #: Live DISK_ONLY reuse pins, one per pin_disk call site (see pin_disk).
 _DISK_PINS: dict[tuple[str, int], DataFrame] = {}
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table
+from eeecs485_p4_mapreduce_spark.catalog import dump_plan_evidence, load_table
 from eeecs485_p4_mapreduce_spark.functions.text import word_shingles
 from eeecs485_p4_mapreduce_spark.registry import query
 
@@ -973,6 +973,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_hits_index", F.lit(0)) == 0)
                     & (F.coalesce("n_hits_delta", F.lit(0)) == 0)
                 ).alias("keep"),
+            )
+            # pre-checkpoint plan evidence (no-op unless the env hook
+            # is set): the returned plan is a Scan ExistingRDD, which
+            # hides the fused probe join structure from explain dumps
+            .transform(
+                lambda d: dump_plan_evidence(d, "dedup_incremental_prepin")
             )
             .localCheckpoint()  # materialize before the index dir vanishes
         )

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, table_path
+from eeecs485_p4_mapreduce_spark.catalog import (
+    dump_plan_evidence,
+    load_table,
+    table_path,
+)
 from eeecs485_p4_mapreduce_spark.registry import query
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -3654,8 +3658,11 @@ def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # materialize before the tempdir vanishes (the gate would
-        # otherwise lazily re-read a deleted path)
-        out = merged.localCheckpoint()
+        # otherwise lazily re-read a deleted path). The transform is the
+        # pre-checkpoint plan-evidence hook (no-op unless env-enabled).
+        out = merged.transform(
+            lambda d: dump_plan_evidence(d, "q66_incremental_rollup_prepin")
+        ).localCheckpoint()
     finally:
         shutil.rmtree(mv_dir, ignore_errors=True)
     return out

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eeecs485_p4_mapreduce_spark.catalog import dump_plan_evidence, load_table
+from eeecs485_p4_mapreduce_spark.catalog import (
+    dump_plan_evidence,
+    load_table,
+    table_path,
+)
 from eeecs485_p4_mapreduce_spark.functions.text import word_shingles
 from eeecs485_p4_mapreduce_spark.registry import query
 
@@ -917,8 +921,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from eeecs485_p4_mapreduce_spark.operators.relational import (
+        _parquet_col_minmax,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    split = docs.agg((F.max("doc_id") * 3 / 5).cast("bigint")).first()[0]
+    # Split boundary from parquet FOOTER statistics (r15, the q28
+    # pattern): numeric footer max IS the exact max(doc_id), and Python
+    # integer max*3//5 equals the old (max*3/5).cast(bigint) for any
+    # non-negative max below 2^53 — and matches the oracle's own
+    # integer `max(doc_id) * 3 // 5` exactly at ANY magnitude, where
+    # the double-division form could drift. Removes the one full
+    # driver-barrier aggregate job the query paid before any real work.
+    mm = _parquet_col_minmax(table_path(sf_dir, "documents"), "doc_id")
+    if mm is not None:
+        split = int(mm[1]) * 3 // 5
+    else:  # pragma: no cover — driver-generated tables always carry stats
+        split = docs.agg((F.max("doc_id") * 3 / 5).cast("bigint")).first()[0]
     idx_dir = tempfile.mkdtemp(prefix="p4spark_mhidx_")
     try:
         # ONE shingle+hash pass over the corpus: bands for all docs are

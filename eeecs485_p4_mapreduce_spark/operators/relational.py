@@ -3615,9 +3615,19 @@ def q66_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The merged rollup equals the full-history GROUP BY for ANY split
     # value (count/sum/min/max are mergeable partials), so the snapshot
     # boundary doesn't need a percentile sketch's full scan — max*4/5
-    # lands at ~80% on the generator's dense event_ids and MAX is a
-    # single-column scan (footer-only under parquet aggregate pushdown).
-    split = events.agg((F.max("event_id") * 4 / 5).cast("bigint")).first()[0]
+    # lands at ~80% on the generator's dense event_ids. r15: the max
+    # comes straight from parquet FOOTER statistics (the q28 pattern —
+    # numeric footer max is exact, no Spark job), removing the one
+    # driver-barrier aggregate the build paid; a stats-less file falls
+    # back to the MAX aggregate (footer-only under parquet aggregate
+    # pushdown). Output-invariant either way (any-split property).
+    mm = _parquet_col_minmax(table_path(sf_dir, "events"), "event_id")
+    if mm is not None:
+        split = int(mm[1]) * 4 // 5
+    else:  # pragma: no cover — driver-generated tables always carry stats
+        split = events.agg(
+            (F.max("event_id") * 4 / 5).cast("bigint")
+        ).first()[0]
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy(

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk
+from eeecs485_p4_mapreduce_spark.catalog import load_table, pin_disk, table_path
 from eeecs485_p4_mapreduce_spark.functions.text import tokens
 
 _DUCK_TOKS = "string_split_regex(lower(text), '[ \t]')"
@@ -527,11 +527,33 @@ def _spool_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     # caught live under TZ=America/New_York. unix_micros under the
     # UTC session equals the stored NTZ wall-clock, which is exactly
     # the frame the stream's NTZ->LTZ read uses.
-    max_us = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts")))
-        .collect()[0][0]
-    )
+    #
+    # r15: the max comes from the parquet FOOTER statistics (the q28
+    # pattern, no Spark job). The footer max of an NTZ timestamp column
+    # is the exact wall-clock max as a naive datetime, so epoch-micros
+    # arithmetic on it equals unix_micros under the UTC session; the
+    # sentinel lead only has to CLEAR the real max, and footer max ==
+    # true max, so the spool is byte-identical either way. Any surprise
+    # (no stats, tz-aware stat, non-datetime) falls back to the agg.
+    max_us = None
+    try:
+        from datetime import datetime, timedelta
+
+        from eeecs485_p4_mapreduce_spark.operators.relational import (
+            _parquet_col_minmax,
+        )
+
+        mm = _parquet_col_minmax(table_path(sf_dir, "events"), "ts")
+        if mm is not None and isinstance(mm[1], datetime) and mm[1].tzinfo is None:
+            max_us = (mm[1] - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+    except Exception:  # noqa: BLE001 — stats are an optimization, never load-bearing
+        max_us = None
+    if max_us is None:  # pragma: no cover — driver tables always carry stats
+        max_us = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max(F.unix_micros("ts")))
+            .collect()[0][0]
+        )
     sent_us = max_us + _SENTINEL_LEAD_HOURS * 3_600_000_000
     table = pa.table(
         {

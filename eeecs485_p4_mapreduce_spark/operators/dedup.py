@@ -726,13 +726,17 @@ def dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     single chunk."""
     docs = load_table(spark, sf_dir, "documents")
     k = CHUNK_TOKENS
+    # Tokenizer let-binding (the word_shingles rule): the bare form
+    # inlined the regex split into the chunk lambda, re-splitting the
+    # document once per chunk. Same chunk strings → same hashes.
     chunks = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, greatest(cast(ceil(size({_SPARK_TOKS}) / {k}.0)"
+                f"transform(array({_SPARK_TOKS}), __t ->"
+                f" transform(sequence(0, greatest(cast(ceil(size(__t) / {k}.0)"
                 f" as int), 1) - 1),"
-                f" i -> md5(concat_ws(' ', slice({_SPARK_TOKS}, i * {k} + 1, {k}))))"
+                f" i -> md5(concat_ws(' ', slice(__t, i * {k} + 1, {k})))))[0]"
             )
         ).alias("chunk_hash"),
     )

@@ -1245,16 +1245,22 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     no windows and are absent, mirrored by construction in the
     oracle."""
     docs = load_table(spark, sf_dir, "documents")
+    # Tokenizer let-binding (r15, the word_shingles rule): without the
+    # transform(array(tok), __t -> ...)[0] wrapper, CollapseProject
+    # inlines the regex split into the window lambda and the document
+    # is RE-SPLIT once per window position (measured: the fingerprint
+    # pass alone was 2.95 s warm at sf0.1; bound, ~0.3 s). Window
+    # strings are byte-identical (same concat_ws over the same slices),
+    # so fingerprints and output are unchanged.
     wins = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size({_SPARK_TOKS22}) >= {SUBSTR_W} THEN"
-                f" transform(sequence(1, size({_SPARK_TOKS22})"
-                f" - {SUBSTR_W - 1}),"
-                f" i -> concat_ws(' ', slice({_SPARK_TOKS22}, i,"
-                f" {SUBSTR_W})))"
-                f" ELSE array() END"
+                f"transform(array({_SPARK_TOKS22}), __t ->"
+                f" CASE WHEN size(__t) >= {SUBSTR_W} THEN"
+                f" transform(sequence(1, size(__t) - {SUBSTR_W - 1}),"
+                f" i -> concat_ws(' ', slice(__t, i, {SUBSTR_W})))"
+                f" ELSE array() END)[0]"
             )
         ).alias("win"),
     )

@@ -1617,27 +1617,35 @@ def q129_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    k_df = (
-        edges.agg(F.count(F.lit(1)).alias("ne"))
-        .crossJoin(
-            F.broadcast(
-                degrees(edges).agg(F.count(F.lit(1)).alias("nn"))
-            )
-        )
-        .selectExpr("ne div nn AS k")
-        .localCheckpoint()  # 1 row
+    # r15 job-count cut (§1.2; profiler: 18 build jobs -> see
+    # OPTIMIZATION_r15.md). Three changes, all output-identical:
+    # (a) K comes from ONE action over the round-0 degree table —
+    #     sum(c) = 2|E| exactly (every distinct edge contributes one
+    #     occurrence to each endpoint), so (sum(c) div 2) div count(*)
+    #     is the same floor(|E|/|N|) the old two-aggregate crossJoin
+    #     chain computed; the driver was already paying this barrier
+    #     as the k_df eager checkpoint.
+    # (b) d0 is PINNED and shared by the K action and round 1's keep
+    #     filter (same subtree the old form computed twice).
+    # (c) K joins each round as a LITERAL, and the two per-round
+    #     semi-joins reference the SAME keep subplan with the join key
+    #     in the condition instead of withColumnRenamed copies — the
+    #     rename made the two broadcast children structurally distinct,
+    #     defeating exchange reuse; identical children collapse to one
+    #     broadcast per round (ReusedExchange).
+    d0 = degrees(edges).transform(pin_disk)
+    k = int(
+        d0.agg(
+            F.expr("(sum(c) div 2) div count(1)").alias("k")
+        ).first()[0]
     )
 
     for _r in range(KCORE_ROUNDS):
-        keep = (
-            degrees(edges)
-            .crossJoin(F.broadcast(k_df))
-            .filter(F.col("c") >= F.col("k"))
-            .select("n")
-        )
+        d = d0 if _r == 0 else degrees(edges)
+        keep = d.filter(F.col("c") >= F.lit(k)).select("n")
         edges = (
-            edges.join(keep.withColumnRenamed("n", "a"), "a", "semi")
-            .join(keep.withColumnRenamed("n", "b"), "b", "semi")
+            edges.join(keep, edges["a"] == keep["n"], "semi")
+            .join(keep, edges["b"] == keep["n"], "semi")
             .localCheckpoint(eager=False)
         )
     return degrees(edges).select(

@@ -1640,14 +1640,20 @@ def q129_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()[0]
     )
 
+    from eeecs485_p4_mapreduce_spark.catalog import dump_plan_evidence
+
     for _r in range(KCORE_ROUNDS):
         d = d0 if _r == 0 else degrees(edges)
         keep = d.filter(F.col("c") >= F.lit(k)).select("n")
-        edges = (
-            edges.join(keep, edges["a"] == keep["n"], "semi")
-            .join(keep, edges["b"] == keep["n"], "semi")
-            .localCheckpoint(eager=False)
+        edges = edges.join(keep, edges["a"] == keep["n"], "semi").join(
+            keep, edges["b"] == keep["n"], "semi"
         )
+        if _r == KCORE_ROUNDS - 1:
+            # pre-checkpoint plan evidence (no-op unless the env hook is
+            # set): the returned plan is degrees over a Scan ExistingRDD,
+            # which hides the per-round shared-broadcast join structure
+            edges = dump_plan_evidence(edges, "q129_kcore_peel_prepin")
+        edges = edges.localCheckpoint(eager=False)
     return degrees(edges).select(
         F.col("n").alias("node"),
         F.col("c").cast("long").alias("degree"),

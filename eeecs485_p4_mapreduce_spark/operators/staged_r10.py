@@ -525,8 +525,10 @@ SIM_MMR_ORACLE = f"""
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 per query over top-8 dot-product
     candidates (see section comment): one candidate window, one
-    bounded pairwise-sim frame, then 4 unrolled greedy rounds of
-    (max-sim-to-selected, argmax) joins in integer micros."""
+    bounded pairwise-sim frame, then the 4 greedy
+    (max-sim-to-selected, argmax) rounds folded ROW-LOCALLY over the
+    per-query candidate/sim arrays in integer micros (r15 — the old
+    unrolled join rounds each paid an eager checkpoint barrier)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -602,63 +604,70 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_e6"),
         )
-        .localCheckpoint(eager=False)  # 8x8 per query, reused every round
     )
-    w_rel = Window.partitionBy("query_id").orderBy(
-        F.col("rel_e6").desc(), F.col("cid")
+    # r15: the 4 greedy rounds run ROW-LOCALLY inside one aggregation
+    # (the PQ row-local rule) instead of 4 unrolled join rounds with an
+    # eager localCheckpoint each — the loop was 38 sequential build
+    # jobs at bench scale, each barrier re-materializing the chain.
+    # Both state tables are bounded PER QUERY ({MMR_CANDIDATES}
+    # candidates, {MMR_CANDIDATES}^2 sims), so collecting them to one
+    # array-pair row per query is the same bound the old per-round
+    # window partitions had; the greedy argmax chain is inherently
+    # sequential, which makes it per-row compute, not dataflow. The
+    # arithmetic inside the fold is byte-identical to the old round
+    # loop: same integer micros, same `div`, same (mmr desc, cid)
+    # tie-break — and every step is order-insensitive to collect_list
+    # order (argmax by a total order; exists/filter set-membership).
+    sel_cmp = (
+        "(x, y) -> CASE WHEN x.rel_e6 > y.rel_e6 THEN -1"
+        " WHEN x.rel_e6 < y.rel_e6 THEN 1"
+        " WHEN x.cid < y.cid THEN -1 WHEN x.cid > y.cid THEN 1"
+        " ELSE 0 END"
     )
-    selected = (
-        cand.withColumn("rr", F.row_number().over(w_rel))
-        .filter(F.col("rr") == 1)
-        .select("query_id", "cid", "rel_e6", F.lit(1).alias("sel_rank"))
+    mmr_cmp = (
+        "(x, y) -> CASE WHEN x.mmr > y.mmr THEN -1"
+        " WHEN x.mmr < y.mmr THEN 1"
+        " WHEN x.cid < y.cid THEN -1 WHEN x.cid > y.cid THEN 1"
+        " ELSE 0 END"
     )
-    for step in range(2, MMR_SELECT + 1):
-        sel_ids = selected.select(
-            F.col("query_id").alias("s_q"), F.col("cid").alias("s_cid")
+    ms_expr = (
+        "array_max(transform(filter(sims,"
+        " p -> p.cid_a = c.cid AND exists(acc, s -> s.cid = p.cid_b)),"
+        " p -> p.sim_e6))"
+    )
+    step_expr = (
+        "concat(acc, transform(slice(array_sort(transform("
+        "filter(cands, c -> NOT exists(acc, s -> s.cid = c.cid)),"
+        " c -> named_struct("
+        f"'mmr', ({MMR_LAM_NUM}L * c.rel_e6"
+        f" - {MMR_LAM_DEN - MMR_LAM_NUM}L * {ms_expr}) div {MMR_LAM_DEN}L,"
+        " 'cid', c.cid, 'rel_e6', c.rel_e6)), "
+        f"{mmr_cmp}), 1, 1),"
+        " p -> named_struct('cid', p.cid, 'rel_e6', p.rel_e6,"
+        " 'sel_rank', k)))"
+    )
+    greedy = (
+        f"aggregate(sequence(2, {MMR_SELECT}), "
+        f"transform(slice(array_sort(cands, {sel_cmp}), 1, 1),"
+        " c -> named_struct('cid', c.cid, 'rel_e6', c.rel_e6,"
+        " 'sel_rank', 1)), "
+        f"(acc, k) -> {step_expr})"
+    )
+    cand_arr = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("cid", "rel_e6")).alias("cands")
+    )
+    sims_arr = sims.groupBy("query_id").agg(
+        F.collect_list(F.struct("cid_a", "cid_b", "sim_e6")).alias("sims")
+    )
+    return (
+        cand_arr.join(sims_arr, "query_id")
+        .select("query_id", F.explode(F.expr(greedy)).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.sel_rank").cast("long").alias("sel_rank"),
+            F.col("s.cid").alias("vec_id"),
+            F.col("s.rel_e6").alias("rel_e6"),
         )
-        max_sim = (
-            sims.join(
-                sel_ids,
-                (sims["query_id"] == F.col("s_q"))
-                & (sims["cid_b"] == F.col("s_cid")),
-            )
-            .groupBy("query_id", F.col("cid_a").alias("cid"))
-            .agg(F.max("sim_e6").alias("ms"))
-        )
-        remaining = cand.join(
-            selected.select(
-                F.col("query_id").alias("s_q"), F.col("cid").alias("s_cid")
-            ),
-            (cand["query_id"] == F.col("s_q"))
-            & (cand["cid"] == F.col("s_cid")),
-            "left_anti",
-        )
-        w_mmr = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_e6").desc(), F.col("cid")
-        )
-        pick = (
-            remaining.join(max_sim, ["query_id", "cid"])
-            .withColumn(
-                "mmr_e6",
-                F.expr(
-                    f"({MMR_LAM_NUM} * rel_e6"
-                    f" - ({MMR_LAM_DEN} - {MMR_LAM_NUM}) * ms)"
-                    f" div {MMR_LAM_DEN}"
-                ),
-            )
-            .withColumn("rr", F.row_number().over(w_mmr))
-            .filter(F.col("rr") == 1)
-            .select(
-                "query_id", "cid", "rel_e6",
-                F.lit(step).alias("sel_rank"),
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected.select(
-        "query_id",
-        F.col("sel_rank").cast("long").alias("sel_rank"),
-        F.col("cid").alias("vec_id"),
-        "rel_e6",
     )
 
 

@@ -128,6 +128,23 @@ def pin_disk(df: DataFrame) -> DataFrame:
             old.unpersist()
         except Exception:  # noqa: BLE001 — old session may be stopped
             pass
+    # Cross-SITE supersession (r15): two different queries can pin the
+    # same analyzed plan through different call sites (shared helpers —
+    # e.g. the PQ codebook), and the site-keyed pop above never sees
+    # the other site's live entry, so the persist below would silently
+    # ALIAS it (CacheManager "Asked to cache already cached data"):
+    # query B's census row then reads query A's materialized pin
+    # instead of computing from source. Uncache any plan-equivalent
+    # entry first — DataFrame.unpersist matches by canonicalized plan,
+    # not by handle, so it drops the other site's entry too. The probe
+    # is df.storageLevel (a canonical CacheManager lookup); is_cached
+    # checks only this handle's own registration and misses aliases.
+    try:
+        lvl = df.storageLevel
+        if lvl.useDisk or lvl.useMemory or lvl.useOffHeap:
+            df.unpersist()
+    except Exception:  # noqa: BLE001 — cache probe must never break a build
+        pass
     out = df.persist(StorageLevel.DISK_ONLY)
     _DISK_PINS[key] = out
     return out

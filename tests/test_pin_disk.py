@@ -61,6 +61,39 @@ def test_pin_disk_sites_key_independently(spark):
         _DISK_PINS.pop(k, None)
 
 
+def test_pin_disk_supersedes_plan_equivalent_pin_from_other_site(spark):
+    """Two different call sites pinning the SAME analyzed plan (shared
+    helpers across queries, e.g. the PQ codebook) must not alias: the
+    second pin uncaches the first site's entry before persisting, so
+    the second query computes from source instead of silently reading
+    the first query's materialized pin (the census CacheManager
+    "already cached" warnings, r15)."""
+    from eeecs485_p4_mapreduce_spark.catalog import _DISK_PINS, pin_disk
+
+    def n_materialized() -> int:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return len([i for i in infos if i.numCachedPartitions() > 0])
+
+    spark.catalog.clearCache()
+    before = set(_DISK_PINS)
+    plan = lambda: spark.range(50).withColumn("y", F.col("id") + 1)  # noqa: E731
+    a = pin_disk(plan())
+    assert a.count() == 50  # materialize site A's pin
+    assert a.storageLevel.useDisk  # canonical lookup sees the entry
+    assert n_materialized() >= 1
+    b = pin_disk(plan())  # DIFFERENT line, same canonicalized plan
+    # the fix uncached site A's materialized entry BEFORE persisting
+    # site B's (the aliasing bug left A's blocks live and served them
+    # to B) — so right here nothing is materialized yet
+    assert n_materialized() == 0
+    assert b.count() == 50  # B computes from source
+    assert b.storageLevel.useDisk
+    new = set(_DISK_PINS) - before
+    b.unpersist()
+    for k in new:
+        _DISK_PINS.pop(k, None)
+
+
 def test_transform_spelling_keys_on_operator_site(spark):
     """df.transform(pin_disk) must key on the engine call site, not on
     pyspark's transform internals (all sites would collide there)."""
